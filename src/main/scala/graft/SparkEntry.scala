@@ -1,13 +1,429 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, SnapshotMerge, TextAnalysis, Windows}
+
+/** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
+  * operator family from SURVEY §2 plus the training-data-pipeline extensions,
+  * and for each a DuckDB-executable oracle in [[oracleSql]].
+  *
+  * Determinism rules for oracle parity (SURVEY §7.4):
+  *  - every aggregate/computed column aliased identically on both sides;
+  *  - double *aggregates* rounded (sums of 2-decimal money to 2dp, derived
+  *    products to 4dp — the true values sit on that decimal grid so rounding
+  *    can never straddle a boundary); per-row scalar doubles are left raw
+  *    (same IEEE ops on same inputs are bit-identical in any engine);
+  *  - ranked outputs carry explicit total-order tiebreakers;
+  *  - no timestamp output columns (epoch longs instead) so comparison never
+  *    depends on a reader's timestamp-unit normalization.
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q07_nation_revenue")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 hash aggregate — partial+final, one shuffle on the group keys.
+    "q01_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A2 rollup / grouping sets.
+    "q02_rollup_orders" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // A3 conditional aggregation (count_if / filtered agg).
+    "q03_conditional_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem").agg(
+        count_if(col("l_discount") > 0.05).as("n_discounted"),
+        count(lit(1)).as("n_total"),
+        round(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+          .otherwise(0.0)), 2).as("returned_value"))
+    }),
+
+    // P1/P5/F8 scan with pushed filter + pruned projection (verify via
+    // .explain: PushedFilters on l_shipdate/l_quantity, 6-column ReadSchema).
+    "q04_filter_project" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("net_price"))
+    }),
+
+    // J1 anti join — inserts lane of the reference's set-diff.
+    "q05_anti_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // J3 semi join — updates lane.
+    "q06_semi_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_nationkey"))
+    }),
+
+    // J4 broadcast dim join + aggregation (nation/region are tiny dims).
+    "q07_nation_revenue" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val o = T(s, dir, "orders")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // J5 cross join — the reference's category grid (S3).
+    "q08_cross_grid" -> ((s, dir) => {
+      T(s, dir, "region").select(col("r_name"))
+        .crossJoin(T(s, dir, "nation").select(col("n_name")))
+    }),
+
+    // W1 ranked top-k per group (the top-5-tags pivot, order enforced).
+    "q09_top5_per_group" -> ((s, dir) => {
+      Windows.topKPerGroup(
+        T(s, dir, "lineitem"),
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc),
+        5, "rn")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"), col("rn"))
+    }),
+
+    // O global top-N (total order with tiebreaker → deterministic set).
+    "q10_topn_orders" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // I1/J1–J3 snapshot-diff merge: one full-outer join, action-classified.
+    "q11_merge_actions" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val source = cust.filter(col("c_custkey") % 10 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 4 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+      val target = cust.filter(col("c_custkey") % 10 =!= 7)
+      SnapshotMerge.mergeActions(source, target, "c_custkey", Seq("c_acctbal"))
+        .select(col("c_custkey"), col("action"), col("c_acctbal"))
+    }),
+
+    // Exact dedup groups (docx §4.4 uniqueness rule, at corpus scale).
+    "q12_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(T(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // F2/F3 coalesce with Python-truthiness (empty-string) semantics.
+    "q13_coalesce_fallback" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(coalesce(nullif(trim(col("source")), lit("")), col("lang"))
+          .as("origin"))
+        .groupBy(col("origin")).agg(count(lit(1)).as("n"))
+    }),
+
+    // F7 date-part extraction + aggregation.
+    "q14_date_parts" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // F6 JSON field extraction from a string column.
+    "q15_json_extract" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"))
+    }),
+
+    // Token counting: whitespace + BPE-ish subword proxy.
+    "q16_token_stats" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_subtokens"),
+        length(col("text")).as("len"))
+    }),
+
+    // F8/F9/F10 string truncation / trim / cast.
+    "q17_string_funcs" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        substring(col("text"), 1, 20).as("prefix"),
+        upper(substring(trim(col("text")), 1, 5)).as("head"),
+        length(trim(col("text"))).as("trim_len"),
+        col("n_chars").cast("string").as("n_chars_str"))
+    }),
+
+    // F13 dictionary decode (enum code → label) via a literal map.
+    "q18_enum_decode" -> ((s, dir) => {
+      val m = typedLit(Map("F" -> "FINISHED", "O" -> "OPEN", "P" -> "PENDING"))
+      T(s, dir, "orders")
+        .select(element_at(m, col("o_orderstatus")).as("status_label"))
+        .groupBy(col("status_label")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Running total window (cumulative frame, deterministic order).
+    "q19_running_total" -> ((s, dir) => {
+      Windows.runningTotal(
+        T(s, dir, "orders"),
+        Seq(col("o_custkey")),
+        Seq(col("o_orderdate").asc, col("o_orderkey").asc),
+        col("o_totalprice"), "running_raw")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("running_raw"), 2).as("running_total"))
+    }),
+
+    // Tumbling event-time buckets (batch form of the streaming window).
+    "q20_tumbling_window" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(Windows.tumble(col("ts"), 600).cast("long").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // Text quality scoring (length / token / vowel-ratio bands).
+    "q21_text_quality" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.vowelRatio(col("text")).as("vowel_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Heuristic language ID (stopword-profile voting).
+    "q22_langid" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(TextAnalysis.langId(col("text")).as("pred_lang"), col("lang"))
+        .groupBy(col("pred_lang"), col("lang")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Document fingerprinting (normalized md5).
+    "q23_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Dim-table aggregate over part (predicate + avg/sum).
+    "q24_part_stats" -> ((s, dir) => {
+      T(s, dir, "part").filter(col("p_size").between(10, 40))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg(col("p_retailprice")), 4).as("avg_price"),
+          round(sum(col("p_retailprice")), 2).as("total_price"))
+    }),
+
+    // Multi-hop dim join: supplier → nation → region.
+    "q25_supplier_region" -> ((s, dir) => {
+      val su = T(s, dir, "supplier")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")), 2).as("total_bal"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q03_conditional_agg" ->
+      """SELECT count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        | count(*) AS n_total,
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS returned_value
+        |FROM lineitem""".stripMargin,
+
+    "q04_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        | round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity > 30""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
+
+    "q07_nation_revenue" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q08_cross_grid" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+
+    "q09_top5_per_group" ->
+      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+        | l_extendedprice, rn
+        |FROM (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+        |        l_extendedprice,
+        |        CAST(row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |          ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INT) AS rn
+        |      FROM lineitem) t
+        |WHERE rn <= 5""".stripMargin,
+
+    "q10_topn_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q11_merge_actions" ->
+      """WITH src AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 <> 3
+        |), tgt AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 <> 7
+        |)
+        |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN t.c_custkey IS NULL THEN 'insert'
+        |       WHEN s.c_custkey IS NULL THEN 'delete'
+        |       WHEN s.c_acctbal IS DISTINCT FROM t.c_acctbal THEN 'update'
+        |       ELSE 'unchanged' END AS action,
+        |  coalesce(s.c_acctbal, t.c_acctbal) AS c_acctbal
+        |FROM src s FULL OUTER JOIN tgt t ON s.c_custkey = t.c_custkey""".stripMargin,
+
+    "q12_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q13_coalesce_fallback" ->
+      """SELECT coalesce(nullif(trim(source), ''), lang) AS origin, count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q14_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        | CAST(month(o_orderdate) AS INT) AS mo,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q15_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+        | round(avg(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)), 4) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q16_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+        |   + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS n_subtokens,
+        | CAST(length(text) AS INT) AS len
+        |FROM documents""".stripMargin,
+
+    "q17_string_funcs" ->
+      """SELECT doc_id, substring(text, 1, 20) AS prefix,
+        | upper(substring(trim(text), 1, 5)) AS head,
+        | CAST(length(trim(text)) AS INT) AS trim_len,
+        | CAST(n_chars AS VARCHAR) AS n_chars_str
+        |FROM documents""".stripMargin,
+
+    "q18_enum_decode" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'FINISHED' WHEN 'O' THEN 'OPEN'
+        |  WHEN 'P' THEN 'PENDING' END AS status_label, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q19_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders""".stripMargin,
+
+    "q20_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q21_text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_actual,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        | CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+        |   / CAST(greatest(length(text), 1) AS DOUBLE) AS vowel_ratio,
+        | (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END
+        |  + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 5 AND 20000 THEN 1 ELSE 0 END
+        |  + CASE WHEN CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) > 0.15 THEN 1 ELSE 0 END) AS quality
+        |FROM documents""".stripMargin,
+
+    "q22_langid" -> {
+      val hits = TextAnalysis.EnglishStopwords
+        .map(w => s"CASE WHEN concat(' ', lower(trim(text)), ' ') LIKE '% $w %' THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""SELECT CASE WHEN $hits >= 2 THEN 'en' ELSE 'unknown' END AS pred_lang,
+         | lang, count(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    },
+
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q24_part_stats" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        | round(avg(p_retailprice), 4) AS avg_price,
+        | round(sum(p_retailprice), 2) AS total_price
+        |FROM part WHERE p_size BETWEEN 10 AND 40 GROUP BY p_brand""".stripMargin,
+
+    "q25_supplier_region" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        | round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+  )
 }

@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  *
+  * Hash portability: every hash here is derived from `md5` hex strings
+  * (lowercase in every engine) rather than engine-native hash functions, so
+  * results are reproducible across engines (and verifiable against a SQL
+  * oracle). MinHash uses *lexicographic min over md5 strings* — a uniform
+  * random permutation of the shingle space per seed, which is exactly the
+  * MinHash construction (Broder '97).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = one hash-shuffle on the fingerprint; map-side partial
+  *    aggregation halves the shuffle volume.
+  *  - shingle self-joins shuffle on the shingle/band key. Hot shingles cause
+  *    join skew → `maxShingleDocFreq` drops stop-shingles (standard trick);
+  *    AQE skew-join splitting is the backstop.
+  *  - nothing collects to the driver; every stage is a Dataset transform.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by normalized-text fingerprint: keeps the
+    * min id per group (deterministic winner) plus the group size.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** The deduplicated corpus: one row per distinct normalized text (the row
+    * with the smallest id wins).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, idCol)
+  }
+
+  /** Word n-gram shingles of `text` as an array column; documents shorter
+    * than `n` tokens contribute their whole token sequence as one shingle.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = TextAnalysis.tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** One row per distinct (id, shingle). The base relation for Jaccard and
+    * MinHash. `maxShingleDocFreq` (0 = off) drops shingles occurring in more
+    * than that many documents — skew control at corpus scale.
+    */
+  def shingleSet(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDocFreq: Long = 0L): DataFrame = {
+    val base = df
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    if (maxShingleDocFreq <= 0) base
+    else {
+      val hot = base.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df_"))
+        .filter(col("df_") > maxShingleDocFreq)
+        .select("shingle")
+      base.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** All pairs (a < b) with shingle-set Jaccard ≥ `threshold`.
+    * Inverted-index self-join on the shingle key (one shuffle), then
+    * |A∩B| / (|A|+|B|−|A∩B|).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDocFreq: Long = 0L): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n, maxShingleDocFreq)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("sz_a"),
+        col("sz_b"), col("jaccard"))
+  }
+
+  /** MinHash permutation value of a shingle for hash seed `seed`: md5 of the
+    * seeded shingle, compared lexicographically. */
+  def minhashOf(shingle: Column, seed: Int): Column =
+    md5(concat(lit(s"$seed:"), shingle))
+
+  /** MinHash signatures: `numHashes` columns `mh0..mh{k-1}`, each the min
+    * seeded-md5 over the document's shingle set. One explode + one grouped
+    * aggregation (map-side partial min makes the shuffle tiny: k strings per
+    * doc).
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(i =>
+      min(minhashOf(col("shingle"), i)).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from MinHash signatures: `numHashes` rows split into
+    * bands of `rowsPerBand`; docs sharing any full band collide. Probability
+    * a pair with Jaccard s collides: 1 − (1 − s^r)^b.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val nBands = numHashes / rowsPerBand
+    val bandKeys = (0 until nBands).map { bnd =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"),
+        md5(concat_ws("|", cols: _*)).as("key"))
+    }
+    val banded = sig
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with exact Jaccard verification of the
+    * LSH candidates (candidates ≪ all-pairs, so the verify join is cheap).
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val cand = minhashLshPairs(df, idCol, textCol, n, numHashes, rowsPerBand)
+    val sh = shingleSet(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("id_a", "id_b"), "left_outer")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** Per-document 64-bit SimHash over whitespace tokens (with multiplicity),
+    * emitted as a 16-hex-char string. Token hash = first 16 hex chars of
+    * md5(token); bit j contributes +1/−1 by its value; final bit = majority
+    * (> 0). Pure expressions: explode → 64 partial sums → assemble. The
+    * grouped aggregation is map-side combinable (64 longs per doc).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", substring(md5(col("tok")), 1, 16))
+    // contribution of bit j (0..63, msb-first within each hex digit)
+    def bitContrib(j: Int): Column = {
+      val p = j / 4 + 1
+      val shift = 3 - (j % 4)
+      val bit = shiftright(instr(lit(HexDigits), substring(col("h"), p, 1)) - 1,
+        shift).bitwiseAND(1)
+      (bit * 2 - 1).as(s"c$j")
+    }
+    val sums = (0 until 64).map(j => sum(bitContrib(j)).as(s"s$j"))
+    val agg = tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    // reassemble: digit d = 8*b(4d) + 4*b(4d+1) + 2*b(4d+2) + b(4d+3)
+    def b(j: Int): Column = when(col(s"s$j") > 0, 1).otherwise(0)
+    val digits = (0 until 16).map { d =>
+      val v = b(4 * d) * 8 + b(4 * d + 1) * 4 + b(4 * d + 2) * 2 + b(4 * d + 3)
+      lit(HexDigits).substr(v + 1, lit(1))
+    }
+    agg.select(col(idCol), concat(digits: _*).as("simhash"))
+  }
+
+  /** Hamming distance between two 16-hex-char SimHash strings, as a column
+    * expression (sum of bit_count over per-digit XORs). */
+  def simhashHamming(a: Column, b: Column): Column =
+    (1 to 16).map { p =>
+      bit_count(
+        (instr(lit(HexDigits), substring(a, p, 1)) - 1)
+          .bitwiseXOR(instr(lit(HexDigits), substring(b, p, 1)) - 1))
+    }.reduce(_ + _)
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (≤ 3 for the
+    * default banding). Pigeonhole blocking: the 64 bits split into 4 bands of
+    * 16 bits (4 hex chars); any pair within Hamming ≤ 3 shares at least one
+    * untouched band, so joining per-band is exact, not approximate.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole blocking is exact only for maxDist <= 3")
+    val sig = simhash(df, idCol, textCol)
+    val banded = sig.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(bnd =>
+        struct(lit(bnd).as("band"),
+          substring(col("simhash"), bnd * 4 + 1, 4).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("key"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        simhashHamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

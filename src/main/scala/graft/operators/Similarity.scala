@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact — broadcast the (small) query set, score every
+  *    corpus vector map-side (no shuffle for scoring), then one small shuffle
+  *    for the per-query top-k. At 100 TB the scoring stage scales linearly
+  *    with executors; the ranked shuffle carries only corpus×|queries| rows,
+  *    pre-pruned per partition.
+  *  - [[lshBucketedTopK]]: approximate — sign-random-projection LSH
+  *    (Charikar '02): bucket by the sign pattern of `nPlanes` fixed random
+  *    hyperplanes; queries only score their own bucket. One equi-join on the
+  *    bucket key instead of a cross product.
+  *
+  * All arithmetic is a strict left-to-right fold over doubles
+  * (`aggregate(zip_with(...))`) — deterministic and engine-portable.
+  */
+object Similarity {
+
+  /** Cast array<float> → array<double> once, up front (keeps all downstream
+    * arithmetic in double, matching any SQL oracle). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) table — the big side
+    * @param queries (idCol, vecCol) table — small; broadcast
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        cosine(col("qv"), col("v")).as("sim"))
+    Windows.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("sim").desc, col("id").asc), k, "rank")
+      .select(col("q_id"), col("id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed → reproducible
+    * bucketing on any cluster). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-random-projection bucket key: one bit per hyperplane. */
+  def srpBucket(v: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.map { p =>
+      val plane = array(p.map(lit(_)).toIndexedSeq: _*)
+      when(dot(v, plane) >= 0, "1").otherwise("0")
+    }
+    concat(bits.toIndexedSeq: _*)
+  }
+
+  /** Approximate top-k: only corpus vectors in the query's SRP bucket are
+    * scored. Recall rises as `nPlanes` falls (bigger buckets). */
+  def lshBucketedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), planes))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", srpBucket(col("qv"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), cosine(col("qv"), col("v")).as("sim"))
+    Windows.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("sim").desc, col("id").asc), k, "rank")
+      .select(col("q_id"), col("id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
+    * `threshold`, restricted to SRP-bucket collisions (near-dups almost
+    * surely collide at small `nPlanes`).
+    */
+  def embeddingNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), planes))
+    val l = c.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val r = c.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

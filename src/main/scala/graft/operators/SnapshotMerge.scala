@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental snapshot merge (CDC-style set-diff), the Spark-first
+  * re-expression of the reference's hash-set diff sync
+  * (`/root/reference/data_loading_to_mysql_database.py:185-277`, SURVEY §2.9
+  * I1–I3, §2.4 J1–J3).
+  *
+  * The reference computes three Python-set differences (insert/delete/update
+  * id sets) and rebuilds the target frame. Distributed, the same semantics
+  * are ONE full-outer shuffle join on the key — Catalyst/AQE picks broadcast
+  * vs shuffled-hash vs sort-merge by size, and at 100 TB the join shuffles
+  * each side exactly once on the key (no driver-side id sets, no collect).
+  */
+object SnapshotMerge {
+
+  /** Rows of `source ⟗ target` classified into insert / update / delete /
+    * unchanged lanes. Null-key rows are excluded (the reference splits them
+    * out first — P6 — and passes them through untouched; see [[merge]]).
+    *
+    * Output: key, action, and every non-key source column coalesced with the
+    * target's (source wins — update-by-replace semantics).
+    */
+  def mergeActions(
+      source: DataFrame,
+      target: DataFrame,
+      key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val s = source.filter(col(key).isNotNull).as("s")
+    val t = target.filter(col(key).isNotNull).as("t")
+    val changed: Column = compareCols
+      .map(c => !(col(s"s.$c") <=> col(s"t.$c")))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val action = when(col(s"t.$key").isNull, "insert")
+      .when(col(s"s.$key").isNull, "delete")
+      .when(changed, "update")
+      .otherwise("unchanged")
+    val dataCols = source.columns.filterNot(_ == key).toSeq.map { c =>
+      (if (target.columns.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c"))
+       else col(s"s.$c")).as(c)
+    }
+    s.join(t, col(s"s.$key") === col(s"t.$key"), "full_outer")
+      .select(
+        coalesce(col(s"s.$key"), col(s"t.$key")).as(key) +:
+          action.as("action") +: dataCols: _*)
+  }
+
+  /** Applied merge result — the new target snapshot.
+    *
+    * Parity with the reference: inserts + updates + unchanged come from the
+    * source row; deletes are dropped (hard delete) or kept with
+    * `is_active=false` (soft delete, `notion_data_ingestion.py:206-244`);
+    * null-key target rows pass through untouched
+    * (`data_loading_to_mysql_database.py:265`).
+    */
+  def merge(
+      source: DataFrame,
+      target: DataFrame,
+      key: String,
+      softDelete: Boolean = false): DataFrame = {
+    val actions = mergeActions(source, target, key,
+      source.columns.filterNot(_ == key).toSeq.filter(target.columns.contains))
+    val live = actions.filter(col("action") =!= "delete").drop("action")
+      .withColumn("is_active", lit(true))
+    val deleted =
+      if (softDelete)
+        actions.filter(col("action") === "delete").drop("action")
+          .withColumn("is_active", lit(false))
+      else actions.limit(0).drop("action").withColumn("is_active", lit(true))
+    val naRows = target.filter(col(key).isNull)
+      .select(actions.columns.filter(_ != "action").toSeq.map { c =>
+        (if (target.columns.contains(c)) col(c)
+         else lit(null).cast(actions.schema(c).dataType)).as(c)
+      }: _*)
+      .withColumn("is_active", lit(true))
+    live.unionByName(deleted).unionByName(naRows)
+  }
+}

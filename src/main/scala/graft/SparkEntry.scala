@@ -256,7 +256,120 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_suppliers"),
           round(sum(col("s_acctbal")), 2).as("total_bal"))
     }),
+
+    // Near-dup: word-3-gram Jaccard pairs (inverted-index self-join).
+    "q26_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text", 3, 0.3)
+    }),
+
+    // MinHash signatures (8 permutations via seeded md5, lexicographic min).
+    "q27_minhash_signatures" -> ((s, dir) => {
+      Dedup.minhashSignatures(T(s, dir, "documents"), "doc_id", "text", 3, 8)
+    }),
+
+    // MinHash-LSH candidate pairs (4 bands × 2 rows).
+    "q28_minhash_lsh_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(T(s, dir, "documents"), "doc_id", "text", 3, 8, 2)
+    }),
+
+    // SimHash (64-bit, token-frequency weighted, hex-encoded).
+    "q29_simhash" -> ((s, dir) => {
+      Dedup.simhash(T(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // SimHash near-dup pairs: Hamming ≤ 3 via exact 4-band pigeonhole.
+    "q30_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(T(s, dir, "documents"), "doc_id", "text", 3)
+    }),
+
+    // Exact brute-force cosine top-k (broadcast queries, map-side scoring).
+    "q31_cosine_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", 10)
+    }),
+
+    // Embedding-cosine near-dup pairs within SRP-LSH buckets.
+    "q32_cosine_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairs(T(s, dir, "embeddings"), "vec_id",
+        "embedding", 0.3, nPlanes = 4, dim = 64)
+    }),
+
+    // Approximate ANN: SRP-bucketed cosine top-k (scale path of q31).
+    "q33_lsh_ann_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.lshBucketedTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", 10, nPlanes = 3, dim = 64)
+    }),
   )
+
+  // ---- DuckDB oracle-SQL generators (DuckDB dialect) -------------------
+  // These mirror the Spark operators' exact hash/fold order: md5 is
+  // identical everywhere; float folds are strict left-to-right in both
+  // `aggregate(zip_with(...))` (Spark) and `list_reduce` (DuckDB), so
+  // doubles match bit-for-bit, not just approximately.
+
+  private val HD = "0123456789abcdef"
+
+  /** Word-3-gram distinct shingle set (mirrors Dedup.shingleSet, n=3). */
+  private val shingleCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+      |         ELSE array_to_string(t, ' ') END AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i) r
+      |)""".stripMargin
+
+  private val minhashSigSelect: String = {
+    val mins = (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
+    s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
+  }
+
+  /** 64-bit SimHash CTE chain ending in sig(doc_id, simhash). */
+  private val simhashSigCte: String = {
+    val sums = (0 until 64).map { j =>
+      val p = j / 4 + 1
+      val sft = 3 - (j % 4)
+      s"sum((((strpos('$HD', substring(h, $p, 1)) - 1) >> $sft) & 1) * 2 - 1) AS s$j"
+    }.mkString(", ")
+    val digits = (0 until 16).map { d =>
+      val v = (0 until 4).map(b => s"CASE WHEN s${4 * d + b} > 0 THEN ${8 >> b} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"substring('$HD', $v + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, substring(md5(tk.tok), 1, 16) AS h
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok) tk
+       |), sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $digits AS simhash FROM sums)""".stripMargin
+  }
+
+  private def hammingSql(a: String, b: String): String =
+    (1 to 16).map(p =>
+      s"bit_count(xor(strpos('$HD', substring($a, $p, 1)) - 1, " +
+        s"strpos('$HD', substring($b, $p, 1)) - 1))")
+      .mkString("(", " + ", ")")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (acc, z) -> acc + z)"
+
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (acc, z) -> acc + z))"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+
+  private def planeSql(p: Array[Double]): String =
+    "CAST([" + p.map(_.toString).mkString(", ") + "] AS DOUBLE[])"
+
+  /** SRP bucket bits — planes inlined as literals (Double.toString
+    * round-trips, so DuckDB reconstructs bit-identical doubles). */
+  private def bucketSql(v: String, planes: Array[Array[Double]]): String =
+    planes.map(p => s"CASE WHEN ${dotSql(v, planeSql(p))} >= 0 THEN '1' ELSE '0' END")
+      .mkString("(", " || ", ")")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -425,5 +538,89 @@ object SparkEntry {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "q26_jaccard_pairs" ->
+      s"""$shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         |  CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.3""".stripMargin,
+
+    "q27_minhash_signatures" -> s"$shingleCte\n$minhashSigSelect",
+
+    "q28_minhash_lsh_pairs" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
+        .mkString("\nUNION ALL ")
+      s"""$shingleCte,
+         |sig AS ($minhashSigSelect),
+         |banded AS ($bands)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b USING (band, key)
+         |WHERE a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "q29_simhash" -> s"$simhashSigCte\nSELECT doc_id, simhash FROM sig",
+
+    "q30_simhash_pairs" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, simhash, $b AS band, substring(simhash, ${4 * b + 1}, 4) AS key FROM sig")
+        .mkString("\nUNION ALL ")
+      val ham = hammingSql("sh_a", "sh_b")
+      s"""$simhashSigCte,
+         |banded AS ($bands),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM banded a JOIN banded b USING (band, key)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST($ham AS INT) AS hamming
+         |FROM pairs WHERE $ham <= 3""".stripMargin
+    },
+
+    "q31_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q_id, vec_id AS id, ${cosSql("qv", "v")} AS sim
+         |  FROM e, q WHERE vec_id <> q_id),
+         |ranked AS (SELECT q_id, id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC) AS rn
+         |  FROM scored)
+         |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
+         |FROM ranked WHERE rn <= 10""".stripMargin,
+
+    "q32_cosine_neardup" -> {
+      val planes = Similarity.hyperplanes(4, 64)
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT id, v, ${bucketSql("v", planes)} AS bucket FROM e)
+         |SELECT a.id AS id_a, c.id AS id_b, round(${cosSql("a.v", "c.v")}, 6) AS sim
+         |FROM b a JOIN b c USING (bucket)
+         |WHERE a.id < c.id AND ${cosSql("a.v", "c.v")} >= 0.3""".stripMargin
+    },
+
+    "q33_lsh_ann_topk" -> {
+      val planes = Similarity.hyperplanes(3, 64)
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT id, v, ${bucketSql("v", planes)} AS bucket FROM e),
+         |q AS (SELECT id AS q_id, v AS qv, bucket FROM b WHERE id < 5),
+         |scored AS (
+         |  SELECT q_id, id, ${cosSql("qv", "v")} AS sim
+         |  FROM b JOIN q USING (bucket) WHERE id <> q_id),
+         |ranked AS (SELECT q_id, id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC) AS rn
+         |  FROM scored)
+         |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
+         |FROM ranked WHERE rn <= 10""".stripMargin
+    },
   )
 }

@@ -301,6 +301,31 @@ object SparkEntry {
       Similarity.lshBucketedTopK(e, e.filter(col("vec_id") < 5), "vec_id",
         "embedding", 10, nPlanes = 3, dim = 64)
     }),
+
+    // ---- Bangumi fixture pipeline (reference parity; no SQL oracle —
+    // the input is the bundled JSONL corpus, not a parquet table) ----
+
+    // P2/F1/F6/F7: 21-column raw projection incl. infobox flatten.
+    "qb34_bangumi_raw" -> ((s, _) => {
+      bangumi.BangumiTransforms.rawProjection(bangumi.Fixtures.items(s), "graft")
+    }),
+
+    // P3/W1/F2/F3/F5: 27-column analytics projection with top-5 tag pivot.
+    "qb35_bangumi_analytics" -> ((s, _) => {
+      bangumi.BangumiTransforms.analyticsProjection(bangumi.Fixtures.items(s))
+    }),
+
+    // A1–A3/F13: per-category summary with enum labels.
+    "qb36_bangumi_summary" -> ((s, _) => {
+      bangumi.BangumiTransforms.categorySummary(
+        bangumi.BangumiTransforms.analyticsProjection(bangumi.Fixtures.items(s)))
+    }),
+
+    // Docx §4.4 data-quality metrics (uniqueness / coerce failures).
+    "qb37_bangumi_quality" -> ((s, _) => {
+      bangumi.BangumiTransforms.qualityMetrics(
+        bangumi.BangumiTransforms.rawProjection(bangumi.Fixtures.items(s), "graft"))
+    }),
   )
 
   // ---- DuckDB oracle-SQL generators (DuckDB dialect) -------------------

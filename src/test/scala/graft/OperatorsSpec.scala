@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Unit coverage for the training-data operators. */
+class OperatorsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  quick   Brown fox jumps over the lazy dog"), // ws/case variant
+    (3L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (4L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("fingerprint is invariant to case and whitespace runs") {
+    val fps = docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("exact dedup keeps min doc_id per normalized text") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.count() === 3)
+    val g = groups.filter($"n_copies" === 2).collect()(0)
+    assert(g.getAs[Long]("keep_id") === 1L)
+    assert(Dedup.exact(docs, "doc_id", "text").count() === 3)
+  }
+
+  test("3-gram Jaccard finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("short documents contribute a whole-text shingle") {
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+    val sh = short.select(explode(Dedup.shingles($"text", 3)).as("s"))
+      .collect().map(_.getString(0))
+    assert(sh.toSeq === Seq("one two"))
+  }
+
+  test("minhash signature is deterministic and k-wide") {
+    val a = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8).collect()
+    val b = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8).collect()
+    assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet)
+    assert(a.head.length === 9) // id + mh0..mh7
+  }
+
+  test("minhash LSH candidates include the near-dup, verify filters jaccard") {
+    val near = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 8, 2, 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(near.toSet.subsetOf(Set((1L, 3L), (1L, 2L), (2L, 3L))))
+  }
+
+  test("simhash: identical docs collide, near-dups land close") {
+    val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(two, "doc_id", "text")
+      .collect().map(_.getString(1))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0).matches("[0-9a-f]{16}"))
+    val pairs = Dedup.simhashNearDupPairs(two, "doc_id", "text", 3).collect()
+    assert(pairs.length === 1 && pairs(0).getAs[Int]("hamming") === 0)
+  }
+
+  test("cosine top-k ranks the identical vector first") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 1L)
+    val top = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 2)
+      .orderBy($"rank").collect()
+    assert(top(0).getAs[Long]("id") === 4L) // identical vector, sim 1.0
+    assert(top(0).getAs[Double]("sim") === 1.0)
+    assert(top(1).getAs[Long]("id") === 2L)
+  }
+
+  test("SRP bucketing: identical vectors share a bucket (ANN finds them)") {
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+      .union(Seq((99L, Array.tabulate(8)(d => math.sin(0 * 8 + d).toFloat)))
+        .toDF("vec_id", "embedding"))
+    val q = corpus.filter($"vec_id" === 0L)
+    val ann = Similarity.lshBucketedTopK(corpus, q, "vec_id", "embedding",
+      3, nPlanes = 4, dim = 8)
+    val ids = ann.collect().map(_.getAs[Long]("id"))
+    assert(ids.contains(99L)) // the exact duplicate vector
+  }
+
+  test("token counting and quality bands") {
+    val d = Seq((1L, "  Hello, world! This is a test.  ")).toDF("doc_id", "text")
+    val r = d.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.bpeishTokenCount($"text").as("b"),
+      TextAnalysis.qualityScore($"text").as("q")).collect()(0)
+    assert(r.getAs[Int]("n") === 6)
+    assert(r.getAs[Int]("b") === 9) // 6 alnum runs + , ! .
+    assert(r.getAs[Int]("q") === 3)
+  }
+
+  test("language ID votes on stopword profile") {
+    val d = Seq(
+      (1L, "the cat sat on a mat and it is warm"),
+      (2L, "gato sentado alfombra caliente siempre")).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "unknown")
+  }
+}

@@ -326,6 +326,29 @@ object SparkEntry {
       bangumi.BangumiTransforms.qualityMetrics(
         bangumi.BangumiTransforms.rawProjection(bangumi.Fixtures.items(s), "graft"))
     }),
+
+    // S1–S3/R1–R3: DSv2 REST connector → transform layer, end to end
+    // (category-partitioned scan with enum pushdown + count-probe pruning).
+    "qb38_bangumi_source" -> ((s, _) => {
+      graft.functions.GraftFunctions.register(s)
+      val src = s.read
+        .format(classOf[sources.bangumi.BangumiTableProvider].getName)
+        .option("client", "fixture").load()
+      bangumi.BangumiTransforms.analyticsProjection(
+        bangumi.BangumiTransforms.parseItems(src.select(col("value"))))
+    }),
+
+    // Multimodal: binary decode batch stage (stubbed codec, real plumbing).
+    "qb39_media_decode" -> ((s, _) => {
+      operators.Multimodal.decodeImages(operators.Multimodal.syntheticMedia(s, 200))
+    }),
+
+    // Multimodal: video → per-frame rows.
+    "qb40_media_frames" -> ((s, _) => {
+      operators.Multimodal.explodeFrames(
+        operators.Multimodal.syntheticMedia(s, 60)
+          .filter(col("kind") === "video"), 4)
+    }),
   )
 
   // ---- DuckDB oracle-SQL generators (DuckDB dialect) -------------------

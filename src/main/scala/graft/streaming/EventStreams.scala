@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.SnapshotMerge
+
+/** Structured Streaming shapes (SURVEY §2.9): the reference's batch CDC
+  * merge re-hosted as a `foreachBatch` incremental sync, plus event-time
+  * windowed aggregation with watermarks (the extension the `events` table
+  * exists for).
+  *
+  * Scale notes: watermark state is per (window × event_type) group —
+  * bounded by the watermark horizon, so state store size is independent of
+  * stream length. The merge in `incrementalSync` rewrites the target
+  * atomically per micro-batch; on a real deployment the target would be a
+  * transactional table format, but the merge algebra is identical.
+  */
+object EventStreams {
+
+  /** Tumbling event-time counts with late-data tolerance. */
+  def tumblingCounts(
+      events: DataFrame,
+      width: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window per-user activity (frame overlap = 2×). */
+  def slidingUserActivity(
+      events: DataFrame,
+      width: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), width, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("user_id"),
+        col("n_events"))
+
+  /** I1–I2 as a streaming job: watch `sourceDir` for JSON snapshot drops
+    * and merge each micro-batch into the parquet target by `key`
+    * (`Trigger.AvailableNow` — run-to-completion semantics, the streaming
+    * analogue of the reference's scheduled re-sync).
+    */
+  def incrementalSync(
+      spark: SparkSession,
+      sourceDir: String,
+      targetPath: String,
+      key: String,
+      schemaSample: DataFrame): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schemaSample.schema)
+      .json(sourceDir)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sync-ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target =
+          try spark.read.parquet(targetPath)
+          catch { case _: Exception => batch.limit(0) } // I2 initial load
+        val merged = SnapshotMerge.merge(batch, target.drop("is_active"), key)
+        // rewrite target atomically: stage then swap via overwrite
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(targetPath)
+        merged.unpersist()
+        ()
+      }
+      .start()
+  }
+}

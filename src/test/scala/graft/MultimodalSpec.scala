@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Multimodal binary-column plumbing: decode batches, corrupt-row
+  * isolation, frame explode, content dedup. */
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("decode stage is deterministic and isolates corrupt rows") {
+    val media = Multimodal.syntheticMedia(spark, 20)
+      .union(Seq((99L, "image", "application/x-fake", Array.empty[Byte]))
+        .toDF("media_id", "kind", "mime", "content"))
+    val decoded = Multimodal.decodeImages(media).cache()
+    assert(decoded.count() === 21)
+    val bad = decoded.filter($"decode_error").collect()
+    assert(bad.map(_.getAs[Long]("media_id")).toSeq === Seq(99L))
+    val ok = decoded.filter(!$"decode_error")
+    assert(ok.filter($"width" < 1 || $"height" < 1).count() === 0)
+    // histogram is a probability vector
+    val hist = ok.head().getSeq[Double](ok.head().fieldIndex("histogram"))
+    assert(math.abs(hist.sum - 1.0) < 1e-9)
+    // deterministic: second run identical
+    val again = Multimodal.decodeImages(media)
+    assert(decoded.exceptAll(again).count() === 0)
+  }
+
+  test("frame sampling explodes videos into per-frame rows") {
+    val media = Multimodal.syntheticMedia(spark, 6).filter($"kind" === "video")
+    val frames = Multimodal.explodeFrames(media, 4)
+    assert(frames.count() === media.count() * 4)
+    assert(frames.columns.toSeq === Seq("media_id", "frame_no", "frame_bytes"))
+  }
+
+  test("content fingerprint dedups identical payloads") {
+    val m = Multimodal.syntheticMedia(spark, 5)
+    val dup = m.union(m.limit(2))
+    val groups = dup.groupBy(Multimodal.contentFingerprint($"content"))
+      .count()
+    assert(groups.count() === 5)
+    assert(groups.filter($"count" === 2).count() === 2)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.NotionSink
+import graft.sinks.NotionSink.InMemoryNotionApi
+
+/** Rate-limited typed upsert sink: insert/update/soft-delete lanes, per-row
+  * error isolation, property formatting (SURVEY §2.2, §2.9 I3–I4). */
+class NotionSinkSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  import scala.jdk.CollectionConverters._
+
+  private def frame(rows: (Long, String, Double)*) =
+    rows.toDF("subject_id", "name_cn", "score")
+
+  test("fresh sink: everything inserts; properties are typed-formatted") {
+    val api = new InMemoryNotionApi("t-insert")
+    val report = NotionSink.upsert(
+      frame((1L, "孤独摇滚！", 8.1), (2L, "x" * 3000, 9.0)),
+      "subject_id", api)
+    assert(report === NotionSink.WriteReport(2, 0, 0, 0))
+    val pages = api.pages.asScala.values.toSeq
+    assert(pages.map(_._1).toSet === Set(1L, 2L))
+    val long = pages.find(_._1 == 2L).get._2
+    assert(long("name_cn").length === 2000) // F8 truncation
+    assert(long("score") === "9.0")
+  }
+
+  test("second sync: existing keys update, missing keys soft-delete") {
+    val api = new InMemoryNotionApi("t-upsert")
+    NotionSink.upsert(frame((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)),
+      "subject_id", api)
+    val report = NotionSink.upsert(frame((1L, "a", 1.0), (2L, "b2", 5.0)),
+      "subject_id", api)
+    assert(report.updated === 2)
+    assert(report.softDeleted === 1)
+    val byKey = api.pages.asScala.values.map(p => p._1 -> p).toMap
+    assert(byKey(2L)._2("name_cn") === "b2")
+    assert(byKey(3L)._3 === false) // tombstoned, not removed
+  }
+
+  test("per-row failures are isolated and counted (R4)") {
+    val api = new InMemoryNotionApi("t-errors", failEveryNth = 4)
+    // failEveryNth=4 with 3 retries: a row whose every attempt window hits
+    // the 4th-call boundary can still fail; others succeed
+    val report = NotionSink.upsert(
+      frame((1 to 8).map(i => (i.toLong, s"r$i", i.toDouble)): _*),
+      "subject_id", api)
+    assert(report.inserted + report.errors === 8)
+    assert(report.inserted >= 6) // retries absorb most injected faults
+  }
+
+  test("property schema declaration maps Spark types to Notion types") {
+    val df = frame((1L, "a", 1.0))
+    val props = NotionSink.propertySchema(df.schema, "subject_id")
+    assert(props === Map("subject_id" -> "title", "name_cn" -> "rich_text",
+      "score" -> "number"))
+  }
+}

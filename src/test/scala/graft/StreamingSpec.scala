@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming: watermarked tumbling windows and the foreachBatch
+  * incremental sync (SURVEY §2.9). */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("tumbling window aggregates a memory stream with a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(df, "10 minutes", "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:05:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 00:15:00"), "click", 4.0),
+      (Timestamp.valueOf("2024-01-01 00:16:00"), "view", 8.0))
+    q.processAllAvailable()
+    val out = spark.table("tumbling_out")
+      .collect().map(r => (r.getAs[Timestamp]("win_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value"))).toSet
+    q.stop()
+    assert(out === Set(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 00:10:00.0", "click", 1L, 4.0),
+      ("2024-01-01 00:10:00.0", "view", 1L, 8.0)))
+  }
+
+  test("incremental sync merges snapshot drops into the parquet target") {
+    val target = Files.createTempDirectory("graft-target").toString + "/t"
+    val sample = Seq((1L, "a", 1.0)).toDF("id", "name", "bal")
+
+    val drop1 = Files.createTempDirectory("graft-src1").toString
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "bal")
+      .write.mode("overwrite").json(drop1)
+    EventStreams.incrementalSync(spark, drop1, target, "id", sample)
+      .awaitTermination()
+    assert(spark.read.parquet(target).count() === 2)
+
+    // second snapshot: update 2, drop 1, add 3
+    val drop2 = Files.createTempDirectory("graft-src2").toString
+    Seq((2L, "b2", 20.0), (3L, "c", 3.0)).toDF("id", "name", "bal")
+      .write.mode("overwrite").json(drop2)
+    EventStreams.incrementalSync(spark, drop2, target, "id", sample)
+      .awaitTermination()
+    val after = spark.read.parquet(target)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(after === Map(2L -> "b2", 3L -> "c")) // 1 hard-deleted
+  }
+}

@@ -302,6 +302,15 @@ object SparkEntry {
         "embedding", 10, nPlanes = 3, dim = 64)
     }),
 
+    // A4 per-column max-length stats (the Excel width calc, distributed).
+    "q34_colwidth_stats" -> ((s, dir) => {
+      T(s, dir, "documents").agg(
+        max(length(col("text"))).as("w_text"),
+        max(length(col("lang"))).as("w_lang"),
+        max(length(col("source"))).as("w_source"),
+        max(length(col("doc_id").cast("string"))).as("w_doc_id"))
+    }),
+
     // ---- Bangumi fixture pipeline (reference parity; no SQL oracle —
     // the input is the bundled JSONL corpus, not a parquet table) ----
 
@@ -586,6 +595,13 @@ object SparkEntry {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "q34_colwidth_stats" ->
+      """SELECT CAST(max(length(text)) AS INT) AS w_text,
+        | CAST(max(length(lang)) AS INT) AS w_lang,
+        | CAST(max(length(source)) AS INT) AS w_source,
+        | CAST(max(length(CAST(doc_id AS VARCHAR))) AS INT) AS w_doc_id
+        |FROM documents""".stripMargin,
 
     "q26_jaccard_pairs" ->
       s"""$shingleCte,

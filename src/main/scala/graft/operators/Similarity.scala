@@ -94,6 +94,55 @@ object Similarity {
       .select(col("q_id"), col("id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Scale-path exact top-k: a typed `Aggregator` holding a bounded
+    * (score desc, id asc)-ordered buffer, so the per-query shuffle carries
+    * only k candidates per map partition instead of the whole scored
+    * corpus (the window/`row_number` form shuffles every scored row).
+    * Same results as [[bruteForceTopK]] — ties broken by id.
+    */
+  class TopKAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def prune(b: Seq[(Double, Long)]) =
+      b.sortBy { case (s, id) => (-s, id) }.take(k)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Long, Long, Double)): Seq[(Double, Long)] =
+      prune(b :+ ((a._3, a._2)))
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      prune(a ++ b)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      bufferEncoder
+  }
+
+  /** [[bruteForceTopK]] via [[TopKAggregator]] — identical output, bounded
+    * shuffle (use this form at corpus scale). */
+  def bruteForceTopKAgg(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), cosine(col("qv"), col("v")).as("sim"))
+      .as[(Long, Long, Double)]
+    val agg = new TopKAggregator(k)
+    scored.groupByKey(_._1)
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (qId, top) =>
+        top.zipWithIndex.map { case ((sim, id), i) => (qId, id, i + 1, sim) }
+      }
+      .toDF("q_id", "id", "rank", "sim_raw")
+      .select(col("q_id"), col("id"), col("rank"),
+        round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
     * `threshold`, restricted to SRP-bucket collisions (near-dups almost
     * surely collide at small `nPlanes`).

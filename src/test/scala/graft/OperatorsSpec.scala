@@ -83,6 +83,16 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(top(1).getAs[Long]("id") === 2L)
   }
 
+  test("aggregator top-k matches the window top-k (bounded-shuffle path)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val viaWindow = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaAgg = Similarity.bruteForceTopKAgg(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("SRP bucketing: identical vectors share a bucket (ANN finds them)") {
     val corpus = (0 until 32).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)))

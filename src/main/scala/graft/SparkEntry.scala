@@ -311,6 +311,32 @@ object SparkEntry {
         max(length(col("doc_id").cast("string"))).as("w_doc_id"))
     }),
 
+    // Structured Streaming end-to-end: file-stream the events table,
+    // watermarked tumbling aggregation, AvailableNow to completion —
+    // result must equal the batch q20 (same oracle shape).
+    "q35_streaming_tumbling" -> ((s, dir) => {
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val events =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val qname = s"stream_tumbling_${System.nanoTime()}"
+      val query = graft.streaming.EventStreams
+        .tumblingCounts(events, "10 minutes", "30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname).select(
+        unix_timestamp(col("win_start")).as("win_start"),
+        col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"))
+    }),
+
     // ---- Bangumi fixture pipeline (reference parity; no SQL oracle —
     // the input is the bundled JSONL corpus, not a parquet table) ----
 
@@ -602,6 +628,12 @@ object SparkEntry {
         | CAST(max(length(source)) AS INT) AS w_source,
         | CAST(max(length(CAST(doc_id AS VARCHAR))) AS INT) AS w_doc_id
         |FROM documents""".stripMargin,
+
+    // the streaming tumbling window must agree with the batch q20 oracle
+    "q35_streaming_tumbling" ->
+      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q26_jaccard_pairs" ->
       s"""$shingleCte,

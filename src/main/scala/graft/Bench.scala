@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the file listing / parquet reader / codegen paths once per table
+    // so per-query numbers measure the query, not first-touch JVM costs.
+    Tables.names.foreach { t =>
+      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
+    }
     // noop sink: materializes every output column (count() would let
     // Catalyst prune the projections and under-measure).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

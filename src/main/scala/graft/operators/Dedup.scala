@@ -83,7 +83,10 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDocFreq: Long = 0L): DataFrame = {
+    // join on a 64-bit shingle hash, not the string: ~2.5× smaller shuffle
+    // keys; a collision (≈ |shingles|²/2⁶⁴) would only perturb one count
     val sh = shingleSet(df, idCol, textCol, n, maxShingleDocFreq)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (pushdown, pruning, broadcast) must stay visible in the plan —
+  * a correct-but-full-scan plan is a perf bug, not a pass.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q04: filters are pushed to the parquet scan; schema is pruned") {
+    val p = plan("q04_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate pushdown")
+    // pruned read schema: no l_partkey/l_suppkey/l_tax in the scan
+    assert(!p.contains("l_partkey"), "column pruning lost")
+  }
+
+  test("q07: dim joins broadcast (no shuffle join for nation)") {
+    assert(plan("q07_nation_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("q25: two-hop dim join is all-broadcast") {
+    val p = plan("q25_supplier_region")
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("q01: aggregation is partial+final hash aggregate") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(400))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q31: query side of the ANN scoring is broadcast") {
+    assert(plan("q31_cosine_topk").contains("Broadcast"))
+  }
+
+  test("bangumi source reports statistics and prunes empty categories") {
+    val src = spark.read
+      .format(classOf[sources.bangumi.BangumiTableProvider].getName)
+      .option("client", "fixture").load()
+    // grid is 3×4 = 12 but only categories with data become partitions
+    val rdd = src.queryExecution.toRdd
+    assert(rdd.getNumPartitions > 0 && rdd.getNumPartitions <= 12)
+  }
+}

@@ -311,6 +311,22 @@ object SparkEntry {
         max(length(col("doc_id").cast("string"))).as("w_doc_id"))
     }),
 
+    // Distinct aggregation (expand + two-phase hash agg under the hood).
+    "q36_distinct_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Full cube over two dimensions (grouping-set expansion).
+    "q37_cube_orders" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_price"))
+    }),
+
     // Structured Streaming end-to-end: file-stream the events table,
     // watermarked tumbling aggregation, AvailableNow to completion —
     // result must equal the batch q20 (same oracle shape).
@@ -335,6 +351,26 @@ object SparkEntry {
         unix_timestamp(col("win_start")).as("win_start"),
         col("event_type"), col("n"),
         round(col("sum_value"), 2).as("sum_value"))
+    }),
+
+    // IVF ANN: expression-only coarse quantization + probed cells.
+    "q38_ivf_ann_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", 10, nCentroids = 8, nProbe = 2)
+    }),
+
+    // Content-defined chunking dedup: shared rolling-hash chunks across
+    // documents (shift-resistant partial-overlap detection).
+    "q39_rolling_chunks" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.rolling_chunks(col("text")))
+            .as("chunk_fp"))
+        .groupBy(col("chunk_fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
     }),
 
     // ---- Bangumi fixture pipeline (reference parity; no SQL oracle —
@@ -629,6 +665,16 @@ object SparkEntry {
         | CAST(max(length(CAST(doc_id AS VARCHAR))) AS INT) AS w_doc_id
         |FROM documents""".stripMargin,
 
+    "q36_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q37_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
     // the streaming tumbling window must agree with the batch q20 oracle
     "q35_streaming_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
@@ -702,6 +748,32 @@ object SparkEntry {
          |FROM b a JOIN b c USING (bucket)
          |WHERE a.id < c.id AND ${cosSql("a.v", "c.v")} >= 0.3""".stripMargin
     },
+
+    "q38_ivf_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT id AS cell, v AS cv FROM e WHERE id < 8),
+         |assign AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+         |probe AS (
+         |  SELECT q_id, qv, cell FROM (
+         |    SELECT q.q_id, q.qv, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM q, cent c) t WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.q_id, a.id, ${cosSql("p.qv", "a.v")} AS sim
+         |  FROM assign a JOIN probe p USING (cell) WHERE a.id <> p.q_id),
+         |ranked AS (SELECT q_id, id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC) AS rn
+         |  FROM scored)
+         |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
+         |FROM ranked WHERE rn <= 10""".stripMargin,
 
     "q33_lsh_ann_topk" -> {
       val planes = Similarity.hyperplanes(3, 64)

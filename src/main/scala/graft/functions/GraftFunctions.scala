@@ -14,8 +14,23 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "infobox_to_map", exprs => InfoboxToMap(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_chunks", exprs => RollingHashChunks(exprs.head,
+        intArg(exprs, 1, 16), intArg(exprs, 2, 6)), "built-in")
   }
+
+  private[functions] def intArg(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      i: Int, default: Int): Int =
+    if (exprs.length > i) exprs(i).eval().asInstanceOf[Number].intValue
+    else default
 
   /** Flatten a Bangumi infobox JSON array into map<string,string> (F1). */
   def infobox_to_map(c: Column): Column = call_function("infobox_to_map", c)
+
+  /** Content-defined chunk fingerprints via Rabin–Karp rolling hash. */
+  def rolling_chunks(c: Column, window: Int = 16, maskBits: Int = 6): Column =
+    call_function("rolling_chunks", c,
+      org.apache.spark.sql.functions.lit(window),
+      org.apache.spark.sql.functions.lit(maskBits))
 }

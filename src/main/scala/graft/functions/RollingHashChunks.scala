@@ -1,0 +1,74 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `rolling_chunks(text, window, maskBits)` — content-defined chunking via a
+  * Rabin–Karp polynomial rolling hash: a chunk boundary is declared wherever
+  * the rolling hash of the trailing `window` bytes has `maskBits` low zero
+  * bits (expected chunk length ≈ 2^maskBits). Output: array of md5
+  * fingerprints of the chunks.
+  *
+  * This is the document-fingerprinting / shift-resistant dedup primitive:
+  * unlike fixed-size blocks, an insertion early in a document only changes
+  * the fingerprints of the chunk it lands in, so shared suffixes still
+  * collide — join chunk fingerprints to find partially-overlapping
+  * documents at corpus scale (one explode + one hash-shuffle, same shape as
+  * the shingle pipeline).
+  */
+case class RollingHashChunks(child: Expression, window: Int, maskBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(window > 0 && maskBits > 0 && maskBits < 32)
+
+  private val mask: Long = (1L << maskBits) - 1
+  private val B: Long = 257L
+  // B^window mod 2^64 for the rolling subtraction
+  private val bPow: Long = {
+    var p = 1L
+    (0 until window).foreach(_ => p *= B)
+    p
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_chunks expects a string column, got ${child.dataType}")
+
+  override def prettyName: String = "rolling_chunks"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val md = MessageDigest.getInstance("MD5")
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * B + (bytes(i) & 0xff)
+      if (i - start >= window) h -= bPow * (bytes(i - window) & 0xff)
+      val chunkLen = i - start + 1
+      if ((chunkLen >= window && (h & mask) == 0L) || i == bytes.length - 1) {
+        val hex = md.digest(java.util.Arrays.copyOfRange(bytes, start, i + 1))
+          .map("%02x".format(_)).mkString
+        chunks += UTF8String.fromString(hex)
+        md.reset()
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    new GenericArrayData(chunks.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -143,6 +143,57 @@ object Similarity {
         round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into cells around
+    * `nCentroids` centroid vectors, then probe only each query's `nProbe`
+    * nearest cells.
+    *
+    * The corpus-side assignment is a *pure expression* — argmax cosine
+    * against broadcast centroid literals via a greedy fold (ties keep the
+    * lower cell) — so the big side is never shuffled for quantization; the
+    * only shuffles are the k-sized ranked outputs. Centroids here are the
+    * `nCentroids` lowest-id vectors (deterministic; a k-means refinement
+    * would drop in without changing the dataflow).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 8,
+      nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centroids: Array[(Int, Seq[Double])] = c.filter(col("id") < nCentroids)
+      .orderBy("id").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    def litVec(p: Seq[Double]) = array(p.map(lit(_)): _*)
+    def argmaxCell(v: Column): Column = {
+      val sims = centroids.map { case (_, cv) => cosine(v, litVec(cv)) }
+      sims.zipWithIndex.drop(1).foldLeft((sims(0), lit(0))) {
+        case ((bestS, bestI), (s, i)) =>
+          (when(s > bestS, s).otherwise(bestS),
+            when(s > bestS, lit(i)).otherwise(bestI))
+      }._2
+    }
+    val assigned = c.withColumn("cell", argmaxCell(col("v")))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+    val centDf = centroids.toSeq.toDF("cell", "cv")
+    val probe = Windows.topKPerGroup(
+      q.crossJoin(broadcast(centDf))
+        .select(col("q_id"), col("qv"), col("cell"),
+          cosine(col("qv"), col("cv")).as("csim")),
+      Seq(col("q_id")), Seq(col("csim").desc, col("cell").asc), nProbe, "prn")
+      .select(col("q_id"), col("qv"), col("cell"))
+    val scored = assigned.join(broadcast(probe), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), cosine(col("qv"), col("v")).as("sim"))
+    Windows.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("sim").desc, col("id").asc), k, "rank")
+      .select(col("q_id"), col("id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
     * `threshold`, restricted to SRP-bucket collisions (near-dups almost
     * surely collide at small `nPlanes`).

@@ -106,6 +106,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(ids.contains(99L)) // the exact duplicate vector
   }
 
+  test("IVF probes contain the exact nearest neighbor for most queries") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", 10,
+      nCentroids = 4, nProbe = 2)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    // approximate: demand the true NN is found for >= 3 of 5 queries
+    val hits = exact.count { case (qid, nn) => ivf.getOrElse(qid, Set.empty)(nn) }
+    assert(hits >= 3, s"IVF recall too low: $hits/5")
+  }
+
+  test("rolling-hash chunks survive a prefix insertion (shift resistance)") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(120)(rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val shifted = "INSERTED PREFIX " + base
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = df.select($"doc_id",
+      explode(graft.functions.GraftFunctions.rolling_chunks($"text")).as("fp"))
+    val shared = chunks.groupBy($"fp").count().filter($"count" > 1).count()
+    assert(shared > 0, "no shared chunks after prefix shift")
+    // identical docs share everything
+    val dup = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+      .select($"doc_id",
+        explode(graft.functions.GraftFunctions.rolling_chunks($"text")).as("fp"))
+      .groupBy($"fp").count()
+    assert(dup.filter($"count" =!= 2).count() === 0)
+  }
+
   test("token counting and quality bands") {
     val d = Seq((1L, "  Hello, world! This is a test.  ")).toDF("doc_id", "text")
     val r = d.select(

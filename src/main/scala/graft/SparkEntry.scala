@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, SnapshotMerge, TextAnalysis, Windows}
+import graft.operators.{AsofJoin, Dedup, Similarity, SnapshotMerge, TextAnalysis, Windows}
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
   * operator family from SURVEY §2 plus the training-data-pipeline extensions,
@@ -309,6 +309,54 @@ object SparkEntry {
         max(length(col("lang"))).as("w_lang"),
         max(length(col("source"))).as("w_source"),
         max(length(col("doc_id").cast("string"))).as("w_doc_id"))
+    }),
+
+    // Analytic window functions: lag/lead/rank family over a total order.
+    "q40_analytic_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      T(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
+    // As-of (point-in-time) join: latest prior error per purchase, by user.
+    "q41_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"),
+          col("value").as("err_value"))
+      AsofJoin.asofJoin(purchases, errors, "user_id", "ts", "err_ts")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          unix_timestamp(col("asof_err_ts")).as("err_epoch"),
+          col("err_value"))
+    }),
+
+    // Session windows (30-min gap) per user, batch form.
+    "q42_session_windows" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_timestamp(col("session_window.start")).as("session_start"),
+          col("user_id"), col("n_events"), col("sum_value"))
+    }),
+
+    // Exact interpolated percentiles per group.
+    "q43_percentiles" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(percentile(col("o_totalprice"), lit(0.5)), 3).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 3).as("p90"),
+          count(lit(1)).as("n"))
     }),
 
     // Distinct aggregation (expand + two-phase hash agg under the hood).
@@ -664,6 +712,48 @@ object SparkEntry {
         | CAST(max(length(source)) AS INT) AS w_source,
         | CAST(max(length(CAST(doc_id AS VARCHAR))) AS INT) AS w_doc_id
         |FROM documents""".stripMargin,
+
+    "q40_analytic_windows" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | CAST(rank() OVER w AS INT) AS rnk,
+        | CAST(dense_rank() OVER w AS INT) AS drnk,
+        | CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q41_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts AS err_ts, value AS err_value FROM events WHERE event_type = 'error')
+        |SELECT l.event_id, l.user_id,
+        |  CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+        |  CAST(floor(epoch(r.err_ts)) AS BIGINT) AS err_epoch,
+        |  r.err_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.err_ts""".stripMargin,
+
+    "q42_session_windows" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q43_percentiles" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 3) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 3) AS p90,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q36_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

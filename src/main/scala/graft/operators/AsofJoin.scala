@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for every left row, the latest right row of
+  * the same key with `rightTime <= leftTime` — the training-data staple for
+  * joining features/labels without leakage.
+  *
+  * Spark has no native as-of join; rather than an O(|L|·|R|) theta join +
+  * rank, this is the *union-merge* formulation: tag both sides, sort each
+  * key's rows by (time, side) once, and carry the last-seen right values
+  * forward with an ordered window. One shuffle on the key, one sort — the
+  * same cost envelope as a sort-merge join, and it scales to skewed keys
+  * the way a range join cannot. At equal timestamps the right row sorts
+  * first (side 0 < 1), giving inclusive `<=` semantics, identical to SQL
+  * `ASOF JOIN ... ON l.t >= r.t`.
+  *
+  * Right columns (minus key/time) must not collide with left column names —
+  * pre-rename on the caller side.
+  */
+object AsofJoin {
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      inner: Boolean = true): DataFrame = {
+    val rightVals = right.columns.filter(c => c != key && c != rightTime).toSeq
+    val leftStruct = struct(left.columns.toSeq.map(col): _*)
+
+    val lPart = left.select(
+      col(key).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
+        leftStruct.as("__l") +:
+        lit(null).cast(right.schema(rightTime).dataType).as("__rt") +:
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rPart = right.select(
+      col(key).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+        lit(null).cast(lPart.schema("__l").dataType).as("__l") +:
+        col(rightTime).as("__rt") +:
+        rightVals.map(col): _*)
+
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lPart.unionByName(rPart)
+      .select(col("__side") +: col("__l") +:
+        (("__rt" +: rightVals).map(c =>
+          last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: col("__rt").as(s"asof_$rightTime") +:
+        rightVals.map(col): _*)
+    if (inner) carried.filter(col(s"asof_$rightTime").isNotNull) else carried
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Similarity, TextAnalysis}
 
 /** Unit coverage for the training-data operators. */
 class OperatorsSpec extends AnyFunSuite with SparkSpec {
@@ -136,6 +136,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
         explode(graft.functions.GraftFunctions.rolling_chunks($"text")).as("fp"))
       .groupBy($"fp").count()
     assert(dup.filter($"count" =!= 2).count() === 0)
+  }
+
+  test("as-of join picks the latest right row at-or-before each left row") {
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    val left = Seq((1L, ts(10), "l10"), (1L, ts(20), "l20"), (2L, ts(30), "l30"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, ts(5), "a"), (1L, ts(20), "b"), (1L, ts(25), "c"))
+      .toDF("k", "rt", "rv")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "rt")
+      .collect().map(r => (r.getAs[String]("lv"), r.getAs[String]("rv"))).toSet
+    // t=10 → a (5); t=20 → b (inclusive <=); k=2 has no right rows → dropped
+    assert(out === Set(("l10", "a"), ("l20", "b")))
+    val outer = AsofJoin.asofJoin(left, right, "k", "t", "rt", inner = false)
+    assert(outer.count() === 3)
   }
 
   test("token counting and quality bands") {

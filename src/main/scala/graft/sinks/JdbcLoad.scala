@@ -1,0 +1,82 @@
+package graft.sinks
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType}
+
+import graft.operators.SnapshotMerge
+
+/** The reference's MySQL load + incremental sync
+  * (`/root/reference/data_loading_to_mysql_database.py`, SURVEY §2.2 K3,
+  * §2.1 S4, §2.3 P4, §2.8 F6, §2.9 I1–I2) over Spark's JDBC source/sink.
+  *
+  * Works against any JDBC database; tests use embedded Derby (in the Spark
+  * distribution) since the build is zero-egress. Batched writes
+  * (`batchsize`, the reference's chunksize=1000) and full-replace overwrite
+  * match `to_sql(if_exists='replace', chunksize=1000)`.
+  */
+object JdbcLoad {
+
+  /** P4: the 15 analytics columns dropped before the MySQL load
+    * (`data_loading_to_mysql_database.py:130-141`). `drop` is
+    * missing-tolerant, like the reference's errors='ignore'. */
+  val analyticsDropCols: Seq[String] =
+    Seq("director", "studio", "country", "publisher", "author") ++
+      (1 to 5).flatMap(i => Seq(s"tag_${i}_name", s"tag_${i}_count"))
+
+  /** F6: serialize container columns to JSON strings so they fit a
+    * relational sink (`prepare_dataframe_for_mysql`,
+    * `data_loading_to_mysql_database.py:73-96` — schema-driven here instead
+    * of sampling the first non-null value). */
+  def prepareForJdbc(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: ArrayType | _: MapType =>
+          d.withColumn(f.name, to_json(col(f.name)))
+        case _ => d
+      }
+    }
+
+  def props(driver: String = "org.apache.derby.iapi.jdbc.AutoloadedDriver"): Properties = {
+    val p = new Properties()
+    p.setProperty("driver", driver)
+    p
+  }
+
+  /** K3: full-replace batched write (`to_sql(if_exists='replace')`). */
+  def writeOverwrite(df: DataFrame, url: String, table: String,
+      batchSize: Int = 1000): Unit =
+    prepareForJdbc(df).write.mode("overwrite")
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props())
+
+  /** S4: full-table JDBC scan (Catalyst pushes filters/pruning into it). */
+  def readTable(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.jdbc(url, table, props())
+
+  /** I1/I2: the reference's incremental sync — read source and target
+    * tables, set-diff merge on `key` (insert/update/delete), rewrite the
+    * target. Missing/empty target = initial load (I2).
+    */
+  def incrementalSync(
+      spark: SparkSession,
+      url: String,
+      sourceTable: String,
+      targetTable: String,
+      key: String): Unit = {
+    val source = readTable(spark, url, sourceTable)
+    val target =
+      try readTable(spark, url, targetTable)
+      catch { case _: Exception => source.limit(0) } // I2: initial load
+    val merged = SnapshotMerge.merge(source, target.drop("is_active"), key)
+      .drop("is_active")
+    // stage driver-side before overwrite: the JDBC overwrite drops the
+    // table we are still reading from (same-table read-write hazard)
+    val staged = merged.cache()
+    staged.count()
+    writeOverwrite(staged, url, targetTable)
+    staged.unpersist()
+  }
+}

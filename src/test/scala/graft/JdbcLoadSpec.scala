@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.bangumi.{BangumiTransforms, Fixtures}
+import graft.sinks.JdbcLoad
+
+/** K3/S4/P4/F6/I1–I2 against embedded Derby: the full MySQL-load path of
+  * the reference, end to end over a real JDBC wire. */
+class JdbcLoadSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val url = {
+    val dir = Files.createTempDirectory("graft-derby").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  test("raw frame round-trips through JDBC with container columns as JSON") {
+    val raw = BangumiTransforms.rawProjection(Fixtures.items(spark), "graft")
+    JdbcLoad.writeOverwrite(raw, url, "fact_view_logs_raw")
+    val back = JdbcLoad.readTable(spark, url, "fact_view_logs_raw")
+    assert(back.count() === raw.count())
+    // F6: the array column became a JSON string and survived the trip
+    // (filter on the numeric key only — Derby CLOBs reject pushed-down
+    // string comparisons)
+    val tags = back.filter($"subject_id" === 101L)
+      .select("tags").head().getString(0)
+    assert(tags.startsWith("[") && tags.contains("芳文社"))
+  }
+
+  test("analytics load drops the P4 columns before writing") {
+    val analytics = BangumiTransforms.analyticsProjection(Fixtures.items(spark))
+    val slim = analytics.drop(JdbcLoad.analyticsDropCols: _*)
+    assert(slim.columns.length === analytics.columns.length - 15)
+    JdbcLoad.writeOverwrite(slim, url, "fact_view_logs")
+    assert(JdbcLoad.readTable(spark, url, "fact_view_logs")
+      .columns.toSet === slim.columns.toSet)
+  }
+
+  test("incremental sync: initial load, then insert/update/delete merge") {
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    JdbcLoad.writeOverwrite(v1, url, "src_snapshot")
+    // I2: target doesn't exist yet → initial copy
+    JdbcLoad.incrementalSync(spark, url, "src_snapshot", "tgt_table", "id")
+    assert(JdbcLoad.readTable(spark, url, "tgt_table").count() === 3)
+
+    // v2: update 2, delete 3, insert 4
+    val v2 = Seq((1L, "a", 10.0), (2L, "b", 99.0), (4L, "d", 40.0))
+      .toDF("id", "name", "bal")
+    JdbcLoad.writeOverwrite(v2, url, "src_snapshot")
+    JdbcLoad.incrementalSync(spark, url, "src_snapshot", "tgt_table", "id")
+    val after = JdbcLoad.readTable(spark, url, "tgt_table")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("bal")).toMap
+    assert(after === Map(1L -> 10.0, 2L -> 99.0, 4L -> 40.0))
+  }
+}

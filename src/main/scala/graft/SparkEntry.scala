@@ -359,6 +359,21 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Skew-controlled two-phase aggregation: salted partial, exact final
+    // (identical result to a direct groupBy — only shuffle placement moves).
+    "q44_salted_agg" -> ((s, dir) => {
+      operators.Skew.saltedAggregate(
+        T(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        Map("qty_raw" -> col("l_quantity"),
+          "price_raw" -> col("l_extendedprice")),
+        numSalts = 16)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("qty_raw"), 2).as("sum_qty"),
+          round(col("price_raw"), 2).as("sum_price"),
+          col("n_rows"))
+    }),
+
     // Distinct aggregation (expand + two-phase hash agg under the hood).
     "q36_distinct_agg" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -754,6 +769,13 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.9), 3) AS p90,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q44_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q36_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

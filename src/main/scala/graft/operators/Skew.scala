@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew and shuffle-placement controls for 100 TB operation.
+  *
+  * - [[saltedAggregate]]: two-phase aggregation for hot grouping keys — a
+  *   random salt splits each key across `numSalts` reducers for the heavy
+  *   partial phase, then a cheap final phase over `keys × numSalts` rows
+  *   recombines. Results are identical to a direct groupBy (counts/sums are
+  *   associative); only the shuffle placement changes.
+  * - [[Bucketing]]: persist both sides of a recurring join bucketed on the
+  *   join key so the join is co-located — zero Exchange at query time, the
+  *   standard warehouse layout for repeated large-scale joins.
+  */
+object Skew {
+
+  /** Two-phase count/sum aggregation with key salting. `sums` maps output
+    * column name → column to sum. */
+  def saltedAggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      sums: Map[String, Column],
+      numSalts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      (rand(42) * numSalts).cast("int"))
+    val partialAggs = sums.toSeq.map { case (name, c) =>
+      sum(c).as(s"__p_$name")
+    } :+ count(lit(1)).as("__p_cnt")
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs = sums.keys.toSeq.map { name =>
+      sum(col(s"__p_$name")).as(name)
+    } :+ sum(col("__p_cnt")).as("n_rows")
+    partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  object Bucketing {
+
+    /** Persist `df` bucketed (and sorted) on `key` into the session
+      * warehouse. Subsequent equi-joins between tables bucketed with the
+      * same count on the same key need no shuffle.
+      */
+    def writeBucketed(df: DataFrame, table: String, key: String,
+        numBuckets: Int): Unit = {
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // a previously interrupted write can leave an orphaned managed
+      // location behind; clear it or CREATE TABLE refuses
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = new java.io.File(warehouse, table)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(loc)
+      }
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(numBuckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    }
+
+    def table(spark: SparkSession, name: String): DataFrame =
+      spark.table(name)
+  }
+}

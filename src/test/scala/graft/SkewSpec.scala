@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+
+/** Skew controls: salted aggregation equivalence and bucketed co-located
+  * joins (shuffle elimination visible in the plan). */
+class SkewSpec extends AnyFunSuite with SparkSpec {
+
+  test("salted two-phase aggregation equals direct groupBy") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"),
+        count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAggregate(li, Seq("l_returnflag"),
+      Map("qty" -> col("l_quantity")), numSalts = 8)
+      .select(col("l_returnflag"), round(col("qty"), 2).as("qty"), col("n_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted === direct)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    Skew.Bucketing.writeBucketed(
+      Tables.load(spark, dir, "orders"), "orders_bkt", "o_orderkey", 4)
+    Skew.Bucketing.writeBucketed(
+      Tables.load(spark, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_bkt", "o_orderkey", 4)
+    // force the shuffle-join path (tiny test tables would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Skew.Bucketing.table(spark, "orders_bkt")
+        .join(Skew.Bucketing.table(spark, "lineitem_bkt"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(800)}")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -627,7 +627,8 @@ object SparkEntry {
         |       WHEN s.c_custkey IS NULL THEN 'delete'
         |       WHEN s.c_acctbal IS DISTINCT FROM t.c_acctbal THEN 'update'
         |       ELSE 'unchanged' END AS action,
-        |  coalesce(s.c_acctbal, t.c_acctbal) AS c_acctbal
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+        |       ELSE t.c_acctbal END AS c_acctbal
         |FROM src s FULL OUTER JOIN tgt t ON s.c_custkey = t.c_custkey""".stripMargin,
 
     "q12_dedup_exact" ->
@@ -864,7 +865,7 @@ object SparkEntry {
     "q38_ivf_ann_topk" ->
       s"""WITH e AS (SELECT vec_id AS id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |cent AS (SELECT id AS cell, v AS cv FROM e WHERE id < 8),
+         |cent AS (SELECT id AS cell, v AS cv FROM e ORDER BY id LIMIT 8),
          |assign AS (
          |  SELECT id, v, cell FROM (
          |    SELECT e.id, e.v, c.cell,

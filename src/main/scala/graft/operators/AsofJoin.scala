@@ -32,26 +32,28 @@ object AsofJoin {
     val rightVals = right.columns.filter(c => c != key && c != rightTime).toSeq
     val leftStruct = struct(left.columns.toSeq.map(col): _*)
 
-    val lPart = left.select(
-      col(key).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
-        leftStruct.as("__l") +:
-        lit(null).cast(right.schema(rightTime).dataType).as("__rt") +:
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    // carry the right row as ONE struct so the match is always a single
+    // real right row — per-column carry would stitch values from different
+    // rows whenever a right column is legitimately null
     val rPart = right.select(
-      col(key).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        lit(null).cast(lPart.schema("__l").dataType).as("__l") +:
-        col(rightTime).as("__rt") +:
-        rightVals.map(col): _*)
+      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      struct(col(rightTime).as("__rt") +: rightVals.map(col): _*).as("__r"))
+    val lPart = left.select(
+      col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      leftStruct.as("__l"),
+      lit(null).cast(rPart.schema("__r").dataType).as("__r"))
+    val rWithL = rPart.select(
+      col("__k"), col("__t"), col("__side"),
+      lit(null).cast(lPart.schema("__l").dataType).as("__l"), col("__r"))
 
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = lPart.unionByName(rPart)
-      .select(col("__side") +: col("__l") +:
-        (("__rt" +: rightVals).map(c =>
-          last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+    val carried = lPart.unionByName(rWithL)
+      .select(col("__side"), col("__l"),
+        last(col("__r"), ignoreNulls = true).over(w).as("__r"))
       .filter(col("__side") === 1)
-      .select(col("__l.*") +: col("__rt").as(s"asof_$rightTime") +:
-        rightVals.map(col): _*)
+      .select(col("__l.*") +: col("__r.__rt").as(s"asof_$rightTime") +:
+        rightVals.map(c => col(s"__r.$c").as(c)): _*)
     if (inner) carried.filter(col(s"asof_$rightTime").isNotNull) else carried
   }
 }

@@ -97,8 +97,11 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        sampleFramesStub(bytes, framesPerVideo).zipWithIndex.map {
-          case (frame, i) => (id, i, frame)
+        // null/empty payloads yield no frames (R4: isolate, don't abort)
+        Option(bytes).filter(_.nonEmpty).toSeq.flatMap { b =>
+          sampleFramesStub(b, framesPerVideo).zipWithIndex.map {
+            case (frame, i) => (id, i, frame)
+          }
         }
       }
       .toDF("media_id", "frame_no", "frame_bytes")

@@ -165,9 +165,10 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids: Array[(Int, Seq[Double])] = c.filter(col("id") < nCentroids)
-      .orderBy("id").collect()
+    val centroids: Array[(Int, Seq[Double])] = c.orderBy("id")
+      .limit(nCentroids).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    require(centroids.nonEmpty, "ivfTopK: empty corpus, no centroids")
     def litVec(p: Seq[Double]) = array(p.map(lit(_)): _*)
     def argmaxCell(v: Column): Column = {
       val sims = centroids.map { case (_, cv) => cosine(v, litVec(cv)) }

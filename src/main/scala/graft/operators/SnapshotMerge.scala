@@ -18,10 +18,12 @@ object SnapshotMerge {
 
   /** Rows of `source ⟗ target` classified into insert / update / delete /
     * unchanged lanes. Null-key rows are excluded (the reference splits them
-    * out first — P6 — and passes them through untouched; see [[merge]]).
+    * out first — P6; [[merge]] passes the *source's* null-key rows through).
     *
-    * Output: key, action, and every non-key source column coalesced with the
-    * target's (source wins — update-by-replace semantics).
+    * Output: key, action, and every non-key column taken wholesale from the
+    * source row when one exists, else from the target (true
+    * update-by-replace: a source NULL overwrites a target value, matching
+    * the reference's `df_updated = df_source_with_id[...]`).
     */
   def mergeActions(
       source: DataFrame,
@@ -38,8 +40,10 @@ object SnapshotMerge {
       .when(col(s"s.$key").isNull, "delete")
       .when(changed, "update")
       .otherwise("unchanged")
+    val srcPresent = col(s"s.$key").isNotNull
     val dataCols = source.columns.filterNot(_ == key).toSeq.map { c =>
-      (if (target.columns.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c"))
+      (if (target.columns.contains(c))
+        when(srcPresent, col(s"s.$c")).otherwise(col(s"t.$c"))
        else col(s"s.$c")).as(c)
     }
     s.join(t, col(s"s.$key") === col(s"t.$key"), "full_outer")
@@ -53,8 +57,9 @@ object SnapshotMerge {
     * Parity with the reference: inserts + updates + unchanged come from the
     * source row; deletes are dropped (hard delete) or kept with
     * `is_active=false` (soft delete, `notion_data_ingestion.py:206-244`);
-    * null-key target rows pass through untouched
-    * (`data_loading_to_mysql_database.py:265`).
+    * the SOURCE's null-key rows pass through untouched while the target's
+    * are discarded (`data_loading_to_mysql_database.py:265` concatenates
+    * `df_source_na_id` and never re-adds `df_target_na_id`).
     */
   def merge(
       source: DataFrame,
@@ -70,11 +75,8 @@ object SnapshotMerge {
         actions.filter(col("action") === "delete").drop("action")
           .withColumn("is_active", lit(false))
       else actions.limit(0).drop("action").withColumn("is_active", lit(true))
-    val naRows = target.filter(col(key).isNull)
-      .select(actions.columns.filter(_ != "action").toSeq.map { c =>
-        (if (target.columns.contains(c)) col(c)
-         else lit(null).cast(actions.schema(c).dataType)).as(c)
-      }: _*)
+    val naRows = source.filter(col(key).isNull)
+      .select(actions.columns.filter(_ != "action").toSeq.map(col): _*)
       .withColumn("is_active", lit(true))
     live.unionByName(deleted).unionByName(naRows)
   }

@@ -39,7 +39,9 @@ object JdbcLoad {
       }
     }
 
-  def props(driver: String = "org.apache.derby.iapi.jdbc.AutoloadedDriver"): Properties = {
+  val DerbyDriver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+  def props(driver: String): Properties = {
     val p = new Properties()
     p.setProperty("driver", driver)
     p
@@ -47,14 +49,15 @@ object JdbcLoad {
 
   /** K3: full-replace batched write (`to_sql(if_exists='replace')`). */
   def writeOverwrite(df: DataFrame, url: String, table: String,
-      batchSize: Int = 1000): Unit =
+      batchSize: Int = 1000, driver: String = DerbyDriver): Unit =
     prepareForJdbc(df).write.mode("overwrite")
       .option("batchsize", batchSize)
-      .jdbc(url, table, props())
+      .jdbc(url, table, props(driver))
 
   /** S4: full-table JDBC scan (Catalyst pushes filters/pruning into it). */
-  def readTable(spark: SparkSession, url: String, table: String): DataFrame =
-    spark.read.jdbc(url, table, props())
+  def readTable(spark: SparkSession, url: String, table: String,
+      driver: String = DerbyDriver): DataFrame =
+    spark.read.jdbc(url, table, props(driver))
 
   /** I1/I2: the reference's incremental sync — read source and target
     * tables, set-diff merge on `key` (insert/update/delete), rewrite the
@@ -65,18 +68,20 @@ object JdbcLoad {
       url: String,
       sourceTable: String,
       targetTable: String,
-      key: String): Unit = {
-    val source = readTable(spark, url, sourceTable)
+      key: String,
+      driver: String = DerbyDriver): Unit = {
+    val source = readTable(spark, url, sourceTable, driver)
     val target =
-      try readTable(spark, url, targetTable)
+      try readTable(spark, url, targetTable, driver)
       catch { case _: Exception => source.limit(0) } // I2: initial load
     val merged = SnapshotMerge.merge(source, target.drop("is_active"), key)
       .drop("is_active")
-    // stage driver-side before overwrite: the JDBC overwrite drops the
-    // table we are still reading from (same-table read-write hazard)
-    val staged = merged.cache()
-    staged.count()
-    writeOverwrite(staged, url, targetTable)
-    staged.unpersist()
+    // Stage to durable storage before the overwrite: the overwrite DROPs
+    // the table the merge plan reads from, and a cache() is not a safe
+    // barrier (a lost executor would recompute from the dropped table).
+    val stage = java.nio.file.Files.createTempDirectory("graft-jdbc-stage")
+    merged.write.mode("overwrite").parquet(stage.toString)
+    writeOverwrite(spark.read.parquet(stage.toString), url, targetTable,
+      driver = driver)
   }
 }

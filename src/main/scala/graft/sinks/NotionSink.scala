@@ -128,12 +128,21 @@ object NotionSink {
 
     // I3: soft-delete sink keys absent from the frame — J2 anti join run
     // distributively; only the (small) delete set reaches the driver.
+    // Same R4 envelope as the write lanes: retry, then count-and-continue.
     val toDelete = existingDf
       .join(df.select(col(keyCol).as("__k2")), col("__key") === col("__k2"),
         "left_anti")
       .collect()
-    toDelete.foreach(r => api.softDelete(r.getString(1)))
-    WriteReport(okAcc.value, updAcc.value, toDelete.length.toLong, errAcc.value)
+    var deleted = 0L
+    var deleteErrors = 0L
+    toDelete.foreach { r =>
+      try {
+        Retry.withBackoff(3, 100L)(api.softDelete(r.getString(1)))
+        deleted += 1
+      } catch { case _: Exception => deleteErrors += 1 }
+    }
+    WriteReport(okAcc.value, updAcc.value, deleted,
+      errAcc.value + deleteErrors)
   }
 
   object InMemoryNotionApi {

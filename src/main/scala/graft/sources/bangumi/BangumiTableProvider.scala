@@ -162,10 +162,9 @@ class BangumiReaderFactory(optionsMap: Map[String, String], pageSize: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[BangumiInputPartition]
-    val client = BangumiTableProvider.clientFor(
-      new CaseInsensitiveStringMap(optionsMap.asJava))
-    new BangumiPartitionReader(client, part, pageSize,
-      optionsMap.getOrElse("pageintervalms", "0").toLong)
+    val opts = new CaseInsensitiveStringMap(optionsMap.asJava)
+    new BangumiPartitionReader(BangumiTableProvider.clientFor(opts), part,
+      pageSize, opts.getLong("pageIntervalMs", 0L))
   }
 }
 

@@ -68,10 +68,13 @@ object EventStreams {
           try spark.read.parquet(targetPath)
           catch { case _: Exception => batch.limit(0) } // I2 initial load
         val merged = SnapshotMerge.merge(batch, target.drop("is_active"), key)
-        // rewrite target atomically: stage then swap via overwrite
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(targetPath)
-        merged.unpersist()
+        // Stage to a scratch dir before overwriting: the merge plan reads
+        // the target we are about to replace, and cache() is not a safe
+        // barrier (lost partitions recompute from the overwritten path).
+        val stage = Files.createTempDirectory("graft-sync-stage")
+        merged.write.mode("overwrite").parquet(stage.toString)
+        spark.read.parquet(stage.toString)
+          .write.mode("overwrite").parquet(targetPath)
         ()
       }
       .start()

@@ -153,6 +153,19 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(outer.count() === 3)
   }
 
+  test("as-of join never stitches values across different right rows") {
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    val left = Seq((1L, ts(30), "l30")).toDF("k", "t", "lv")
+    val right = Seq((1L, ts(1), Some("x1"), Some("y1")),
+      (1L, ts(2), Option.empty[String], Some("y2")))
+      .toDF("k", "rt", "rx", "ry")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "rt").head()
+    // the match is the t=2 row: rx must be NULL, not carried from t=1
+    assert(out.getAs[String]("rx") === null)
+    assert(out.getAs[String]("ry") === "y2")
+  }
+
   test("token counting and quality bands") {
     val d = Seq((1L, "  Hello, world! This is a test.  ")).toDF("doc_id", "text")
     val r = d.select(

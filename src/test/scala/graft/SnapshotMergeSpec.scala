@@ -12,14 +12,15 @@ class SnapshotMergeSpec extends AnyFunSuite with SparkSpec {
   private def src = Seq(
     (Some(1L), "a", 10.0), // unchanged
     (Some(2L), "b", 99.0), // update (target has 20.0)
-    (Some(4L), "d", 40.0) // insert
+    (Some(4L), "d", 40.0), // insert
+    (None, "src-na", -1.0) // null-key passthrough (reference keeps SOURCE NA)
   ).toDF("id", "name", "bal")
 
   private def tgt = Seq(
     (Some(1L), "a", 10.0),
     (Some(2L), "b", 20.0),
     (Some(3L), "c", 30.0), // delete
-    (None, "na-row", -1.0) // null-key passthrough
+    (None, "tgt-na", -2.0) // discarded (reference drops target NA rows)
   ).toDF("id", "name", "bal")
 
   test("action lanes classify correctly") {
@@ -29,13 +30,21 @@ class SnapshotMergeSpec extends AnyFunSuite with SparkSpec {
       3L -> "delete", 4L -> "insert"))
   }
 
-  test("hard merge = source rows + null-key passthrough") {
+  test("hard merge = source rows + SOURCE null-key passthrough") {
     val merged = SnapshotMerge.merge(src, tgt, "id")
-    assert(merged.count() === 4) // 3 source + 1 NA row
+    assert(merged.count() === 4) // 3 keyed source rows + 1 source NA row
     val bals = merged.filter($"id".isNotNull)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("bal")).toMap
     assert(bals === Map(1L -> 10.0, 2L -> 99.0, 4L -> 40.0))
-    assert(merged.filter($"id".isNull).count() === 1)
+    val na = merged.filter($"id".isNull).collect()
+    assert(na.map(_.getAs[String]("name")).toSeq === Seq("src-na"))
+  }
+
+  test("update-by-replace: a source NULL overwrites the target value") {
+    val s = Seq((Some(1L), Option.empty[String], 5.0)).toDF("id", "name", "bal")
+    val t = Seq((Some(1L), Some("old-name"), 5.0)).toDF("id", "name", "bal")
+    val merged = SnapshotMerge.merge(s, t, "id")
+    assert(merged.head().getAs[String]("name") === null) // not "old-name"
   }
 
   test("soft delete keeps tombstones with is_active=false") {

@@ -359,6 +359,30 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Pivot: long → wide on a known value list (W1's general form).
+    "q45_pivot_events" -> ((s, dir) => {
+      T(s, dir, "events")
+        .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type",
+          Seq("click", "signup", "error", "view", "purchase"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(
+          Seq("click", "signup", "error", "view", "purchase")
+            .map(t => t -> s"n_$t").toMap)
+    }),
+
+    // Relational set ops: INTERSECT / EXCEPT over key projections.
+    "q46_set_ops" -> ((s, dir) => {
+      val fOrders = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val bigOrders = T(s, dir, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey"))
+      fOrders.intersect(bigOrders).withColumn("src", lit("both"))
+        .unionByName(
+          fOrders.except(bigOrders).withColumn("src", lit("f_only")))
+    }),
+
     // Skew-controlled two-phase aggregation: salted partial, exact final
     // (identical result to a direct groupBy — only shuffle placement moves).
     "q44_salted_agg" -> ((s, dir) => {
@@ -770,6 +794,22 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.9), 3) AS p90,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q45_pivot_events" ->
+      """SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+        | count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        | count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        | count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q46_set_ops" ->
+      """WITH f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+        |big AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000)
+        |SELECT custkey, 'both' AS src FROM (SELECT custkey FROM f INTERSECT SELECT custkey FROM big)
+        |UNION ALL
+        |SELECT custkey, 'f_only' AS src FROM (SELECT custkey FROM f EXCEPT SELECT custkey FROM big)""".stripMargin,
 
     "q44_salted_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -170,15 +170,20 @@ object Similarity {
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
     require(centroids.nonEmpty, "ivfTopK: empty corpus, no centroids")
     def litVec(p: Seq[Double]) = array(p.map(lit(_)): _*)
-    def argmaxCell(v: Column): Column = {
-      val sims = centroids.map { case (_, cv) => cosine(v, litVec(cv)) }
-      sims.zipWithIndex.drop(1).foldLeft((sims(0), lit(0))) {
-        case ((bestS, bestI), (s, i)) =>
-          (when(s > bestS, s).otherwise(bestS),
-            when(s > bestS, lit(i)).otherwise(bestI))
-      }._2
-    }
-    val assigned = c.withColumn("cell", argmaxCell(col("v")))
+    // materialize each centroid similarity as its own column first: folding
+    // directly over the 64-literal cosine expressions would duplicate them
+    // quadratically in the generated code (compile-time blowup)
+    val withSims = c.select(
+      col("id") +: col("v") +:
+        centroids.map { case (i, cv) =>
+          cosine(col("v"), litVec(cv)).as(s"__sim$i")
+        }.toSeq: _*)
+    // argmax = first position of the max (ties → lowest cell, matching the
+    // oracle's ORDER BY sim DESC, cell ASC)
+    val simArr = array(centroids.map { case (i, _) => col(s"__sim$i") }.toSeq: _*)
+    val argmax = (array_position(simArr, array_max(simArr)) - 1).cast("int")
+    val assigned = withSims.withColumn("cell", argmax)
+      .select(col("id"), col("v"), col("cell"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val centDf = centroids.toSeq.toDF("cell", "cv")
     val probe = Windows.topKPerGroup(

@@ -121,7 +121,11 @@ object Dedup {
       textCol: String,
       n: Int,
       numHashes: Int): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, n)
+    // no distinct pass: min over the shingle multiset equals min over the
+    // set, so the dedup shuffle shingleSet pays is pure waste here — one
+    // explode feeding a map-side-combinable min aggregation
+    val sh = df.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("shingle"))
     val aggs = (0 until numHashes).map(i =>
       min(minhashOf(col("shingle"), i)).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)

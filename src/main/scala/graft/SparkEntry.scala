@@ -359,6 +359,52 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Edit-distance near-dup verify over the LSH candidate set (cheap
+    // exact check confined to candidates — never all-pairs).
+    "q47_edit_distance" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cand = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 8, 2)
+      val prefixes = docs.select(col("doc_id"),
+        substring(col("text"), 1, 80).as("prefix"))
+      cand
+        .join(prefixes.select(col("doc_id").as("id_a"), col("prefix").as("pa")), "id_a")
+        .join(prefixes.select(col("doc_id").as("id_b"), col("prefix").as("pb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("pa"), col("pb")).as("edit_dist"))
+        .filter(col("edit_dist") <= 40)
+    }),
+
+    // TPC-H Q3-shaped: 3-way join, filtered, ranked revenue top-10.
+    "q49_shipping_priority" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val l = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-07-01").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_date_epoch"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Docx §4.4 data-quality profile as one aggregate pass.
+    "q50_quality_profile" -> ((s, dir) => {
+      T(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        count_if(col("o_custkey").isNull).as("null_custkey"),
+        count_if(col("o_totalprice").isNull).as("null_totalprice"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        min(unix_timestamp(col("o_orderdate"))).as("min_date_epoch"),
+        max(unix_timestamp(col("o_orderdate"))).as("max_date_epoch"))
+    }),
+
     // Pivot: long → wide on a known value list (W1's general form).
     "q45_pivot_events" -> ((s, dir) => {
       T(s, dir, "events")
@@ -794,6 +840,51 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.9), 3) AS p90,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q47_edit_distance" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
+        .mkString("\nUNION ALL ")
+      s"""$shingleCte,
+         |sig AS ($minhashSigSelect),
+         |banded AS ($bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band, key)
+         |  WHERE a.doc_id < b.doc_id),
+         |pfx AS (SELECT doc_id, substring(text, 1, 80) AS prefix FROM documents)
+         |SELECT id_a, id_b,
+         |  CAST(levenshtein(pa.prefix, pb.prefix) AS INT) AS edit_dist
+         |FROM cand
+         |JOIN pfx pa ON pa.doc_id = id_a
+         |JOIN pfx pb ON pb.doc_id = id_b
+         |WHERE levenshtein(pa.prefix, pb.prefix) <= 40""".stripMargin
+    },
+
+    "q49_shipping_priority" ->
+      """SELECT l_orderkey,
+        | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_epoch,
+        | o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND l_shipdate > TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q50_quality_profile" ->
+      """SELECT count(*) AS n_rows,
+        | count(*) FILTER (WHERE o_custkey IS NULL) AS null_custkey,
+        | count(*) FILTER (WHERE o_totalprice IS NULL) AS null_totalprice,
+        | count(DISTINCT o_orderstatus) AS n_statuses,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price,
+        | CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS min_date_epoch,
+        | CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS max_date_epoch
+        |FROM orders""".stripMargin,
 
     "q45_pivot_events" ->
       """SELECT CAST(user_id % 10 AS INT) AS user_bucket,

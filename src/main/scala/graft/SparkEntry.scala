@@ -407,15 +407,15 @@ object SparkEntry {
 
     // Pivot: long → wide on a known value list (W1's general form).
     "q45_pivot_events" -> ((s, dir) => {
+      val types = Seq("click", "signup", "error", "view", "purchase")
       T(s, dir, "events")
         .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
         .groupBy(col("user_bucket"))
-        .pivot("event_type",
-          Seq("click", "signup", "error", "view", "purchase"))
+        .pivot("event_type", types)
         .agg(count(lit(1)))
-        .withColumnsRenamed(
-          Seq("click", "signup", "error", "view", "purchase")
-            .map(t => t -> s"n_$t").toMap)
+        // empty pivot cells are NULL; the oracle's filtered count emits 0
+        .select(col("user_bucket") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
     }),
 
     // Relational set ops: INTERSECT / EXCEPT over key projections.

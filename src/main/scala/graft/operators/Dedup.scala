@@ -58,10 +58,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int,
-      maxShingleDocFreq: Long = 0L): DataFrame = {
-    val base = df
+      maxShingleDocFreq: Long = 0L,
+      distinct: Boolean = true): DataFrame = {
+    val exploded = df
       .select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
-      .distinct()
+    val base = if (distinct) exploded.distinct() else exploded
     if (maxShingleDocFreq <= 0) base
     else {
       val hot = base.groupBy(col("shingle"))
@@ -124,8 +125,7 @@ object Dedup {
     // no distinct pass: min over the shingle multiset equals min over the
     // set, so the dedup shuffle shingleSet pays is pure waste here — one
     // explode feeding a map-side-combinable min aggregation
-    val sh = df.select(col(idCol),
-      explode(shingles(col(textCol), n)).as("shingle"))
+    val sh = shingleSet(df, idCol, textCol, n, distinct = false)
     val aggs = (0 until numHashes).map(i =>
       min(minhashOf(col("shingle"), i)).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)

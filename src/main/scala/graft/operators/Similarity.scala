@@ -182,7 +182,9 @@ object Similarity {
     // oracle's ORDER BY sim DESC, cell ASC)
     val simArr = array(centroids.map { case (i, _) => col(s"__sim$i") }.toSeq: _*)
     val argmax = (array_position(simArr, array_max(simArr)) - 1).cast("int")
-    val assigned = withSims.withColumn("cell", argmax)
+    // a row with a null/empty vector has all-NULL sims → argmax NULL; keep
+    // it in cell 0 (ranked last by sim) instead of dropping it at the join
+    val assigned = withSims.withColumn("cell", coalesce(argmax, lit(0)))
       .select(col("id"), col("v"), col("cell"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val centDf = centroids.toSeq.toDF("cell", "cv")

@@ -45,6 +45,74 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("user_id"),
         col("n_events"))
 
+  /** Open-session accumulator for [[statefulSessions]]. Times are epoch
+    * millis. */
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` with
+    * event-time timeouts: per user, events within `gapMillis` extend the
+    * open session; a gap (or watermark passage) closes and emits it.
+    *
+    * This is the hand-rolled form of `session_window` — the shape to reach
+    * for when session logic outgrows the built-in (custom merge rules,
+    * per-session aggregates, early emission). State per key is one small
+    * case class, bounded by the watermark horizon.
+    */
+  def statefulSessions(
+      events: DataFrame,
+      gapMillis: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes"): org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+
+    def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      def emit(s: SessionState) =
+        SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.sum)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = rows.toSeq.sortBy(_._2.getTime)
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { case (_, ts, v) =>
+          val t = ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMillis =>
+              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
+                s.sum + v))
+            case Some(s) =>
+              closed ::= emit(s)
+              cur = Some(SessionState(t, t, 1, v))
+            case None =>
+              cur = Some(SessionState(t, t, 1, v))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMillis)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** I1–I2 as a streaming job: watch `sourceDir` for JSON snapshot drops
     * and merge each micro-batch into the parquet target by `key`
     * (`Trigger.AvailableNow` — run-to-completion semantics, the streaming

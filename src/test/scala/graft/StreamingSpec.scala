@@ -37,6 +37,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       ("2024-01-01 00:10:00.0", "view", 1L, 8.0)))
   }
 
+  test("stateful sessionization emits closed sessions via state timeouts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.statefulSessions(df, gapMillis = 10 * 60 * 1000L,
+      watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    // user 7: two events 5 min apart (one session), then a 3rd event far
+    // later — the gap closes session 1 inline; the late event also drives
+    // the watermark past the first session's timeout
+    mem.addData((7L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (7L, Timestamp.valueOf("2024-01-01 00:05:00"), 2.0))
+    q.processAllAvailable()
+    mem.addData((7L, Timestamp.valueOf("2024-01-01 02:00:00"), 4.0))
+    q.processAllAvailable()
+    mem.addData((8L, Timestamp.valueOf("2024-01-01 05:00:00"), 0.0))
+    q.processAllAvailable()
+    val out = spark.table("sessions_out").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    q.stop()
+    assert(out.contains((7L, "2024-01-01 00:00:00.0", 2L, 3.0)),
+      s"first session missing from ${out.mkString(", ")}")
+    // the 02:00 session closes once the 05:00 watermark passes its timeout
+    assert(out.contains((7L, "2024-01-01 02:00:00.0", 1L, 4.0)),
+      s"second session missing from ${out.mkString(", ")}")
+  }
+
   test("incremental sync merges snapshot drops into the parquet target") {
     val target = Files.createTempDirectory("graft-target").toString + "/t"
     val sample = Seq((1L, "a", 1.0)).toDF("id", "name", "bal")

@@ -510,8 +510,11 @@ object SparkEntry {
     // the input is the bundled JSONL corpus, not a parquet table) ----
 
     // P2/F1/F6/F7: 21-column raw projection incl. infobox flatten.
+    // Array columns are JSON-encoded for the driver's rows-only compare
+    // (its pandas sort can't order ndarray cells).
     "qb34_bangumi_raw" -> ((s, _) => {
       bangumi.BangumiTransforms.rawProjection(bangumi.Fixtures.items(s), "graft")
+        .withColumn("tags", to_json(col("tags")))
     }),
 
     // P3/W1/F2/F3/F5: 27-column analytics projection with top-5 tag pivot.
@@ -543,8 +546,10 @@ object SparkEntry {
     }),
 
     // Multimodal: binary decode batch stage (stubbed codec, real plumbing).
+    // histogram array → JSON string for the driver's rows-only compare.
     "qb39_media_decode" -> ((s, _) => {
       operators.Multimodal.decodeImages(operators.Multimodal.syntheticMedia(s, 200))
+        .withColumn("histogram", to_json(col("histogram")))
     }),
 
     // Multimodal: video → per-frame rows.

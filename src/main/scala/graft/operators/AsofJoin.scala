@@ -46,7 +46,16 @@ object AsofJoin {
       col("__k"), col("__t"), col("__side"),
       lit(null).cast(lPart.schema("__l").dataType).as("__l"), col("__r"))
 
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+    // Deterministic when several right rows share (key, time): tiebreak on
+    // the carried struct itself, giving a total order over distinct right
+    // rows (exact duplicates are indistinguishable, so any pick is the same
+    // row). Skipped only if a right column is unorderable (e.g. map).
+    val rOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(rPart.schema("__r").dataType)
+    val ord =
+      if (rOrderable) Seq(col("__t"), col("__side"), col("__r"))
+      else Seq(col("__t"), col("__side"))
+    val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lPart.unionByName(rWithL)
       .select(col("__side"), col("__l"),

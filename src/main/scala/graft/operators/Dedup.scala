@@ -65,8 +65,12 @@ object Dedup {
     val base = if (distinct) exploded.distinct() else exploded
     if (maxShingleDocFreq <= 0) base
     else {
-      val hot = base.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df_"))
+      // document frequency, not occurrence count: with distinct=false the
+      // base relation is a multiset, so count(1) would overstate df
+      val hot = (if (distinct) base.groupBy(col("shingle"))
+                   .agg(count(lit(1)).as("df_"))
+                 else base.groupBy(col("shingle"))
+                   .agg(countDistinct(col(idCol)).as("df_")))
         .filter(col("df_") > maxShingleDocFreq)
         .select("shingle")
       base.join(hot, Seq("shingle"), "left_anti")

@@ -4,6 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Top-level and public: Janino can't resolve accessors of a private
+  * object-nested case class, so the encoder's generated serializer failed to
+  * compile and every stage touching it silently fell back to interpreted
+  * mode (~10× slower in round 1's bench). */
+case class DecodedMedia(media_id: Long, width: Int, height: Int,
+    histogram: Seq[Double], decode_error: Boolean)
+
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
   * payloads as opaque `binary` columns plus typed metadata, with
   * decode/feature steps shaped for batch execution.
@@ -62,8 +69,6 @@ object Multimodal {
     }
   }
 
-  private case class DecodedMedia(media_id: Long, width: Int, height: Int,
-      histogram: Seq[Double], decode_error: Boolean)
 
   /** Decode/feature-extract stage: per-partition batch iteration (one codec
     * instance per partition, corrupt rows isolated to a flag column instead

@@ -46,12 +46,15 @@ object Skew {
     def writeBucketed(df: DataFrame, table: String, key: String,
         numBuckets: Int): Unit = {
       val spark = df.sparkSession
-      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // parse (and thereby validate) the identifier; the catalog maps it to
+      // the real managed location (lowercasing, db.tbl → <db>.db/<tbl>) so
+      // the orphan cleanup below can never touch an unrelated directory
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
       // a previously interrupted write can leave an orphaned managed
       // location behind; clear it or CREATE TABLE refuses
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      val loc = new java.io.File(warehouse, table)
+      val loc = new java.io.File(
+        spark.sessionState.catalog.defaultTablePath(ident))
       if (loc.exists()) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm))

@@ -89,6 +89,10 @@ object NotionSink {
     val spark = df.sparkSession
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
+    // the join below appends __key/__page_id; an input column with either
+    // name would make the join ambiguous and the insert/update split wrong
+    require(!schema.fieldNames.exists(Set("__key", "__page_id")),
+      "input frame must not contain reserved columns __key/__page_id")
 
     // S5/J4: sink snapshot is small relative to the frame — broadcast it.
     val existing = api.existingRecords()
@@ -101,13 +105,17 @@ object NotionSink {
     val updAcc = spark.sparkContext.longAccumulator("notion.updated")
     val errAcc = spark.sparkContext.longAccumulator("notion.errors")
 
-    df.join(broadcast(existingDf), col(keyCol) === col("__key"), "left_outer")
+    val joined =
+      df.join(broadcast(existingDf), col(keyCol) === col("__key"), "left_outer")
+    val joinedKeyIdx = joined.schema.fieldIndex("__key")
+    val pageIdIdx = joined.schema.fieldIndex("__page_id")
+    joined
       .foreachPartition { rows: Iterator[Row] =>
         val limiter = new RateLimiter(minIntervalMs)
         rows.foreach { row =>
           limiter.acquire()
           try {
-            if (row.isNullAt(row.length - 2)) { // no __key → insert
+            if (row.isNullAt(joinedKeyIdx)) { // no __key → insert
               Retry.withBackoff(3, 100L) {
                 api.insert(row.getLong(keyIdx),
                   formatProperties(row, schema))
@@ -115,7 +123,7 @@ object NotionSink {
               okAcc.add(1)
             } else {
               Retry.withBackoff(3, 100L) {
-                api.update(row.getString(row.length - 1),
+                api.update(row.getString(pageIdIdx),
                   formatProperties(row, schema))
               }
               updAcc.add(1)

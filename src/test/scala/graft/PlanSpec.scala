@@ -40,6 +40,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan("q31_cosine_topk").contains("Broadcast"))
   }
 
+  test("media decode encoder compiles (no interpreted fallback)") {
+    // round 1: a private object-nested case class made the encoder's
+    // generated serializer fail Janino compilation, silently dropping the
+    // whole stage to interpreted mode. Disable the fallback so any repeat
+    // is a test failure, not a 10× slowdown.
+    withSQLConf("spark.sql.codegen.fallback" -> "false",
+        "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      val out = operators.Multimodal
+        .decodeImages(operators.Multimodal.syntheticMedia(spark, 32))
+        .collect()
+      assert(out.length === 32)
+    }
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

@@ -20,19 +20,31 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
     }
+    // Optional comma-separated query filter for local iteration; the driver
+    // never sets it, so its runs always cover the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // noop sink: materializes every output column (count() would let
     // Catalyst prune the projections and under-measure).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+    // Each query runs twice and reports the min: single-shot numbers swung
+    // 2-3× between rounds on unchanged code (C2 compilation storms — see
+    // BASELINE.md notes); min-of-2 measures the query, not the JIT.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            return -1.0 // failures are sentineled, never fast successes
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-      // failures are sentineled, never reported as (fast) successes
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
+        val a = once()
+        val b = if (a >= 0) once() else -1.0
+        name -> (if (a >= 0 && b >= 0) math.min(a, b) else -1.0)
+      }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

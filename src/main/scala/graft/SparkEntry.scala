@@ -258,8 +258,12 @@ object SparkEntry {
     }),
 
     // Near-dup: word-3-gram Jaccard pairs (inverted-index self-join).
+    // maxShingleDocFreq=100 drops stop-shingles: a shingle shared by k docs
+    // contributes k² rows to the self-join, the classic quadratic blowup at
+    // corpus scale — the cap bounds k. Mirrored in the oracle's `capped` CTE.
     "q26_jaccard_pairs" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text", 3, 0.3)
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text", 3, 0.3,
+        maxShingleDocFreq = 100L)
     }),
 
     // MinHash signatures (8 permutations via seeded md5, lexicographic min).
@@ -372,6 +376,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           levenshtein(col("pa"), col("pb")).as("edit_dist"))
         .filter(col("edit_dist") <= 40)
+    }),
+
+    // Bounded-shuffle exact top-k: same contract as q31 but via the typed
+    // TopKAggregator — the shuffle carries ≤ k candidates per map partition
+    // instead of every scored row (the form to run at corpus scale).
+    "q48_topk_agg" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", 10)
     }),
 
     // TPC-H Q3-shaped: 3-way join, filtered, ranked revenue top-10.
@@ -627,6 +640,21 @@ object SparkEntry {
   private def bucketSql(v: String, planes: Array[Array[Double]]): String =
     planes.map(p => s"CASE WHEN ${dotSql(v, planeSql(p))} >= 0 THEN '1' ELSE '0' END")
       .mkString("(", " || ", ")")
+
+  /** Exact brute-force cosine top-k — shared by q31 (window-rank form) and
+    * q48 (bounded-shuffle TopKAggregator form): same output contract. */
+  private val bruteForceTopKSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q_id, vec_id AS id, ${cosSql("qv", "v")} AS sim
+       |  FROM e, q WHERE vec_id <> q_id),
+       |ranked AS (SELECT q_id, id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC) AS rn
+       |  FROM scored)
+       |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
+       |FROM ranked WHERE rn <= 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -930,12 +958,18 @@ object SparkEntry {
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // `capped` mirrors Dedup.shingleSet's maxShingleDocFreq=100 stop-shingle
+    // drop (sh is distinct per (doc_id, shingle), so count(*) is doc freq)
     "q26_jaccard_pairs" ->
       s"""$shingleCte,
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |capped AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |        HAVING count(*) <= 100) ok USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM sh a JOIN sh b USING (shingle)
+         |  FROM capped a JOIN capped b USING (shingle)
          |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
          |  CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
@@ -975,18 +1009,11 @@ object SparkEntry {
          |FROM pairs WHERE $ham <= 3""".stripMargin
     },
 
-    "q31_cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT q_id, vec_id AS id, ${cosSql("qv", "v")} AS sim
-         |  FROM e, q WHERE vec_id <> q_id),
-         |ranked AS (SELECT q_id, id, sim,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC) AS rn
-         |  FROM scored)
-         |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
-         |FROM ranked WHERE rn <= 10""".stripMargin,
+    "q31_cosine_topk" -> bruteForceTopKSql,
+
+    // identical contract: the TopKAggregator form must reproduce the
+    // window-rank form exactly (ties broken by id on both sides)
+    "q48_topk_agg" -> bruteForceTopKSql,
 
     "q32_cosine_neardup" -> {
       val planes = Similarity.hyperplanes(4, 64)

@@ -65,12 +65,12 @@ object Dedup {
     val base = if (distinct) exploded.distinct() else exploded
     if (maxShingleDocFreq <= 0) base
     else {
-      // document frequency, not occurrence count: with distinct=false the
-      // base relation is a multiset, so count(1) would overstate df
-      val hot = (if (distinct) base.groupBy(col("shingle"))
-                   .agg(count(lit(1)).as("df_"))
-                 else base.groupBy(col("shingle"))
-                   .agg(countDistinct(col(idCol)).as("df_")))
+      // document frequency, not occurrence count: dedup (id, shingle) first
+      // so the count is df and — unlike countDistinct over the multiset —
+      // both the dedup and the count get map-side partial aggregation
+      val distinctPairs = if (distinct) base else exploded.distinct()
+      val hot = distinctPairs.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df_"))
         .filter(col("df_") > maxShingleDocFreq)
         .select("shingle")
       base.join(hot, Seq("shingle"), "left_anti")
@@ -147,7 +147,18 @@ object Dedup {
       numHashes: Int,
       rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    // Materialize signatures before the band self-join: both join sides
+    // derive from this relation, and without a hard cut Spark re-evaluates
+    // the whole shingle-explode + k×min(md5) subtree once per side (and
+    // once more per downstream consumer) — the most expensive subtree in
+    // the dedup pipeline, paid repeatedly. localCheckpoint truncates the
+    // lineage so it runs exactly once; the materialized relation is tiny
+    // (k hashes per doc, ≪ the corpus) so executor-local storage holds it
+    // at any scale. Tradeoff: lineage loss means an executor failure
+    // re-runs the job instead of recomputing a partition — the standard
+    // price for iterative/self-join reuse.
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+      .localCheckpoint(eager = true)
     val nBands = numHashes / rowsPerBand
     val bandKeys = (0 until nBands).map { bnd =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
@@ -176,7 +187,10 @@ object Dedup {
       numHashes: Int,
       rowsPerBand: Int,
       threshold: Double): DataFrame = {
+    // cand feeds both the intersection join and the outer verify join —
+    // materialize it for the same single-evaluation reason as `sig` above.
     val cand = minhashLshPairs(df, idCol, textCol, n, numHashes, rowsPerBand)
+      .localCheckpoint(eager = true)
     val sh = shingleSet(df, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = cand

@@ -38,6 +38,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("maxShingleDocFreq drops hot stop-shingles from the index") {
+    // "common tail phrase" appears in every doc (a stop-shingle); the unique
+    // heads share nothing. With the cap at 3 < 5 docs the hot shingle is
+    // dropped, so no pair survives; uncapped, all 10 pairs intersect on it.
+    val hot = (1L to 5L).map(i => (i, s"head$i phrase$i tail$i common tail phrase"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.shingleSet(hot, "doc_id", "text", 3)
+    val capped = Dedup.shingleSet(hot, "doc_id", "text", 3, maxShingleDocFreq = 3)
+    val hotShingles = uncapped.groupBy($"shingle").count().filter($"count" > 3)
+      .select("shingle").as[String].collect()
+    assert(hotShingles.nonEmpty)
+    assert(capped.filter($"shingle".isin(hotShingles.toSeq: _*)).count() === 0)
+    // survivors are exactly the non-hot shingles, for every doc
+    assert(capped.count() === uncapped.count() - 5 * hotShingles.length)
+    // and the multiset (distinct=false) path prunes by doc-freq, not count
+    val cappedMulti = Dedup.shingleSet(hot, "doc_id", "text", 3,
+      maxShingleDocFreq = 3, distinct = false)
+    assert(cappedMulti.filter($"shingle".isin(hotShingles.toSeq: _*)).count() === 0)
+  }
+
   test("short documents contribute a whole-text shingle") {
     val short = Seq((1L, "one two")).toDF("doc_id", "text")
     val sh = short.select(explode(Dedup.shingles($"text", 3)).as("s"))

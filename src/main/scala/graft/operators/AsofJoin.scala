@@ -22,6 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Can Spark sort values of this type? Mirrors the engine's ordering rule
+    * (atomic, null, and recursively-orderable struct/array types sort; map,
+    * interval, variant do not) without depending on the internal Catalyst
+    * `RowOrdering.isOrderable`, which has moved between Spark versions.
+    * Stated over public `DataType`s only — a type this misses merely loses
+    * the equal-timestamp tiebreak, never correctness.
+    */
+  private[operators] def isOrderable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case NullType | BooleanType | ByteType | ShortType | IntegerType |
+          LongType | FloatType | DoubleType | StringType | BinaryType |
+          DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case s: StructType => s.fields.forall(f => isOrderable(f.dataType))
+      case a: ArrayType => isOrderable(a.elementType)
+      case udt: UserDefinedType[_] => isOrderable(udt.sqlType)
+      case _ => false // MapType, CalendarIntervalType, variant, ...
+    }
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -50,8 +72,7 @@ object AsofJoin {
     // the carried struct itself, giving a total order over distinct right
     // rows (exact duplicates are indistinguishable, so any pick is the same
     // row). Skipped only if a right column is unorderable (e.g. map).
-    val rOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
-      .isOrderable(rPart.schema("__r").dataType)
+    val rOrderable = isOrderable(rPart.schema("__r").dataType)
     val ord =
       if (rOrderable) Seq(col("__t"), col("__side"), col("__r"))
       else Seq(col("__t"), col("__side"))

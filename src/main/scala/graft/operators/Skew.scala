@@ -52,16 +52,14 @@ object Skew {
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
       spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
       // a previously interrupted write can leave an orphaned managed
-      // location behind; clear it or CREATE TABLE refuses
-      val loc = new java.io.File(
+      // location behind; clear it or CREATE TABLE refuses. Hadoop's
+      // FileSystem resolves the warehouse URI whatever its scheme
+      // (file:, hdfs:, s3a:, ...) — java.io.File would throw on any
+      // non-local warehouse.
+      val loc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(ident))
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(loc)
-      }
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       df.write.mode(SaveMode.Overwrite)
         .bucketBy(numBuckets, key)
         .sortBy(key)

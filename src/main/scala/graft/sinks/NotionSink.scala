@@ -54,9 +54,14 @@ object NotionSink {
       f.name -> t
     }.toMap
 
+  /** F11 int/float split (reference `notion_data_ingestion.py:273-278`):
+    * an integral float renders as an integer (`5`, not `5.0`). */
+  private def numString(d: Double): String =
+    if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
   /** F8/F11/F12: per-value property formatting — text truncated to 2000
-    * chars, numbers passed through, timestamps ISO-8601. Nulls omitted
-    * (P7). */
+    * chars, numbers passed through (integral floats as ints), timestamps
+    * ISO-8601. Nulls omitted (P7). */
   def formatProperties(row: Row, schema: StructType): Map[String, String] =
     schema.fields.zipWithIndex.flatMap { case (f, i) =>
       if (row.isNullAt(i)) None
@@ -65,6 +70,8 @@ object NotionSink {
           case TimestampType =>
             val ts = row.getTimestamp(i).toLocalDateTime
             ts.format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+          case DoubleType => numString(row.getDouble(i))
+          case FloatType => numString(row.getFloat(i).toDouble)
           case _: NumericType => row.get(i).toString
           case BooleanType => row.get(i).toString
           case _ => row.get(i).toString.take(2000)
@@ -134,23 +141,27 @@ object NotionSink {
         }
       }
 
-    // I3: soft-delete sink keys absent from the frame — J2 anti join run
-    // distributively; only the (small) delete set reaches the driver.
-    // Same R4 envelope as the write lanes: retry, then count-and-continue.
-    val toDelete = existingDf
+    // I3: soft-delete sink keys absent from the frame — J2 anti join, with
+    // the PATCH loop run in foreachPartition like the insert/update lanes
+    // (nothing materializes on the driver: a mass-deletion sync stays
+    // distributed). Same R4 envelope: retry, then count-and-continue.
+    val delAcc = spark.sparkContext.longAccumulator("notion.deleted")
+    val delErrAcc = spark.sparkContext.longAccumulator("notion.deleteErrors")
+    existingDf
       .join(df.select(col(keyCol).as("__k2")), col("__key") === col("__k2"),
         "left_anti")
-      .collect()
-    var deleted = 0L
-    var deleteErrors = 0L
-    toDelete.foreach { r =>
-      try {
-        Retry.withBackoff(3, 100L)(api.softDelete(r.getString(1)))
-        deleted += 1
-      } catch { case _: Exception => deleteErrors += 1 }
-    }
-    WriteReport(okAcc.value, updAcc.value, deleted,
-      errAcc.value + deleteErrors)
+      .foreachPartition { rows: Iterator[Row] =>
+        val limiter = new RateLimiter(minIntervalMs)
+        rows.foreach { r =>
+          limiter.acquire()
+          try {
+            Retry.withBackoff(3, 100L)(api.softDelete(r.getString(1)))
+            delAcc.add(1)
+          } catch { case _: Exception => delErrAcc.add(1) }
+        }
+      }
+    WriteReport(okAcc.value, updAcc.value, delAcc.value,
+      errAcc.value + delErrAcc.value)
   }
 
   object InMemoryNotionApi {

@@ -25,7 +25,9 @@ class NotionSinkSpec extends AnyFunSuite with SparkSpec {
     assert(pages.map(_._1).toSet === Set(1L, 2L))
     val long = pages.find(_._1 == 2L).get._2
     assert(long("name_cn").length === 2000) // F8 truncation
-    assert(long("score") === "9.0")
+    assert(long("score") === "9") // F11: integral float renders as int
+    val frac = pages.find(_._1 == 1L).get._2
+    assert(frac("score") === "8.1") // non-integral keeps the fraction
   }
 
   test("second sync: existing keys update, missing keys soft-delete") {
@@ -50,6 +52,21 @@ class NotionSinkSpec extends AnyFunSuite with SparkSpec {
       "subject_id", api)
     assert(report.inserted + report.errors === 8)
     assert(report.inserted >= 6) // retries absorb most injected faults
+  }
+
+  test("mass-deletion sync stays distributed and counts every tombstone") {
+    val api = new InMemoryNotionApi("t-mass-delete")
+    NotionSink.upsert(
+      frame((1L to 5000L).map(i => (i, s"r$i", i.toDouble)): _*),
+      "subject_id", api)
+    // second sync keeps only 10 keys → 4990 soft deletes, run in
+    // foreachPartition (no driver-side materialization of the delete set)
+    val report = NotionSink.upsert(
+      frame((1L to 10L).map(i => (i, s"r$i", i.toDouble)): _*),
+      "subject_id", api)
+    assert(report === NotionSink.WriteReport(0, 10, 4990, 0))
+    val active = api.pages.asScala.values.count(_._3)
+    assert(active === 10)
   }
 
   test("property schema declaration maps Spark types to Notion types") {

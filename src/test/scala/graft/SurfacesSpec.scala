@@ -22,6 +22,73 @@ class SurfacesSpec extends AnyFunSuite with SparkSpec {
     assert(back.filter($"name_cn" === "孤独摇滚！").count() === 2)
   }
 
+  test("CSV export carries the utf-8-sig BOM for Excel auto-detection (K2)") {
+    val out = Files.createTempDirectory("graft-bom").toString + "/analytics"
+    graft.sinks.Workbook.writeCsvBom(
+      Seq((1L, "孤独摇滚！"), (2L, "bocchi")).toDF("id", "name_cn"), out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).toSeq
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val bytes = Files.readAllBytes(f.toPath)
+      assert(bytes.take(3).toSeq ===
+        Seq(0xef.toByte, 0xbb.toByte, 0xbf.toByte)) // utf-8-sig
+    }
+    // content survives the BOM pass (Spark's reader skips the BOM)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSeq === Seq("id", "name_cn"))
+    assert(back.filter($"name_cn" === "孤独摇滚！").count() === 1)
+  }
+
+  test("multi-sheet xlsx round-trips sheet names, values, and widths (K1)") {
+    import graft.sinks.Workbook
+    val raw = Seq(
+      (1L, "孤独摇滚！", 8.1, true),
+      (2L, "a <b> & \"c\"", 9.0, false),
+      (3L, null.asInstanceOf[String], 7.5, true)
+    ).toDF("subject_id", "name_cn", "score", "active")
+    val summary = Seq(("anime", 3L)).toDF("category", "n")
+    val path = Files.createTempDirectory("graft-xlsx").toString + "/out.xlsx"
+    Workbook.writeXlsx(
+      Seq(("raw_collections", raw), ("bad[name]:longer than thirty-one chars", summary)),
+      path)
+
+    // unzip + DOM-parse the OOXML parts (JDK only, like the writer)
+    val zf = new java.util.zip.ZipFile(path)
+    def xml(name: String): org.w3c.dom.Document = {
+      val e = zf.getEntry(name)
+      assert(e != null, s"missing zip part $name")
+      javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder().parse(zf.getInputStream(e))
+    }
+    try {
+      val wb = xml("xl/workbook.xml").getElementsByTagName("sheet")
+      val names = (0 until wb.getLength)
+        .map(i => wb.item(i).getAttributes.getNamedItem("name").getNodeValue)
+      assert(names.head === "raw_collections")
+      assert(names(1) === "bad_name__longer than thirty-on") // sanitized, 31 chars
+      assert(names(1).length === 31)
+
+      val sheet = xml("xl/worksheets/sheet1.xml")
+      val rows = sheet.getElementsByTagName("row")
+      assert(rows.getLength === 4) // header + 3 data rows
+      def cellTexts(r: Int): Seq[String] = {
+        val cells = rows.item(r).asInstanceOf[org.w3c.dom.Element]
+          .getElementsByTagName("c")
+        (0 until cells.getLength).map(i => cells.item(i).getTextContent)
+      }
+      assert(cellTexts(0) === Seq("subject_id", "name_cn", "score", "active"))
+      assert(cellTexts(1) === Seq("1", "孤独摇滚！", "8.1", "1"))
+      assert(cellTexts(2)(1) === "a <b> & \"c\"") // XML escaping round-trips
+      assert(cellTexts(3).length === 3) // null cell omitted, not empty string
+
+      // width rule: min(max(longest value, header) + 2, 50)
+      val cols = sheet.getElementsByTagName("col")
+      val w0 = cols.item(0).getAttributes.getNamedItem("width").getNodeValue
+      assert(w0.toDouble === ("subject_id".length + 2).toDouble)
+    } finally zf.close()
+  }
+
   test("the engine is queryable through SQL text, including custom functions") {
     graft.functions.GraftFunctions.register(spark)
     Tables.registerAll(spark, "/root/testdata/sf0.001")

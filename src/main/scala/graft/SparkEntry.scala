@@ -641,6 +641,38 @@ object SparkEntry {
     planes.map(p => s"CASE WHEN ${dotSql(v, planeSql(p))} >= 0 THEN '1' ELSE '0' END")
       .mkString("(", " || ", ")")
 
+  /** CTE chain re-deriving `Similarity.kmeansCentroids` in DuckDB:
+    * md5-ordered bounded sample, first-k init, `iters` Lloyd rounds with
+    * (md5, id)-ordered mean folds. `list_reduce` is a first-element-seeded
+    * left fold — exactly the scalar fold the Scala side runs — so the
+    * centroid doubles match bit-for-bit (prototyped and verified exact).
+    * Ends with cent{iters}(cell, cv). */
+  private def kmeansCteSql(k: Int, sampleSize: Int, iters: Int): String = {
+    def iterCte(p: Int): String =
+      s"""a_$p AS (
+         |  SELECT s.id, s.v, s.mk, c.cell,
+         |    row_number() OVER (PARTITION BY s.id
+         |      ORDER BY ${cosSql("s.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |  FROM samp s, cent$p c),
+         |m_$p AS (
+         |  SELECT cell, list(v ORDER BY mk, id) AS vs, count(*) AS cnt
+         |  FROM a_$p WHERE rn = 1 GROUP BY cell),
+         |cent${p + 1} AS (
+         |  SELECT c.cell,
+         |    CASE WHEN m.cell IS NULL THEN c.cv
+         |         ELSE list_transform(
+         |           list_reduce(m.vs, (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])),
+         |           x -> x / m.cnt) END AS cv
+         |  FROM cent$p c LEFT JOIN m_$p m USING (cell))""".stripMargin
+    s"""samp AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS mk FROM e
+       |  ORDER BY mk, id LIMIT $sampleSize),
+       |cent0 AS (SELECT cell, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY mk, id) - 1 AS cell, v AS cv
+       |    FROM samp) t
+       |  WHERE cell < $k),
+       |${(0 until iters).map(iterCte).mkString(",\n")}""".stripMargin
+  }
+
   /** Exact brute-force cosine top-k — shared by q31 (window-rank form) and
     * q48 (bounded-shuffle TopKAggregator form): same output contract. */
   private val bruteForceTopKSql: String =
@@ -1028,7 +1060,8 @@ object SparkEntry {
     "q38_ivf_ann_topk" ->
       s"""WITH e AS (SELECT vec_id AS id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |cent AS (SELECT id AS cell, v AS cv FROM e ORDER BY id LIMIT 8),
+         |${kmeansCteSql(8, 64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
          |assign AS (
          |  SELECT id, v, cell FROM (
          |    SELECT e.id, e.v, c.cell,

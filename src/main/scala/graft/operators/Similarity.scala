@@ -143,6 +143,80 @@ object Similarity {
         round(col("sim_raw"), 6).as("sim"))
   }
 
+  // ---- deterministic sampled k-means (IVF training) ---------------------
+  // Driver-side scalar mirrors of the column expressions above. The fold
+  // order (first element as seed, then strict left-to-right) is chosen to
+  // equal DuckDB's `list_reduce`, so an oracle can re-derive the exact
+  // same centroid doubles — bit-for-bit, not approximately.
+
+  private def dotS(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    var acc = a(0) * b(0); var i = 1
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private def normS(a: IndexedSeq[Double]): Double = {
+    var acc = a(0) * a(0); var i = 1
+    while (i < a.length) { acc += a(i) * a(i); i += 1 }
+    math.sqrt(acc)
+  }
+  private def cosS(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
+    dotS(a, b) / (normS(a) * normS(b))
+
+  /** Deterministic sampled k-means for IVF coarse centroids.
+    *
+    * - sample = the `sampleSize` vectors with the smallest
+    *   `md5(cast(id as string))` — a content-independent pseudo-random
+    *   sample that any engine reproduces (one bounded TakeOrdered job;
+    *   nothing unbounded ever reaches the driver);
+    * - init = the first `k` sample vectors in (md5, id) order;
+    * - `iters` Lloyd rounds over the sample: cosine argmax assignment
+    *   (ties → lowest cell), mean fold in (md5, id) member order, empty
+    *   cells keep their previous centroid.
+    *
+    * Every arithmetic step is order-pinned, so the q38 oracle re-derives
+    * identical centroids in SQL (verified bit-exact against DuckDB).
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      sampleSize: Int = 64,
+      iters: Int = 2): Array[(Int, Seq[Double])] = {
+    val samp: Array[IndexedSeq[Double]] = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), col("v"), md5(col("id").cast("string")).as("mk"))
+      .orderBy(col("mk"), col("id")).limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toIndexedSeq)
+    require(samp.nonEmpty, "kmeansCentroids: empty corpus")
+    val kk = math.min(k, samp.length)
+    var cents: IndexedSeq[IndexedSeq[Double]] = samp.take(kk).toIndexedSeq
+    (0 until iters).foreach { _ =>
+      val assigned = samp.map { v =>
+        var best = 0; var bestSim = cosS(v, cents(0)); var j = 1
+        while (j < kk) {
+          val s = cosS(v, cents(j))
+          if (s > bestSim) { best = j; bestSim = s } // strict > : ties keep low cell
+          j += 1
+        }
+        best
+      }
+      cents = (0 until kk).map { cell =>
+        val members = samp.indices.filter(assigned(_) == cell).map(samp(_))
+        if (members.isEmpty) cents(cell)
+        else {
+          var acc = members.head
+          members.iterator.drop(1).foreach { m =>
+            acc = acc.indices.map(i => acc(i) + m(i))
+          }
+          acc.map(_ / members.size)
+        }
+      }
+    }
+    cents.zipWithIndex.map { case (cv, i) => (i, cv: Seq[Double]) }.toArray
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into cells around
     * `nCentroids` centroid vectors, then probe only each query's `nProbe`
     * nearest cells.
@@ -150,9 +224,9 @@ object Similarity {
     * The corpus-side assignment is a *pure expression* — argmax cosine
     * against broadcast centroid literals via a greedy fold (ties keep the
     * lower cell) — so the big side is never shuffled for quantization; the
-    * only shuffles are the k-sized ranked outputs. Centroids here are the
-    * `nCentroids` lowest-id vectors (deterministic; a k-means refinement
-    * would drop in without changing the dataflow).
+    * only shuffles are the k-sized ranked outputs. Centroids come from
+    * [[kmeansCentroids]]: deterministic sampled Lloyd iterations whose
+    * arithmetic an oracle can replay exactly.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -165,10 +239,8 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids: Array[(Int, Seq[Double])] = c.orderBy("id")
-      .limit(nCentroids).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
-    require(centroids.nonEmpty, "ivfTopK: empty corpus, no centroids")
+    val centroids: Array[(Int, Seq[Double])] =
+      kmeansCentroids(corpus, idCol, vecCol, nCentroids)
     def litVec(p: Seq[Double]) = array(p.map(lit(_)): _*)
     // materialize each centroid similarity as its own column first: folding
     // directly over the 64-literal cosine expressions would duplicate them

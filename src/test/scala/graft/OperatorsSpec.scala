@@ -140,6 +140,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(hits >= 3, s"IVF recall too low: $hits/5")
   }
 
+  test("sampled k-means: deterministic across runs, one centroid per cell") {
+    val vecs = (0L until 24L).map(i =>
+      (i, Seq.tabulate(4)(d => ((i * 7 + d * 3) % 11).toDouble + 1.0)))
+    val df = vecs.toDF("id", "v")
+    val a = Similarity.kmeansCentroids(df, "id", "v", 4, sampleSize = 16, iters = 2)
+    val b = Similarity.kmeansCentroids(df, "id", "v", 4, sampleSize = 16, iters = 2)
+    assert(a.toSeq === b.toSeq) // bit-identical, not just close
+    assert(a.map(_._1).toSeq === (0 until 4))
+    assert(a.forall(_._2.forall(x => !x.isNaN && !x.isInfinite)))
+    // refined centroids are means, so they leave the initial vector set
+    val initSet = vecs.take(16).map(_._2).toSet
+    assert(a.exists(c => !initSet.contains(c._2)))
+  }
+
   test("rolling-hash chunks survive a prefix insertion (shift resistance)") {
     graft.functions.GraftFunctions.register(spark)
     val rnd = new scala.util.Random(7)

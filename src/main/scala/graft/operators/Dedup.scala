@@ -88,10 +88,27 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDocFreq: Long = 0L): DataFrame = {
-    // join on a 64-bit shingle hash, not the string: ~2.5× smaller shuffle
-    // keys; a collision (≈ |shingles|²/2⁶⁴) would only perturb one count
-    val sh = shingleSet(df, idCol, textCol, n, maxShingleDocFreq)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    // Hash each shingle to 64 bits BEFORE any shuffle: the distinct, the
+    // stop-shingle doc-freq count, and the self-join all run over (long,
+    // long) rows instead of ~n-word strings — several× less shuffle volume.
+    // A collision (≈ |shingles|²/2⁶⁴) would only perturb one count.
+    // NOT materialized: every consumer below reads `sh` through its own
+    // shuffle, so AQE's ReusedExchange already shares the explode+distinct
+    // subtree (checkpointing here measured slower — it serializes an extra
+    // materialization pass).
+    val hashed = df
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("shingle"))
+      .distinct()
+    val sh =
+      if (maxShingleDocFreq <= 0) hashed
+      else {
+        val hot = hashed.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > maxShingleDocFreq)
+          .select("shingle")
+        hashed.join(hot, Seq("shingle"), "left_anti")
+      }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))

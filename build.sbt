@@ -25,6 +25,10 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:CICompilerCount=12",
+  // Two+ runs × ~57 queries of whole-stage-codegen classes overflow the
+  // default 240m code cache; once full, the JIT flushes hot methods and
+  // timings swing 2-10× on unchanged code (observed rounds 2-3).
+  "-XX:ReservedCodeCacheSize=512m",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",

@@ -26,29 +26,40 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     // noop sink: materializes every output column (count() would let
     // Catalyst prune the projections and under-measure).
-    // Each query runs twice and reports the min: single-shot numbers swung
-    // 2-3× between rounds on unchanged code (C2 compilation storms — see
-    // BASELINE.md notes); min-of-2 measures the query, not the JIT.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            return -1.0 // failures are sentineled, never fast successes
-          }
-          (System.nanoTime() - t0) / 1e9
-        }
-        val a = once()
-        val b = if (a >= 0) once() else -1.0
-        name -> (if (a >= 0 && b >= 0) math.min(a, b) else -1.0)
-      }.toMap
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0 // failures are sentineled, never fast successes
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Full-suite WARM pass, unmeasured: min-of-2 alone was not enough —
+    // rounds 2-3 showed 3-14× per-query inflation when both timed runs
+    // execute before the JVM/codegen state from 50+ other queries settles
+    // (C2 compilation storms, code-cache churn). One throwaway sweep lets
+    // classloading + JIT reach steady state before any clock starts.
+    suite.foreach { case (name, fn) => once(name, fn) }
+    // Timed: each query runs twice, report the min; raw pairs are printed
+    // alongside so residual inflation is diagnosable from the JSON alone.
+    val timed = suite.map { case (name, fn) =>
+      val a = once(name, fn)
+      val b = if (a >= 0) once(name, fn) else -1.0
+      (name, a, b)
+    }
+    val results = timed.map { case (name, a, b) =>
+      name -> (if (a >= 0 && b >= 0) math.min(a, b) else -1.0)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val raw = timed.map { case (k, a, b) => s"\"" + k + s"\":[$a,$b]" }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

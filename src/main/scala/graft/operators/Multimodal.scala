@@ -15,11 +15,13 @@ case class DecodedMedia(media_id: Long, width: Int, height: Int,
   * payloads as opaque `binary` columns plus typed metadata, with
   * decode/feature steps shaped for batch execution.
   *
-  * The container ships no image/audio codecs, so the *decode kernels are
-  * deterministic stubs* (clearly marked) — but the Spark-side contract is
-  * real and tested: schema, per-partition batch iteration, null/corrupt
-  * isolation, and pure-column fast paths. Swapping a stub for a real codec
-  * (JNI or vectorized UDF) changes one function, not the pipeline.
+  * Image decode is REAL: pure-JDK `javax.imageio` (PNG/BMP/JPEG readers
+  * ship with the JDK), with pixel-accurate dimensions and a luminance
+  * histogram. Video "frames" use the container's PNG-concatenation
+  * representation (a demuxer would replace one function, not the pipeline);
+  * audio decode remains out of scope for a codec-free container. The
+  * Spark-side contract — schema, per-partition batch iteration,
+  * null/corrupt isolation, pure-column fast paths — is real and tested.
   *
   * Scale notes: media payloads dominate row size. Keep them in their own
   * table keyed by content hash (dedup joins stay narrow), filter/join on
@@ -47,32 +49,74 @@ object Multimodal {
 
   def payloadSize(content: Column): Column = length(content)
 
-  /** ==== STUB ==== deterministic fake "decode": derives pseudo
-    * width/height/channel stats from the payload bytes. A real build links
-    * an image codec here; everything downstream is codec-agnostic. */
-  def decodeImageStub(content: Array[Byte]): (Int, Int, Array[Double]) = {
-    if (content == null || content.length < 4)
+  /** Real pure-JDK image decode via `javax.imageio` (PNG/BMP/JPEG readers
+    * ship with the JDK — zero new dependencies). Returns real pixel
+    * dimensions plus an 8-bin luminance histogram (integer Rec.601 weights,
+    * so the result is bit-deterministic across platforms for lossless
+    * formats). Throws on null/unrecognizable payloads — callers isolate.
+    */
+  def decodeImage(content: Array[Byte]): (Int, Int, Array[Double]) = {
+    if (content == null || content.length == 0)
       throw new IllegalArgumentException("corrupt media payload")
-    val w = 1 + (math.abs(content(0).toInt * 256 + content(1)) % 4096)
-    val h = 1 + (math.abs(content(2).toInt * 256 + content(3)) % 4096)
-    val histogram = Array.tabulate(8)(b =>
-      content.count(x => ((x & 0xff) >> 5) == b).toDouble / content.length)
-    (w, h, histogram)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null)
+      throw new IllegalArgumentException("unrecognized image format")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val counts = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        counts(lum >> 5) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = w.toLong * h
+    (w, h, counts.map(_.toDouble / total))
   }
 
-  /** ==== STUB ==== deterministic fake frame sampler: cuts the payload into
-    * `n` evenly spaced "frames" (byte slices). Real impl: keyframe decode. */
-  def sampleFramesStub(content: Array[Byte], n: Int): Seq[Array[Byte]] = {
-    val step = math.max(1, content.length / n)
-    (0 until math.min(n, content.length)).map { i =>
-      content.slice(i * step, math.min(i * step + step, content.length))
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Real frame sampler for the container's video representation (an
+    * MJPEG-style concatenation of PNG frames): scans the payload for PNG
+    * signatures and returns `n` evenly spaced whole frames, each
+    * independently decodable. Payloads with no embedded PNG frames yield
+    * nothing (R4: isolate, don't abort). A production build would swap this
+    * byte-scan for a real container demuxer; everything downstream is
+    * agnostic.
+    */
+  def sampleFrames(content: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    if (content == null || n <= 0) return Seq.empty
+    val starts = Seq.newBuilder[Int]
+    var i = 0
+    while (i <= content.length - PngSignature.length) {
+      if (content(i) == PngSignature(0) &&
+          java.util.Arrays.equals(
+            content, i, i + PngSignature.length,
+            PngSignature, 0, PngSignature.length)) {
+        starts += i
+        i += PngSignature.length
+      } else i += 1
+    }
+    val s = starts.result()
+    if (s.isEmpty) return Seq.empty
+    val bounds = s :+ content.length
+    val take = math.min(n, s.length)
+    // evenly spaced frame indices, deterministic (first frame always kept)
+    (0 until take).map { k =>
+      val f = k.toLong * s.length / take
+      content.slice(bounds(f.toInt), bounds(f.toInt + 1))
     }
   }
 
-
-  /** Decode/feature-extract stage: per-partition batch iteration (one codec
-    * instance per partition, corrupt rows isolated to a flag column instead
-    * of failing the stage — R4 semantics for media).
+  /** Decode/feature-extract stage: per-partition batch iteration (codec
+    * state initialized once per partition, corrupt rows isolated to a flag
+    * column instead of failing the stage — R4 semantics for media).
     */
   def decodeImages(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -80,10 +124,12 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real codecs initialize here, once per partition
+        // per-partition codec init: no shared disk-backed stream cache
+        // (ImageIO's default spills temp files per decode)
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, bytes) =>
           try {
-            val (w, h, hist) = decodeImageStub(bytes)
+            val (w, h, hist) = decodeImage(bytes)
             DecodedMedia(id, w, h, hist.toSeq, decode_error = false)
           } catch {
             case _: Exception =>
@@ -102,24 +148,50 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        // null/empty payloads yield no frames (R4: isolate, don't abort)
-        Option(bytes).filter(_.nonEmpty).toSeq.flatMap { b =>
-          sampleFramesStub(b, framesPerVideo).zipWithIndex.map {
-            case (frame, i) => (id, i, frame)
-          }
+        // null/frameless payloads yield no frames (R4: isolate, don't abort)
+        sampleFrames(bytes, framesPerVideo).zipWithIndex.map {
+          case (frame, i) => (id, i, frame)
         }
       }
       .toDF("media_id", "frame_no", "frame_bytes")
   }
 
-  /** Deterministic synthetic media table for tests/bench (no codecs in the
-    * container → payloads are seeded pseudo-random bytes). */
+  /** One deterministic small PNG: seeded pseudo-random RGB pixels, encoded
+    * with the JDK's ImageIO PNG writer. */
+  private[graft] def syntheticPng(seed: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(seed)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic media table for tests/bench: images are real
+    * PNGs; videos are MJPEG-style concatenations of 6 PNG frames (so the
+    * image decoder reads their first frame and the frame sampler finds real
+    * frame boundaries). */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     (0 until n).map { i =>
-      val rnd = new scala.util.Random(i)
-      val bytes = Array.fill(64 + rnd.nextInt(192))(rnd.nextInt().toByte)
-      (i.toLong, if (i % 3 == 0) "video" else "image", "application/x-fake", bytes)
+      val w = 8 + (i % 24)
+      val h = 8 + ((i * 7) % 24)
+      val (kind, bytes) =
+        if (i % 3 == 0)
+          ("video", (0 until 6).map(f => syntheticPng(i * 100 + f, w, h))
+            .reduce(_ ++ _))
+        else ("image", syntheticPng(i, w, h))
+      (i.toLong, kind, if (kind == "video") "video/x-concat-png" else "image/png",
+        bytes)
     }.toDF("media_id", "kind", "mime", "content")
   }
 }

@@ -34,6 +34,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(frames.columns.toSeq === Seq("media_id", "frame_no", "frame_bytes"))
   }
 
+  test("decode reports the true pixel dimensions of the generated PNGs") {
+    val decoded = Multimodal.decodeImages(Multimodal.syntheticMedia(spark, 30))
+      .filter(!$"decode_error").collect()
+    assert(decoded.length === 30) // videos decode via their first PNG frame
+    decoded.foreach { r =>
+      val i = r.getAs[Long]("media_id").toInt
+      assert(r.getAs[Int]("width") === 8 + (i % 24))
+      assert(r.getAs[Int]("height") === 8 + ((i * 7) % 24))
+    }
+  }
+
+  test("sampled frames are themselves decodable PNG images") {
+    val media = Multimodal.syntheticMedia(spark, 4).filter($"kind" === "video")
+    val frames = Multimodal.explodeFrames(media, 3).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("frame_bytes")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"frame ${r.getAs[Int]("frame_no")} not decodable")
+    }
+    // frame sampling on a payload with no PNG frames yields nothing
+    assert(Multimodal.sampleFrames(Array.fill(256)(7.toByte), 4).isEmpty)
+  }
+
   test("content fingerprint dedups identical payloads") {
     val m = Multimodal.syntheticMedia(spark, 5)
     val dup = m.union(m.limit(2))

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates PLANS.md: `.explain("formatted")` of the headline queries at
+  * sf0.01 — the evidence artifact for pushdown/pruning/broadcast/codegen
+  * claims in OPERATORS.md. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val out = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "/root/repo/PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = Seq("q04_filter_project", "q07_nation_revenue",
+      "q01_pricing_summary", "q31_cosine_topk", "q26_jaccard_pairs")
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
+    sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")
+    sb.append("`BroadcastHashJoin` on dim joins, partial+final `HashAggregate`,\n")
+    sb.append("`WholeStageCodegen` fusion spans.\n")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## $n\n\n```\n$plan\n```\n")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      sb.toString.getBytes("UTF-8"))
+    println(s"[plandump] wrote ${names.size} plans to $out")
+    spark.stop()
+  }
+}

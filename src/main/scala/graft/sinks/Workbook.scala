@@ -36,6 +36,15 @@ object Workbook {
   private val SheetNs = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
   private val RelNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 
+  /** Excel's 1900-system day-serial anchor (1899-12-30 absorbs the
+    * deliberate off-by-two of the Lotus leap-year bug; openpyxl uses the
+    * same convention, so serials agree for all dates from 1900-03-01 on). */
+  private val ExcelEpoch = java.time.LocalDate.of(1899, 12, 30)
+
+  /** cellXfs indices in styles.xml (0 = default). */
+  private val DateTimeStyle = 1
+  private val DateStyle = 2
+
   /** Reference width rule (`bangumi_data_ingestion.py:508-516`):
     * min(max(longest value, header) + 2, 50). */
   def columnWidths(df: DataFrame): Seq[Double] = {
@@ -88,11 +97,18 @@ object Workbook {
       case BooleanType =>
         s"""<c r="$ref" t="b"><v>${if (v.asInstanceOf[Boolean]) 1 else 0}</v></c>"""
       case TimestampType =>
-        val iso = v.asInstanceOf[java.sql.Timestamp].toLocalDateTime
-          .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
-        s"""<c r="$ref" t="inlineStr"><is><t>$iso</t></is></c>"""
+        // real Excel datetime cell: serial number + the datetime style
+        // (openpyxl parity — bangumi_data_ingestion.py:479-516 writes
+        // typed datetime cells, not strings)
+        val ldt = v.asInstanceOf[java.sql.Timestamp].toLocalDateTime
+        val days = java.time.temporal.ChronoUnit.DAYS
+          .between(ExcelEpoch, ldt.toLocalDate)
+        val serial = days + ldt.toLocalTime.toNanoOfDay / 86400.0e9
+        s"""<c r="$ref" s="$DateTimeStyle"><v>$serial</v></c>"""
       case DateType =>
-        s"""<c r="$ref" t="inlineStr"><is><t>${v.toString}</t></is></c>"""
+        val days = java.time.temporal.ChronoUnit.DAYS
+          .between(ExcelEpoch, v.asInstanceOf[java.sql.Date].toLocalDate)
+        s"""<c r="$ref" s="$DateStyle"><v>$days</v></c>"""
       case _ =>
         val s = v.toString
         val t = if (s.length > MaxCellChars) s.take(MaxCellChars) else s
@@ -163,10 +179,15 @@ object Workbook {
       }
       part("xl/styles.xml") { w =>
         w.write(s"""<styleSheet xmlns="$SheetNs">""")
+        // custom numFmts >= 164, the same default codes openpyxl registers
+        // for datetime/date cells
+        w.write("""<numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy-mm-dd h:mm:ss"/><numFmt numFmtId="165" formatCode="yyyy-mm-dd"/></numFmts>""")
         w.write("""<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>""")
         w.write("""<fills count="2"><fill><patternFill patternType="none"/></fill><fill><patternFill patternType="gray125"/></fill></fills>""")
         w.write("""<borders count="1"><border/></borders>""")
-        w.write("""<cellStyleXfs count="1"><xf/></cellStyleXfs><cellXfs count="1"><xf/></cellXfs>""")
+        w.write("""<cellStyleXfs count="1"><xf/></cellStyleXfs>""")
+        // xf 1 = datetime (DateTimeStyle), xf 2 = date (DateStyle)
+        w.write("""<cellXfs count="3"><xf/><xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165" applyNumberFormat="1"/></cellXfs>""")
         w.write("</styleSheet>")
       }
       named.zipWithIndex.foreach { case ((_, df), si) =>

@@ -89,6 +89,48 @@ class SurfacesSpec extends AnyFunSuite with SparkSpec {
     } finally zf.close()
   }
 
+  test("xlsx timestamps are typed Excel datetime cells, not strings (K1)") {
+    import graft.sinks.Workbook
+    val ts = java.sql.Timestamp.valueOf("2024-03-15 18:30:00")
+    val d = java.sql.Date.valueOf("2024-03-15")
+    val df = Seq((1L, ts, d)).toDF("id", "created_at", "day")
+    val path = Files.createTempDirectory("graft-xlsx-ts").toString + "/ts.xlsx"
+    Workbook.writeXlsx(Seq(("t", df)), path)
+    val zf = new java.util.zip.ZipFile(path)
+    def xml(name: String): org.w3c.dom.Document =
+      javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder().parse(zf.getInputStream(zf.getEntry(name)))
+    try {
+      val cells = xml("xl/worksheets/sheet1.xml").getElementsByTagName("c")
+      val byRef = (0 until cells.getLength).map { i =>
+        val e = cells.item(i).asInstanceOf[org.w3c.dom.Element]
+        e.getAttribute("r") -> e
+      }.toMap
+      // B2 = the timestamp: numeric (no t= attr), styled, correct serial
+      val b2 = byRef("B2")
+      assert(b2.getAttribute("t") === "") // numeric cell, not inlineStr
+      assert(b2.getAttribute("s") === "1")
+      // 2024-03-15 is 45366 days after 1899-12-30; 18:30 = 0.770833...
+      assert(math.abs(b2.getTextContent.toDouble - 45366.770833333336) < 1e-9)
+      // C2 = the date: integer serial with the date style
+      val c2 = byRef("C2")
+      assert(c2.getAttribute("t") === "")
+      assert(c2.getAttribute("s") === "2")
+      assert(c2.getTextContent.toDouble === 45366.0)
+      // styles.xml carries the date numFmts those style indices point at
+      val xfs = xml("xl/styles.xml").getElementsByTagName("cellXfs").item(0)
+        .asInstanceOf[org.w3c.dom.Element].getElementsByTagName("xf")
+      assert(xfs.item(1).asInstanceOf[org.w3c.dom.Element]
+        .getAttribute("numFmtId") === "164")
+      assert(xfs.item(2).asInstanceOf[org.w3c.dom.Element]
+        .getAttribute("numFmtId") === "165")
+      val fmts = xml("xl/styles.xml").getElementsByTagName("numFmt")
+      val codes = (0 until fmts.getLength).map(i =>
+        fmts.item(i).asInstanceOf[org.w3c.dom.Element].getAttribute("formatCode"))
+      assert(codes.contains("yyyy-mm-dd h:mm:ss") && codes.contains("yyyy-mm-dd"))
+    } finally zf.close()
+  }
+
   test("the engine is queryable through SQL text, including custom functions") {
     graft.functions.GraftFunctions.register(spark)
     Tables.registerAll(spark, "/root/testdata/sf0.001")

@@ -17,6 +17,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_chunks", exprs => RollingHashChunks(exprs.head,
         intArg(exprs, 1, 16), intArg(exprs, 2, 6)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
   }
 
   private[functions] def intArg(
@@ -33,4 +35,7 @@ object GraftFunctions {
     call_function("rolling_chunks", c,
       org.apache.spark.sql.functions.lit(window),
       org.apache.spark.sql.functions.lit(maskBits))
+
+  /** 64-bit SimHash of a token array as 16 hex chars (codegen'd kernel). */
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 }

@@ -267,10 +267,27 @@ object Dedup {
   /** Per-document 64-bit SimHash over whitespace tokens (with multiplicity),
     * emitted as a 16-hex-char string. Token hash = first 16 hex chars of
     * md5(token); bit j contributes +1/−1 by its value; final bit = majority
-    * (> 0). Pure expressions: explode → 64 partial sums → assemble. The
-    * grouped aggregation is map-side combinable (64 longs per doc).
+    * (> 0).
+    *
+    * Computed by the custom codegen'd [[graft.functions.SimHash64]]
+    * expression: `scan → project`, no explode, no 64-column aggregate, no
+    * shuffle — signature cost scales with bytes scanned. The composed
+    * explode/sum formulation it must match bit-for-bit lives on as
+    * [[simhashComposed]] (the shape q29's DuckDB oracle mirrors, and the
+    * equivalence is spec-pinned on top of the oracle gate).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      graft.functions.GraftFunctions
+        .simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+  }
+
+  /** The original composed SimHash (explode → 64 partial sums → majority →
+    * hex assembly): kept as the independent reference implementation the
+    * custom expression is verified against. */
+  private[graft] def simhashComposed(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("h", substring(md5(col("tok")), 1, 16))
@@ -314,11 +331,12 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole blocking is exact only for maxDist <= 3")
     // Materialize the signature before the band self-join: both sides derive
-    // from it, and without a cut the 64-partial-sum simhash aggregation — the
-    // dominant stage — evaluates once per side. Same rationale (and the same
-    // executor-local-storage / lineage tradeoff) as the MinHash checkpoint in
-    // minhashLshPairs; the relation is one 16-char string per doc, tiny at
-    // any scale.
+    // from it, and without a cut the scan + simhash64 projection evaluates
+    // once per side (measured ~12% faster checkpointed even now that the
+    // signature is a cheap narrow expression — at corpus scale it also
+    // halves the bytes scanned). Same executor-local-storage / lineage
+    // tradeoff as the MinHash checkpoint in minhashLshPairs; the relation
+    // is one 16-char string per doc, tiny at any scale.
     val sig = simhash(df, idCol, textCol).localCheckpoint(eager = true)
     val banded = sig.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(bnd =>

@@ -112,6 +112,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.length === 1 && pairs(0).getAs[Int]("hamming") === 0)
   }
 
+  test("simhash64 expression is bit-identical to the composed formulation") {
+    // real corpus slice: CJK, punctuation, repeated tokens, short docs
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .union(Seq((9001L, "a"), (9002L, "a a a b"), (9003L, "  "),
+        (9004L, "многоязычный 多语言 text")).toDF("doc_id", "text"))
+    val viaExpr = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaAgg = Dedup.simhashComposed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaExpr === viaAgg)
+    // and the expression stays inside whole-stage codegen (no interpreted
+    // fallback): the project evaluating simhash64 must carry the `*(n)`
+    // codegen-span marker in the executed plan
+    val plan = Dedup.simhash(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("simhash64") && l.trim.stripPrefix(":- ").startsWith("*(")), plan)
+  }
+
   test("cosine top-k ranks the identical vector first") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

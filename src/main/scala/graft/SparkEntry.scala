@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Similarity, SnapshotMerge, TextAnalysis, Windows}
+import graft.operators.{AsofJoin, Dedup, Sampling, Scrub, Similarity, SnapshotMerge, TextAnalysis, Windows}
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
   * operator family from SURVEY §2 plus the training-data-pipeline extensions,
@@ -417,6 +417,63 @@ object SparkEntry {
         min(unix_timestamp(col("o_orderdate"))).as("min_date_epoch"),
         max(unix_timestamp(col("o_orderdate"))).as("max_date_epoch"))
     }),
+
+    // Benchmark decontamination: corpus docs sharing >= 10 distinct 3-gram
+    // shingles with the held-out set (doc_id < 50). Bench shingles broadcast
+    // — the corpus side never shuffles on the shingle key.
+    "q51_contamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.benchmarkOverlap(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", 3, 10L)
+    }),
+
+    // Deterministic fixed-size per-language sample (bounded-shuffle min-k
+    // aggregator; the window/row_number equivalent is the oracle's form).
+    "q52_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedFixedK(T(s, dir, "documents"), "lang", "doc_id", 20)),
+
+    // PII redaction over a deterministic synthetic profile derived from
+    // customer (the corpus has no natural PII): email + dashed phone +
+    // dotted-quad IP, redacted in the fixed email → IP → phone order.
+    "q53_pii_redaction" -> ((s, dir) => {
+      val ck = col("c_custkey")
+      val profile = concat(
+        col("c_name"), lit(" <"),
+        lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ".")),
+        lit("@example.com> tel "),
+        lpad((ck % 800 + 200).cast("string"), 3, "0"), lit("-"),
+        lpad(((ck * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((ck * 13) % 10000).cast("string"), 4, "0"),
+        lit(" ip "),
+        (ck % 223 + 1).cast("string"), lit("."),
+        ((ck * 3) % 256).cast("string"), lit("."),
+        ((ck * 5) % 256).cast("string"), lit("."),
+        ((ck * 11) % 254 + 1).cast("string"))
+      T(s, dir, "customer")
+        .select(col("c_custkey"), profile.as("profile"))
+        .select(col("c_custkey"),
+          Scrub.countMatches(col("profile"), Scrub.EmailPattern).as("n_email"),
+          Scrub.countMatches(col("profile"), Scrub.PhonePattern).as("n_phone"),
+          Scrub.countMatches(col("profile"), Scrub.IpPattern).as("n_ip"),
+          Scrub.redactPii(col("profile")).as("redacted"))
+    }),
+
+    // C4-style boilerplate line removal: docs split into lines (derived
+    // deterministically — the corpus has no newlines), lines present in > 3
+    // docs dropped, survivors reassembled in order.
+    "q54_boilerplate_lines" -> ((s, dir) => {
+      val lined = T(s, dir, "documents").select(col("doc_id"),
+        replace(col("text"), lit(" value "), lit("\n")).as("text"))
+      Scrub.dropBoilerplateLines(lined, "doc_id", "text", 3L)
+    }),
+
+    // Zero-shuffle deterministic mixture sampling: per-language Bernoulli
+    // rates via md5-threshold filters (en 50%, zh 25%, rest 12.5%).
+    "q55_sample_fraction" -> ((s, dir) =>
+      Sampling.stratifiedByFraction(T(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.25), 0.125)
+        .select(col("doc_id"), col("lang"))),
 
     // Pivot: long → wide on a known value list (W1's general form).
     "q45_pivot_events" -> ((s, dir) => {
@@ -950,6 +1007,72 @@ object SparkEntry {
         | CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS min_date_epoch,
         | CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS max_date_epoch
         |FROM orders""".stripMargin,
+
+    "q51_contamination" ->
+      s"""$shingleCte,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
+         |SELECT doc_id, count(*) AS n_overlap
+         |FROM sh JOIN bench USING (shingle)
+         |WHERE doc_id >= 50 GROUP BY doc_id HAVING count(*) >= 10""".stripMargin,
+
+    "q52_stratified_sample" ->
+      """SELECT lang, doc_id, CAST(rn AS INT) AS sample_rank FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 20""".stripMargin,
+
+    "q53_pii_redaction" -> {
+      val profile =
+        """c_name || ' <' ||
+          |   lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g')) ||
+          |   '@example.com> tel ' ||
+          |   lpad(CAST(c_custkey % 800 + 200 AS VARCHAR), 3, '0') || '-' ||
+          |   lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+          |   lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') ||
+          |   ' ip ' ||
+          |   CAST(c_custkey % 223 + 1 AS VARCHAR) || '.' ||
+          |   CAST((c_custkey * 3) % 256 AS VARCHAR) || '.' ||
+          |   CAST((c_custkey * 5) % 256 AS VARCHAR) || '.' ||
+          |   CAST((c_custkey * 11) % 254 + 1 AS VARCHAR)""".stripMargin
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH p AS (SELECT c_custkey, $profile AS profile FROM customer)
+         |SELECT c_custkey,
+         | CAST(len(regexp_extract_all(profile, '$email')) AS INT) AS n_email,
+         | CAST(len(regexp_extract_all(profile, '$phone')) AS INT) AS n_phone,
+         | CAST(len(regexp_extract_all(profile, '$ip')) AS INT) AS n_ip,
+         | regexp_replace(regexp_replace(regexp_replace(profile,
+         |   '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
+         |   '$phone', '[PHONE]', 'g') AS redacted
+         |FROM p""".stripMargin
+    },
+
+    "q54_boilerplate_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id, replace(text, ' value ', chr(10)) AS lt FROM documents),
+        |ln AS (
+        |  SELECT doc_id, unnest(string_split(lt, chr(10))) AS line,
+        |    unnest(generate_series(1, len(string_split(lt, chr(10))))) AS pos
+        |  FROM lined),
+        |hot AS (SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS d FROM ln GROUP BY line) h
+        |  WHERE d > 3)
+        |SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        |FROM ln WHERE line NOT IN (SELECT line FROM hot)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q55_sample_fraction" -> {
+      val tEn = Sampling.fractionThreshold(0.5)
+      val tZh = Sampling.fractionThreshold(0.25)
+      val tDef = Sampling.fractionThreshold(0.125)
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE md5(CAST(doc_id AS VARCHAR)) <
+         |  (CASE WHEN lang = 'en' THEN '$tEn'
+         |        WHEN lang = 'zh' THEN '$tZh'
+         |        ELSE '$tDef' END)""".stripMargin
+    },
 
     "q45_pivot_events" ->
       """SELECT CAST(user_id % 10 AS INT) AS user_bucket,

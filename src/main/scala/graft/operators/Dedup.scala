@@ -160,6 +160,31 @@ object Dedup {
         col("sz_b"), col("jaccard"))
   }
 
+  /** Benchmark-contamination detection: documents in `corpus` sharing at
+    * least `minOverlap` distinct word n-gram shingles with ANY document in
+    * `bench` (the held-out eval set), with the shared-shingle count. The
+    * standard n-gram-overlap decontamination check run before training.
+    *
+    * Scale shape: the benchmark set is small by definition (eval suites are
+    * thousands of docs, the corpus is the 100 TB side), so its distinct
+    * shingle set is **broadcast** — the corpus is never shuffled on the
+    * shingle key; the only exchange is the final tiny groupBy on doc id.
+    */
+  def benchmarkOverlap(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOverlap: Long): DataFrame = {
+    val corpusShingles = shingleRows(corpus, idCol, textCol, n).distinct()
+    val benchShingles = shingleRows(bench, idCol, textCol, n)
+      .select("shingle").distinct()
+    corpusShingles.join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** MinHash permutation value of a shingle for hash seed `seed`: md5 of the
     * seeded shingle, compared lexicographically. */
   def minhashOf(shingle: Column, seed: Int): Column =

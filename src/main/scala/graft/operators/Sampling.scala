@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-sampling operators for training-data mixing.
+  *
+  * A training pipeline samples per stratum (language, source, quality band)
+  * to hit a target mixture. Random sampling is not reproducible across
+  * engines or reruns; both operators here key on `md5(cast(id as string))` —
+  * a content-independent pseudo-random rank that any engine computes
+  * identically, so the sample is a pure function of the ids (same property
+  * the reference's snapshot diff relies on for stable reruns, and the same
+  * md5-rank trick `Similarity.kmeansCentroids` uses for its training
+  * sample).
+  *
+  * Scale design (100 TB):
+  *  - [[stratifiedFixedK]] uses a typed bounded `Aggregator` (k smallest
+  *    md5 keys per stratum): map-side partial aggregation means each map
+  *    task contributes at most k rows per stratum to the shuffle, vs the
+  *    window/`row_number` formulation which shuffles and sorts the ENTIRE
+  *    stratum (unusable when one language holds half the corpus).
+  *  - [[stratifiedByFraction]] is a pure per-row filter — no shuffle at
+  *    all; it composes with any downstream plan and pushes past column
+  *    pruning into the scan stage.
+  */
+object Sampling {
+
+  /** Content-independent pseudo-random rank key: md5 over the id rendered
+    * as a decimal string (portable across engines — see
+    * [[Dedup]]'s hash-portability note). */
+  def sampleKey(id: Column): Column = md5(id.cast("string"))
+
+  /** Lowercase-hex threshold such that `md5 < threshold` keeps ≈`fraction`
+    * of rows (16 hex chars = 64-bit resolution; lexicographic compare on
+    * the 32-char md5 is a prefix compare, identical in any engine). */
+  private[graft] def fractionThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    val scaled = (BigDecimal(fraction) * BigDecimal(BigInt(1) << 64)).toBigInt
+    val clamped = scaled.min((BigInt(1) << 64) - 1).max(BigInt(0))
+    f"${clamped}%016x".takeRight(16)
+  }
+
+  /** Deterministic Bernoulli sample with a per-stratum rate: keeps rows
+    * whose md5 sample key falls below the stratum's threshold. Zero-shuffle
+    * (a scan-stage filter); rerun-stable; cross-engine reproducible.
+    */
+  def stratifiedByFraction(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double): DataFrame = {
+    val threshold = fractions.foldLeft(
+      lit(fractionThreshold(defaultFraction))) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(fractionThreshold(f))).otherwise(acc)
+    }
+    df.filter(sampleKey(col(idCol)) < threshold)
+  }
+
+  /** Bounded buffer of the k smallest (md5 key, id) pairs — the sampling
+    * analogue of `Similarity.TopKAggregator`. Buffer never exceeds k
+    * entries, so partial aggregation bounds both memory and shuffle. */
+  private class MinKAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+    private def prune(b: Seq[(String, Long)]) = b.sortBy(identity).take(k)
+    override def zero: Seq[(String, Long)] = Seq.empty
+    override def reduce(b: Seq[(String, Long)], a: (String, String, Long)): Seq[(String, Long)] =
+      prune(b :+ ((a._2, a._3)))
+    override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+      prune(a ++ b)
+    override def finish(r: Seq[(String, Long)]): Seq[(String, Long)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
+      bufferEncoder
+  }
+
+  /** Deterministic fixed-size sample per stratum: the k rows with the
+    * smallest (md5 key, id) per stratum, ranked 1..k in that order.
+    * Equivalent to `row_number() OVER (PARTITION BY stratum ORDER BY
+    * md5(id), id) <= k` but with a bounded shuffle (see object doc).
+    * Output columns: strataCol, idCol, `sample_rank`.
+    */
+  def stratifiedFixedK(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "sample size must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new MinKAggregator(k)
+    df.select(col(strataCol).cast("string"), sampleKey(col(idCol)),
+        col(idCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("picked"))
+      .flatMap { case (stratum, picked) =>
+        picked.zipWithIndex.map { case ((_, id), i) => (stratum, id, i + 1) }
+      }
+      .toDF(strataCol, idCol, "sample_rank")
+  }
+}

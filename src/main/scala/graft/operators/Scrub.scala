@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-scrubbing operators for training-data pipelines: PII redaction and
+  * corpus-frequency boilerplate removal (the C4/RefinedWeb cleaning family).
+  *
+  * All regex patterns are RE2-safe (no lookarounds, no backreferences) so
+  * any engine — Spark's Java regex, DuckDB/RE2, Hyperscan — matches the
+  * same spans; that keeps the operators cross-engine verifiable.
+  */
+object Scrub {
+
+  /** Email addresses (pragmatic form: local@domain.tld). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style dashed phone numbers (NNN-NNN-NNNN). */
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Dotted-quad IPv4 literals. */
+  val IpPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Occurrences of `pattern` in `text` (0 for no match). */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact PII spans with typed placeholders, in a fixed order chosen so
+    * earlier passes cannot manufacture later matches: emails first (their
+    * local/domain parts contain digit runs a later pass could half-match),
+    * then IPv4 (dotted quads), then phones (dashed). Pure codegen'd
+    * `regexp_replace` chain — scan-stage work, no shuffle, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        IpPattern, "[IP]"),
+      PhonePattern, "[PHONE]")
+
+  /** Drop lines that occur in more than `maxDocFreq` distinct documents —
+    * corpus-frequency boilerplate removal (navigation chrome, cookie
+    * banners, license footers): the line-level dedup step of the C4
+    * pipeline. Documents are split on `sep` (a literal, not a regex),
+    * offending lines are dropped, and the survivors are reassembled in
+    * their original order. Documents whose every line is boilerplate drop
+    * out entirely.
+    *
+    * Output: idCol, `n_kept` (surviving line count), `cleaned` (the
+    * reassembled text).
+    *
+    * Scale shape: one narrow posexplode (no pre-shuffle), a distinct +
+    * count over (line) for document frequency — map-side combinable — and
+    * a **broadcast** anti join: the hot-line relation is bounded by the
+    * corpus's distinct boilerplate (tiny by construction: only lines
+    * repeated across > maxDocFreq docs survive the filter), so the corpus
+    * itself is never shuffled until the final per-document regroup.
+    */
+  def dropBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Long,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val hot = lines.select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df_"))
+      .filter(col("df_") > maxDocFreq)
+      .select("line")
+    lines.join(broadcast(hot), Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          sep).as("cleaned"))
+  }
+}

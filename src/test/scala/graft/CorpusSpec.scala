@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sampling, Scrub}
+
+/** Unit coverage for the corpus-hygiene operators: contamination detection,
+  * deterministic sampling, PII scrubbing, boilerplate-line removal. */
+class CorpusSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // ---- benchmark contamination ----------------------------------------
+
+  test("benchmarkOverlap counts shared distinct shingles and applies the floor") {
+    val corpus = Seq(
+      (10L, "a b c d e f"), // shares 3-grams "a b c".."d e f" with bench doc 1
+      (11L, "a b c x y z"), // shares only "a b c"
+      (12L, "p q r s t u") // shares nothing
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val hits = Dedup.benchmarkOverlap(corpus, bench, "doc_id", "text", 3, 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits === Map(10L -> 4L)) // "a b c","b c d","c d e","d e f"
+  }
+
+  test("benchmarkOverlap broadcasts the benchmark side") {
+    val corpus = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val bench = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Dedup.benchmarkOverlap(corpus, bench, "doc_id", "text", 3, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  // ---- deterministic sampling -----------------------------------------
+
+  private def corpusDocs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("stratifiedFixedK equals the window/row_number formulation") {
+    val viaAgg = Sampling.stratifiedFixedK(corpusDocs, "lang", "doc_id", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy(Sampling.sampleKey($"doc_id"), $"doc_id")
+    val viaWindow = corpusDocs
+      .select($"lang", $"doc_id", row_number().over(w).as("sample_rank"))
+      .filter($"sample_rank" <= 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
+  test("stratifiedFixedK ranks are contiguous from 1 within each stratum") {
+    val byLang = Sampling.stratifiedFixedK(corpusDocs, "lang", "doc_id", 5)
+      .collect().groupBy(_.getString(0))
+    byLang.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
+  test("stratifiedByFraction is a deterministic subset with sane rates") {
+    val sampled = Sampling.stratifiedByFraction(
+      corpusDocs, "lang", "doc_id", Map("en" -> 0.5), 0.125)
+    val ids1 = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedByFraction(
+        corpusDocs, "lang", "doc_id", Map("en" -> 0.5), 0.125)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2) // rerun-stable
+    val all = corpusDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(all) && ids1.nonEmpty && ids1.size < all.size)
+  }
+
+  test("fraction thresholds hit the exact hex grid and the edges") {
+    assert(Sampling.fractionThreshold(0.5) === "8000000000000000")
+    assert(Sampling.fractionThreshold(0.25) === "4000000000000000")
+    assert(Sampling.fractionThreshold(0.0) === "0000000000000000")
+    // fraction 1.0 must keep every row: every md5 sorts below "ffff...f"
+    // only if the threshold exceeds any hex string — clamp keeps 2^64-1
+    assert(Sampling.fractionThreshold(1.0) === "ffffffffffffffff")
+  }
+
+  // ---- PII redaction ---------------------------------------------------
+
+  test("redactPii replaces emails, phones, and IPs with typed tags") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@sub.example.org now"),
+      (2L, "call 415-555-0123 or visit 10.0.255.3 today"),
+      (3L, "no pii here at all"),
+      (4L, "a@b.co and 1.2.3.4 and 800-555-1234")
+    ).toDF("id", "t")
+    val out = df.select($"id", Scrub.redactPii($"t").as("r"),
+        Scrub.countMatches($"t", Scrub.EmailPattern).as("ne"),
+        Scrub.countMatches($"t", Scrub.PhonePattern).as("np"),
+        Scrub.countMatches($"t", Scrub.IpPattern).as("ni"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) === (("mail [EMAIL] now", 1, 0, 0)))
+    assert(out(2L) === (("call [PHONE] or visit [IP] today", 0, 1, 1)))
+    assert(out(3L) === (("no pii here at all", 0, 0, 0)))
+    assert(out(4L) === (("[EMAIL] and [IP] and [PHONE]", 1, 1, 1)))
+  }
+
+  test("redactPii is idempotent") {
+    val df = Seq((1L, "x a@b.co 1.2.3.4 415-555-0123 y")).toDF("id", "t")
+    val once = df.select(Scrub.redactPii($"t").as("r"))
+    val twice = once.select(Scrub.redactPii($"r").as("r"))
+    assert(once.collect().head.getString(0) === twice.collect().head.getString(0))
+  }
+
+  // ---- boilerplate line removal ---------------------------------------
+
+  test("dropBoilerplateLines drops corpus-frequent lines, keeps order") {
+    val footer = "all rights reserved"
+    val df = Seq(
+      (1L, s"alpha body one\n$footer\nclosing one"),
+      (2L, s"$footer\nbeta body two"),
+      (3L, s"gamma body three\n$footer"),
+      (4L, footer) // every line is boilerplate → doc drops out
+    ).toDF("doc_id", "text")
+    val out = Scrub.dropBoilerplateLines(df, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out === Map(
+      1L -> ((2L, "alpha body one\nclosing one")),
+      2L -> ((1L, "beta body two")),
+      3L -> ((1L, "gamma body three"))))
+  }
+
+  test("dropBoilerplateLines keeps within-doc repeats below the doc-freq cap") {
+    // the same line twice in ONE doc is df=1, not df=2 — must survive
+    val df = Seq(
+      (1L, "dup line\nmiddle\ndup line"),
+      (2L, "other content")
+    ).toDF("doc_id", "text")
+    val out = Scrub.dropBoilerplateLines(df, "doc_id", "text", maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) === "dup line\nmiddle\ndup line")
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Sampling, Scrub, Similarity, SnapshotMerge, TextAnalysis, Windows}
+import graft.operators.{AsofJoin, Dedup, Packing, Sampling, Scrub, Similarity, SnapshotMerge, TextAnalysis, Windows}
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
   * operator family from SURVEY §2 plus the training-data-pipeline extensions,
@@ -474,6 +474,12 @@ object SparkEntry {
       Sampling.stratifiedByFraction(T(s, dir, "documents"), "lang", "doc_id",
         Map("en" -> 0.5, "zh" -> 0.25), 0.125)
         .select(col("doc_id"), col("lang"))),
+
+    // Sequence packing for training shards: greedy fixed-budget packs per
+    // id-bucket, one shuffle + external sort + O(1)-state streaming fold.
+    "q56_sequence_packing" -> ((s, dir) =>
+      Packing.packGreedy(T(s, dir, "documents"), "doc_id", "text",
+        budget = 256, nBuckets = 8)),
 
     // Pivot: long → wide on a known value list (W1's general form).
     "q45_pivot_events" -> ((s, dir) => {
@@ -1073,6 +1079,27 @@ object SparkEntry {
          |        WHEN lang = 'zh' THEN '$tZh'
          |        ELSE '$tDef' END)""".stripMargin
     },
+
+    // The greedy fold is inherently sequential per bucket; the independent
+    // oracle expresses it as a DuckDB recursive CTE advancing every bucket
+    // one row per iteration. doc_id >= 0 in the corpus, so % == pmod here.
+    "q56_sequence_packing" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS INT) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, bucket, n_tokens, rn, 1 AS pack_idx,
+        |    CAST(n_tokens AS BIGINT) AS acc
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.doc_id, b.bucket, b.n_tokens, b.rn,
+        |    CASE WHEN p.acc + b.n_tokens > 256 THEN p.pack_idx + 1 ELSE p.pack_idx END,
+        |    CASE WHEN p.acc + b.n_tokens > 256 THEN CAST(b.n_tokens AS BIGINT)
+        |         ELSE p.acc + b.n_tokens END
+        |  FROM base b JOIN packed p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
+        |SELECT doc_id, bucket, pack_idx, n_tokens FROM packed""".stripMargin,
 
     "q45_pivot_events" ->
       """SELECT CAST(user_id % 10 AS INT) AS user_bucket,

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * Real pipelines pack per shard (bucket), not globally — a global greedy
   * pack would serialize the whole corpus through one task. Here the corpus
-  * is split into `nBuckets` by `id % nBuckets` (engine-portable, unlike a
-  * hash) and packed independently per bucket in ascending id order:
+  * is split into `nBuckets` by `pmod(id, nBuckets)` (engine-portable,
+  * unlike a hash; pmod keeps negative ids in [0, nBuckets) instead of
+  * silently minting negative buckets) and packed independently per bucket
+  * in ascending id order:
   * a document goes into the current pack unless it would push the pack
   * over `budget` tokens, in which case it opens the next pack. A document
   * longer than the budget occupies a pack of its own.
@@ -37,7 +39,7 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long"),
-        (col(idCol) % nBuckets).cast("long"),
+        pmod(col(idCol), lit(nBuckets)).cast("long"),
         TextAnalysis.tokenCount(col(textCol)))
       .toDF("id", "bucket", "n_tokens")
     base.repartition(col("bucket"))

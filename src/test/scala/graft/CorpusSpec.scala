@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Sampling, Scrub}
+import graft.operators.{Dedup, Packing, Sampling, Scrub}
 
 /** Unit coverage for the corpus-hygiene operators: contamination detection,
   * deterministic sampling, PII scrubbing, boilerplate-line removal. */
@@ -134,5 +134,63 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     val out = Scrub.dropBoilerplateLines(df, "doc_id", "text", maxDocFreq = 1)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out(1L) === "dup line\nmiddle\ndup line")
+  }
+
+  // ---- sequence packing -------------------------------------------------
+
+  /** From-scratch greedy fold over (id, n_tokens), independent of the
+    * operator's implementation: per pmod-bucket, ascending id, a doc joins
+    * the open pack unless it would exceed the budget. */
+  private def refPack(docs: Seq[(Long, Int)], budget: Int, nBuckets: Int)
+      : Set[(Long, Long, Int, Int)] =
+    docs.groupBy { case (id, _) => java.lang.Math.floorMod(id, nBuckets.toLong) }
+      .toSeq.flatMap { case (bucket, ds) =>
+        var acc = 0L
+        var pack = 0
+        ds.sortBy(_._1).map { case (id, n) =>
+          if (pack == 0 || acc + n > budget) { pack += 1; acc = n.toLong }
+          else acc += n
+          (id, bucket, pack, n)
+        }
+      }.toSet
+
+  /** Text with exactly `n` whitespace tokens. */
+  private def nTokenText(n: org.apache.spark.sql.Column) =
+    concat_ws(" ", transform(sequence(lit(1), n), _ => lit("w")))
+
+  test("packGreedy matches an independent fold: overflow, oversized, " +
+      "exact-fit boundary, negative ids") {
+    val budget = 10
+    val nBuckets = 3
+    val docs = Seq(
+      // bucket 0 (ids 0,3,6,9,12): 5+5 = exact budget fit, then overflow
+      (0L, 5), (3L, 5), (6L, 2), (9L, 3), (12L, 6),
+      // bucket 1: FIRST doc oversized (30 > budget) → own pack, restart after
+      (-2L, 30), (1L, 5), (4L, 3), (7L, 11), (10L, 1), (13L, 4),
+      // bucket 2: negative id via pmod; mid-stream oversized doc
+      (-7L, 4), (2L, 12), (5L, 6)
+    )
+    val df = docs.toDF("doc_id", "n")
+      .select($"doc_id", nTokenText($"n").as("text"))
+    val got = Packing.packGreedy(df, "doc_id", "text", budget, nBuckets)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === refPack(docs, budget, nBuckets))
+    // spot-check the cases the test exists for
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(0L)._3 === byId(3L)._3, "exact budget fit must share a pack")
+    assert(byId(6L)._3 === byId(3L)._3 + 1, "next doc after exact fit overflows")
+    assert(byId(-2L)._2 === 1L && byId(-2L)._3 === 1, "pmod bucket, own pack")
+    assert(byId(1L)._3 === 2, "doc after an oversized opener starts pack 2")
+    assert(byId(2L)._3 === 2 && byId(5L)._3 === 3,
+      "mid-stream oversized doc isolates itself")
+  }
+
+  test("packGreedy is a single-shuffle plan") {
+    val df = corpusDocs
+    val plan = Packing.packGreedy(df, "doc_id", "text", 256, 8)
+      .queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges === 1, plan)
   }
 }

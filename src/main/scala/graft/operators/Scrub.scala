@@ -51,10 +51,14 @@ object Scrub {
     *
     * Scale shape: one narrow posexplode (no pre-shuffle), a distinct +
     * count over (line) for document frequency — map-side combinable — and
-    * a **broadcast** anti join: the hot-line relation is bounded by the
-    * corpus's distinct boilerplate (tiny by construction: only lines
-    * repeated across > maxDocFreq docs survive the filter), so the corpus
-    * itself is never shuffled until the final per-document regroup.
+    * an anti join whose strategy is left to AQE: the hot-line relation is
+    * usually small (only lines repeated across > maxDocFreq docs survive),
+    * in which case AQE broadcasts it and the corpus is never shuffled until
+    * the final per-document regroup — but it is bounded only by corpus
+    * content (a 100 TB crawl at a low maxDocFreq can have hundreds of
+    * millions of hot lines), so the broadcast is NOT forced: when the
+    * relation is genuinely large AQE falls back to a shuffle join instead
+    * of OOMing the driver.
     */
   def dropBoilerplateLines(
       df: DataFrame,
@@ -69,7 +73,7 @@ object Scrub {
       .groupBy(col("line")).agg(count(lit(1)).as("df_"))
       .filter(col("df_") > maxDocFreq)
       .select("line")
-    lines.join(broadcast(hot), Seq("line"), "left_anti")
+    lines.join(hot, Seq("line"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(

@@ -136,6 +136,25 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) === "dup line\nmiddle\ndup line")
   }
 
+  test("dropBoilerplateLines does not force the hot-line broadcast") {
+    // The hot-line relation is bounded only by corpus content; a forced
+    // broadcast() hint would OOM the driver at crawl scale. With the
+    // auto-broadcast threshold disabled, a hint-free plan must fall back to
+    // a non-broadcast anti join — and produce the same result.
+    val df = Seq(
+      (1L, "alpha\nshared\nomega"), (2L, "shared\nbeta"), (3L, "shared\ngamma")
+    ).toDF("doc_id", "text")
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val out = Scrub.dropBoilerplateLines(df, "doc_id", "text", maxDocFreq = 2)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      val rows = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(rows === Map(1L -> "alpha\nomega", 2L -> "beta", 3L -> "gamma"))
+    }
+  }
+
   // ---- sequence packing -------------------------------------------------
 
   /** From-scratch greedy fold over (id, n_tokens), independent of the

@@ -537,8 +537,12 @@ object SparkEntry {
     }),
 
     // Structured Streaming end-to-end: file-stream the events table,
-    // watermarked tumbling aggregation, AvailableNow to completion —
-    // result must equal the batch q20 (same oracle shape).
+    // Watermarked tumbling aggregation, AvailableNow to completion, in the
+    // true production shape: APPEND mode to a file sink — bounded state
+    // (complete-mode would hold every window forever), nothing pinned in
+    // driver memory. Append emits exactly the watermark-closed windows
+    // (window end <= max event time - delay); the oracle encodes the same
+    // horizon, so the gate verifies the watermark semantics themselves.
     "q35_streaming_tumbling" -> ((s, dir) => {
       val raw = s.readStream
         .schema(s.read.parquet(s"$dir/events.parquet").schema)
@@ -548,18 +552,20 @@ object SparkEntry {
         if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         else raw
-      val qname = s"stream_tumbling_${System.nanoTime()}"
+      val outDir = java.nio.file.Files.createTempDirectory("q35_out").toString
+      val ckDir = java.nio.file.Files.createTempDirectory("q35_ck").toString
       val query = graft.streaming.EventStreams
         .tumblingCounts(events, "10 minutes", "30 minutes")
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(qname)
+        .select(unix_timestamp(col("win_start")).as("win_start"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      s.table(qname).select(
-        unix_timestamp(col("win_start")).as("win_start"),
-        col("event_type"), col("n"),
-        round(col("sum_value"), 2).as("sum_value"))
+      s.read.parquet(outDir)
     }),
 
     // IVF ANN: expression-only coarse quantization + probed cells.
@@ -1134,11 +1140,16 @@ object SparkEntry {
         | round(avg(o_totalprice), 4) AS avg_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
 
-    // the streaming tumbling window must agree with the batch q20 oracle
+    // batch q20's windows restricted to the watermark-closed horizon:
+    // append mode emits a window only once the watermark (max event time
+    // minus the 30-minute delay, millisecond precision) passes its end
     "q35_streaming_tumbling" ->
-      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
-        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+      """WITH w AS (
+        |  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+        |    event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events)
+        |SELECT w.* FROM w, wm WHERE (w.win_start + 600) * 1000 <= wm_ms""".stripMargin,
 
     // `capped` mirrors Dedup.shingleSet's maxShingleDocFreq=100 stop-shingle
     // drop (sh is distinct per (doc_id, shingle), so count(*) is doc freq)

@@ -640,6 +640,14 @@ object SparkEntry {
         operators.Multimodal.syntheticMedia(s, 60)
           .filter(col("kind") === "video"), 4)
     }),
+
+    // Multimodal: real WAV/PCM decode batch stage (pure-JDK javax.sound),
+    // corrupt rows isolated. rms array → JSON string for the rows-only
+    // compare (same contract as qb39's histogram).
+    "qb41_audio_decode" -> ((s, _) => {
+      operators.Multimodal.decodeAudios(operators.Multimodal.syntheticAudio(s, 120))
+        .withColumn("rms", to_json(col("rms")))
+    }),
   )
 
   // ---- DuckDB oracle-SQL generators (DuckDB dialect) -------------------

@@ -11,17 +11,23 @@ import org.apache.spark.sql.types._
 case class DecodedMedia(media_id: Long, width: Int, height: Int,
     histogram: Seq[Double], decode_error: Boolean)
 
+/** Top-level for the same Janino-serializer reason as [[DecodedMedia]]. */
+case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
+    duration_ms: Long, rms: Seq[Double], decode_error: Boolean)
+
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
   * payloads as opaque `binary` columns plus typed metadata, with
   * decode/feature steps shaped for batch execution.
   *
   * Image decode is REAL: pure-JDK `javax.imageio` (PNG/BMP/JPEG readers
   * ship with the JDK), with pixel-accurate dimensions and a luminance
-  * histogram. Video "frames" use the container's PNG-concatenation
-  * representation (a demuxer would replace one function, not the pipeline);
-  * audio decode remains out of scope for a codec-free container. The
-  * Spark-side contract — schema, per-partition batch iteration,
-  * null/corrupt isolation, pure-column fast paths — is real and tested.
+  * histogram. Audio decode is REAL for WAV/PCM: pure-JDK
+  * `javax.sound.sampled` header parse + 16-bit sample decode with a
+  * per-channel RMS. Video "frames" use the container's PNG-concatenation
+  * representation (a demuxer would replace one function, not the
+  * pipeline). The Spark-side contract — schema, per-partition batch
+  * iteration, null/corrupt isolation, pure-column fast paths — is real
+  * and tested.
   *
   * Scale notes: media payloads dominate row size. Keep them in their own
   * table keyed by content hash (dedup joins stay narrow), filter/join on
@@ -140,6 +146,69 @@ object Multimodal {
       .toDF()
   }
 
+  /** Real pure-JDK WAV decode via `javax.sound.sampled` (the WAVE/PCM
+    * reader ships with the JDK): header-accurate sample rate and channel
+    * count, duration from the frame count, and a per-channel RMS computed
+    * over the decoded 16-bit samples (sum of squares accumulated in Long,
+    * so the result is bit-deterministic). Throws on null/unparseable/
+    * non-16-bit payloads — callers isolate.
+    */
+  def decodeWav(content: Array[Byte]): (Int, Int, Long, Array[Double]) = {
+    if (content == null || content.length == 0)
+      throw new IllegalArgumentException("corrupt media payload")
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(content))
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        throw new IllegalArgumentException(
+          s"unsupported WAV encoding: ${fmt.getEncoding}/${fmt.getSampleSizeInBits}-bit")
+      val rate = fmt.getSampleRate.toInt
+      val nCh = fmt.getChannels
+      val bytes = ais.readAllBytes()
+      val nFrames = bytes.length / (2 * nCh)
+      val sumSq = new Array[Long](nCh)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < nCh) {
+          val o = (f * nCh + c) * 2
+          val s = // PCM_SIGNED little-endian unless the header says otherwise
+            if (fmt.isBigEndian) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+            else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+          sumSq(c) += s.toLong * s
+          c += 1
+        }
+        f += 1
+      }
+      val rms = sumSq.map(sq =>
+        if (nFrames == 0) 0.0 else math.sqrt(sq.toDouble / nFrames) / 32768.0)
+      (rate, nCh, nFrames * 1000L / rate, rms)
+    } finally ais.close()
+  }
+
+  /** Audio decode/feature stage: same per-partition batch shape and
+    * corrupt-row isolation contract as [[decodeImages]]. */
+  def decodeAudios(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val (rate, nCh, durMs, rms) = decodeWav(bytes)
+            DecodedAudio(id, rate, nCh, durMs, rms.toSeq, decode_error = false)
+          } catch {
+            case _: Exception =>
+              DecodedAudio(id, -1, -1, -1L, Seq.empty, decode_error = true)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Video path: explode sampled frames into one row per frame, preserving
     * pruning (only media_id + content are read). */
   def explodeFrames(media: DataFrame, framesPerVideo: Int): DataFrame = {
@@ -174,6 +243,44 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** One deterministic WAV: seeded pseudo-random 16-bit PCM, encoded with
+    * the JDK's WAVE writer. */
+  private[graft] def syntheticWav(seed: Int, sampleRate: Int, channels: Int,
+      nFrames: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames * channels) {
+      val s = rnd.nextInt(65536) - 32768
+      pcm(i * 2) = (s & 0xff).toByte // little-endian
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic audio table: real WAVs with varying rates /
+    * channel counts / lengths, plus corrupt payloads (every 9th row) so the
+    * decode stage's isolation path is always exercised. */
+  def syntheticAudio(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100)
+    (0 until n).map { i =>
+      val bytes =
+        if (i % 9 == 8) Array.fill(64 + i)((i * 31).toByte) // not RIFF
+        else syntheticWav(i, rates(i % 4), 1 + (i % 2), 500 + (i * 37) % 3000)
+      (i.toLong, "audio", if (i % 9 == 8) "application/octet-stream"
+        else "audio/wav", bytes)
+    }.toDF("media_id", "kind", "mime", "content")
   }
 
   /** Deterministic synthetic media table for tests/bench: images are real

@@ -58,6 +58,52 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.sampleFrames(Array.fill(256)(7.toByte), 4).isEmpty)
   }
 
+  test("WAV decode recovers exact per-channel RMS from known PCM") {
+    // stereo: channel 0 constant +16384 (rms 0.5), channel 1 constant -8192
+    // (rms 0.25) — exact values, no tolerance needed beyond float repr
+    val nFrames = 1000
+    val pcm = new Array[Byte](nFrames * 2 * 2)
+    for (f <- 0 until nFrames; c <- 0 until 2) {
+      val s = if (c == 0) 16384 else -8192
+      val o = (f * 2 + c) * 2
+      pcm(o) = (s & 0xff).toByte
+      pcm(o + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val (rate, nCh, durMs, rms) = Multimodal.decodeWav(out.toByteArray)
+    assert(rate === 16000 && nCh === 2)
+    assert(durMs === nFrames * 1000L / 16000)
+    assert(math.abs(rms(0) - 0.5) < 1e-12)
+    assert(math.abs(rms(1) - 0.25) < 1e-12)
+  }
+
+  test("audio decode stage reports true header params and isolates corrupt rows") {
+    val decoded = Multimodal.decodeAudios(Multimodal.syntheticAudio(spark, 30))
+      .cache()
+    val bad = decoded.filter($"decode_error").collect()
+    assert(bad.map(_.getAs[Long]("media_id")).sorted.toSeq === Seq(8L, 17L, 26L))
+    val rates = Array(8000, 16000, 22050, 44100)
+    decoded.filter(!$"decode_error").collect().foreach { r =>
+      val i = r.getAs[Long]("media_id").toInt
+      val nFrames = 500 + (i * 37) % 3000
+      assert(r.getAs[Int]("sample_rate") === rates(i % 4))
+      assert(r.getAs[Int]("channels") === 1 + (i % 2))
+      assert(r.getAs[Long]("duration_ms") === nFrames * 1000L / rates(i % 4))
+      val rms = r.getSeq[Double](r.fieldIndex("rms"))
+      assert(rms.length === 1 + (i % 2))
+      // full-scale uniform random PCM has rms ≈ 1/sqrt(3) ≈ 0.577
+      rms.foreach(v => assert(v > 0.4 && v < 0.75, s"rms $v out of band"))
+    }
+    // deterministic: second run identical
+    val again = Multimodal.decodeAudios(Multimodal.syntheticAudio(spark, 30))
+    assert(decoded.exceptAll(again).count() === 0)
+  }
+
   test("content fingerprint dedups identical payloads") {
     val m = Multimodal.syntheticMedia(spark, 5)
     val dup = m.union(m.limit(2))

@@ -60,16 +60,37 @@ object Sampling {
 
   /** Bounded buffer of the k smallest (md5 key, id) pairs — the sampling
     * analogue of `Similarity.TopKAggregator`. Buffer never exceeds k
-    * entries, so partial aggregation bounds both memory and shuffle. */
+    * entries, so partial aggregation bounds both memory and shuffle.
+    *
+    * The buffer is kept SORTED as an invariant, so `reduce` is a constant-
+    * time reject for any candidate not beating the current max (the common
+    * case once the buffer fills) and an O(k) insert otherwise — not a
+    * re-sort per row — and `merge` is a linear merge stopped at k.
+    */
   private class MinKAggregator(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (String, String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
-    private def prune(b: Seq[(String, Long)]) = b.sortBy(identity).take(k)
+    private val ord = Ordering[(String, Long)]
     override def zero: Seq[(String, Long)] = Seq.empty
-    override def reduce(b: Seq[(String, Long)], a: (String, String, Long)): Seq[(String, Long)] =
-      prune(b :+ ((a._2, a._3)))
-    override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
-      prune(a ++ b)
+    override def reduce(b: Seq[(String, Long)], a: (String, String, Long)): Seq[(String, Long)] = {
+      val c = (a._2, a._3)
+      if (b.length >= k && ord.lteq(b(k - 1), c)) b
+      else {
+        val i = b.indexWhere(ord.gt(_, c)) match { case -1 => b.length; case x => x }
+        ((b.take(i) :+ c) ++ b.drop(i)).take(k)
+      }
+    }
+    override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var i = 0
+      var j = 0
+      while (out.length < k && (i < a.length || j < b.length)) {
+        if (j >= b.length || (i < a.length && ord.lteq(a(i), b(j)))) {
+          out += a(i); i += 1
+        } else { out += b(j); j += 1 }
+      }
+      out.toSeq
+    }
     override def finish(r: Seq[(String, Long)]): Seq[(String, Long)] = r
     override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()

@@ -481,6 +481,11 @@ object SparkEntry {
       Packing.packGreedy(T(s, dir, "documents"), "doc_id", "text",
         budget = 256, nBuckets = 8)),
 
+    // Gopher-style intra-document repetition metrics (dup-3-gram fraction,
+    // top-2-gram fraction) — the standard web-corpus repetition filter.
+    "q57_repetition_profile" -> ((s, dir) =>
+      TextAnalysis.repetitionProfile(T(s, dir, "documents"), "doc_id", "text")),
+
     // Pivot: long → wide on a known value list (W1's general form).
     "q45_pivot_events" -> ((s, dir) => {
       val types = Seq("click", "signup", "error", "view", "purchase")
@@ -1114,6 +1119,34 @@ object SparkEntry {
         |         ELSE p.acc + b.n_tokens END
         |  FROM base b JOIN packed p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
         |SELECT doc_id, bucket, pack_idx, n_tokens FROM packed""".stripMargin,
+
+    // non-distinct n-gram multisets (short docs collapse to one whole-
+    // sequence shingle, mirroring Dedup.shingleRows); doubles are raw
+    // per-row scalars (identical IEEE ops both engines)
+    "q57_repetition_profile" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |g3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+        |         ELSE array_to_string(t, ' ') END AS shingle
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i) r),
+        |g2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN array_to_string(t[i:i+1], ' ')
+        |         ELSE array_to_string(t, ' ') END AS shingle
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t), 2))) AS i) r),
+        |c3 AS (SELECT doc_id, shingle, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |c2 AS (SELECT doc_id, shingle, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, count(*) AS nd
+        |       FROM c3 GROUP BY 1),
+        |s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total2,
+        |       CAST(max(c) AS BIGINT) AS top FROM c2 GROUP BY 1)
+        |SELECT s3.doc_id,
+        |  1.0 - CAST(s3.nd AS DOUBLE) / CAST(s3.total AS DOUBLE) AS dup_3gram_frac,
+        |  CAST(s2.top AS DOUBLE) / CAST(s2.total2 AS DOUBLE) AS top_2gram_frac,
+        |  s3.total AS n_3grams
+        |FROM s3 JOIN s2 USING (doc_id)""".stripMargin,
 
     "q45_pivot_events" ->
       """SELECT CAST(user_id % 10 AS INT) AS user_bucket,

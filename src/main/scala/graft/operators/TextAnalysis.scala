@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-corpus analysis operators for training-data pipelines: tokenization,
@@ -68,4 +68,42 @@ object TextAnalysis {
     when(length(text).between(20, 100000), 1).otherwise(0) +
       when(tokenCount(text).between(5, 20000), 1).otherwise(0) +
       when(vowelRatio(text) > 0.15, 1).otherwise(0)
+
+  /** Gopher-style intra-document repetition metrics (the Rae et al. 2021
+    * repetition filters, the standard web-corpus quality gate alongside
+    * [[qualityScore]]):
+    *
+    *  - `dup_3gram_frac`: fraction of word-3-gram occurrences that are
+    *    repeats of an earlier 3-gram in the same document;
+    *  - `top_2gram_frac`: fraction of word-2-gram occurrences claimed by the
+    *    document's single most frequent 2-gram;
+    *  - `n_3grams`: 3-gram occurrence count (the denominator, for
+    *    threshold tuning).
+    *
+    * Shape: two doc-keyed aggregation chains over the codegen'd
+    * [[Dedup.shingleRows]] multiset (shuffles are keyed by (doc, shingle)
+    * then doc — map-side combinable, never corpus-global) joined on the doc
+    * key. A pure array-expression form (`array_distinct` on a per-doc
+    * shingle array) would avoid the shuffles but needs an interpreted
+    * higher-order fold for the top-count and holds each document's whole
+    * shingle array in one row — the aggregation shape stays codegen'd and
+    * bounded regardless of document length.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def stats(n: Int) = Dedup.shingleRows(df, idCol, textCol, n)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("total"),
+        count(lit(1)).as("nd"),
+        max(col("c")).as("top"))
+    val g3 = stats(3).select(col(idCol), col("total"), col("nd"))
+    val g2 = stats(2).select(col(idCol), col("total").as("total2"), col("top"))
+    g3.join(g2, Seq(idCol))
+      .select(col(idCol),
+        (lit(1.0) - col("nd").cast("double") / col("total").cast("double"))
+          .as("dup_3gram_frac"),
+        (col("top").cast("double") / col("total2").cast("double"))
+          .as("top_2gram_frac"),
+        col("total").as("n_3grams"))
+  }
 }

@@ -255,6 +255,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Int]("q") === 3)
   }
 
+  test("repetition profile: exact fractions incl. short-doc collapse") {
+    val d = Seq(
+      // 6 tokens → 4 3-grams all distinct → dup 0; 5 2-grams, "a b" ×2 → top 2/5
+      (1L, "a b c a b d"),
+      // fully repetitive: "x y x y x y" → 3-grams {xyx,yxy,xyx,yxy} → dup 1/2
+      (2L, "x y x y x y"),
+      // shorter than 3 tokens: one whole-sequence shingle, zero repetition
+      (3L, "hi there"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionProfile(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(r(1L) === ((0.0, 2.0 / 5.0, 4L)))
+    assert(r(2L) === ((0.5, 3.0 / 5.0, 4L))) // "x y" appears 3× of 5 2-grams
+    assert(r(3L) === ((0.0, 1.0, 1L)))
+    assert(r(4L) === ((0.0, 1.0, 1L)))
+  }
+
   test("language ID votes on stopword profile") {
     val d = Seq(
       (1L, "the cat sat on a mat and it is warm"),

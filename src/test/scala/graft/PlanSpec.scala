@@ -40,6 +40,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan("q31_cosine_topk").contains("Broadcast"))
   }
 
+  test("q09: rank filter becomes a WindowGroupLimit below the shuffle") {
+    // With only a handful of (returnflag, linestatus) groups, a plain
+    // row_number window would shuffle and fully sort EVERY row into ~6
+    // reducers — unusable at corpus scale. Spark's InferWindowGroupLimit
+    // must kick in: each map task pre-keeps its top-5 per group, so only
+    // k·groups rows per task reach the shuffle. Pin Partial+Final.
+    val p = plan("q09_top5_per_group")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("Partial") && p.contains("Final"),
+      "expected map-side partial + reduce-side final group limits")
+  }
+
   test("media decode encoder compiles (no interpreted fallback)") {
     // round 1: a private object-nested case class made the encoder's
     // generated serializer fail Janino compilation, silently dropping the

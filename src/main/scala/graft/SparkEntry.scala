@@ -573,6 +573,35 @@ object SparkEntry {
       s.read.parquet(outDir)
     }),
 
+    // Streaming exactly-once dedup: the event stream unioned with itself
+    // (every event delivered twice — the at-least-once shape) must come out
+    // exactly once. Single AvailableNow batch over the bounded file, so no
+    // row is ever late; append + file sink like q35.
+    "q58_streaming_dedup" -> ((s, dir) => {
+      def stream = {
+        val raw = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      }
+      val outDir = java.nio.file.Files.createTempDirectory("q58_out").toString
+      val ckDir = java.nio.file.Files.createTempDirectory("q58_ck").toString
+      val query = graft.streaming.EventStreams
+        .dedupEvents(stream.union(stream), Seq("event_id"))
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.read.parquet(outDir)
+    }),
+
     // IVF ANN: expression-only coarse quantization + probed cells.
     "q38_ivf_ann_topk" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -1191,6 +1220,11 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2),
         |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events)
         |SELECT w.* FROM w, wm WHERE (w.win_start + 600) * 1000 <= wm_ms""".stripMargin,
+
+    // doubled delivery deduped on event_id = the source rows, exactly once
+    "q58_streaming_dedup" ->
+      """SELECT DISTINCT event_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM events""".stripMargin,
 
     // `capped` mirrors Dedup.shingleSet's maxShingleDocFreq=100 stop-shingle
     // drop (sh is distinct per (doc_id, shingle), so count(*) is doc freq)

@@ -33,6 +33,22 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exactly-once dedup: `dropDuplicatesWithinWatermark` on the
+    * event key — the streaming analogue of [[graft.operators.Dedup.exact]]
+    * for at-least-once ingestion (replayed batches, retried producers).
+    * State holds one entry per key seen within the watermark horizon, so
+    * state size is bounded by horizon × arrival rate, independent of
+    * stream length; duplicates arriving inside the horizon are suppressed
+    * even across micro-batches.
+    */
+  def dedupEvents(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Sliding-window per-user activity (frame overlap = 2×). */
   def slidingUserActivity(
       events: DataFrame,

@@ -37,6 +37,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       ("2024-01-01 00:10:00.0", "view", 1L, 8.0)))
   }
 
+  test("streaming dedup suppresses duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupEvents(df, Seq("event_id"), "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+    val t2 = Timestamp.valueOf("2024-01-01 00:02:00")
+    val t3 = Timestamp.valueOf("2024-01-01 00:03:00")
+    // batch 1: event 1 delivered twice in the same batch
+    mem.addData((1L, t1, 1.0), (2L, t2, 2.0), (1L, t1, 1.0))
+    q.processAllAvailable()
+    // batch 2: event 1 replayed in a LATER batch (within the watermark
+    // horizon) — the stateful guarantee a per-batch distinct can't give
+    mem.addData((1L, t1, 1.0), (3L, t3, 3.0))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    q.stop()
+    assert(out.sorted.toSeq === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
   test("stateful sessionization emits closed sessions via state timeouts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]

@@ -481,6 +481,26 @@ object SparkEntry {
       Packing.packGreedy(T(s, dir, "documents"), "doc_id", "text",
         budget = 256, nBuckets = 8)),
 
+    // Binned range join: urgent 1996 orders × lineitems shipped within 14
+    // days of the order date — an equi-join on time bins + exact re-check,
+    // never a nested loop (plan shape pinned in PlanSpec).
+    "q59_range_join" -> ((s, dir) => {
+      val iv = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).as("lo"),
+          (unix_date(to_date(col("o_orderdate"))) + 13).as("hi"))
+      val pts = T(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          unix_date(to_date(col("l_shipdate"))).as("ship_day"),
+          col("l_quantity"))
+      operators.RangeJoin.pointInInterval(pts, iv, "ship_day", "lo", "hi", 14L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipped"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // Gopher-style intra-document repetition metrics (dup-3-gram fraction,
     // top-2-gram fraction) — the standard web-corpus repetition filter.
     "q57_repetition_profile" -> ((s, dir) =>
@@ -1148,6 +1168,17 @@ object SparkEntry {
         |         ELSE p.acc + b.n_tokens END
         |  FROM base b JOIN packed p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
         |SELECT doc_id, bucket, pack_idx, n_tokens FROM packed""".stripMargin,
+
+    // the oracle states the range predicate directly; the operator's bin
+    // bucketing must be invisible in the result
+    "q59_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_shipped,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate BETWEEN o_orderdate
+        |    AND o_orderdate + INTERVAL 13 DAY
+        |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996
+        |GROUP BY 1""".stripMargin,
 
     // non-distinct n-gram multisets (short docs collapse to one whole-
     // sequence shingle, mirroring Dedup.shingleRows); doubles are raw

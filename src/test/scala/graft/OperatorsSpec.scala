@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsofJoin, Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
 
 /** Unit coverage for the training-data operators. */
 class OperatorsSpec extends AnyFunSuite with SparkSpec {
@@ -253,6 +253,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Int]("n") === 6)
     assert(r.getAs[Int]("b") === 9) // 6 alnum runs + , ! .
     assert(r.getAs[Int]("q") === 3)
+  }
+
+  test("binned range join equals the naive range predicate") {
+    val points = (0L to 100L).map(p => (p, s"p$p")).toDF("p", "ptag")
+    val intervals = Seq(
+      (1L, 0L, 0L),    // single-point interval, boundary inclusive both ends
+      (2L, 5L, 25L),   // spans multiple bins (width 7)
+      (3L, 13L, 14L),  // straddles a bin boundary
+      (4L, 98L, 150L), // runs past the point domain
+      (5L, 40L, 30L),  // empty (hi < lo): matches nothing
+      (6L, 17L, 17L)
+    ).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 7L)
+      .select($"iv_id", $"p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (id, lo, hi) <- Seq((1L, 0L, 0L), (2L, 5L, 25L), (3L, 13L, 14L),
+        (4L, 98L, 150L), (5L, 40L, 30L), (6L, 17L, 17L))
+      p <- 0L to 100L if p >= lo && p <= hi
+    } yield (id, p)).toSet
+    assert(got === want)
+    assert(want.count(_._1 == 1L) === 1 && !want.exists(_._1 == 5L))
   }
 
   test("repetition profile: exact fractions incl. short-doc collapse") {

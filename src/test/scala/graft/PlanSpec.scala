@@ -52,6 +52,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "expected map-side partial + reduce-side final group limits")
   }
 
+  test("q59: range join is an equi-join on bins, not a nested loop") {
+    val p = plan("q59_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    assert(p.contains("Join"), "bin equi-join missing")
+  }
+
   test("media decode encoder compiles (no interpreted fallback)") {
     // round 1: a private object-nested case class made the encoder's
     // generated serializer fail Janino compilation, silently dropping the

@@ -481,6 +481,26 @@ object SparkEntry {
       Packing.packGreedy(T(s, dir, "documents"), "doc_id", "text",
         budget = 256, nBuckets = 8)),
 
+    // Flagship corpus-hygiene pipeline — the operators composed the way a
+    // production pre-training run chains them: quality gate → repetition
+    // gate → exact dedup (min-id survivor) → deterministic mixture sample.
+    // Every stage is an already-gated operator; this query gates the
+    // COMPOSITION (join/filter interplay, survivor semantics over the
+    // filtered set, sampling over the deduped set).
+    "q60_corpus_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("text"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val rep = TextAnalysis.repetitionProfile(docs, "doc_id", "text")
+        .select(col("doc_id"), col("dup_3gram_frac"))
+      val filtered = scored.join(rep, Seq("doc_id"))
+        .filter(col("quality") >= 2 && col("dup_3gram_frac") <= 0.2)
+      val deduped = Dedup.exact(filtered, "doc_id", "text")
+      Sampling.stratifiedByFraction(deduped, "lang", "doc_id",
+          Map("en" -> 0.5), 0.25)
+        .select(col("doc_id"), col("lang"), col("quality"))
+    }),
+
     // Binned range join: urgent 1996 orders × lineitems shipped within 14
     // days of the order date — an equi-join on time bins + exact re-check,
     // never a nested loop (plan shape pinned in PlanSpec).
@@ -1168,6 +1188,43 @@ object SparkEntry {
         |         ELSE p.acc + b.n_tokens END
         |  FROM base b JOIN packed p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
         |SELECT doc_id, bucket, pack_idx, n_tokens FROM packed""".stripMargin,
+
+    // the full hygiene chain as one independent SQL derivation: quality
+    // CASE-sum, q57's dup-3-gram fraction, min-id dedup over the FILTERED
+    // set, md5-threshold mixture sample over the DEDUPED set
+    "q60_corpus_pipeline" -> {
+      val tEn = Sampling.fractionThreshold(0.5)
+      val tDef = Sampling.fractionThreshold(0.25)
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang,
+         |   (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END
+         |    + CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 5 AND 20000 THEN 1 ELSE 0 END
+         |    + CASE WHEN CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+         |        / CAST(greatest(length(text), 1) AS DOUBLE) > 0.15 THEN 1 ELSE 0 END) AS quality
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         |g3 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+         |         ELSE array_to_string(t, ' ') END AS shingle
+         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i) r),
+         |c3 AS (SELECT doc_id, shingle, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |rep AS (SELECT doc_id,
+         |    1.0 - CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS dup3
+         |  FROM c3 GROUP BY 1),
+         |filt AS (
+         |  SELECT q.doc_id, q.text, q.lang, q.quality
+         |  FROM q JOIN rep USING (doc_id)
+         |  WHERE q.quality >= 2 AND rep.dup3 <= 0.2),
+         |keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM filt
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         |SELECT f.doc_id, f.lang, f.quality
+         |FROM filt f JOIN keep USING (doc_id)
+         |WHERE md5(CAST(f.doc_id AS VARCHAR)) <
+         |  (CASE WHEN f.lang = 'en' THEN '$tEn' ELSE '$tDef' END)""".stripMargin
+    },
 
     // the oracle states the range predicate directly; the operator's bin
     // bucketing must be invisible in the result

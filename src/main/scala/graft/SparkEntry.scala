@@ -642,6 +642,43 @@ object SparkEntry {
       s.read.parquet(outDir)
     }),
 
+    // Stream-stream interval join: clicks attributed to views within 3
+    // hours per user, both sides real streams with watermarks (state
+    // bounded by watermark + lag). Single AvailableNow batch → the full
+    // attribution set, same append + file-sink harness as q35/q58.
+    "q61_stream_interval_join" -> ((s, dir) => {
+      def stream = {
+        val raw = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      }
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+      val outDir = java.nio.file.Files.createTempDirectory("q61_out").toString
+      val ckDir = java.nio.file.Files.createTempDirectory("q61_ck").toString
+      val query = graft.streaming.EventStreams
+        .intervalJoin(clicks, views, "c_user", "v_user",
+          "click_ts", "view_ts", "180 minutes", "240 minutes")
+        .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("view_ts")).as("view_us"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.read.parquet(outDir)
+    }),
+
     // IVF ANN: expression-only coarse quantization + probed cells.
     "q38_ivf_ann_topk" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -1308,6 +1345,15 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2),
         |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events)
         |SELECT w.* FROM w, wm WHERE (w.win_start + 600) * 1000 <= wm_ms""".stripMargin,
+
+    // the attribution join as one self-join over the bounded table
+    "q61_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+        | c.user_id, epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 180 MINUTE
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'""".stripMargin,
 
     // doubled delivery deduped on event_id = the source rows, exactly once
     "q58_streaming_dedup" ->

@@ -49,6 +49,31 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each left event matched to right events
+    * with the same key whose time falls in `[leftTs, leftTs + maxLag]` —
+    * the attribution/funnel join (click → view within N minutes).
+    *
+    * Both sides carry watermarks and the join condition bounds the time
+    * range in BOTH directions; that pair of constraints is what lets Spark
+    * evict join state (a side's row can be dropped once the other side's
+    * watermark passes its latest possible match), so state is bounded by
+    * `watermark + maxLag` × arrival rate, independent of stream length.
+    * Caller renames columns so the two sides share no names.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      maxLag: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
+          s"AND $rightTs <= $leftTs + interval $maxLag"))
+
   /** Sliding-window per-user activity (frame overlap = 2×). */
   def slidingUserActivity(
       events: DataFrame,

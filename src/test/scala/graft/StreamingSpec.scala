@@ -60,6 +60,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.sorted.toSeq === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("stream-stream interval join matches across batches within the lag") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("c_user", "click_ts", "click_id")
+    val vdf = views.toDF().toDF("v_user", "view_ts", "view_id")
+    val q = EventStreams.intervalJoin(cdf, vdf, "c_user", "v_user",
+        "click_ts", "view_ts", "10 minutes", "30 minutes")
+      .select($"click_id", $"view_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivj_out").start()
+    val t = (m: String) => Timestamp.valueOf(s"2024-01-01 00:$m:00")
+    // batch 1: click 1 (user 7), view 10 in range, view 11 out of range,
+    // view 12 right user wrong direction (before the click)
+    clicks.addData((7L, t("10"), 1L))
+    views.addData((7L, t("15"), 10L), (7L, t("25"), 11L), (7L, t("05"), 12L))
+    q.processAllAvailable()
+    // batch 2: the matching view arrives a batch LATER than its click —
+    // the state the join exists to keep
+    views.addData((7L, t("18"), 13L), (8L, t("18"), 14L))
+    q.processAllAvailable()
+    val out = spark.table("ivj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(out === Set((1L, 10L), (1L, 13L)))
+  }
+
   test("stateful sessionization emits closed sessions via state timeouts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop}
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -73,6 +74,63 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         merged.drop("is_active"), merged.drop("is_active"), "id", Seq("bal"))
       assert(again.filter($"action" =!= "unchanged").count() === 0,
         s"case $i idempotence")
+    }
+  }
+
+  test("range join equals the naive predicate on arbitrary intervals") {
+    // random interval sets (some empty, some inverted, widths from 0 to
+    // far past the domain), three bin widths incl. one larger than any
+    // interval and one of 1 — results must be bin-width-invariant
+    val ivGen = Gen.listOfN(30, for {
+      lo <- Gen.choose(-20L, 120L)
+      len <- Gen.oneOf(Gen.const(0L), Gen.choose(1L, 15L), Gen.choose(-10L, 200L))
+    } yield (lo, lo + len))
+    val points = (-10L to 110L).map(p => Tuple1(p)).toDF("p")
+    samples(ivGen, 6).zipWithIndex.foreach { case (ivs, i) =>
+      val intervals = ivs.zipWithIndex.map { case ((lo, hi), id) =>
+        (id.toLong, lo, hi) }.toDF("iv_id", "lo", "hi")
+      val want = (for {
+        ((lo, hi), id) <- ivs.zipWithIndex
+        p <- -10L to 110L if p >= lo && p <= hi
+      } yield (id.toLong, p)).toSet
+      Seq(1L, 7L, 500L).foreach { w =>
+        val got = graft.operators.RangeJoin
+          .pointInInterval(points, intervals, "p", "lo", "hi", w)
+          .select($"iv_id", $"p").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === want, s"case $i width $w")
+      }
+    }
+  }
+
+  test("packing invariants hold on arbitrary corpora") {
+    val docGen = Gen.listOfN(40, for {
+      id <- Gen.choose(-50L, 50L)
+      n <- Gen.choose(1, 30)
+    } yield (id, n))
+    samples(docGen, 5).zipWithIndex.foreach { case (docs0, i) =>
+      val docs = docs0.distinctBy(_._1) // ids must be unique
+      val df = docs.toDF("doc_id", "n").select($"doc_id",
+        concat_ws(" ", transform(sequence(lit(1), $"n"), _ => lit("w"))).as("text"))
+      val out = graft.operators.Packing
+        .packGreedy(df, "doc_id", "text", budget = 20, nBuckets = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      assert(out.length === docs.length, s"case $i row identity")
+      // every pack except possibly those holding one oversized doc fits
+      out.groupBy(t => (t._2, t._3)).foreach { case ((b, p), rows) =>
+        val total = rows.map(_._4.toLong).sum
+        assert(total <= 20 || rows.length == 1,
+          s"case $i bucket $b pack $p overflows with ${rows.length} docs")
+      }
+      // pack indices are contiguous from 1 within each bucket
+      out.groupBy(_._2).foreach { case (b, rows) =>
+        val packs = rows.map(_._3).distinct.sorted
+        assert(packs === (1 to packs.length), s"case $i bucket $b contiguity")
+        // ascending id order never jumps back to an earlier pack
+        val byId = rows.sortBy(_._1).map(_._3)
+        assert(byId === byId.sorted, s"case $i bucket $b monotonic packs")
+      }
     }
   }
 

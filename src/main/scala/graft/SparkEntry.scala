@@ -481,6 +481,16 @@ object SparkEntry {
       Packing.packGreedy(T(s, dir, "documents"), "doc_id", "text",
         budget = 256, nBuckets = 8)),
 
+    // Ordered funnel: earliest click → signup → purchase chain per user
+    // (strictly increasing times; greedy earliest-first is exact).
+    "q62_funnel" -> ((s, dir) =>
+      operators.Funnel.stageTimes(T(s, dir, "events"), "user_id",
+          "event_type", "ts", Seq("click", "signup", "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("t1")).as("t1_us"),
+          unix_micros(col("t2")).as("t2_us"),
+          unix_micros(col("t3")).as("t3_us"))),
+
     // Flagship corpus-hygiene pipeline — the operators composed the way a
     // production pre-training run chains them: quality gate → repetition
     // gate → exact dedup (min-id survivor) → deterministic mixture sample.
@@ -1225,6 +1235,23 @@ object SparkEntry {
         |         ELSE p.acc + b.n_tokens END
         |  FROM base b JOIN packed p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
         |SELECT doc_id, bucket, pack_idx, n_tokens FROM packed""".stripMargin,
+
+    // the same greedy chain as nested per-stage CTEs
+    "q62_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t1, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'signup' AND e.ts > s1.t1 GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1, 2, 3)
+        |SELECT user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+        |  epoch_us(t3) AS t3_us
+        |FROM s3""".stripMargin,
 
     // the full hygiene chain as one independent SQL derivation: quality
     // CASE-sum, q57's dup-3-gram fraction, min-id dedup over the FILTERED

@@ -276,6 +276,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(want.count(_._1 == 1L) === 1 && !want.exists(_._1 == 5L))
   }
 
+  test("funnel picks the earliest strictly-ordered chain and drops incompletes") {
+    import java.sql.Timestamp
+    def t(m: String) = Timestamp.valueOf(s"2024-01-01 00:$m:00")
+    val events = Seq(
+      // user 1: completes; signup BEFORE the click must not count, the
+      // later signup does; earliest valid purchase picked
+      (1L, "signup", t("01")), (1L, "click", t("02")), (1L, "signup", t("05")),
+      (1L, "purchase", t("06")), (1L, "purchase", t("09")),
+      // user 2: all stages present but purchase precedes signup → incomplete
+      (2L, "click", t("01")), (2L, "purchase", t("02")), (2L, "signup", t("03")),
+      // user 3: missing signup entirely
+      (3L, "click", t("01")), (3L, "purchase", t("02"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Funnel
+      .stageTimes(events, "user_id", "event_type", "ts",
+        Seq("click", "signup", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3)))).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L) === ((t("02"), t("05"), t("06"))))
+  }
+
   test("repetition profile: exact fractions incl. short-doc collapse") {
     val d = Seq(
       // 6 tokens → 4 3-grams all distinct → dup 0; 5 2-grams, "a b" ×2 → top 2/5

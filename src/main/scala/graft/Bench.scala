@@ -48,6 +48,14 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // every streaming-query run loads fresh state-store providers into a
+      // JVM-wide cache whose maintenance tasks keep churning against dead
+      // checkpoints; unload them so later queries run against a quiet JVM
+      org.apache.spark.sql.GraftStateStoreBridge.unloadAllStateStores()
+      // terminated queries stay referenced by StreamingQueryManager (for
+      // awaitAnyTermination), pinning their final execution plans + progress
+      // — droppable heap the gc() below could not otherwise reclaim
+      spark.streams.resetTerminated()
       System.gc()
     }
     // Full-suite WARM pass, unmeasured: min-of-2 alone was not enough —
@@ -79,9 +87,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(summary)
     println(s"""{"metric":"raw_pairs","raw":$raw}""")
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    // best-effort file record: never let a read-only cwd fail the run
+    // AFTER the numbers were already printed
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"sf":"$sfDir"}\n"""
         .getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -24,6 +24,46 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The events table as a real file stream (ns-long timestamps normalized
+    * to µs, matching [[Tables.load]]). Shared by every streaming query. */
+  private def eventFileStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  private def rmTree(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Run a streaming DataFrame to completion (append mode, parquet file
+    * sink, AvailableNow) and read the result back. The checkpoint is
+    * deleted immediately (useless after a bounded run); the output dir must
+    * outlive this call — the returned frame reads it lazily — and is
+    * removed on JVM exit. */
+  private def streamToParquet(s: SparkSession, df: DataFrame): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    val query = df.writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    rmTree(ckDir)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(outDir)))
+    s.read.parquet(outDir)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q07_nation_revenue")(spark, "/root/testdata/sf0.001")
@@ -598,58 +638,23 @@ object SparkEntry {
     // driver memory. Append emits exactly the watermark-closed windows
     // (window end <= max event time - delay); the oracle encodes the same
     // horizon, so the gate verifies the watermark semantics themselves.
-    "q35_streaming_tumbling" -> ((s, dir) => {
-      val raw = s.readStream
-        .schema(s.read.parquet(s"$dir/events.parquet").schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-      val events =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      val outDir = java.nio.file.Files.createTempDirectory("q35_out").toString
-      val ckDir = java.nio.file.Files.createTempDirectory("q35_ck").toString
-      val query = graft.streaming.EventStreams
-        .tumblingCounts(events, "10 minutes", "30 minutes")
+    "q35_streaming_tumbling" -> ((s, dir) =>
+      streamToParquet(s, graft.streaming.EventStreams
+        .tumblingCounts(eventFileStream(s, dir), "10 minutes", "30 minutes")
         .select(unix_timestamp(col("win_start")).as("win_start"),
           col("event_type"), col("n"),
-          round(col("sum_value"), 2).as("sum_value"))
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckDir)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.read.parquet(outDir)
-    }),
+          round(col("sum_value"), 2).as("sum_value")))),
 
     // Streaming exactly-once dedup: the event stream unioned with itself
     // (every event delivered twice — the at-least-once shape) must come out
     // exactly once. Single AvailableNow batch over the bounded file, so no
     // row is ever late; append + file sink like q35.
     "q58_streaming_dedup" -> ((s, dir) => {
-      def stream = {
-        val raw = s.readStream
-          .schema(s.read.parquet(s"$dir/events.parquet").schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      }
-      val outDir = java.nio.file.Files.createTempDirectory("q58_out").toString
-      val ckDir = java.nio.file.Files.createTempDirectory("q58_ck").toString
-      val query = graft.streaming.EventStreams
+      def stream = eventFileStream(s, dir)
+      streamToParquet(s, graft.streaming.EventStreams
         .dedupEvents(stream.union(stream), Seq("event_id"))
         .select(col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"), col("value"))
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckDir)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.read.parquet(outDir)
+          unix_micros(col("ts")).as("ts_us"), col("value")))
     }),
 
     // Stream-stream interval join: clicks attributed to views within 3
@@ -657,36 +662,18 @@ object SparkEntry {
     // bounded by watermark + lag). Single AvailableNow batch → the full
     // attribution set, same append + file-sink harness as q35/q58.
     "q61_stream_interval_join" -> ((s, dir) => {
-      def stream = {
-        val raw = s.readStream
-          .schema(s.read.parquet(s"$dir/events.parquet").schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      }
-      val clicks = stream.filter(col("event_type") === "click")
+      val clicks = eventFileStream(s, dir).filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
           col("event_id").as("click_id"))
-      val views = stream.filter(col("event_type") === "view")
+      val views = eventFileStream(s, dir).filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
           col("event_id").as("view_id"))
-      val outDir = java.nio.file.Files.createTempDirectory("q61_out").toString
-      val ckDir = java.nio.file.Files.createTempDirectory("q61_ck").toString
-      val query = graft.streaming.EventStreams
+      streamToParquet(s, graft.streaming.EventStreams
         .intervalJoin(clicks, views, "c_user", "v_user",
           "click_ts", "view_ts", "180 minutes", "240 minutes")
         .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
           unix_micros(col("click_ts")).as("click_us"),
-          unix_micros(col("view_ts")).as("view_us"))
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckDir)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.read.parquet(outDir)
+          unix_micros(col("view_ts")).as("view_us")))
     }),
 
     // IVF ANN: expression-only coarse quantization + probed cells.
@@ -1236,18 +1223,21 @@ object SparkEntry {
         |  FROM base b JOIN packed p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
         |SELECT doc_id, bucket, pack_idx, n_tokens FROM packed""".stripMargin,
 
-    // the same greedy chain as nested per-stage CTEs
+    // the same greedy chain as nested per-stage CTEs; ts truncated to µs
+    // first so the strict `>` comparisons match Spark's ns→µs precision
     "q62_funnel" ->
-      """WITH s1 AS (
-        |  SELECT user_id, min(ts) AS t1 FROM events
+      """WITH ev AS (SELECT user_id, event_type,
+        |    make_timestamp(epoch_us(ts)) AS ts FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM ev
         |  WHERE event_type = 'click' GROUP BY 1),
         |s2 AS (
         |  SELECT e.user_id, s1.t1, min(e.ts) AS t2
-        |  FROM events e JOIN s1 USING (user_id)
+        |  FROM ev e JOIN s1 USING (user_id)
         |  WHERE e.event_type = 'signup' AND e.ts > s1.t1 GROUP BY 1, 2),
         |s3 AS (
         |  SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3
-        |  FROM events e JOIN s2 USING (user_id)
+        |  FROM ev e JOIN s2 USING (user_id)
         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1, 2, 3)
         |SELECT user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
         |  epoch_us(t3) AS t3_us
@@ -1373,11 +1363,16 @@ object SparkEntry {
         |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events)
         |SELECT w.* FROM w, wm WHERE (w.win_start + 600) * 1000 <= wm_ms""".stripMargin,
 
-    // the attribution join as one self-join over the bounded table
+    // the attribution join as one self-join over the bounded table.
+    // ts truncated to µs FIRST (make_timestamp(epoch_us(...))) so the join
+    // predicate sees the same precision Spark's ns→µs normalization does —
+    // an untruncated ns comparison could order sub-µs neighbors differently
     "q61_stream_interval_join" ->
-      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    make_timestamp(epoch_us(ts)) AS ts FROM events)
+        |SELECT c.event_id AS click_id, v.event_id AS view_id,
         | c.user_id, epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
-        |FROM events c JOIN events v
+        |FROM ev c JOIN ev v
         |  ON c.user_id = v.user_id
         |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 180 MINUTE
         |WHERE c.event_type = 'click' AND v.event_type = 'view'""".stripMargin,

@@ -36,12 +36,17 @@ object RangeJoin {
       binWidth: Long): DataFrame = {
     require(binWidth >= 1, "bin width must be >= 1")
     val bin = "__bin"
-    val p = points.withColumn(bin, floor(col(pointCol) / binWidth))
+    // floor-division in PURE LONG arithmetic: `floor(col / w)` would go
+    // through double division, whose ~2^53 mantissa silently mis-bins
+    // ns/µs-epoch-scale values (ulp ≈ 256 at 1.2e18) and drops matches.
+    // pmod keeps the subtraction an exact multiple of w, so integral `div`
+    // (truncation) equals mathematical floor for negatives too.
+    def binOf(c: String) = expr(
+      s"(CAST(`$c` AS BIGINT) - pmod(CAST(`$c` AS BIGINT), ${binWidth}L)) div ${binWidth}L")
+    val p = points.withColumn(bin, binOf(pointCol))
     val iv = intervals
       .filter(col(loCol) <= col(hiCol))
-      .withColumn(bin,
-        explode(sequence(floor(col(loCol) / binWidth),
-          floor(col(hiCol) / binWidth))))
+      .withColumn(bin, explode(sequence(binOf(loCol), binOf(hiCol))))
     p.join(iv, Seq(bin))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(bin)

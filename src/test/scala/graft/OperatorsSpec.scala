@@ -298,6 +298,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) === ((t("02"), t("05"), t("06"))))
   }
 
+  test("range join bins exactly at nanosecond-epoch magnitudes (> 2^53)") {
+    // double division has ulp ≈ 256 at 1.2e18: float bin math here would
+    // assign boundary points to the wrong bin and silently drop matches
+    val base = 1L << 60
+    val w = 1000L
+    val offs = Seq(-1001L, -1000L, -999L, -1L, 0L, 1L, 999L, 1000L, 1500L, 2000L)
+    val points = offs.map(o => Tuple1(base + o)).toDF("p")
+    val intervals = Seq((1L, base - 1000L, base + 999L), (2L, base + 1000L, base + 1999L))
+      .toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", w)
+      .select($"iv_id", $"p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (id, lo, hi) <- Seq((1L, base - 1000L, base + 999L), (2L, base + 1000L, base + 1999L))
+      o <- offs; p = base + o if p >= lo && p <= hi
+    } yield (id, p)).toSet
+    assert(got === want)
+  }
+
   test("repetition profile: exact fractions incl. short-doc collapse") {
     val d = Seq(
       // 6 tokens → 4 3-grams all distinct → dup 0; 5 2-grams, "a b" ×2 → top 2/5

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Packing, Sampling, Scrub, Similarity, SnapshotMerge, TextAnalysis, Windows}
+import graft.operators.{AsofJoin, Components, Dedup, Packing, Sampling, Scrub, Similarity, SnapshotMerge, TextAnalysis, Windows}
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
   * operator family from SURVEY §2 plus the training-data-pipeline extensions,
@@ -549,6 +549,32 @@ object SparkEntry {
       Sampling.stratifiedByFraction(deduped, "lang", "doc_id",
           Map("en" -> 0.5), 0.25)
         .select(col("doc_id"), col("lang"), col("quality"))
+    }),
+
+    // Duplicate-cluster resolution: near-dup pairs (q26's edge set) grouped
+    // into transitive clusters via alternating large-star/small-star
+    // connected components; every doc tagged with its cluster min (the
+    // survivor), singletons with themselves.
+    "q63_dedup_clusters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3,
+        maxShingleDocFreq = 100L)
+      Components.dedupClusters(docs.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+    }),
+
+    // BM25 lexical ranking: top-20 docs for a fixed query-term bag.
+    // TakeOrdered limit (bounded per-partition top-k, no global sort),
+    // then rank stamped on the 20 survivors.
+    "q64_bm25_rank" -> ((s, dir) => {
+      val scored = TextAnalysis.bm25Scores(T(s, dir, "documents"), "doc_id",
+        "text", Seq("spark", "join", "vector"))
+      val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      // rank on the RAW score; round only for output — Spark's Math.log and
+      // DuckDB's ln differ by 1-2 ulp, so raw doubles can't hash-match
+      Windows.topKPerGroup(top, Seq(lit(1)),
+        Seq(col("score").desc, col("doc_id").asc), 20, "rank")
+        .select(col("doc_id"), col("rank"), round(col("score"), 6).as("score"))
     }),
 
     // Binned range join: urgent 1996 orders × lineitems shipped within 14
@@ -1279,6 +1305,74 @@ object SparkEntry {
          |WHERE md5(CAST(f.doc_id AS VARCHAR)) <
          |  (CASE WHEN f.lang = 'en' THEN '$tEn' ELSE '$tDef' END)""".stripMargin
     },
+
+    // same BM25 formula re-derived: LATERAL unnest tf, per-term conditional
+    // sums added in the same fixed order; constants are interpolated from
+    // the identical Scala doubles (Double.toString round-trips) and CAST to
+    // DOUBLE (bare literals would parse as DECIMAL in DuckDB)
+    "q64_bm25_rank" -> {
+      val (k1, b) = (1.2, 0.75)
+      def d(x: Double) = s"CAST($x AS DOUBLE)"
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks, LATERAL (SELECT unnest(t) AS tok) u
+         |  WHERE tok IN ('spark', 'join', 'vector') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |    ln(${d(1.0)} + (n - df + ${d(0.5)}) / (df + ${d(0.5)}))
+         |    * (tf * ${d(k1 + 1.0)})
+         |    / (tf + ${d(k1)} * (${d(1.0 - b)} + ${d(b)} * dl / avgdl)) AS s
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), st),
+         |p AS (SELECT doc_id,
+         |    sum(CASE WHEN term = 'spark' THEN s END) AS s_0,
+         |    sum(CASE WHEN term = 'join' THEN s END) AS s_1,
+         |    sum(CASE WHEN term = 'vector' THEN s END) AS s_2
+         |  FROM sc GROUP BY 1),
+         |tot AS (SELECT doc_id,
+         |    coalesce(s_0, ${d(0.0)}) + coalesce(s_1, ${d(0.0)})
+         |      + coalesce(s_2, ${d(0.0)}) AS score FROM p)
+         |SELECT doc_id, CAST(rn AS INT) AS rank, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM tot) z
+         |WHERE rn <= 20""".stripMargin
+    },
+
+    // connected components as transitive closure: a recursive CTE floods
+    // reachability over the symmetric q26 edge set (set-semantics UNION
+    // guarantees termination), comp = min reachable node — independent of
+    // the Spark side's star-contraction algorithm
+    "q63_dedup_clusters" ->
+      s"""${shingleCte.replace("WITH toks", "WITH RECURSIVE toks")},
+         |capped AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |        HAVING count(*) <= 100) ok USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM capped a JOIN capped b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.3),
+         |eb AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS node, dst AS r FROM eb
+         |  UNION
+         |  SELECT re.node, e.dst FROM reach re JOIN eb e ON re.r = e.src
+         |  WHERE e.dst <> re.node),
+         |comp AS (SELECT node, min(r) AS mn FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
+         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin,
 
     // the oracle states the range predicate directly; the operator's bin
     // bucketing must be invisible in the result

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the canonical step
+  * AFTER near-duplicate pair detection (q26/q28/q30/q32 emit pairs; a real
+  * dedup pipeline must then group transitively-linked docs into clusters and
+  * keep one survivor per cluster; pair-wise dropping alone under-deletes
+  * chains A~B~C where A~C was never emitted).
+  *
+  * Mirrors the reference's "resolve duplicates before loading" intent
+  * (`/root/reference/notion_data_ingestion.py` dedups on page key before
+  * upsert) generalized to transitive near-dup groups.
+  *
+  * Two implementations, one contract — `(node, component)` with
+  * `component = min(node id in the connected component)`:
+  *
+  *  - [[labelPropagation]]: each round every node takes the min label among
+  *    itself and its neighbors. Converges in O(diameter) rounds — fine when
+  *    clusters are dense (near-dup groups usually are), and simple enough to
+  *    serve as the independent reference for the property tests.
+  *  - [[alternatingStars]]: the large-star/small-star algorithm of Kiveris
+  *    et al., "Connected Components in MapReduce and Beyond" (SoCC '14).
+  *    Each phase rewires edges toward per-neighborhood minima; the edge set
+  *    converges to a star forest rooted at each component's min in
+  *    O(log^2 n) rounds regardless of diameter — the right shape for
+  *    100 TB graphs with long chains (drifting near-dup sequences), where
+  *    propagation's O(diameter) rounds would not terminate in reasonable
+  *    time. Every phase is one shuffle (groupBy min + co-partitioned join);
+  *    nothing is ever collected to the driver.
+  *
+  * Both paths `localCheckpoint` per round: iterative plans otherwise grow
+  * lineage exponentially and re-execute the whole history each round.
+  */
+object Components {
+
+  /** Symmetric, loop-free, distinct directed view of an undirected edge
+    * list: each undirected {a,b} appears as both (a,b) and (b,a). */
+  private def symmetrize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Canonical undirected form: (lo, hi), lo < hi, distinct. */
+  private def canon(pairs: DataFrame, a: String, b: String): DataFrame =
+    pairs.filter(col(a) =!= col(b))
+      .select(least(col(a), col(b)).as("lo"), greatest(col(a), col(b)).as("hi"))
+      .distinct()
+
+  /** Min-label propagation. Returns (node, component) for every node that
+    * appears in `edges`. O(diameter) rounds; `maxIters` is a safety bound
+    * (requires convergence — a non-converged result would be silently
+    * wrong, so it throws instead). */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val e2 = symmetrize(edges, srcCol, dstCol).localCheckpoint()
+    var labels = e2.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")).localCheckpoint()
+    var done = e2.isEmpty
+    var i = 0
+    while (!done && i < maxIters) {
+      // every node offers its label to each neighbor; keep the min of
+      // (own label, offered labels)
+      val offers = e2.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("comp"))
+      val next = labels.unionByName(offers)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      // labels only ever decrease, so "changed" = any label strictly lower
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("node"))
+        .filter(col("comp") < col("prev")).limit(1).count() > 0
+      labels = next
+      done = !changed
+      i += 1
+    }
+    require(done, s"labelPropagation did not converge in $maxIters rounds")
+    labels.select(col("node"), col("comp").as("component"))
+  }
+
+  /** Alternating large-star/small-star (Kiveris et al. '14). Returns
+    * (node, component) for every node that appears in `edges`;
+    * `component` is the min node id of the connected component. */
+  def alternatingStars(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 30): DataFrame = {
+    var ce = canon(edges, srcCol, dstCol).localCheckpoint()
+    var done = ce.isEmpty
+    var i = 0
+    while (!done && i < maxIters) {
+      // large-star: every node u links its LARGER neighbors to
+      // m(u) = min(N(u) ∪ {u})
+      val e2 = symmetrize(ce, "lo", "hi")
+      val mins = e2.groupBy("src").agg(min("dst").as("mn"))
+      val ls = e2.join(mins, Seq("src"))
+        .select(col("src"), col("dst"), least(col("mn"), col("src")).as("m"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("a"), col("m").as("b"))
+      val afterLarge = canon(ls, "a", "b").localCheckpoint()
+
+      // small-star: orient edges toward the larger endpoint; every node u
+      // links its smaller neighbors AND itself to m(u) = min of the
+      // smaller neighbors
+      val sm = symmetrize(afterLarge, "lo", "hi").filter(col("dst") < col("src"))
+      val smins = sm.groupBy("src").agg(min("dst").as("m"))
+      val ss = sm.join(smins, Seq("src"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("a"), col("m").as("b"))
+        .unionByName(smins.select(col("src").as("a"), col("m").as("b")))
+      val next = canon(ss, "a", "b").localCheckpoint()
+
+      // fixpoint = the canonical edge set stopped moving
+      val diff = next.unionByName(ce)
+        .groupBy("lo", "hi").agg(count(lit(1)).as("n"))
+        .filter(col("n") === 1).limit(1).count()
+      ce = next
+      done = diff == 0
+      i += 1
+    }
+    require(done, s"alternatingStars did not converge in $maxIters rounds")
+    // converged set is a star forest (root = component min): every non-root
+    // appears as `hi` pointing at its root `lo`; roots appear only as `lo`
+    val members = ce.groupBy(col("hi").as("node")).agg(min("lo").as("component"))
+    val roots = ce.select(col("lo").as("node")).distinct()
+      .join(members.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    members.unionByName(roots)
+  }
+
+  /** Cluster assignment for a full corpus: every row of `df` tagged with
+    * its duplicate-cluster id (component min over `edges`, transitively);
+    * rows with no near-dup edge are their own singleton cluster. The
+    * survivor of each cluster is the row where `id = component`. */
+  def dedupClusters(
+      df: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val comp = alternatingStars(edges, srcCol, dstCol)
+      .withColumnRenamed("node", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol).cast("long")))
+  }
+}

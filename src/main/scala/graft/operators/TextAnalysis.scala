@@ -69,6 +69,59 @@ object TextAnalysis {
       when(tokenCount(text).between(5, 20000), 1).otherwise(0) +
       when(vowelRatio(text) > 0.15, 1).otherwise(0)
 
+  /** BM25 relevance scores (Robertson/Spärck Jones; the Lucene-style
+    * non-negative `ln(1 + (N-df+0.5)/(df+0.5))` idf) of every document
+    * against a bag of query terms — the standard lexical ranking function,
+    * used in training-data pipelines for quality-by-relevance filtering and
+    * retrieval-based decontamination.
+    *
+    * Shape at 100 TB: the term filter runs BEFORE the (doc, term) shuffle
+    * (only query-term hits ever leave the scan stage); `df` (one row per
+    * query term) and the global (N, avgdl) scalar are broadcast — the
+    * corpus-sized side shuffles once on the doc key. Per-term scores are
+    * combined by FIXED-ORDER addition over pivoted columns (one conditional
+    * sum per term, each over ≤1 row), so the result is deterministic and
+    * engine-portable — a bare `sum` over the per-term rows would re-order
+    * float addition per partitioning.
+    *
+    * Returns (idCol, score) for every document matching ≥1 term.
+    */
+  def bm25Scores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores needs at least one query term")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("t"))
+    val dl = toks.select(col(idCol), size(col("t")).cast("long").as("dl"))
+    // integer-sum / count: exact, so avgdl is the same double in any engine
+    val st = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = toks.select(col(idCol), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(st))
+      .select(col(idCol), col("term"),
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+    val perTerm = scored.groupBy(col(idCol)).agg(
+      sum(when(col("term") === terms.head, col("s"))).as(s"s_0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("s"))).as(s"s_${i + 1}")
+      }: _*)
+    val total = terms.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduce(_ + _)
+    perTerm.select(col(idCol), total.as("score"))
+  }
+
   /** Gopher-style intra-document repetition metrics (the Rae et al. 2021
     * repetition filters, the standard web-corpus quality gate alongside
     * [[qualityScore]]):

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Components
+
+/** Connected components: both algorithms (min-label propagation and
+  * alternating large-star/small-star) must agree with a local union-find
+  * reference on deterministic pseudo-random graphs, including the shapes
+  * that stress each algorithm differently (long chains stress propagation's
+  * round count; dense cliques stress star contraction's edge rewiring).
+  */
+class ComponentsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Local union-find ground truth: node -> component min. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Unit = {
+    val df = edges.toDF("src", "dst")
+    val truth = unionFind(edges)
+    for ((name, algo) <- Seq(
+        "labelPropagation" -> Components.labelPropagation(df, "src", "dst"),
+        "alternatingStars" -> Components.alternatingStars(df, "src", "dst"))) {
+      val got = algo.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === truth, s"$name vs union-find on ${edges.take(8)}…")
+    }
+  }
+
+  test("chain graph (worst case for propagation diameter)") {
+    run((0L until 40L).map(i => (i, i + 1)))
+  }
+
+  test("reversed chain + duplicate and self edges") {
+    run((0L until 20L).map(i => (i + 1, i)) ++ Seq((5L, 5L), (3L, 4L), (4L, 3L)))
+  }
+
+  test("two cliques and a bridge") {
+    val c1 = for (a <- 0L to 5L; b <- 0L to 5L if a < b) yield (a, b)
+    val c2 = for (a <- 10L to 15L; b <- 10L to 15L if a < b) yield (a, b)
+    run(c1 ++ c2 ++ Seq((5L, 10L)))
+  }
+
+  test("many small components") {
+    run((0L until 30L by 3L).flatMap(i => Seq((i, i + 1), (i + 1, i + 2))))
+  }
+
+  test("deterministic random graphs match union-find") {
+    val rnd = new scala.util.Random(7L)
+    (0 until 3).foreach { _ =>
+      val n = 60
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      run(edges)
+    }
+  }
+
+  test("single edge and empty edge set") {
+    run(Seq((7L, 3L)))
+    assert(Components.alternatingStars(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").isEmpty)
+    assert(Components.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").isEmpty)
+  }
+
+  test("dedupClusters tags singletons with their own id") {
+    val docs = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val edges = Seq((3L, 9L), (9L, 4L)).toDF("a", "b")
+    val got = Components.dedupClusters(docs, "doc_id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 9L -> 3L))
+  }
+}

@@ -335,6 +335,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r(4L) === ((0.0, 1.0, 1L)))
   }
 
+  test("bm25 matches a hand-computed score and drops no-match docs") {
+    val d = Seq(
+      (1L, "spark spark table"), // tf(spark)=2, dl=3
+      (2L, "join table row pad"), // tf(join)=1, dl=4
+      (3L, "no match here at all") // dl=5, no query term → dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Scores(d, "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=4; df=1 for both terms → idf = ln(1 + 2.5/1.5)
+    // (StrictMath: Spark's Log expression uses it, 1 ulp off Math.log)
+    val idf = java.lang.StrictMath.log(1.0 + (3L - 1L + 0.5) / (1L + 0.5))
+    def s(tf: Long, dl: Long) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 4.0))
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === s(2, 3))
+    assert(got(2L) === s(1, 4))
+  }
+
   test("language ID votes on stopword profile") {
     val d = Seq(
       (1L, "the cat sat on a mat and it is warm"),

@@ -563,6 +563,14 @@ object SparkEntry {
         pairs, "id_a", "id_b")
     }),
 
+    // SemDeDup: k-means-cluster the embeddings (q38's deterministic sampled
+    // Lloyd centroids), drop any vector with cosine ≥ 0.3 to a lower-id
+    // vector in its cluster; min-id survivors keep kept=1.
+    "q65_semdedup" -> ((s, dir) =>
+      Similarity.semDeDup(T(s, dir, "embeddings"), "vec_id", "embedding",
+          0.3, nCentroids = 8)
+        .select(col("id").as("vec_id"), col("cell"), col("kept"))),
+
     // BM25 lexical ranking: top-20 docs for a fixed query-term bag.
     // TakeOrdered limit (bounded per-partition top-k, no global sort),
     // then rank stamped on the 20 survivors.
@@ -1305,6 +1313,28 @@ object SparkEntry {
          |WHERE md5(CAST(f.doc_id AS VARCHAR)) <
          |  (CASE WHEN f.lang = 'en' THEN '$tEn' ELSE '$tDef' END)""".stripMargin
     },
+
+    // kmeans CTE chain (bit-exact centroid replay, as q38) + rank-1 cell
+    // assignment + within-cell pair scan; dropped = id_b of any qualifying
+    // (a < b) pair
+    "q65_semdedup" ->
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |${kmeansCteSql(8, 64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
+         |assign AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.id FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.id < b.id
+         |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.3 AS DOUBLE))
+         |SELECT a.id AS vec_id, CAST(a.cell AS INT) AS cell,
+         |  CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM assign a LEFT JOIN dropped d ON d.id = a.id""".stripMargin,
 
     // same BM25 formula re-derived: LATERAL unnest tf, per-term conditional
     // sums added in the same fixed order; constants are interpolated from

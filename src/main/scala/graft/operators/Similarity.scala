@@ -228,6 +228,31 @@ object Similarity {
     * [[kmeansCentroids]]: deterministic sampled Lloyd iterations whose
     * arithmetic an oracle can replay exactly.
     */
+  /** Coarse-quantize (id, v) rows to their argmax-cosine centroid cell as a
+    * pure expression — the big side is never shuffled for quantization.
+    * Each centroid similarity is materialized as its own column first:
+    * folding directly over the 64-literal cosine expressions would
+    * duplicate them quadratically in the generated code (compile-time
+    * blowup). argmax = first position of the max (ties → lowest cell,
+    * matching an oracle's ORDER BY sim DESC, cell ASC). Returns
+    * (id, v, cell). */
+  private[operators] def assignCells(
+      c: DataFrame,
+      centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    def litVec(p: Seq[Double]) = array(p.map(lit(_)): _*)
+    val withSims = c.select(
+      col("id") +: col("v") +:
+        centroids.map { case (i, cv) =>
+          cosine(col("v"), litVec(cv)).as(s"__sim$i")
+        }.toSeq: _*)
+    val simArr = array(centroids.map { case (i, _) => col(s"__sim$i") }.toSeq: _*)
+    val argmax = (array_position(simArr, array_max(simArr)) - 1).cast("int")
+    // a row with a null/empty vector has all-NULL sims → argmax NULL; keep
+    // it in cell 0 (ranked last by sim) instead of dropping it at the join
+    withSims.withColumn("cell", coalesce(argmax, lit(0)))
+      .select(col("id"), col("v"), col("cell"))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -242,22 +267,7 @@ object Similarity {
     val centroids: Array[(Int, Seq[Double])] =
       kmeansCentroids(corpus, idCol, vecCol, nCentroids)
     def litVec(p: Seq[Double]) = array(p.map(lit(_)): _*)
-    // materialize each centroid similarity as its own column first: folding
-    // directly over the 64-literal cosine expressions would duplicate them
-    // quadratically in the generated code (compile-time blowup)
-    val withSims = c.select(
-      col("id") +: col("v") +:
-        centroids.map { case (i, cv) =>
-          cosine(col("v"), litVec(cv)).as(s"__sim$i")
-        }.toSeq: _*)
-    // argmax = first position of the max (ties → lowest cell, matching the
-    // oracle's ORDER BY sim DESC, cell ASC)
-    val simArr = array(centroids.map { case (i, _) => col(s"__sim$i") }.toSeq: _*)
-    val argmax = (array_position(simArr, array_max(simArr)) - 1).cast("int")
-    // a row with a null/empty vector has all-NULL sims → argmax NULL; keep
-    // it in cell 0 (ranked last by sim) instead of dropping it at the join
-    val assigned = withSims.withColumn("cell", coalesce(argmax, lit(0)))
-      .select(col("id"), col("v"), col("cell"))
+    val assigned = assignCells(c, centroids)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val centDf = centroids.toSeq.toDF("cell", "cv")
     val probe = Windows.topKPerGroup(
@@ -272,6 +282,42 @@ object Similarity {
     Windows.topKPerGroup(scored, Seq(col("q_id")),
       Seq(col("sim").desc, col("id").asc), k, "rank")
       .select(col("q_id"), col("id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** SemDeDup (Abbas et al. '23): semantic deduplication by embedding —
+    * k-means-cluster the corpus embeddings, then inside each cluster drop
+    * every vector that has cosine ≥ `threshold` with a lower-id vector
+    * (min-id survivor, deterministic on any partitioning).
+    *
+    * Scale shape: centroids come from the bounded deterministic sample
+    * ([[kmeansCentroids]]); corpus assignment is a pure scan-stage
+    * expression ([[assignCells]] — no shuffle); the pairwise pass is an
+    * equi-join on the cell key, never an all-pairs product, and its cost is
+    * bounded by the largest cluster (tune `nCentroids` up at scale).
+    * `assigned` is localCheckpointed: it feeds three subtrees (both join
+    * sides + the final tag) and would otherwise evaluate three times.
+    *
+    * Returns (id, cell, kept: 1|0); survivors are `kept = 1`.
+    */
+  def semDeDup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCentroids: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    val assigned = assignCells(c, centroids).localCheckpoint()
+    val l = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    val dropped = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__hit", lit(1))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        when(col("__hit").isNull, 1).otherwise(0).as("kept"))
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥

@@ -353,6 +353,19 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) === s(1, 4))
   }
 
+  test("semDeDup keeps the min id of each near-identical group") {
+    val e = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.99f, 0.01f, 0.0f)), // ≈ 10 → dropped
+      (12L, Array(0.0f, 1.0f, 0.0f)),
+      (13L, Array(0.0f, 0.98f, 0.02f)), // ≈ 12 → dropped
+      (14L, Array(0.0f, 0.0f, -1.0f)) // alone in direction → kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(e, "vec_id", "embedding", 0.95, nCentroids = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out === Map(10L -> 1, 11L -> 0, 12L -> 1, 13L -> 0, 14L -> 1))
+  }
+
   test("language ID votes on stopword profile") {
     val d = Seq(
       (1L, "the cat sat on a mat and it is warm"),

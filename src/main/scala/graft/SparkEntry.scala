@@ -563,6 +563,14 @@ object SparkEntry {
         pairs, "id_a", "id_b")
     }),
 
+    // PQ-ANN: product-quantization codes + asymmetric-distance top-k (the
+    // FAISS PQ scan shape — corpus vectors replaced by m codebook codes).
+    "q66_pq_ann_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", 10, m = 8, codebookSize = 8)
+    }),
+
     // SemDeDup: k-means-cluster the embeddings (q38's deterministic sampled
     // Lloyd centroids), drop any vector with cosine ≥ 0.3 to a lower-id
     // vector in its cluster; min-id survivors keep kept=1.
@@ -790,6 +798,16 @@ object SparkEntry {
       operators.Multimodal.decodeAudios(operators.Multimodal.syntheticAudio(s, 120))
         .withColumn("rms", to_json(col("rms")))
     }),
+
+    // Multimodal: REAL container demux — animated GIF via the JDK's
+    // ImageIO multi-frame reader, 3 evenly spaced frames per video decoded
+    // to dims + luminance histogram; corrupt rows isolated. histogram →
+    // JSON string for the rows-only compare (same contract as qb39).
+    "qb42_gif_frames" -> ((s, _) => {
+      operators.Multimodal.decodeGifFrames(
+          operators.Multimodal.syntheticGifMedia(s, 90), 3)
+        .withColumn("histogram", to_json(col("histogram")))
+    }),
   )
 
   // ---- DuckDB oracle-SQL generators (DuckDB dialect) -------------------
@@ -890,6 +908,48 @@ object SparkEntry {
        |    FROM samp) t
        |  WHERE cell < $k),
        |${(0 until iters).map(iterCte).mkString(",\n")}""".stripMargin
+  }
+
+  private def l2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, z) -> acc + z)"
+
+  /** CTE chain re-deriving `Similarity.pqCodebooks` subspace `j` in DuckDB:
+    * the shared md5-ordered `samp`, sliced to the subspace, first-k init,
+    * `iters` Lloyd rounds with squared-L2 argmin assignment (ties → lowest
+    * cell) and (md5, id)-ordered mean folds — the same order-pinned
+    * arithmetic, so codebooks match bit-for-bit. Ends with c{j}_{iters}
+    * (cell, cv) and code{j}(id, code) for the corpus. */
+  private def pqSubspaceCteSql(j: Int, sub: Int, k: Int, iters: Int): String = {
+    val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+    def iterCte(p: Int): String =
+      s"""a${j}_$p AS (
+         |  SELECT s.id, s.v, s.mk, c.cell,
+         |    row_number() OVER (PARTITION BY s.id
+         |      ORDER BY ${l2Sql("s.v", "c.cv")} ASC, c.cell ASC) AS rn
+         |  FROM s$j s, c${j}_$p c),
+         |m${j}_$p AS (
+         |  SELECT cell, list(v ORDER BY mk, id) AS vs, count(*) AS cnt
+         |  FROM a${j}_$p WHERE rn = 1 GROUP BY cell),
+         |c${j}_${p + 1} AS (
+         |  SELECT c.cell,
+         |    CASE WHEN m.cell IS NULL THEN c.cv
+         |         ELSE list_transform(
+         |           list_reduce(m.vs, (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])),
+         |           x -> x / m.cnt) END AS cv
+         |  FROM c${j}_$p c LEFT JOIN m${j}_$p m USING (cell))""".stripMargin
+    s"""s$j AS (SELECT id, mk, v[$lo:$hi] AS v FROM samp),
+       |c${j}_0 AS (SELECT cell, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY mk, id) - 1 AS cell, v AS cv
+       |    FROM s$j) t
+       |  WHERE cell < $k),
+       |${(0 until iters).map(iterCte).mkString(",\n")},
+       |ev$j AS (SELECT id, v[$lo:$hi] AS v FROM e),
+       |code$j AS (SELECT id, cell AS code FROM (
+       |    SELECT ev.id, c.cell,
+       |      row_number() OVER (PARTITION BY ev.id
+       |        ORDER BY ${l2Sql("ev.v", "c.cv")} ASC, c.cell ASC) AS rn
+       |    FROM ev$j ev, c${j}_$iters c) t WHERE rn = 1)""".stripMargin
   }
 
   /** Exact brute-force cosine top-k — shared by q31 (window-rank form) and
@@ -1312,6 +1372,39 @@ object SparkEntry {
          |FROM filt f JOIN keep USING (doc_id)
          |WHERE md5(CAST(f.doc_id AS VARCHAR)) <
          |  (CASE WHEN f.lang = 'en' THEN '$tEn' ELSE '$tDef' END)""".stripMargin
+    },
+
+    // per-subspace kmeans CTE chains replaying the PQ codebooks bit-exact,
+    // rank-1 argmin corpus codes, ADC terms per subspace joined and summed
+    // in fixed index order
+    "q66_pq_ann_topk" -> {
+      val (m, sub, k, iters) = (8, 8, 8, 2)
+      val subCtes = (0 until m).map(j => pqSubspaceCteSql(j, sub, k, iters))
+        .mkString(",\n")
+      val adcCtes = (0 until m).map { j =>
+        val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+        s"""adc$j AS (
+           |  SELECT q.q_id, cd.id, ${l2Sql(s"q.qv[$lo:$hi]", "c.cv")} AS d
+           |  FROM code$j cd JOIN c${j}_$iters c ON c.cell = cd.code, qq q
+           |  WHERE cd.id <> q.q_id)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until m).map(j => s"JOIN adc$j USING (q_id, id)").mkString(" ")
+      val distSum = (0 until m).map(j => s"adc$j.d").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |samp AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS mk FROM e
+         |  ORDER BY mk, id LIMIT 64),
+         |qq AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+         |$subCtes,
+         |$adcCtes,
+         |dist AS (
+         |  SELECT adc0.q_id, adc0.id, $distSum AS dist
+         |  FROM adc0 $joins),
+         |ranked AS (SELECT q_id, id, dist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, id ASC) AS rn
+         |  FROM dist)
+         |SELECT q_id, id, CAST(rn AS INT) AS rank, round(dist, 6) AS dist
+         |FROM ranked WHERE rn <= 10""".stripMargin
     },
 
     // kmeans CTE chain (bit-exact centroid replay, as q38) + rank-1 cell

@@ -15,6 +15,10 @@ case class DecodedMedia(media_id: Long, width: Int, height: Int,
 case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
     duration_ms: Long, rms: Seq[Double], decode_error: Boolean)
 
+/** Top-level for the same Janino-serializer reason as [[DecodedMedia]]. */
+case class DecodedFrame(media_id: Long, frame_no: Int, n_frames: Int,
+    width: Int, height: Int, histogram: Seq[Double], decode_error: Boolean)
+
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
   * payloads as opaque `binary` columns plus typed metadata, with
   * decode/feature steps shaped for batch execution.
@@ -23,11 +27,12 @@ case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
   * ship with the JDK), with pixel-accurate dimensions and a luminance
   * histogram. Audio decode is REAL for WAV/PCM: pure-JDK
   * `javax.sound.sampled` header parse + 16-bit sample decode with a
-  * per-channel RMS. Video "frames" use the container's PNG-concatenation
-  * representation (a demuxer would replace one function, not the
-  * pipeline). The Spark-side contract — schema, per-partition batch
-  * iteration, null/corrupt isolation, pure-column fast paths — is real
-  * and tested.
+  * per-channel RMS. Video demux is REAL for animated GIF — the JDK's
+  * multi-frame ImageIO reader parses the actual container
+  * ([[demuxGif]]); the MJPEG-style PNG-concatenation lane
+  * ([[sampleFrames]]) is kept as the codec-agnostic byte-scan variant.
+  * The Spark-side contract — schema, per-partition batch iteration,
+  * null/corrupt isolation, pure-column fast paths — is real and tested.
   *
   * Scale notes: media payloads dominate row size. Keep them in their own
   * table keyed by content hash (dedup joins stay narrow), filter/join on
@@ -67,6 +72,13 @@ object Multimodal {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     if (img == null)
       throw new IllegalArgumentException("unrecognized image format")
+    lumHistogram(img)
+  }
+
+  /** Pixel-accurate dims + 8-bin luminance histogram (integer Rec.601
+    * weights — bit-deterministic across platforms for lossless formats). */
+  private def lumHistogram(
+      img: java.awt.image.BufferedImage): (Int, Int, Array[Double]) = {
     val (w, h) = (img.getWidth, img.getHeight)
     val counts = new Array[Long](8)
     var y = 0
@@ -83,6 +95,38 @@ object Multimodal {
     }
     val total = w.toLong * h
     (w, h, counts.map(_.toDouble / total))
+  }
+
+  /** REAL container demux: animated GIF via the JDK's own ImageIO GIF
+    * reader (multi-frame container support ships with the JDK — no fake
+    * byte-scan here). Returns `n` evenly spaced decoded frames as
+    * (frame_no, total_frames, width, height, luminance histogram).
+    * Throws on null/unparseable payloads — callers isolate.
+    */
+  def demuxGif(content: Array[Byte], n: Int): Seq[(Int, Int, Int, Int, Array[Double])] = {
+    if (content == null || content.length == 0 || n <= 0)
+      throw new IllegalArgumentException("corrupt media payload")
+    val iis = javax.imageio.ImageIO
+      .createImageInputStream(new java.io.ByteArrayInputStream(content))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext)
+      throw new IllegalArgumentException("unrecognized container format")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val total = reader.getNumImages(true)
+      if (total <= 0) throw new IllegalArgumentException("no frames")
+      val take = math.min(n, total)
+      // evenly spaced frame indices, deterministic (first frame always kept)
+      (0 until take).map { k =>
+        val f = (k.toLong * total / take).toInt
+        val (w, h, hist) = lumHistogram(reader.read(f))
+        (f, total, w, h, hist)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   private val PngSignature: Array[Byte] =
@@ -209,6 +253,29 @@ object Multimodal {
       .toDF()
   }
 
+  /** GIF demux + per-frame feature stage: one row per sampled frame with
+    * decoded dims and luminance histogram; corrupt payloads isolate to a
+    * single flagged row (same R4 contract as [[decodeImages]]). */
+  def decodeGifFrames(media: DataFrame, framesPerVideo: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          try demuxGif(bytes, framesPerVideo).map {
+            case (f, total, w, h, hist) =>
+              DecodedFrame(id, f, total, w, h, hist.toSeq, decode_error = false)
+          } catch {
+            case _: Exception =>
+              Seq(DecodedFrame(id, -1, -1, -1, -1, Seq.empty, decode_error = true))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Video path: explode sampled frames into one row per frame, preserving
     * pruning (only media_id + content are read). */
   def explodeFrames(media: DataFrame, framesPerVideo: Int): DataFrame = {
@@ -280,6 +347,60 @@ object Multimodal {
         else syntheticWav(i, rates(i % 4), 1 + (i % 2), 500 + (i * 37) % 3000)
       (i.toLong, "audio", if (i % 9 == 8) "application/octet-stream"
         else "audio/wav", bytes)
+    }.toDF("media_id", "kind", "mime", "content")
+  }
+
+  /** One deterministic animated GIF: `nFrames` frames of seeded grayscale
+    * pixels drawn from 8 levels (v = k*36, one per luminance bin — R=G=B so
+    * Rec.601 luminance == v exactly and GIF's 256-color palette encodes the
+    * 8 levels losslessly; the decoded histogram is exact, not
+    * quantizer-dependent). Written with the JDK's ImageIO GIF sequence
+    * writer — a real multi-frame container, parseable by any GIF decoder. */
+  private[graft] def syntheticGif(seed: Int, w: Int, h: Int,
+      nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val rnd = new scala.util.Random(seed)
+      (0 until nFrames).foreach { _ =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = rnd.nextInt(8) * 36
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic animated-GIF table: real multi-frame GIFs with
+    * varying dims/frame counts, plus corrupt payloads (every 9th row) so
+    * the demux stage's isolation path is always exercised. */
+  def syntheticGifMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val bytes =
+        if (i % 9 == 8) Array.fill(64 + i)((i * 17).toByte) // not a GIF
+        else syntheticGif(i, 8 + (i % 16), 8 + ((i * 5) % 16), 2 + (i % 7))
+      (i.toLong, "video", if (i % 9 == 8) "application/octet-stream"
+        else "image/gif", bytes)
     }.toDF("media_id", "kind", "mime", "content")
   }
 

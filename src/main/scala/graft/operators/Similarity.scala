@@ -284,6 +284,128 @@ object Similarity {
       .select(col("q_id"), col("id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  // ---- product quantization (PQ / ADC) ---------------------------------
+
+  private def l2S(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    var acc = { val d = a(0) - b(0); d * d }
+    var i = 1
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Per-subspace PQ codebooks (Jégou et al. '11): split the vector into
+    * `m` contiguous subspaces and run the SAME deterministic sampled Lloyd
+    * procedure as [[kmeansCentroids]] on each slice, with squared-L2
+    * assignment (argmin, ties → lowest cell) — every arithmetic step
+    * order-pinned so an oracle can replay the codebooks bit-exact.
+    * One bounded sample collect serves all subspaces.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      sampleSize: Int = 64,
+      iters: Int = 2): Array[Array[(Int, Seq[Double])]] = {
+    val samp: Array[IndexedSeq[Double]] = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), col("v"), md5(col("id").cast("string")).as("mk"))
+      .orderBy(col("mk"), col("id")).limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toIndexedSeq)
+    require(samp.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = samp.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      val slices = samp.map(v => v.slice(j * sub, (j + 1) * sub))
+      val kk = math.min(k, slices.length)
+      var cents: IndexedSeq[IndexedSeq[Double]] = slices.take(kk).toIndexedSeq
+      (0 until iters).foreach { _ =>
+        val assigned = slices.map { v =>
+          var best = 0; var bestD = l2S(v, cents(0)); var c = 1
+          while (c < kk) {
+            val d = l2S(v, cents(c))
+            if (d < bestD) { best = c; bestD = d } // strict < : ties keep low cell
+            c += 1
+          }
+          best
+        }
+        cents = (0 until kk).map { cell =>
+          val members = slices.indices.filter(assigned(_) == cell).map(slices(_))
+          if (members.isEmpty) cents(cell)
+          else {
+            var acc = members.head
+            members.iterator.drop(1).foreach { mem =>
+              acc = acc.indices.map(i => acc(i) + mem(i))
+            }
+            acc.map(_ / members.size)
+          }
+        }
+      }
+      cents.zipWithIndex.map { case (cv, i) => (i, cv: Seq[Double]) }.toArray
+    }
+  }
+
+  /** Squared-L2 column fold between two equal-length double arrays. */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ-ANN top-k with asymmetric distance computation: encode every corpus
+    * vector as `m` one-byte codes (argmin squared-L2 to its subspace
+    * codebook — a pure scan-stage expression, the corpus is never shuffled
+    * for encoding), then score each (query, doc) pair as the sum over
+    * subspaces of the squared-L2 between the query's sub-vector and the
+    * doc's ASSIGNED CENTROID (codebook lookup — the docs' raw vectors are
+    * never touched again, which is the entire point of PQ: at 100 TB the
+    * scored relation carries m bytes per doc, not the full vector).
+    *
+    * Distances are summed over subspaces in fixed index order (pivoted
+    * columns, engine-portable); ranked ascending with id tiebreak.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      codebookSize: Int = 8): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize)
+    val sub = books(0)(0)._2.length
+    def litVec(p: Seq[Double]) = array(p.map(lit(_)): _*)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // per-subspace distance columns first (same quadratic-codegen dodge as
+    // assignCells), then argmin = first position of the min
+    val withDists = c.select(
+      col("id") +: col("v") +:
+        (for (j <- 0 until m; (cell, cv) <- books(j)) yield
+          l2(slice(col("v"), j * sub + 1, sub), litVec(cv))
+            .as(s"__d${j}_$cell")): _*)
+    val codes = withDists.select(
+      col("id") +:
+        (0 until m).map { j =>
+          val dArr = array(books(j).map { case (cell, _) => col(s"__d${j}_$cell") }: _*)
+          (array_position(dArr, array_min(dArr)) - 1).cast("int").as(s"code_$j")
+        }: _*)
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+    // ADC: element_at into the codebook literal per subspace
+    val scored = codes.join(broadcast(q), col("id") =!= col("q_id"))
+      .select(col("q_id") +: col("id") +:
+        (0 until m).map { j =>
+          val bookLit = array(books(j).map { case (_, cv) => litVec(cv) }: _*)
+          l2(slice(col("qv"), j * sub + 1, sub),
+            element_at(bookLit, col(s"code_$j") + 1)).as(s"__adc_$j")
+        }: _*)
+      .select(col("q_id") +: col("id") +:
+        Seq((0 until m).map(j => col(s"__adc_$j")).reduce(_ + _).as("dist")): _*)
+    Windows.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("dist").asc, col("id").asc), k, "rank")
+      .select(col("q_id"), col("id"), col("rank"), round(col("dist"), 6).as("dist"))
+  }
+
   /** SemDeDup (Abbas et al. '23): semantic deduplication by embedding —
     * k-means-cluster the corpus embeddings, then inside each cluster drop
     * every vector that has cosine ≥ `threshold` with a lower-id vector

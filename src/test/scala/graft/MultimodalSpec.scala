@@ -104,6 +104,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(decoded.exceptAll(again).count() === 0)
   }
 
+  test("GIF demux reads true frame count, dims, and exact 8-level histograms") {
+    // 5 frames of 12×10 grayscale pixels at the 8 bin-center levels
+    val gif = Multimodal.syntheticGif(seed = 3, w = 12, h = 10, nFrames = 5)
+    val all = Multimodal.demuxGif(gif, 100)
+    assert(all.length === 5)
+    assert(all.map(_._1) === Seq(0, 1, 2, 3, 4)) // frame_no
+    assert(all.forall(f => f._2 === 5 && f._3 === 12 && f._4 === 10))
+    all.foreach { case (_, _, w, h, hist) =>
+      assert(math.abs(hist.sum - 1.0) < 1e-9)
+      // every mass sits on a multiple of 1/(w*h): palette round-trip exact
+      hist.foreach(p => assert(math.abs(p * w * h - (p * w * h).round) < 1e-6))
+    }
+    // evenly spaced sampling: 5 frames, take 2 → frames 0 and 2
+    assert(Multimodal.demuxGif(gif, 2).map(_._1) === Seq(0, 2))
+  }
+
+  test("GIF demux stage isolates corrupt payloads and is deterministic") {
+    val media = Multimodal.syntheticGifMedia(spark, 27) // ids 8, 17, 26 corrupt
+    val decoded = Multimodal.decodeGifFrames(media, 3).cache()
+    val bad = decoded.filter($"decode_error")
+      .collect().map(_.getAs[Long]("media_id")).sorted
+    assert(bad.toSeq === Seq(8L, 17L, 26L))
+    val ok = decoded.filter(!$"decode_error")
+    // every non-corrupt video yields min(3, nFrames) frames
+    val perVideo = ok.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 27).filter(_ % 9 != 8).foreach { i =>
+      assert(perVideo(i.toLong) === math.min(3, 2 + (i % 7)).toLong, s"id $i")
+    }
+    val again = Multimodal.decodeGifFrames(media, 3)
+    assert(decoded.exceptAll(again).count() === 0)
+  }
+
   test("content fingerprint dedups identical payloads") {
     val m = Multimodal.syntheticMedia(spark, 5)
     val dup = m.union(m.limit(2))

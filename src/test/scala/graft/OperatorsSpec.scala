@@ -366,6 +366,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out === Map(10L -> 1, 11L -> 0, 12L -> 1, 13L -> 0, 14L -> 1))
   }
 
+  test("pq codes: identical vectors share codes; self-query ranks its dup first") {
+    val base = Array.tabulate(8)(i => i.toFloat / 8f)
+    val e = Seq(
+      (0L, base), (1L, base), // exact duplicates
+      (2L, base.map(x => 1f - x)),
+      (3L, base.map(x => x * 3f + 1f)),
+      (4L, base.map(x => -x))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(e, e.filter($"vec_id" === 0), "vec_id",
+      "embedding", 4, m = 4, codebookSize = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // vec 1 is bit-identical to the query → same codes → ADC dist of rank 1
+    // is the query's own quantization error, strictly minimal
+    assert(top.head._1 === 1L)
+    assert(top.map(_._2).toSeq === Seq(1, 2, 3, 4))
+    assert(top.forall(_._3 >= 0.0))
+  }
+
   test("language ID votes on stopword profile") {
     val d = Seq(
       (1L, "the cat sat on a mat and it is warm"),

@@ -563,6 +563,21 @@ object SparkEntry {
         pairs, "id_a", "id_b")
     }),
 
+    // Corpus vocabulary: top-50 word 2-grams by occurrence count (vocab /
+    // BPE-seed / stop-shingle statistics pass). Two-level agg, TakeOrdered.
+    "q67_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.topNgrams(T(s, dir, "documents"), "doc_id", "text", 2, 50)),
+
+    // Sliding (hopping) windows: 30-min windows every 10 min — each event
+    // lands in exactly 3 windows; same agg contract as q20's tumbling.
+    "q68_sliding_window" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "1800 seconds", "600 seconds"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))),
+
     // PQ-ANN: product-quantization codes + asymmetric-distance top-k (the
     // FAISS PQ scan shape — corpus vectors replaced by m codebook codes).
     "q66_pq_ann_topk" -> ((s, dir) => {
@@ -1373,6 +1388,32 @@ object SparkEntry {
          |WHERE md5(CAST(f.doc_id AS VARCHAR)) <
          |  (CASE WHEN f.lang = 'en' THEN '$tEn' ELSE '$tDef' END)""".stripMargin
     },
+
+    // q57's non-distinct 2-gram CTE rolled up to corpus vocabulary
+    "q67_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |g2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN array_to_string(t[i:i+1], ' ')
+        |         ELSE array_to_string(t, ' ') END AS shingle
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t), 2))) AS i) r),
+        |pc AS (SELECT doc_id, shingle, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |vocab AS (SELECT shingle, CAST(sum(c) AS BIGINT) AS occurrences,
+        |    count(*) AS doc_freq FROM pc GROUP BY 1),
+        |ranked AS (SELECT shingle, occurrences, doc_freq,
+        |    row_number() OVER (ORDER BY occurrences DESC, shingle ASC) AS rn
+        |  FROM vocab)
+        |SELECT shingle, occurrences, doc_freq, CAST(rn AS INT) AS rank
+        |FROM ranked WHERE rn <= 50""".stripMargin,
+
+    // every event belongs to exactly 3 hops (o = 0, 1, 2): the 10-min
+    // floor-aligned start minus o slides; same epoch arithmetic as q20
+    "q68_sliding_window" ->
+      """WITH offs AS (SELECT unnest(range(0, 3)) AS o)
+        |SELECT CAST(floor(epoch(ts) / 600) * 600 - o * 600 AS BIGINT) AS win_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events, offs GROUP BY 1, 2""".stripMargin,
 
     // per-subspace kmeans CTE chains replaying the PQ codebooks bit-exact,
     // rank-1 argmin corpus codes, ADC terms per subspace joined and summed

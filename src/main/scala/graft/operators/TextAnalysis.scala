@@ -122,6 +122,34 @@ object TextAnalysis {
     perTerm.select(col(idCol), total.as("score"))
   }
 
+  /** Corpus vocabulary statistics: the `k` most frequent word n-grams with
+    * occurrence and document-frequency counts — the first pass of any
+    * vocab/BPE-seed build and the input to stop-shingle selection.
+    *
+    * Shape at 100 TB: two-level aggregation — (doc, shingle) partial counts
+    * first (map-side combinable; bounds any single reducer key by the
+    * per-doc count, not the corpus count), then the shingle rollup; the
+    * final top-k is a TakeOrdered over the aggregated vocabulary, never a
+    * global sort of the corpus.
+    */
+  def topNgrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int): DataFrame = {
+    val perDoc = Dedup.shingleRows(df, idCol, textCol, n)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("c"))
+    val vocab = perDoc.groupBy(col("shingle")).agg(
+      sum(col("c")).as("occurrences"),
+      count(lit(1)).as("doc_freq"))
+    val top = vocab
+      .orderBy(col("occurrences").desc, col("shingle").asc).limit(k)
+    Windows.topKPerGroup(top, Seq(lit(1)),
+      Seq(col("occurrences").desc, col("shingle").asc), k, "rank")
+      .select(col("shingle"), col("occurrences"), col("doc_freq"), col("rank"))
+  }
+
   /** Gopher-style intra-document repetition metrics (the Rae et al. 2021
     * repetition filters, the standard web-corpus quality gate alongside
     * [[qualityScore]]):

@@ -384,6 +384,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(top.forall(_._3 >= 0.0))
   }
 
+  test("topNgrams counts occurrences vs doc-freq and ranks deterministically") {
+    val d = Seq(
+      (1L, "a b a b c"), // 2-grams: "a b"×2, "b a", "b c"
+      (2L, "a b x"), // "a b", "b x"
+      (3L, "solo") // short doc → whole-sequence shingle "solo"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(d, "doc_id", "text", 2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === Seq(
+      ("a b", 3L, 2L, 1), // 3 occurrences across 2 docs
+      ("b a", 1L, 1L, 2), // ties broken by shingle asc
+      ("b c", 1L, 1L, 3)))
+  }
+
   test("language ID votes on stopword profile") {
     val d = Seq(
       (1L, "the cat sat on a mat and it is warm"),

@@ -59,6 +59,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Join"), "bin equi-join missing")
   }
 
+  test("q66: PQ encoding is scan-stage only — one shuffle in the whole plan") {
+    // The corpus must never shuffle for encoding or scoring: the only
+    // hash-partitioned Exchange allowed is the final per-query ranked
+    // window; the query side arrives via BroadcastExchange.
+    val p = plan("q66_pq_ann_topk")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected ≤1 hash Exchange, got $shuffles:\n${p.take(800)}")
+    assert(p.contains("BroadcastExchange"), "query side should broadcast")
+  }
+
+  test("q67: vocab agg is partial+final with a bounded TakeOrdered top-k") {
+    val p = plan("q67_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "expected map-side partial aggregation")
+  }
+
   test("media decode encoder compiles (no interpreted fallback)") {
     // round 1: a private object-nested case class made the encoder's
     // generated serializer fail Janino compilation, silently dropping the

@@ -563,6 +563,11 @@ object SparkEntry {
         pairs, "id_a", "id_b")
     }),
 
+    // RAG-style token chunking: 32-token windows every 24 tokens (8-token
+    // overlap), scan-stage only.
+    "q69_token_chunks" -> ((s, dir) =>
+      TextAnalysis.tokenChunks(T(s, dir, "documents"), "doc_id", "text", 32, 24)),
+
     // Corpus vocabulary: top-50 word 2-grams by occurrence count (vocab /
     // BPE-seed / stop-shingle statistics pass). Two-level agg, TakeOrdered.
     "q67_vocab_topk" -> ((s, dir) =>
@@ -1388,6 +1393,20 @@ object SparkEntry {
          |WHERE md5(CAST(f.doc_id AS VARCHAR)) <
          |  (CASE WHEN f.lang = 'en' THEN '$tEn' ELSE '$tDef' END)""".stripMargin
     },
+
+    // chunk starts re-derived arithmetically: floor((n-1)/step)+1 windows,
+    // slice clamps at the tail in both engines
+    "q69_token_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |st AS (SELECT doc_id, t, CAST(len(t) AS INT) AS n FROM toks),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_no, CAST(i * 24 AS INT) AS start, t, n
+        |  FROM st, LATERAL (SELECT unnest(range(0, (n - 1) // 24 + 1)) AS i) r)
+        |SELECT doc_id, chunk_no,
+        |  array_to_string(t[start + 1 : start + 32], ' ') AS chunk,
+        |  least(32, n - start) AS chunk_tokens
+        |FROM ch""".stripMargin,
 
     // q57's non-distinct 2-gram CTE rolled up to corpus vocabulary
     "q67_vocab_topk" ->

@@ -122,6 +122,37 @@ object TextAnalysis {
     perTerm.select(col(idCol), total.as("score"))
   }
 
+  /** Fixed-size token chunking with overlap — the RAG-indexing /
+    * context-packing primitive (complementing content-defined rolling-hash
+    * chunking in [[graft.functions.RollingHashChunks]], which is
+    * boundary-stable under edits but not SQL-expressible): windows of
+    * `size` tokens starting every `step` tokens, last partial window kept
+    * iff it adds new tokens (start < n_tokens), short docs yield exactly
+    * one chunk.
+    *
+    * Pure codegen'd expressions (tokens → `sequence` of starts → explode →
+    * `slice`): per-document scan-stage work, zero shuffles at any corpus
+    * size.
+    */
+  def tokenChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      step: Int): DataFrame = {
+    require(size >= 1 && step >= 1 && step <= size,
+      s"need 1 <= step <= size, got size=$size step=$step")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("t"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("t")))
+    // 0-based chunk starts: 0, step, 2*step, … strictly below n
+    val starts = sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(step))
+    toks.select(col(idCol), col("t"), col("n"),
+        posexplode(starts).as(Seq("chunk_no", "start")))
+      .select(col(idCol), col("chunk_no"),
+        concat_ws(" ", slice(col("t"), col("start") + 1, lit(size))).as("chunk"),
+        least(lit(size), col("n") - col("start")).as("chunk_tokens"))
+  }
+
   /** Corpus vocabulary statistics: the `k` most frequent word n-grams with
     * occurrence and document-frequency counts — the first pass of any
     * vocab/BPE-seed build and the input to stop-shingle selection.

@@ -398,6 +398,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       ("b c", 1L, 1L, 3)))
   }
 
+  test("tokenChunks: overlap, tail clamp, and short-doc single chunk") {
+    val d = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens, size 4 step 3 → starts 0,3,6
+      (2L, "a b") // short → one chunk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenChunks(d, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      (1L, 0, "t0 t1 t2 t3", 4),
+      (1L, 1, "t3 t4 t5 t6", 4), // 1-token overlap at each boundary
+      (1L, 2, "t6", 1), // tail clamp
+      (2L, 0, "a b", 2)))
+  }
+
   test("language ID votes on stopword profile") {
     val d = Seq(
       (1L, "the cat sat on a mat and it is warm"),

@@ -563,6 +563,21 @@ object SparkEntry {
         pairs, "id_a", "id_b")
     }),
 
+    // Trailing time-RANGE window: per-user rolling 1-hour count/sum at
+    // every event — the RANGE-frame analytic family (q19/q40 cover ROWS
+    // frames). Peer rows (equal ts) share a frame in both engines.
+    "q70_trailing_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      T(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 2).as("sum_1h"))
+    }),
+
     // RAG-style token chunking: 32-token windows every 24 tokens (8-token
     // overlap), scan-stage only.
     "q69_token_chunks" -> ((s, dir) =>
@@ -1393,6 +1408,15 @@ object SparkEntry {
          |WHERE md5(CAST(f.doc_id AS VARCHAR)) <
          |  (CASE WHEN f.lang = 'en' THEN '$tEn' ELSE '$tDef' END)""".stripMargin
     },
+
+    // the same µs-precision RANGE frame stated directly
+    "q70_trailing_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | count(*) OVER w AS n_1h,
+        | round(sum(value) OVER w, 2) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // chunk starts re-derived arithmetically: floor((n-1)/step)+1 windows,
     // slice clamps at the tail in both engines

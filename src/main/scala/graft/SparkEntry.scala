@@ -722,6 +722,17 @@ object SparkEntry {
           col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value")))),
 
+    // Streaming sliding windows: q68's hopping aggregation as a real
+    // watermarked stream (append + file sink + AvailableNow, like q35);
+    // only hops the watermark has closed are emitted.
+    "q71_streaming_sliding" -> ((s, dir) =>
+      streamToParquet(s, graft.streaming.EventStreams
+        .slidingCounts(eventFileStream(s, dir), "30 minutes", "10 minutes",
+          "30 minutes")
+        .select(unix_timestamp(col("win_start")).as("win_start"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value")))),
+
     // Streaming exactly-once dedup: the event stream unioned with itself
     // (every event delivered twice — the at-least-once shape) must come out
     // exactly once. Single AvailableNow batch over the bounded file, so no
@@ -1408,6 +1419,17 @@ object SparkEntry {
          |WHERE md5(CAST(f.doc_id AS VARCHAR)) <
          |  (CASE WHEN f.lang = 'en' THEN '$tEn' ELSE '$tDef' END)""".stripMargin
     },
+
+    // q68's hop arithmetic + q35's watermark horizon: append mode emits a
+    // hop only once the watermark (max ts - 30 min) passes its END
+    "q71_streaming_sliding" ->
+      """WITH offs AS (SELECT unnest(range(0, 3)) AS o),
+        |w AS (
+        |  SELECT CAST(floor(epoch(ts) / 600) * 600 - o * 600 AS BIGINT) AS win_start,
+        |    event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |  FROM events, offs GROUP BY 1, 2),
+        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events)
+        |SELECT w.* FROM w, wm WHERE (w.win_start + 1800) * 1000 <= wm_ms""".stripMargin,
 
     // the same µs-precision RANGE frame stated directly
     "q70_trailing_window" ->

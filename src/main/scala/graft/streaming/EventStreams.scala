@@ -33,6 +33,23 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding (hopping) event-time counts: every event contributes to
+    * `width / slide` overlapping windows. State grows by that same factor
+    * versus [[tumblingCounts]] but stays bounded by the watermark horizon —
+    * eviction closes each hop when the watermark passes its end, exactly as
+    * for tumbling windows. */
+  def slidingCounts(
+      events: DataFrame,
+      width: String = "30 minutes",
+      slide: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming exactly-once dedup: `dropDuplicatesWithinWatermark` on the
     * event key — the streaming analogue of [[graft.operators.Dedup.exact]]
     * for at-least-once ingestion (replayed batches, retried producers).

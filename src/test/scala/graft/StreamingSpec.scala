@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       ("2024-01-01 00:10:00.0", "view", 1L, 8.0)))
   }
 
+  test("sliding windows emit only watermark-closed hops across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.slidingCounts(df, "30 minutes", "10 minutes", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sliding_out").start()
+    // event at 00:25 → hops starting 00:00, 00:10, 00:20
+    mem.addData((Timestamp.valueOf("2024-01-01 00:25:00"), "click", 1.0))
+    q.processAllAvailable()
+    // advance the watermark to 01:20 − 10 min = 01:10: all three hops
+    // (ends 00:30/00:40/00:50) close; the new event's own hops stay open
+    mem.addData((Timestamp.valueOf("2024-01-01 01:20:00"), "view", 2.0))
+    q.processAllAvailable()
+    val out = spark.table("sliding_out")
+      .collect().map(r => (r.getAs[Timestamp]("win_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    q.stop()
+    assert(out === Set(
+      ("2024-01-01 00:00:00.0", "click", 1L),
+      ("2024-01-01 00:10:00.0", "click", 1L),
+      ("2024-01-01 00:20:00.0", "click", 1L)))
+  }
+
   test("streaming dedup suppresses duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]

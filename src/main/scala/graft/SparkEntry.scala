@@ -563,6 +563,13 @@ object SparkEntry {
         pairs, "id_a", "id_b")
     }),
 
+    // Deterministic epoch shuffle: content-independent per-epoch order
+    // keys, hex-digit shards, dense in-shard positions — the reproducible
+    // training-data ordering pass (no rand(), identical on any cluster).
+    "q72_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(T(s, dir, "documents").select(col("doc_id")),
+        "doc_id", nEpochs = 2, nShards = 4)),
+
     // Trailing time-RANGE window: per-user rolling 1-hour count/sum at
     // every event — the RANGE-frame analytic family (q19/q40 cover ROWS
     // frames). Peer rows (equal ts) share a frame in both engines.
@@ -1430,6 +1437,20 @@ object SparkEntry {
         |  FROM events, offs GROUP BY 1, 2),
         |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events)
         |SELECT w.* FROM w, wm WHERE (w.win_start + 1800) * 1000 <= wm_ms""".stripMargin,
+
+    // the same md5 keys re-derived; shard via the strpos hex-digit decode
+    // (SimHash-oracle precedent), positions by (key, id) rank per shard
+    "q72_epoch_shuffle" ->
+      """WITH ep AS (SELECT CAST(unnest(range(0, 2)) AS INT) AS epoch),
+        |k AS (SELECT epoch, doc_id, md5(concat(epoch, ':', doc_id)) AS k
+        |  FROM documents, ep),
+        |s AS (SELECT epoch, doc_id, k,
+        |    CAST((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) % 4 AS INT) AS shard
+        |  FROM k)
+        |SELECT epoch, doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id) - 1
+        |    AS INT) AS pos
+        |FROM s""".stripMargin,
 
     // the same µs-precision RANGE frame stated directly
     "q70_trailing_window" ->

@@ -123,4 +123,40 @@ object Sampling {
       }
       .toDF(strataCol, idCol, "sample_rank")
   }
+
+  /** Deterministic per-epoch corpus shuffle for training runs: every
+    * (epoch, doc) gets a content-independent pseudo-random order key
+    * (`md5(epoch:id)`), a shard from the key's first hex digit (uniform
+    * over 16 values → `nShards` must divide 16 for exact balance), and a
+    * dense position within its (epoch, shard) in key order. Re-running any
+    * epoch reproduces the identical order on any cluster — no RNG state,
+    * no `rand()`.
+    *
+    * Scale shape: the shard assignment is a pure scan-stage expression;
+    * the per-(epoch, shard) `row_number` sorts only one shard's keys per
+    * reducer (the shuffle is keyed by (epoch, shard), so sort width is
+    * corpus / (epochs × shards)) — never a global sort. A production
+    * writer would emit one file per (epoch, shard) sorted by the same key;
+    * the positions here are exactly that file order.
+    */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      nEpochs: Int,
+      nShards: Int): DataFrame = {
+    require(nEpochs >= 1 && nShards >= 1 && 16 % nShards == 0,
+      s"nShards must divide 16 for uniform hex-digit sharding, got $nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val epochs = broadcast((0 until nEpochs).toDF("epoch"))
+    val keyed = df.crossJoin(epochs)
+      .withColumn("k", md5(concat_ws(":", col("epoch"), col(idCol))))
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 1), 16, 10).cast("int") % nShards)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("k"), col(idCol))
+    keyed.select(col("epoch"), col(idCol), col("shard"),
+      (row_number().over(w) - 1).as("pos"))
+  }
 }

@@ -563,6 +563,24 @@ object SparkEntry {
         pairs, "id_a", "id_b")
     }),
 
+    // Dynamic quantile-threshold filter: docs inside the global
+    // [p05, p95] length band (outlier trim before training) — exact
+    // percentiles computed once (1-row agg), broadcast back over the scan.
+    // Thresholds rounded to 3dp on both sides (q43-proven parity) so the
+    // integer n_chars comparisons can never straddle an engine ulp.
+    "q73_length_band" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val thr = docs.agg(
+        round(percentile(col("n_chars"), lit(0.05)), 3).as("lo"),
+        round(percentile(col("n_chars"), lit(0.95)), 3).as("hi"))
+      docs.crossJoin(broadcast(thr))
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+
     // Deterministic epoch shuffle: content-independent per-epoch order
     // keys, hex-digit shards, dense in-shard positions — the reproducible
     // training-data ordering pass (no rand(), identical on any cluster).
@@ -1437,6 +1455,15 @@ object SparkEntry {
         |  FROM events, offs GROUP BY 1, 2),
         |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events)
         |SELECT w.* FROM w, wm WHERE (w.win_start + 1800) * 1000 <= wm_ms""".stripMargin,
+
+    // same band stated with quantile_cont (q43's proven percentile pairing)
+    "q73_length_band" ->
+      """WITH thr AS (SELECT round(quantile_cont(n_chars, 0.05), 3) AS lo,
+        |    round(quantile_cont(n_chars, 0.95), 3) AS hi FROM documents)
+        |SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+        | max(n_chars) AS max_chars
+        |FROM documents, thr WHERE n_chars >= lo AND n_chars <= hi
+        |GROUP BY 1""".stripMargin,
 
     // the same md5 keys re-derived; shard via the strpos hex-digit decode
     // (SimHash-oracle precedent), positions by (key, id) rank per shard

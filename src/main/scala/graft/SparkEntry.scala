@@ -563,6 +563,18 @@ object SparkEntry {
         pairs, "id_a", "id_b")
     }),
 
+    // Per-label embedding centroids in long form: posexplode to
+    // (label, dim) and aggregate — the vector-mean family without any
+    // order-sensitive array fold (per-dim sums are scalar aggregates;
+    // means rounded to 6dp since partition-order float addition differs
+    // from the oracle's by ~1e-15 relative).
+    "q74_label_centroids" -> ((s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("label"), posexplode(Similarity.asDouble(col("embedding")))
+          .as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), round(avg(col("x")), 6).as("mean"))),
+
     // Dynamic quantile-threshold filter: docs inside the global
     // [p05, p95] length band (outlier trim before training) — exact
     // percentiles computed once (1-row agg), broadcast back over the scan.
@@ -1455,6 +1467,14 @@ object SparkEntry {
         |  FROM events, offs GROUP BY 1, 2),
         |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events)
         |SELECT w.* FROM w, wm WHERE (w.win_start + 1800) * 1000 <= wm_ms""".stripMargin,
+
+    // 1-based index lateral + list element access; i-1 matches posexplode
+    "q74_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim, count(*) AS n,
+        | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+        |FROM embeddings,
+        | LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r
+        |GROUP BY 1, 2""".stripMargin,
 
     // same band stated with quantile_cont (q43's proven percentile pairing)
     "q73_length_band" ->

@@ -1508,15 +1508,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
-    // chunk starts re-derived arithmetically: floor((n-1)/step)+1 windows,
-    // slice clamps at the tail in both engines
+    // chunk starts re-derived arithmetically: 1 + max(0, ceil((n-32)/24))
+    // windows (last window = first to reach the final token, so no chunk
+    // duplicates its predecessor); slice clamps at the tail in both engines
     "q69_token_chunks" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
         |st AS (SELECT doc_id, t, CAST(len(t) AS INT) AS n FROM toks),
         |ch AS (
         |  SELECT doc_id, CAST(i AS INT) AS chunk_no, CAST(i * 24 AS INT) AS start, t, n
-        |  FROM st, LATERAL (SELECT unnest(range(0, (n - 1) // 24 + 1)) AS i) r)
+        |  FROM st, LATERAL (SELECT unnest(range(0,
+        |    greatest(n - 32 + 23, 0) // 24 + 1)) AS i) r)
         |SELECT doc_id, chunk_no,
         |  array_to_string(t[start + 1 : start + 32], ' ') AS chunk,
         |  least(32, n - start) AS chunk_tokens

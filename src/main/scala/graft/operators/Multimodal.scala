@@ -97,36 +97,109 @@ object Multimodal {
     (w, h, counts.map(_.toDouble / total))
   }
 
+  /** (x offset, y offset, disposal) of one GIF frame from its ImageIO
+    * metadata tree. Disposal: 0/1 = leave, 2 = restore to background,
+    * 3 = restore to previous. */
+  private def gifFrameMeta(
+      md: javax.imageio.metadata.IIOMetadata): (Int, Int, Int) = {
+    val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[org.w3c.dom.Element]
+    var (x, y, disp) = (0, 0, 0)
+    val kids = tree.getChildNodes
+    (0 until kids.getLength).foreach { i =>
+      val node = kids.item(i)
+      def attr(name: String): String = {
+        val a = node.getAttributes.getNamedItem(name)
+        if (a == null) "" else a.getNodeValue
+      }
+      node.getNodeName match {
+        case "ImageDescriptor" =>
+          x = attr("imageLeftPosition").toIntOption.getOrElse(0)
+          y = attr("imageTopPosition").toIntOption.getOrElse(0)
+        case "GraphicControlExtension" =>
+          disp = attr("disposalMethod") match {
+            case "restoreToBackgroundColor" => 2
+            case "restoreToPrevious" => 3
+            case _ => 0
+          }
+        case _ =>
+      }
+    }
+    (x, y, disp)
+  }
+
   /** REAL container demux: animated GIF via the JDK's own ImageIO GIF
     * reader (multi-frame container support ships with the JDK — no fake
-    * byte-scan here). Returns `n` evenly spaced decoded frames as
-    * (frame_no, total_frames, width, height, luminance histogram).
-    * Throws on null/unparseable payloads — callers isolate.
+    * byte-scan here). Frames are COMPOSITED the way a GIF renderer does —
+    * each raw raster drawn at its (left, top) offset onto the logical
+    * screen, honoring none/doNotDispose and restore-to-background
+    * disposal (restore-to-previous is approximated as doNotDispose) — so
+    * dirty-rect-optimized GIFs yield full displayed frames, not patch
+    * rasters. Returns `n` evenly spaced frames as (frame_no,
+    * total_frames, width, height, luminance histogram); sampling a late
+    * frame still decodes its predecessors, the inherent cost of
+    * delta-coded containers. Throws on null/unparseable payloads —
+    * callers isolate.
     */
   def demuxGif(content: Array[Byte], n: Int): Seq[(Int, Int, Int, Int, Array[Double])] = {
     if (content == null || content.length == 0 || n <= 0)
       throw new IllegalArgumentException("corrupt media payload")
     val iis = javax.imageio.ImageIO
       .createImageInputStream(new java.io.ByteArrayInputStream(content))
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    if (!readers.hasNext)
-      throw new IllegalArgumentException("unrecognized container format")
-    val reader = readers.next()
     try {
-      reader.setInput(iis)
-      val total = reader.getNumImages(true)
-      if (total <= 0) throw new IllegalArgumentException("no frames")
-      val take = math.min(n, total)
-      // evenly spaced frame indices, deterministic (first frame always kept)
-      (0 until take).map { k =>
-        val f = (k.toLong * total / take).toInt
-        val (w, h, hist) = lumHistogram(reader.read(f))
-        (f, total, w, h, hist)
-      }
-    } finally {
-      reader.dispose()
-      iis.close()
-    }
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException("unrecognized container format")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val total = reader.getNumImages(true)
+        if (total <= 0) throw new IllegalArgumentException("no frames")
+        val take = math.min(n, total)
+        // evenly spaced frame indices, deterministic (first frame kept)
+        val sampled = (0 until take).map(k => (k.toLong * total / take).toInt)
+        // logical screen from the stream metadata; fall back to frame 0
+        val screen = Option(reader.getStreamMetadata).flatMap { smd =>
+          val tree = smd.getAsTree("javax_imageio_gif_stream_1.0")
+            .asInstanceOf[org.w3c.dom.Element]
+          val ds = tree.getElementsByTagName("LogicalScreenDescriptor")
+          if (ds.getLength == 0) None
+          else {
+            val a = ds.item(0).getAttributes
+            def dim(name: String) = Option(a.getNamedItem(name))
+              .flatMap(v => v.getNodeValue.toIntOption).filter(_ > 0)
+            dim("logicalScreenWidth").zip(dim("logicalScreenHeight"))
+          }
+        }
+        val (cw, ch) = screen.getOrElse {
+          val f0 = reader.read(0)
+          (f0.getWidth, f0.getHeight)
+        }
+        val canvas = new java.awt.image.BufferedImage(
+          cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          val out = Seq.newBuilder[(Int, Int, Int, Int, Array[Double])]
+          (0 to sampled.max).foreach { f =>
+            val raw = reader.read(f)
+            val (x, y, disp) = gifFrameMeta(reader.getImageMetadata(f))
+            g.drawImage(raw, x, y, null)
+            if (sampled.contains(f)) {
+              val (w, h, hist) = lumHistogram(canvas)
+              out += ((f, total, w, h, hist))
+            }
+            if (disp == 2) { // restore frame rect to (opaque-black) background
+              val old = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Src)
+              g.setColor(java.awt.Color.BLACK)
+              g.fillRect(x, y, raw.getWidth, raw.getHeight)
+              g.setComposite(old)
+            }
+          }
+          out.result()
+        } finally g.dispose()
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   private val PngSignature: Array[Byte] =

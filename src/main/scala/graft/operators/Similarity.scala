@@ -162,48 +162,49 @@ object Similarity {
   private def cosS(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
     dotS(a, b) / (normS(a) * normS(b))
 
-  /** Deterministic sampled k-means for IVF coarse centroids.
-    *
-    * - sample = the `sampleSize` vectors with the smallest
-    *   `md5(cast(id as string))` — a content-independent pseudo-random
-    *   sample that any engine reproduces (one bounded TakeOrdered job;
-    *   nothing unbounded ever reaches the driver);
-    * - init = the first `k` sample vectors in (md5, id) order;
-    * - `iters` Lloyd rounds over the sample: cosine argmax assignment
-    *   (ties → lowest cell), mean fold in (md5, id) member order, empty
-    *   cells keep their previous centroid.
-    *
-    * Every arithmetic step is order-pinned, so the q38 oracle re-derives
-    * identical centroids in SQL (verified bit-exact against DuckDB).
-    */
-  def kmeansCentroids(
+  /** The `sampleSize` vectors with the smallest `md5(cast(id as string))`
+    * — a content-independent pseudo-random sample that any engine
+    * reproduces (one bounded TakeOrdered job; nothing unbounded ever
+    * reaches the driver). Shared by IVF and PQ training. */
+  private def sortedSample(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
+      sampleSize: Int): Array[IndexedSeq[Double]] = corpus
+    .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    .select(col("id"), col("v"), md5(col("id").cast("string")).as("mk"))
+    .orderBy(col("mk"), col("id")).limit(sampleSize)
+    .collect()
+    .map(_.getSeq[Double](1).toIndexedSeq)
+
+  /** `iters` deterministic Lloyd rounds: init = first `k` points in sample
+    * order, assignment by `score` with STRICT `better`-improvement (ties →
+    * lowest cell), mean fold in sample member order, empty cells keep
+    * their previous centroid. Every arithmetic step is order-pinned so a
+    * SQL oracle replays identical centroid doubles — the single source of
+    * that guarantee for both the cosine (IVF) and squared-L2 (PQ)
+    * trainings; any change here must change their CTE generators in
+    * lockstep. */
+  private def lloyd(
+      points: Array[IndexedSeq[Double]],
       k: Int,
-      sampleSize: Int = 64,
-      iters: Int = 2): Array[(Int, Seq[Double])] = {
-    val samp: Array[IndexedSeq[Double]] = corpus
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .select(col("id"), col("v"), md5(col("id").cast("string")).as("mk"))
-      .orderBy(col("mk"), col("id")).limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Double](1).toIndexedSeq)
-    require(samp.nonEmpty, "kmeansCentroids: empty corpus")
-    val kk = math.min(k, samp.length)
-    var cents: IndexedSeq[IndexedSeq[Double]] = samp.take(kk).toIndexedSeq
+      iters: Int,
+      score: (IndexedSeq[Double], IndexedSeq[Double]) => Double,
+      better: (Double, Double) => Boolean): Array[(Int, Seq[Double])] = {
+    val kk = math.min(k, points.length)
+    var cents: IndexedSeq[IndexedSeq[Double]] = points.take(kk).toIndexedSeq
     (0 until iters).foreach { _ =>
-      val assigned = samp.map { v =>
-        var best = 0; var bestSim = cosS(v, cents(0)); var j = 1
+      val assigned = points.map { v =>
+        var best = 0; var bestS = score(v, cents(0)); var j = 1
         while (j < kk) {
-          val s = cosS(v, cents(j))
-          if (s > bestSim) { best = j; bestSim = s } // strict > : ties keep low cell
+          val s = score(v, cents(j))
+          if (better(s, bestS)) { best = j; bestS = s }
           j += 1
         }
         best
       }
       cents = (0 until kk).map { cell =>
-        val members = samp.indices.filter(assigned(_) == cell).map(samp(_))
+        val members = points.indices.filter(assigned(_) == cell).map(points(_))
         if (members.isEmpty) cents(cell)
         else {
           var acc = members.head
@@ -215,6 +216,21 @@ object Similarity {
       }
     }
     cents.zipWithIndex.map { case (cv, i) => (i, cv: Seq[Double]) }.toArray
+  }
+
+  /** Deterministic sampled k-means for IVF coarse centroids: cosine argmax
+    * assignment over [[sortedSample]] via [[lloyd]]. The q38 oracle
+    * re-derives identical centroids in SQL (verified bit-exact). */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      sampleSize: Int = 64,
+      iters: Int = 2): Array[(Int, Seq[Double])] = {
+    val samp = sortedSample(corpus, idCol, vecCol, sampleSize)
+    require(samp.nonEmpty, "kmeansCentroids: empty corpus")
+    lloyd(samp, k, iters, cosS, _ > _)
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into cells around
@@ -266,7 +282,6 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val centroids: Array[(Int, Seq[Double])] =
       kmeansCentroids(corpus, idCol, vecCol, nCentroids)
-    def litVec(p: Seq[Double]) = array(p.map(lit(_)): _*)
     val assigned = assignCells(c, centroids)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val centDf = centroids.toSeq.toDF("cell", "cv")
@@ -294,11 +309,10 @@ object Similarity {
   }
 
   /** Per-subspace PQ codebooks (Jégou et al. '11): split the vector into
-    * `m` contiguous subspaces and run the SAME deterministic sampled Lloyd
-    * procedure as [[kmeansCentroids]] on each slice, with squared-L2
-    * assignment (argmin, ties → lowest cell) — every arithmetic step
-    * order-pinned so an oracle can replay the codebooks bit-exact.
-    * One bounded sample collect serves all subspaces.
+    * `m` contiguous subspaces and run the SAME deterministic sampled
+    * [[lloyd]] procedure as [[kmeansCentroids]] on each slice, with
+    * squared-L2 argmin assignment (strict `<` — ties keep the low cell).
+    * One bounded [[sortedSample]] collect serves all subspaces.
     */
   def pqCodebooks(
       corpus: DataFrame,
@@ -308,43 +322,14 @@ object Similarity {
       k: Int,
       sampleSize: Int = 64,
       iters: Int = 2): Array[Array[(Int, Seq[Double])]] = {
-    val samp: Array[IndexedSeq[Double]] = corpus
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .select(col("id"), col("v"), md5(col("id").cast("string")).as("mk"))
-      .orderBy(col("mk"), col("id")).limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Double](1).toIndexedSeq)
+    val samp = sortedSample(corpus, idCol, vecCol, sampleSize)
     require(samp.nonEmpty, "pqCodebooks: empty corpus")
     val dim = samp.head.length
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
     val sub = dim / m
     (0 until m).toArray.map { j =>
-      val slices = samp.map(v => v.slice(j * sub, (j + 1) * sub))
-      val kk = math.min(k, slices.length)
-      var cents: IndexedSeq[IndexedSeq[Double]] = slices.take(kk).toIndexedSeq
-      (0 until iters).foreach { _ =>
-        val assigned = slices.map { v =>
-          var best = 0; var bestD = l2S(v, cents(0)); var c = 1
-          while (c < kk) {
-            val d = l2S(v, cents(c))
-            if (d < bestD) { best = c; bestD = d } // strict < : ties keep low cell
-            c += 1
-          }
-          best
-        }
-        cents = (0 until kk).map { cell =>
-          val members = slices.indices.filter(assigned(_) == cell).map(slices(_))
-          if (members.isEmpty) cents(cell)
-          else {
-            var acc = members.head
-            members.iterator.drop(1).foreach { mem =>
-              acc = acc.indices.map(i => acc(i) + mem(i))
-            }
-            acc.map(_ / members.size)
-          }
-        }
-      }
-      cents.zipWithIndex.map { case (cv, i) => (i, cv: Seq[Double]) }.toArray
+      lloyd(samp.map(v => v.slice(j * sub, (j + 1) * sub)), k, iters,
+        l2S, _ < _)
     }
   }
 

@@ -126,9 +126,11 @@ object TextAnalysis {
     * context-packing primitive (complementing content-defined rolling-hash
     * chunking in [[graft.functions.RollingHashChunks]], which is
     * boundary-stable under edits but not SQL-expressible): windows of
-    * `size` tokens starting every `step` tokens, last partial window kept
-    * iff it adds new tokens (start < n_tokens), short docs yield exactly
-    * one chunk.
+    * `size` tokens starting every `step` tokens. A window is emitted only
+    * if it covers at least one token the previous window did not — i.e.
+    * `1 + max(0, ceil((n - size) / step))` chunks — so overlapping tails
+    * never produce fully-duplicate chunks; short docs yield exactly one
+    * chunk.
     *
     * Pure codegen'd expressions (tokens → `sequence` of starts → explode →
     * `slice`): per-document scan-stage work, zero shuffles at any corpus
@@ -144,8 +146,17 @@ object TextAnalysis {
       s"need 1 <= step <= size, got size=$size step=$step")
     val toks = df.select(col(idCol), tokens(col(textCol)).as("t"))
       .withColumn("n", org.apache.spark.sql.functions.size(col("t")))
-    // 0-based chunk starts: 0, step, 2*step, … strictly below n
-    val starts = sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(step))
+    // 0-based chunk starts: 0, step, …, (nChunks-1)*step with
+    // nChunks = 1 + max(0, ceil((n - size) / step)) — the last window is
+    // the first one reaching the final token, so no chunk is a pure
+    // duplicate of its predecessor. Integer ceil via (x + step - 1) div
+    // step; a negative numerator (short doc) clamps to 0 either way.
+    // floor-div via double divide is exact here: the quotient is ≥ 1/step
+    // away from any other integer for token counts far below 2^40
+    val lastStart =
+      (floor(greatest((col("n") - size + (step - 1)).cast("long"), lit(0L)) /
+        lit(step.toLong)).cast("int") * step).cast("int")
+    val starts = sequence(lit(0), lastStart, lit(step))
     toks.select(col(idCol), col("t"), col("n"),
         posexplode(starts).as(Seq("chunk_no", "start")))
       .select(col(idCol), col("chunk_no"),

@@ -137,6 +137,52 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(decoded.exceptAll(again).count() === 0)
   }
 
+  test("GIF demux composites dirty-rect frames onto the logical screen") {
+    // frame 0: 8×8 all black; frame 1: 2×2 all white stored as a patch at
+    // (3,3) — a renderer must show 60 black + 4 white pixels, not a 2×2
+    // white raster
+    def solid(w: Int, h: Int, rgb: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def write(img: java.awt.image.BufferedImage, x: Int, y: Int): Unit = {
+      val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val md = writer.getDefaultImageMetadata(spec, writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val kids = tree.getChildNodes
+      (0 until kids.getLength).foreach { i =>
+        val n = kids.item(i)
+        if (n.getNodeName == "ImageDescriptor") {
+          val e = n.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          e.setAttribute("imageLeftPosition", x.toString)
+          e.setAttribute("imageTopPosition", y.toString)
+        }
+      }
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md),
+        writer.getDefaultWriteParam)
+    }
+    write(solid(8, 8, 0x000000), 0, 0)
+    write(solid(2, 2, 0xffffff), 3, 3)
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+
+    val frames = Multimodal.demuxGif(out.toByteArray, 10)
+    assert(frames.length === 2)
+    val (_, _, w1, h1, hist1) = frames(1)
+    assert((w1, h1) === ((8, 8)), "composited frame must be the logical screen")
+    assert(hist1(0) === 60.0 / 64 && hist1(7) === 4.0 / 64,
+      s"expected 60 black + 4 white composited pixels, got ${hist1.toSeq}")
+  }
+
   test("content fingerprint dedups identical payloads") {
     val m = Multimodal.syntheticMedia(spark, 5)
     val dup = m.union(m.limit(2))

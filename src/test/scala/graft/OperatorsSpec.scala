@@ -400,8 +400,11 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
 
   test("tokenChunks: overlap, tail clamp, and short-doc single chunk") {
     val d = Seq(
-      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens, size 4 step 3 → starts 0,3,6
-      (2L, "a b") // short → one chunk
+      // 7 tokens, size 4 step 3 → ceil((7-4)/3) = 1 → starts 0, 3 only
+      // (a third window at 6 would cover no new token)
+      (1L, "t0 t1 t2 t3 t4 t5 t6"),
+      (2L, "a b"), // short → one chunk
+      (3L, "x0 x1 x2 x3 x4") // 5 tokens → starts 0, 3; tail clamps to 2
     ).toDF("doc_id", "text")
     val got = TextAnalysis.tokenChunks(d, "doc_id", "text", 4, 3)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
@@ -409,8 +412,9 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq(
       (1L, 0, "t0 t1 t2 t3", 4),
       (1L, 1, "t3 t4 t5 t6", 4), // 1-token overlap at each boundary
-      (1L, 2, "t6", 1), // tail clamp
-      (2L, 0, "a b", 2)))
+      (2L, 0, "a b", 2),
+      (3L, 0, "x0 x1 x2 x3", 4),
+      (3L, 1, "x3 x4", 2))) // tail clamp, still adds x4
   }
 
   test("language ID votes on stopword profile") {

@@ -759,6 +759,20 @@ object SparkEntry {
           col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value")))),
 
+    // Stream-static enrichment: events joined to the customer dim
+    // (broadcast, stateless) then windowed per market segment — reference
+    // data enrichment as a real watermarked stream.
+    "q75_stream_enrich" -> ((s, dir) =>
+      streamToParquet(s, graft.streaming.EventStreams
+        .enrichedTumblingCounts(eventFileStream(s, dir),
+          T(s, dir, "customer")
+            .select(col("c_custkey").as("user_id"),
+              col("c_mktsegment").as("segment")),
+          "user_id", "segment", "10 minutes", "30 minutes")
+        .select(unix_timestamp(col("win_start")).as("win_start"),
+          col("segment"), col("n"),
+          round(col("sum_value"), 2).as("sum_value")))),
+
     // Streaming sliding windows: q68's hopping aggregation as a real
     // watermarked stream (append + file sink + AvailableNow, like q35);
     // only hops the watermark has closed are emitted.
@@ -1456,6 +1470,17 @@ object SparkEntry {
          |WHERE md5(CAST(f.doc_id AS VARCHAR)) <
          |  (CASE WHEN f.lang = 'en' THEN '$tEn' ELSE '$tDef' END)""".stripMargin
     },
+
+    // batch join + q35's watermark horizon
+    "q75_stream_enrich" ->
+      """WITH w AS (
+        |  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+        |    c.c_mktsegment AS segment, count(*) AS n,
+        |    round(sum(e.value), 2) AS sum_value
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |  GROUP BY 1, 2),
+        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events)
+        |SELECT w.* FROM w, wm WHERE (w.win_start + 600) * 1000 <= wm_ms""".stripMargin,
 
     // q68's hop arithmetic + q35's watermark horizon: append mode emits a
     // hop only once the watermark (max ts - 30 min) passes its END

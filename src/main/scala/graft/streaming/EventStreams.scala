@@ -50,6 +50,27 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: the event stream inner-joined to a bounded
+    * dimension (broadcast — the static side is planned once per
+    * micro-batch, never shuffled with the stream), then windowed per
+    * dimension attribute. The canonical "enrich events with reference
+    * data" shape; state is only the windowed aggregation, the join itself
+    * is stateless. */
+  def enrichedTumblingCounts(
+      events: DataFrame,
+      dim: DataFrame,
+      key: String,
+      attr: String,
+      width: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(key), col(attr))), Seq(key))
+      .groupBy(window(col("ts"), width), col(attr))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col(attr),
+        col("n"), col("sum_value"))
+
   /** Streaming exactly-once dedup: `dropDuplicatesWithinWatermark` on the
     * event key — the streaming analogue of [[graft.operators.Dedup.exact]]
     * for at-least-once ingestion (replayed batches, retried producers).

@@ -643,6 +643,15 @@ object SparkEntry {
         "embedding", 10, m = 8, codebookSize = 8)
     }),
 
+    // IVF-PQ: coarse cells bound the candidate set (q38's quantizer), PQ
+    // codes replace the vectors at scoring time (q66's ADC) — the FAISS
+    // IVFPQ composition; both quantizations are scan-stage expressions.
+    "q76_ivfpq_ann_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", 10, nCentroids = 8, nProbe = 2, m = 8, codebookSize = 8)
+    }),
+
     // SemDeDup: k-means-cluster the embeddings (q38's deterministic sampled
     // Lloyd centroids), drop any vector with cosine ≥ 0.3 to a lower-id
     // vector in its cluster; min-id survivors keep kept=1.
@@ -1596,6 +1605,54 @@ object SparkEntry {
          |samp AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS mk FROM e
          |  ORDER BY mk, id LIMIT 64),
          |qq AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+         |$subCtes,
+         |$adcCtes,
+         |dist AS (
+         |  SELECT adc0.q_id, adc0.id, $distSum AS dist
+         |  FROM adc0 $joins),
+         |ranked AS (SELECT q_id, id, dist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, id ASC) AS rn
+         |  FROM dist)
+         |SELECT q_id, id, CAST(rn AS INT) AS rank, round(dist, 6) AS dist
+         |FROM ranked WHERE rn <= 10""".stripMargin
+    },
+
+    // q38's coarse CTEs (kmeans + rank-1 assign + top-2 probe) composed
+    // with q66's subspace CTEs (codebooks + codes), ADC restricted to the
+    // probed candidate set — the same two bit-exact trainings, one query
+    "q76_ivfpq_ann_topk" -> {
+      val (m, sub, k, iters) = (8, 8, 8, 2)
+      val subCtes = (0 until m).map(j => pqSubspaceCteSql(j, sub, k, iters))
+        .mkString(",\n")
+      val adcCtes = (0 until m).map { j =>
+        val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+        s"""adc$j AS (
+           |  SELECT cn.q_id, cn.id, ${l2Sql(s"cn.qv[$lo:$hi]", "c.cv")} AS d
+           |  FROM cand cn JOIN code$j cd ON cd.id = cn.id
+           |  JOIN c${j}_$iters c ON c.cell = cd.code)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until m).map(j => s"JOIN adc$j USING (q_id, id)").mkString(" ")
+      val distSum = (0 until m).map(j => s"adc$j.d").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |${kmeansCteSql(8, 64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
+         |assign AS (
+         |  SELECT id, cell FROM (
+         |    SELECT e.id, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |qq AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+         |probe AS (
+         |  SELECT q_id, qv, cell FROM (
+         |    SELECT q.q_id, q.qv, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM qq q, cent c) t WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.q_id, p.qv, a.id
+         |  FROM assign a JOIN probe p USING (cell) WHERE a.id <> p.q_id),
          |$subCtes,
          |$adcCtes,
          |dist AS (

@@ -338,46 +338,48 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** PQ-ANN top-k with asymmetric distance computation: encode every corpus
-    * vector as `m` one-byte codes (argmin squared-L2 to its subspace
-    * codebook — a pure scan-stage expression, the corpus is never shuffled
-    * for encoding), then score each (query, doc) pair as the sum over
-    * subspaces of the squared-L2 between the query's sub-vector and the
-    * doc's ASSIGNED CENTROID (codebook lookup — the docs' raw vectors are
-    * never touched again, which is the entire point of PQ: at 100 TB the
-    * scored relation carries m bytes per doc, not the full vector).
-    *
-    * Distances are summed over subspaces in fixed index order (pivoted
-    * columns, engine-portable); ranked ascending with id tiebreak.
-    */
-  def pqTopK(
-      corpus: DataFrame,
-      queries: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      m: Int = 8,
-      codebookSize: Int = 8): DataFrame = {
-    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize)
+  /** PQ-encode (id, v, carry...) rows: `m` one-byte codes per row, argmin
+    * squared-L2 to each subspace codebook — a pure scan-stage expression,
+    * the input is never shuffled for encoding. Per-subspace distance
+    * columns are materialized first (same quadratic-codegen dodge as
+    * [[assignCells]]), then argmin = first position of the min (ties →
+    * lowest code, matching an oracle's ORDER BY d ASC, cell ASC). Returns
+    * (id, carry..., code_0..code_{m-1}); the raw vector is dropped. */
+  private[operators] def pqEncode(
+      c: DataFrame,
+      books: Array[Array[(Int, Seq[Double])]],
+      carry: Seq[String]): DataFrame = {
+    val m = books.length
     val sub = books(0)(0)._2.length
     def litVec(p: Seq[Double]) = array(p.map(lit(_)): _*)
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    // per-subspace distance columns first (same quadratic-codegen dodge as
-    // assignCells), then argmin = first position of the min
     val withDists = c.select(
-      col("id") +: col("v") +:
+      (col("id") +: carry.map(col)) ++
         (for (j <- 0 until m; (cell, cv) <- books(j)) yield
           l2(slice(col("v"), j * sub + 1, sub), litVec(cv))
             .as(s"__d${j}_$cell")): _*)
-    val codes = withDists.select(
-      col("id") +:
+    withDists.select(
+      (col("id") +: carry.map(col)) ++
         (0 until m).map { j =>
           val dArr = array(books(j).map { case (cell, _) => col(s"__d${j}_$cell") }: _*)
           (array_position(dArr, array_min(dArr)) - 1).cast("int").as(s"code_$j")
         }: _*)
-    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
-    // ADC: element_at into the codebook literal per subspace
-    val scored = codes.join(broadcast(q), col("id") =!= col("q_id"))
+  }
+
+  /** ADC top-k over (q_id, qv, id, code_*) candidate pairs: per-subspace
+    * squared-L2 between the query's sub-vector and the doc's assigned
+    * centroid (codebook `element_at` lookup — the docs' raw vectors are
+    * never touched at scoring time, which is the entire point of PQ: at
+    * 100 TB the scored relation carries m bytes per doc, not the full
+    * vector), summed in fixed subspace order; ranked ascending, id
+    * tiebreak. */
+  private def adcRanked(
+      pairs: DataFrame,
+      books: Array[Array[(Int, Seq[Double])]],
+      k: Int): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0)._2.length
+    def litVec(p: Seq[Double]) = array(p.map(lit(_)): _*)
+    val scored = pairs
       .select(col("q_id") +: col("id") +:
         (0 until m).map { j =>
           val bookLit = array(books(j).map { case (_, cv) => litVec(cv) }: _*)
@@ -389,6 +391,68 @@ object Similarity {
     Windows.topKPerGroup(scored, Seq(col("q_id")),
       Seq(col("dist").asc, col("id").asc), k, "rank")
       .select(col("q_id"), col("id"), col("rank"), round(col("dist"), 6).as("dist"))
+  }
+
+  /** PQ-ANN top-k with asymmetric distance computation: [[pqEncode]] every
+    * corpus vector, then ADC-score every (query, doc) pair ([[adcRanked]]).
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      codebookSize: Int = 8): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val codes = pqEncode(c, books, Nil)
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+    adcRanked(codes.join(broadcast(q), col("id") =!= col("q_id")), books, k)
+  }
+
+  /** IVF-PQ (Jégou et al. '11; the FAISS IVFPQ scan shape): coarse-quantize
+    * the corpus into IVF cells ([[assignCells]] — pure expression), PQ-encode
+    * every vector as `m` one-byte codes ([[pqEncode]] — pure expression),
+    * and answer a query by ADC-scoring ONLY the codes in its `nProbe`
+    * nearest cells. Codes quantize the raw vectors (IVFFlat+PQ hybrid;
+    * residual encoding would couple the two trainings for no gate value —
+    * noted at the call site).
+    *
+    * Scale shape: both quantizations are scan-stage expressions over one
+    * bounded 64-row training sample; the probe list is broadcast; the only
+    * shuffle is the k-sized ranked output. The scored relation carries
+    * m bytes + a cell id per doc — at 100 TB this is the difference
+    * between shipping 64 doubles and 9 bytes per candidate.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 8,
+      nProbe: Int = 2,
+      m: Int = 8,
+      codebookSize: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize)
+    val codes = pqEncode(assignCells(c, centroids), books, Seq("cell"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+    val centDf = centroids.toSeq.toDF("cell", "cv")
+    val probe = Windows.topKPerGroup(
+      q.crossJoin(broadcast(centDf))
+        .select(col("q_id"), col("qv"), col("cell"),
+          cosine(col("qv"), col("cv")).as("csim")),
+      Seq(col("q_id")), Seq(col("csim").desc, col("cell").asc), nProbe, "prn")
+      .select(col("q_id"), col("qv"), col("cell"))
+    adcRanked(
+      codes.join(broadcast(probe), Seq("cell"))
+        .filter(col("id") =!= col("q_id")),
+      books, k)
   }
 
   /** SemDeDup (Abbas et al. '23): semantic deduplication by embedding —

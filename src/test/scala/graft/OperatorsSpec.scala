@@ -384,6 +384,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(top.forall(_._3 >= 0.0))
   }
 
+  test("ivfPqTopK probing every cell equals plain pqTopK (and recall holds)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    // same codebooks, ADC restricted to all cells ≡ unrestricted ADC
+    val all = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5,
+      nCentroids = 4, nProbe = 4, m = 4, codebookSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", 5,
+      m = 4, codebookSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(all.toSeq === pq.toSeq)
+    // probing 2 of 4 cells still returns a full top-5 per query
+    val probed = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5,
+      nCentroids = 4, nProbe = 2, m = 4, codebookSize = 4)
+      .collect().groupBy(_.getLong(0))
+    assert(probed.keySet === Set(0L, 1L, 2L))
+    probed.values.foreach(rows => assert(rows.length === 5))
+  }
+
   test("topNgrams counts occurrences vs doc-freq and ranks deterministically") {
     val d = Seq(
       (1L, "a b a b c"), // 2-grams: "a b"×2, "b a", "b c"

@@ -664,14 +664,17 @@ object SparkEntry {
     // TakeOrdered limit (bounded per-partition top-k, no global sort),
     // then rank stamped on the 20 survivors.
     "q64_bm25_rank" -> ((s, dir) => {
+      // rank on round(score, 6) with doc_id tiebreak — the SAME value that
+      // is emitted — so a 1-2 ulp Spark-log/DuckDB-ln drift between two
+      // near-equal raw scores can never flip the rank column at the gate
       val scored = TextAnalysis.bm25Scores(T(s, dir, "documents"), "doc_id",
-        "text", Seq("spark", "join", "vector"))
+          "text", Seq("spark", "join", "vector"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
       val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
-      // rank on the RAW score; round only for output — Spark's Math.log and
-      // DuckDB's ln differ by 1-2 ulp, so raw doubles can't hash-match
-      Windows.topKPerGroup(top, Seq(lit(1)),
-        Seq(col("score").desc, col("doc_id").asc), 20, "rank")
-        .select(col("doc_id"), col("rank"), round(col("score"), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)
+      top.withColumn("rank", row_number().over(w))
+        .select(col("doc_id"), col("rank"), col("score"))
     }),
 
     // Binned range join: urgent 1996 orders × lineitems shipped within 14
@@ -1715,9 +1718,9 @@ object SparkEntry {
          |    sum(CASE WHEN term = 'vector' THEN s END) AS s_2
          |  FROM sc GROUP BY 1),
          |tot AS (SELECT doc_id,
-         |    coalesce(s_0, ${d(0.0)}) + coalesce(s_1, ${d(0.0)})
-         |      + coalesce(s_2, ${d(0.0)}) AS score FROM p)
-         |SELECT doc_id, CAST(rn AS INT) AS rank, round(score, 6) AS score FROM (
+         |    round(coalesce(s_0, ${d(0.0)}) + coalesce(s_1, ${d(0.0)})
+         |      + coalesce(s_2, ${d(0.0)}), 6) AS score FROM p)
+         |SELECT doc_id, CAST(rn AS INT) AS rank, score FROM (
          |  SELECT doc_id, score,
          |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM tot) z
          |WHERE rn <= 20""".stripMargin

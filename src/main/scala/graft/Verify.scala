@@ -21,6 +21,14 @@ object Verify {
     // never sets it, so its runs always cover every query
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     def wanted(name: String) = only.forall(_.exists(name.contains))
+    // never silent: a subset run in a gate environment would otherwise
+    // pass on N of M queries and look like full coverage
+    only.foreach { _ =>
+      val n = SparkEntry.queries.keys.count(wanted)
+      System.err.println(
+        s"WARNING: SPARK_GRAFT_ONLY is set — subset run, $n of " +
+          s"${SparkEntry.queries.size} queries. NOT a full correctness gate.")
+    }
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

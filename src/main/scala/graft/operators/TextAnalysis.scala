@@ -94,13 +94,17 @@ object TextAnalysis {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25Scores needs at least one query term")
+    // a repeated query term would get two identical pivot columns and
+    // double-count its score — dedupe up front, preserving first-seen order
+    // so the fixed-order addition is stable for any equivalent input bag
+    val qTerms = terms.distinct
     val toks = df.select(col(idCol), tokens(col(textCol)).as("t"))
     val dl = toks.select(col(idCol), size(col("t")).cast("long").as("dl"))
     // integer-sum / count: exact, so avgdl is the same double in any engine
     val st = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val tf = toks.select(col(idCol), explode(col("t")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(qTerms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), Seq("term"))
@@ -112,11 +116,11 @@ object TextAnalysis {
           / (col("tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
     val perTerm = scored.groupBy(col(idCol)).agg(
-      sum(when(col("term") === terms.head, col("s"))).as(s"s_0"),
-      terms.tail.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === qTerms.head, col("s"))).as(s"s_0"),
+      qTerms.tail.zipWithIndex.map { case (t, i) =>
         sum(when(col("term") === t, col("s"))).as(s"s_${i + 1}")
       }: _*)
-    val total = terms.indices
+    val total = qTerms.indices
       .map(i => coalesce(col(s"s_$i"), lit(0.0)))
       .reduce(_ + _)
     perTerm.select(col(idCol), total.as("score"))
@@ -185,10 +189,14 @@ object TextAnalysis {
     val vocab = perDoc.groupBy(col("shingle")).agg(
       sum(col("c")).as("occurrences"),
       count(lit(1)).as("doc_freq"))
+    // TakeOrdered bounds the sort to k rows per partition; rank is then one
+    // row_number over those k survivors (a single tiny-window pass — the
+    // earlier orderBy+limit already totally ordered them)
     val top = vocab
       .orderBy(col("occurrences").desc, col("shingle").asc).limit(k)
-    Windows.topKPerGroup(top, Seq(lit(1)),
-      Seq(col("occurrences").desc, col("shingle").asc), k, "rank")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("occurrences").desc, col("shingle").asc)
+    top.withColumn("rank", row_number().over(w))
       .select(col("shingle"), col("occurrences"), col("doc_freq"), col("rank"))
   }
 

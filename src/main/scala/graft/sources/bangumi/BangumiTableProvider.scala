@@ -62,9 +62,20 @@ object BangumiTableProvider {
     options.getOrDefault("client", "fixture") match {
       case "fixture" =>
         new FixtureBangumiClient(options.getInt("pageFailEvery", 0))
+      case "http" =>
+        // live wire: .option("baseUrl", …).option("username", …); retries /
+        // backoff tunable for tests (production defaults = the reference's)
+        new HttpBangumiClient(
+          Option(options.get("baseUrl")).getOrElse(
+            throw new IllegalArgumentException("client=http needs baseUrl")),
+          Option(options.get("username")).getOrElse(
+            throw new IllegalArgumentException("client=http needs username")),
+          maxRetries = options.getInt("maxRetries", 3),
+          backoffMillis = options.getLong("backoffMillis", 1000L),
+          timeoutSeconds = options.getLong("timeoutSeconds", 30L))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown bangumi client '$other' (zero-egress build ships 'fixture')")
+          s"unknown bangumi client '$other' ('fixture' or 'http')")
     }
 }
 

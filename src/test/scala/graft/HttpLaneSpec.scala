@@ -1,0 +1,304 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.{HttpNotionApi, NotionSink}
+import graft.sources.bangumi.{BangumiTableProvider, HttpBangumiClient}
+
+/** The real wire path: [[HttpBangumiClient]] and [[HttpNotionApi]] driven
+  * against in-process `com.sun.net.httpserver` stubs that serve the bundled
+  * fixtures and inject 429/5xx — retry, backoff, pagination, pacing and
+  * per-row isolation asserted on real sockets (SURVEY §2.1 S1–S2, §2.2
+  * K4–K7, §2.10 R1–R5).
+  */
+class HttpLaneSpec extends AnyFunSuite with SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private def respond(x: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(status, bytes.length.toLong)
+    x.getResponseBody.write(bytes)
+    x.close()
+  }
+
+  private def readBody(x: HttpExchange): JsonNode =
+    mapper.readTree(new String(x.getRequestBody.readAllBytes(), "UTF-8"))
+
+  private def withServer[A](wire: HttpServer => Unit)(body: String => A): A = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    wire(server)
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  // ---------------------------------------------------------------- bangumi
+
+  /** Serves the fixture corpus with real pagination; `failFirst` makes the
+    * first N requests answer `failStatus`; every request timestamp and
+    * count is recorded. */
+  private class BangumiStub(failFirst: Int = 0, failStatus: Int = 429) {
+    val requests = new AtomicInteger()
+    val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+    private val byCategory: Map[(Int, Int), IndexedSeq[String]] = {
+      val in = getClass.getResourceAsStream("/bangumi/items.jsonl")
+      require(in != null, "bangumi fixture resource missing")
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      in.close()
+      lines.groupBy { l =>
+        val st = """"subject_type":\s*(\d+)""".r
+          .findFirstMatchIn(l).map(_.group(1).toInt).getOrElse(0)
+        val ct = """"type":\s*(\d+)""".r
+          .findFirstMatchIn(l).map(_.group(1).toInt).getOrElse(0)
+        (st, ct)
+      }
+    }
+
+    def wire(server: HttpServer): Unit =
+      server.createContext("/v0/users/testuser/collections", { x: HttpExchange =>
+        arrivals.add(System.nanoTime())
+        val n = requests.incrementAndGet()
+        if (n <= failFirst) respond(x, failStatus, """{"error":"injected"}""")
+        else {
+          val q = Option(x.getRequestURI.getQuery).getOrElse("")
+            .split("&").filter(_.contains("="))
+            .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+          val st = q("subject_type").toInt
+          val ct = q("type").toInt
+          val items = byCategory.getOrElse((st, ct), Vector.empty)
+          val slice = items.slice(q("offset").toInt,
+            q("offset").toInt + q("limit").toInt)
+          respond(x, 200,
+            s"""{"total":${items.size},"data":[${slice.mkString(",")}]}""")
+        }
+      })
+  }
+
+  private def httpRead(baseUrl: String, opts: (String, String)*) = {
+    var r = spark.read.format(classOf[BangumiTableProvider].getName)
+      .option("client", "http").option("baseUrl", baseUrl)
+      .option("username", "testuser").option("backoffMillis", "5")
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("http source reads the same rows as the fixture client") {
+    // the wire client re-serializes items through Jackson, so compare
+    // parsed JSON (JsonNode equality is semantic), not raw bytes
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), mapper.readTree(r.getString(2))))
+      .sortBy(t => (t._1, t._2, t._3.toString))
+    val stub = new BangumiStub()
+    withServer(stub.wire) { base =>
+      val http = rows(httpRead(base))
+      val fixture = rows(spark.read
+        .format(classOf[BangumiTableProvider].getName)
+        .option("client", "fixture").load())
+      assert(http.nonEmpty && (http sameElements fixture))
+    }
+  }
+
+  test("429 bursts are retried with backoff on the socket (R1)") {
+    val stub = new BangumiStub(failFirst = 2)
+    withServer(stub.wire) { base =>
+      assert(httpRead(base).count() === 6)
+      // the 2 throttled responses were re-sent, so total requests > the
+      // fault-free request count for the same read
+      val clean = new BangumiStub()
+      withServer(clean.wire)(b2 => httpRead(b2).count())
+      assert(stub.requests.get() === clean.requests.get() + 2)
+    }
+  }
+
+  test("5xx retries, non-retryable 4xx fails fast (reference status_forcelist)") {
+    val stub = new BangumiStub(failFirst = 100, failStatus = 503)
+    withServer(stub.wire) { base =>
+      val c = new HttpBangumiClient(base, "testuser", maxRetries = 3,
+        backoffMillis = 1L)
+      intercept[RuntimeException](c.fetchTotal(1, 1))
+      assert(stub.requests.get() === 3) // every 503 retried to exhaustion
+    }
+    val notFound = new BangumiStub(failFirst = 100, failStatus = 404)
+    withServer(notFound.wire) { base =>
+      val c = new HttpBangumiClient(base, "testuser", maxRetries = 3,
+        backoffMillis = 1L)
+      intercept[RuntimeException](c.fetchTotal(1, 1))
+      assert(notFound.requests.get() === 1) // permanent: no retry
+    }
+  }
+
+  test("pageIntervalMs paces page requests on the wire (R2)") {
+    val stub = new BangumiStub()
+    withServer(stub.wire) { base =>
+      // single category → one partition → one sequential page loop
+      httpRead(base, "pageSize" -> "1", "pageIntervalMs" -> "40")
+        .filter("subject_type = 2 and collection_type = 2").count()
+      val ts = stub.arrivals.asScala.toVector.sorted
+      // pruned grid → arrivals are [count probe, page1, page2]; the
+      // probe→page1 gap is unpaced, the page1→page2 gap is the limiter's
+      val pageGaps = ts.takeRight(2).sliding(2)
+        .collect { case Vector(a, b) => (b - a) / 1e6 }.toVector
+      assert(pageGaps.nonEmpty && pageGaps.forall(_ >= 30.0),
+        s"expected >=30ms gap between paced page fetches, got $pageGaps")
+    }
+  }
+
+  // ----------------------------------------------------------------- notion
+
+  /** Minimal Notion API stub: databases, cursor-paginated query, page
+    * insert/patch — state lives in insertion order so pagination is
+    * deterministic. `failFirstInserts` answers 429 to the first N
+    * `POST /v1/pages`. */
+  private class NotionStub(failFirstInserts: Int = 0) {
+    val pages = new java.util.LinkedHashMap[String, ObjectNodeBox]()
+    val nextId = new AtomicLong()
+    val insertAttempts = new AtomicInteger()
+    val queryRequests = new AtomicInteger()
+    val databaseSchemas = new ConcurrentHashMap[String, JsonNode]()
+
+    case class ObjectNodeBox(var props: JsonNode)
+
+    private def syncPages[A](f: => A): A = pages.synchronized(f)
+
+    def wire(server: HttpServer): Unit = {
+      server.createContext("/v1/databases", { x: HttpExchange =>
+        val path = x.getRequestURI.getPath
+        if (path == "/v1/databases") { // create
+          val body = readBody(x)
+          databaseSchemas.put("db-test", body.get("properties"))
+          respond(x, 200, """{"id":"db-test"}""")
+        } else if (path.endsWith("/query")) {
+          queryRequests.incrementAndGet()
+          val body = readBody(x)
+          val cursor = Option(body.get("start_cursor")).map(_.asText())
+          val all = syncPages(pages.entrySet().asScala.toVector)
+          val from = cursor.map(c => all.indexWhere(_.getKey == c))
+            .getOrElse(0).max(0)
+          val chunk = all.slice(from, from + 2) // tiny pages → cursor loop
+          val results = chunk.map { e =>
+            val pg = mapper.createObjectNode()
+            pg.put("id", e.getKey)
+            pg.set[JsonNode]("properties", e.getValue.props)
+            mapper.writeValueAsString(pg)
+          }
+          val hasMore = from + 2 < all.size
+          val next = if (hasMore) s""""${all(from + 2).getKey}"""" else "null"
+          respond(x, 200,
+            s"""{"results":[${results.mkString(",")}],
+               |"has_more":$hasMore,"next_cursor":$next}""".stripMargin)
+        } else respond(x, 404, "{}")
+      })
+      server.createContext("/v1/pages", { x: HttpExchange =>
+        val path = x.getRequestURI.getPath
+        if (x.getRequestMethod == "POST" && path == "/v1/pages") {
+          if (insertAttempts.incrementAndGet() <= failFirstInserts)
+            respond(x, 429, """{"error":"rate limited"}""")
+          else {
+            val body = readBody(x)
+            val id = s"page-${nextId.incrementAndGet()}"
+            syncPages(pages.put(id, ObjectNodeBox(body.get("properties"))))
+            respond(x, 200, s"""{"id":"$id"}""")
+          }
+        } else if (x.getRequestMethod == "PATCH") {
+          val id = path.stripPrefix("/v1/pages/")
+          val box = syncPages(pages.get(id))
+          if (box == null) respond(x, 404, "{}")
+          else {
+            val patch = readBody(x).get("properties")
+            val merged = box.props.deepCopy[JsonNode]()
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            patch.properties().asScala.foreach(e =>
+              merged.set[JsonNode](e.getKey, e.getValue))
+            box.props = merged
+            respond(x, 200, s"""{"id":"$id"}""")
+          }
+        } else respond(x, 404, "{}")
+      })
+    }
+
+    def titleKey(props: JsonNode): String =
+      props.path("subject_id").path("title").path(0)
+        .path("text").path("content").asText("")
+    def isActive(props: JsonNode): Boolean =
+      props.path("is_active").path("checkbox").asBoolean(true)
+  }
+
+  import spark.implicits._
+
+  private def frame(rows: (Long, String, Double)*) =
+    rows.toDF("subject_id", "name_cn", "score")
+
+  private def api(base: String) = new HttpNotionApi(base, "secret-token",
+    parentPageId = "parent-1",
+    propertyTypes = NotionSink.propertySchema(
+      frame((0L, "", 0.0)).schema, titleCol = "subject_id"))
+
+  test("notion lane end-to-end: DDL, insert, update, soft delete over HTTP") {
+    val stub = new NotionStub()
+    withServer(stub.wire) { base =>
+      val a = api(base)
+      assert(a.createDatabase("Bangumi Database",
+        Map("subject_id" -> "title", "name_cn" -> "rich_text",
+          "score" -> "number")) === "db-test")
+      // K4: typed DDL reached the wire in Notion's schema shape
+      val schema = stub.databaseSchemas.get("db-test")
+      assert(schema.path("subject_id").has("title"))
+      assert(schema.path("score").has("number"))
+
+      val r1 = NotionSink.upsert(
+        frame((1L, "孤独摇滚！", 8.1), (2L, "b", 9.0), (3L, "c", 3.0)),
+        "subject_id", a)
+      assert(r1 === NotionSink.WriteReport(3, 0, 0, 0))
+
+      val r2 = NotionSink.upsert(frame((1L, "a2", 1.5), (2L, "b", 9.0)),
+        "subject_id", a)
+      assert(r2.updated === 2 && r2.softDeleted === 1 && r2.errors === 0)
+
+      val byKey = stub.pages.asScala.values
+        .map(b => stub.titleKey(b.props) -> b.props).toMap
+      assert(byKey("1").path("name_cn").path("rich_text").path(0)
+        .path("text").path("content").asText() === "a2")
+      assert(byKey("1").path("score").path("number").asDouble() === 1.5)
+      assert(stub.isActive(byKey("3")) === false) // tombstoned over the wire
+      assert(stub.isActive(byKey("1")) === true)
+    }
+  }
+
+  test("existingRecords walks the cursor pagination (S5)") {
+    val stub = new NotionStub()
+    withServer(stub.wire) { base =>
+      val a = api(base)
+      a.createDatabase("db", Map("subject_id" -> "title"))
+      NotionSink.upsert(
+        frame((1 to 5).map(i => (i.toLong, s"n$i", i.toDouble)): _*),
+        "subject_id", a)
+      val recs = a.existingRecords()
+      assert(recs.keySet === (1 to 5).map(_.toLong).toSet)
+      assert(stub.queryRequests.get() >= 3) // 5 rows / page_size 2 → ≥3 pages
+    }
+  }
+
+  test("429 on insert is retried through the sink envelope; report stays clean") {
+    val stub = new NotionStub(failFirstInserts = 2)
+    withServer(stub.wire) { base =>
+      val a = api(base)
+      a.createDatabase("db", Map("subject_id" -> "title"))
+      val r = NotionSink.upsert(frame((1L, "a", 1.0), (2L, "b", 2.0)),
+        "subject_id", a)
+      assert(r === NotionSink.WriteReport(2, 0, 0, 0))
+      assert(stub.insertAttempts.get() === 4) // 2 rejected + 2 retried
+      assert(stub.pages.asScala.size === 2)
+    }
+  }
+}

@@ -652,6 +652,24 @@ object SparkEntry {
         "embedding", 10, nCentroids = 8, nProbe = 2, m = 8, codebookSize = 8)
     }),
 
+    // Partitioned/sorted output layout, round-tripped: write documents as a
+    // hive-partitioned (lang, source) corpus sorted by doc_id within files
+    // (one shuffle — sinks.CorpusWriter), re-read through the pruning
+    // filter, aggregate. Gates that the 100 TB output path is lossless and
+    // partition-filter-correct end to end; layout/pruning plan shape is
+    // pinned in CorpusWriterSpec.
+    "q78_partitioned_write" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_q78").toString
+      sinks.CorpusWriter.writePartitioned(T(s, dir, "documents"),
+        out, Seq("lang", "source"), Seq("doc_id"), filesPerPartition = 2)
+      s.read.parquet(out).filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    }),
+
     // SemDeDup: k-means-cluster the embeddings (q38's deterministic sampled
     // Lloyd centroids), drop any vector with cosine ≥ 0.3 to a lower-id
     // vector in its cluster; min-id survivors keep kept=1.
@@ -1623,6 +1641,14 @@ object SparkEntry {
     // q38's coarse CTEs (kmeans + rank-1 assign + top-2 probe) composed
     // with q66's subspace CTEs (codebooks + codes), ADC restricted to the
     // probed candidate set — the same two bit-exact trainings, one query
+    // the layout round trip must agree with a direct scan of the source
+    // table — partition dirs and file splits carry no information loss
+    "q78_partitioned_write" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
+
     "q76_ivfpq_ann_topk" -> {
       val (m, sub, k, iters) = (8, 8, 8, 2)
       val subCtes = (0 until m).map(j => pqSubspaceCteSql(j, sub, k, iters))

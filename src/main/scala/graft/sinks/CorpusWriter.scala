@@ -1,0 +1,58 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partitioned + sorted corpus layout writer — the output half of a
+  * training-data pipeline (the reference's exports are driver-side
+  * Excel/CSV, `bangumi_data_ingestion.py:467-516`; at 100 TB the export
+  * surface is a partition-pruned columnar layout instead).
+  *
+  * Layout contract:
+  *  - hive-style directory partitioning on `partitionCols` → a reader
+  *    filtering on them prunes whole directories at planning time;
+  *  - rows sorted by `sortCols` within every output file → parquet
+  *    row-group min/max statistics are tight, so range predicates on the
+  *    sort key prune row groups inside the surviving files.
+  *
+  * Shape at 100 TB: ONE shuffle, keyed by (partitionCols, salt). Without
+  * it, `partitionBy` makes every write task emit a file per partition
+  * value it sees — tasks × values small files; with it, each hive
+  * partition is written by exactly `filesPerPartition` tasks.
+  * `filesPerPartition` is the skew control: a heavy partition value (one
+  * dominant language, one hot day) splits across N sorted files instead of
+  * bottlenecking one task — raise it until the largest partition ÷ N fits
+  * an executor. Both the partition spray and the per-file sort scale per
+  * row, never per partition count.
+  */
+object CorpusWriter {
+
+  def writePartitioned(
+      df: DataFrame,
+      outDir: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
+    require(partitionCols.nonEmpty && sortCols.nonEmpty,
+      "need at least one partition column and one sort column")
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    require(!df.columns.contains("__salt"),
+      "input frame must not contain reserved column __salt")
+    // deterministic salt from the sort key: same row → same file, and the
+    // split stays balanced even when the sort key is clustered
+    val salted = df.withColumn("__salt",
+      pmod(hash(sortCols.map(col): _*), lit(filesPerPartition)))
+    // explicit partition count: a layout-controlling shuffle must not be
+    // AQE-coalesced (merging tasks would re-merge the salt split and fuse
+    // partition values back into shared files)
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    salted
+      .repartition(n, (partitionCols :+ "__salt").map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .drop("__salt")
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(outDir)
+  }
+}

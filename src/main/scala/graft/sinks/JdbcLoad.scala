@@ -47,12 +47,47 @@ object JdbcLoad {
     p
   }
 
-  /** K3: full-replace batched write (`to_sql(if_exists='replace')`). */
+  /** K3: full-replace batched write (`to_sql(if_exists='replace')`).
+    * `options` lets callers attach dialect specifics — e.g.
+    * [[mysqlWriteOptions]], or just `createTableColumnTypes`. */
   def writeOverwrite(df: DataFrame, url: String, table: String,
-      batchSize: Int = 1000, driver: String = DerbyDriver): Unit =
-    prepareForJdbc(df).write.mode("overwrite")
-      .option("batchsize", batchSize)
-      .jdbc(url, table, props(driver))
+      batchSize: Int = 1000, driver: String = DerbyDriver,
+      options: Map[String, String] = Map.empty): Unit = {
+    val w = options.foldLeft(
+      prepareForJdbc(df).write.mode("overwrite")
+        .option("batchsize", batchSize)) {
+      case (wr, (k, v)) => wr.option(k, v)
+    }
+    w.jdbc(url, table, props(driver))
+  }
+
+  /** MySQL-dialect write options, mirroring the reference's utf8mb4 load
+    * (`data_loading_to_mysql_database.py:40-57` connection charset,
+    * `:149-172` chunked `to_sql`):
+    *
+    *  - connection + table charset `utf8mb4` so 4-byte Unicode (emoji in
+    *    `name`/`short_summary`) survives both the wire and storage;
+    *  - `chunksize=1000` → `batchsize=1000`;
+    *  - bounded key/enum columns as explicit `VARCHAR(n)` via
+    *    `createTableColumnTypes` (indexable — MySQL can't index unbounded
+    *    TEXT without a prefix length); unbounded text columns keep the
+    *    dialect default (Spark's MySQL dialect emits LONGTEXT, the
+    *    engine-side analogue of pandas `to_sql`'s TEXT).
+    *
+    * `createTableOptions` is MySQL syntax — drop it when targeting another
+    * dialect (the Derby spec does).
+    */
+  def mysqlWriteOptions(varcharCols: Map[String, Int] = Map.empty): Map[String, String] = {
+    val ddl = varcharCols.map { case (c, n) => s"$c VARCHAR($n)" }.mkString(", ")
+    Map(
+      "characterEncoding" -> "UTF-8", // Connector/J: selects utf8mb4 on 8.x
+      "connectionCollation" -> "utf8mb4_unicode_ci",
+      "createTableOptions" ->
+        "ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci",
+      "batchsize" -> "1000") ++
+      (if (varcharCols.nonEmpty) Map("createTableColumnTypes" -> ddl)
+       else Map.empty)
+  }
 
   /** S4: full-table JDBC scan (Catalyst pushes filters/pruning into it). */
   def readTable(spark: SparkSession, url: String, table: String,

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioned/sorted write path: hive layout, within-file sort order,
+  * tight per-file min/max, and partition pruning on re-read — the output
+  * half of the 100 TB pipeline (SURVEY §2.2 extension).
+  */
+class CorpusWriterSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  private def dataFiles(root: Path): Seq[Path] =
+    Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+
+  private def withOut[A](body: Path => A): A = {
+    val dir = Files.createTempDirectory("graft_corpus_writer")
+    try body(dir)
+    finally {
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("hive layout + within-file sort + lossless round trip") {
+    withOut { dir =>
+      sinks.CorpusWriter.writePartitioned(docs, dir.toString,
+        partitionCols = Seq("lang", "source"), sortCols = Seq("doc_id"))
+
+      // layout: every data file sits under lang=…/source=… directories
+      val files = dataFiles(dir)
+      assert(files.nonEmpty)
+      assert(files.forall { f =>
+        val rel = dir.relativize(f).toString
+        rel.matches("lang=[^/]+/source=[^/]+/[^/]+\\.parquet")
+      }, s"unexpected layout: ${files.map(dir.relativize).mkString(", ")}")
+
+      // within-file sort: each file's doc_ids are ascending (tight parquet
+      // row-group stats), and per-file [min,max] match the file content
+      files.foreach { f =>
+        val ids = spark.read.parquet(f.toString)
+          .select("doc_id").collect().map(_.getLong(0))
+        assert(ids.sameElements(ids.sorted),
+          s"file ${dir.relativize(f)} is not sorted by doc_id")
+      }
+
+      // lossless: re-read equals input (partition cols come back from dirs)
+      val back = spark.read.parquet(dir.toString)
+      assert(back.columns.sorted.sameElements(docs.columns.sorted))
+      val a = docs.select(docs.columns.sorted.map(col): _*)
+        .collect().map(_.toString).sorted
+      val b = back.select(docs.columns.sorted.map(col): _*)
+        .collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    }
+  }
+
+  test("filtered re-read prunes partitions at planning time") {
+    withOut { dir =>
+      sinks.CorpusWriter.writePartitioned(docs, dir.toString,
+        partitionCols = Seq("lang", "source"), sortCols = Seq("doc_id"))
+      val enFiles = dataFiles(dir)
+        .count(_.toString.contains("lang=en/"))
+      val all = dataFiles(dir).size
+      assert(enFiles > 0 && enFiles < all, "fixture must have several langs")
+
+      val filtered = spark.read.parquet(dir.toString)
+        .filter(col("lang") === "en")
+      filtered.collect()
+      val scan = filtered.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head
+      assert(scan.metadata("PartitionFilters").contains("lang"),
+        s"partition filter not pushed: ${scan.metadata("PartitionFilters")}")
+      assert(scan.metrics("numFiles").value === enFiles,
+        "scan read more files than the lang=en partitions")
+    }
+  }
+
+  test("filesPerPartition splits heavy partitions into N sorted files") {
+    withOut { dir =>
+      // enough shuffle partitions that the 5 langs × 3 salts rarely collide
+      withSQLConf("spark.sql.shuffle.partitions" -> "64") {
+        sinks.CorpusWriter.writePartitioned(docs, dir.toString,
+          partitionCols = Seq("lang"), sortCols = Seq("doc_id"),
+          filesPerPartition = 3)
+      }
+      val byDir = dataFiles(dir).groupBy(_.getParent.getFileName.toString)
+      assert(byDir.nonEmpty)
+      // the heavy partitions split into multiple files (small ones may
+      // hash all salts into one task), every file stays sorted, and
+      // nothing is lost in the salt spray
+      assert(byDir.values.map(_.size).max > 1,
+        s"no partition split: ${byDir.view.mapValues(_.size).toMap}")
+      byDir.foreach { case (d, fs) =>
+        assert(fs.size <= 3, s"$d got ${fs.size} files")
+        fs.foreach { f =>
+          val ids = spark.read.parquet(f.toString)
+            .select("doc_id").collect().map(_.getLong(0))
+          assert(ids.sameElements(ids.sorted))
+        }
+      }
+      assert(spark.read.parquet(dir.toString).count() === docs.count())
+    }
+  }
+}

@@ -39,6 +39,53 @@ class JdbcLoadSpec extends AnyFunSuite with SparkSpec {
       .columns.toSet === slim.columns.toSet)
   }
 
+  test("explicit VARCHAR column types reach the created table DDL") {
+    val df = Seq((1L, "short-key", "a very long free-text body"))
+      .toDF("id", "label", "body")
+    // TEXT-vs-VARCHAR split (reference :149-172 type mapping): bounded
+    // enum/key columns as VARCHAR(n); unbounded text keeps the dialect
+    // default (CLOB on Derby, LONGTEXT on MySQL — both TEXT-family)
+    JdbcLoad.writeOverwrite(df, url, "typed_table",
+      options = Map("createTableColumnTypes" -> "label VARCHAR(255)"))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // Spark's JDBC writer quotes identifiers, so Derby keeps the exact
+      // (lowercase) names — probe both spellings, normalize keys up
+      val types = Seq("typed_table", "TYPED_TABLE").flatMap { t =>
+        val cols = conn.getMetaData.getColumns(null, null, t, null)
+        Iterator.continually(cols).takeWhile(_.next())
+          .map(c => c.getString("COLUMN_NAME").toUpperCase ->
+            (c.getString("TYPE_NAME"), c.getInt("COLUMN_SIZE")))
+          .toList
+      }.toMap
+      assert(types("LABEL") === ("VARCHAR", 255))
+      assert(types("BODY")._1 === "CLOB") // dialect TEXT-family default
+      assert(types("ID")._1 === "BIGINT")
+    } finally conn.close()
+  }
+
+  test("4-byte unicode (utf8mb4's reason to exist) survives the JDBC wire") {
+    val df = Seq((105L, "Elden Ring 🗡️", "艾尔登法环 ⚔️"))
+      .toDF("id", "name", "name_cn")
+    JdbcLoad.writeOverwrite(df, url, "emoji_table")
+    val back = JdbcLoad.readTable(spark, url, "emoji_table")
+      .filter($"id" === 105L).head()
+    assert(back.getAs[String]("name") === "Elden Ring 🗡️")
+    assert(back.getAs[String]("name_cn") === "艾尔登法环 ⚔️")
+  }
+
+  test("documented MySQL options map carries charset, collation and batching") {
+    val opts = JdbcLoad.mysqlWriteOptions(
+      varcharCols = Map("subject_id" -> 64, "name_cn" -> 500))
+    assert(opts("createTableOptions").contains("CHARSET=utf8mb4"))
+    assert(opts("createTableOptions").contains("utf8mb4_unicode_ci"))
+    assert(opts("connectionCollation") === "utf8mb4_unicode_ci")
+    assert(opts("batchsize") === "1000") // reference chunksize=1000
+    val ddl = opts("createTableColumnTypes")
+    assert(ddl.contains("subject_id VARCHAR(64)") &&
+      ddl.contains("name_cn VARCHAR(500)"))
+  }
+
   test("incremental sync: initial load, then insert/update/delete merge") {
     val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "bal")

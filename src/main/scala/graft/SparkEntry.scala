@@ -600,6 +600,13 @@ object SparkEntry {
       Sampling.epochShuffle(T(s, dir, "documents").select(col("doc_id")),
         "doc_id", nEpochs = 2, nShards = 4)),
 
+    // Efraimidis–Spirakis weighted sample: 50 docs, P ∝ char length —
+    // the mixture-weighting pass (uniform-in-stratum q52 can't express
+    // it). Keys ranked as round(ln(u)/w, 9) with id tiebreak (q64 trick).
+    "q77_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSampleK(T(s, dir, "documents"), "doc_id",
+        length(col("text")), 50)),
+
     // Trailing time-RANGE window: per-user rolling 1-hour count/sum at
     // every event — the RANGE-frame analytic family (q19/q40 cover ROWS
     // frames). Peer rows (equal ts) share a frame in both engines.
@@ -1553,6 +1560,30 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id) - 1
         |    AS INT) AS pos
         |FROM s""".stripMargin,
+
+    // Efraimidis–Spirakis keys re-derived: the 13-hex-char md5 prefix is
+    // decoded to its 52-bit integer with a fixed 13-term strpos polynomial
+    // (all-BIGINT arithmetic; the q72 hex-digit decode, widened), mapped to
+    // the exact double (2v+1)/2^53, then ranked on round(ln(u)/w, 9) with
+    // the id tiebreak — the same rounded value Spark ranks on, so a 1-2 ulp
+    // ln drift can't flip a rank
+    "q77_weighted_sample" -> {
+      val v = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH keyed AS (
+         |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS weight,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents WHERE length(text) > 0),
+         |es AS (SELECT doc_id, weight,
+         |    round(ln(CAST($v * 2 + 1 AS DOUBLE)
+         |      / CAST(9007199254740992 AS DOUBLE)) / weight, 9) AS es_key
+         |  FROM keyed),
+         |top AS (SELECT * FROM es ORDER BY es_key DESC, doc_id ASC LIMIT 50)
+         |SELECT doc_id, weight, es_key,
+         |  CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS INT) AS rank
+         |FROM top""".stripMargin
+    },
 
     // the same µs-precision RANGE frame stated directly
     "q70_trailing_window" ->

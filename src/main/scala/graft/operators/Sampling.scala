@@ -124,6 +124,49 @@ object Sampling {
       .toDF(strataCol, idCol, "sample_rank")
   }
 
+  /** Efraimidis–Spirakis weighted sampling without replacement (the A-Res
+    * scheme, Efraimidis & Spirakis 2006): every row draws a uniform
+    * `u ∈ (0,1)` and takes key `u^(1/w)`; the k largest keys are the
+    * sample, and inclusion probability is proportional to weight. This is
+    * the mixture-weighting primitive that [[stratifiedFixedK]] (uniform
+    * within stratum) cannot express — e.g. "sample documents proportional
+    * to token count / quality score".
+    *
+    * Determinism + portability:
+    *  - `u` comes from the first 13 hex chars of `md5(id)` — a 52-bit
+    *    integer, mapped to `(2v+1)/2^53` (odd numerator: exact as a double,
+    *    never 0 or 1, so the log below is always finite);
+    *  - keys are RANKED as `ln(u)/w` (the log of `u^(1/w)`, same ordering,
+    *    one transcendental instead of `pow`'s two) and ROUNDED to 9
+    *    decimals with an id tiebreak — the q64 trick, so a 1-2 ulp
+    *    `ln` disagreement between engines can never flip a rank.
+    *
+    * Scale shape: the key is a pure scan-stage expression; top-k is
+    * orderBy+limit = TakeOrdered (bounded per-partition heap, no global
+    * sort). Weights must be > 0 — non-positive-weight rows are excluded
+    * (P ∝ w = 0), matching the ES definition.
+    *
+    * Output: idCol, `weight`, `es_key` (the rounded ranking key), `rank`.
+    */
+  def weightedSampleK(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "sample size must be >= 1")
+    val v = conv(substring(sampleKey(col(idCol)), 1, 13), 16, 10).cast("long")
+    val u = (v * lit(2L) + lit(1L)).cast("double") / lit(9007199254740992.0) // 2^53
+    val keyed = df
+      .select(col(idCol), weight.cast("double").as("weight"))
+      .filter(col("weight") > 0.0)
+      .withColumn("es_key", round(log(u) / col("weight"), 9))
+    val top = keyed.orderBy(col("es_key").desc, col(idCol).asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("es_key").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("weight"), col("es_key"), col("rank"))
+  }
+
   /** Deterministic per-epoch corpus shuffle for training runs: every
     * (epoch, doc) gets a content-independent pseudo-random order key
     * (`md5(epoch:id)`), a shard from the key's first hex digit (uniform

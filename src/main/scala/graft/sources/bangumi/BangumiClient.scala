@@ -17,15 +17,18 @@ trait BangumiClient extends Serializable {
       limit: Int): Seq[String]
 }
 
-/** Deterministic throttle: a minimal token bucket (R2 — the reference
-  * sleeps 0.5 s/page and 0.3 s/probe). */
+/** Deterministic throttle (R2 — the reference sleeps 0.5 s/page and
+  * 0.3 s/probe). FIXED-DELAY pacing: the clock restarts at the actual
+  * wake time, so consecutive `acquire` returns are always ≥ the interval
+  * apart even when a sleep oversleeps — pacing from the ideal timeline
+  * (`last + interval`) would let an overshoot compress the next gap,
+  * bursting two requests closer than the contract allows. */
 final class RateLimiter(minIntervalMillis: Long) extends Serializable {
   @volatile private var last = 0L
   def acquire(): Unit = synchronized {
-    val now = System.currentTimeMillis()
-    val wait = last + minIntervalMillis - now
+    val wait = last + minIntervalMillis - System.currentTimeMillis()
     if (wait > 0) Thread.sleep(wait)
-    last = math.max(now, last + minIntervalMillis)
+    last = System.currentTimeMillis()
   }
 }
 

@@ -142,15 +142,18 @@ class HttpLaneSpec extends AnyFunSuite with SparkSpec {
     val stub = new BangumiStub()
     withServer(stub.wire) { base =>
       // single category → one partition → one sequential page loop
-      httpRead(base, "pageSize" -> "1", "pageIntervalMs" -> "40")
+      httpRead(base, "pageSize" -> "1", "pageIntervalMs" -> "120")
         .filter("subject_type = 2 and collection_type = 2").count()
       val ts = stub.arrivals.asScala.toVector.sorted
       // pruned grid → arrivals are [count probe, page1, page2]; the
-      // probe→page1 gap is unpaced, the page1→page2 gap is the limiter's
+      // probe→page1 gap is unpaced, the page1→page2 gap is the limiter's.
+      // The limiter guarantees ≥120ms between SENDS; arrival gaps also
+      // carry per-request dispatch jitter (observed >10ms under a loaded
+      // test JVM), hence the 40ms allowance on the wire-side assertion.
       val pageGaps = ts.takeRight(2).sliding(2)
         .collect { case Vector(a, b) => (b - a) / 1e6 }.toVector
-      assert(pageGaps.nonEmpty && pageGaps.forall(_ >= 30.0),
-        s"expected >=30ms gap between paced page fetches, got $pageGaps")
+      assert(pageGaps.nonEmpty && pageGaps.forall(_ >= 80.0),
+        s"expected >=80ms gap between paced page fetches, got $pageGaps")
     }
   }
 

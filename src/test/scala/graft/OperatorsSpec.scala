@@ -445,4 +445,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) === "en")
     assert(out(2L) === "unknown")
   }
+
+  test("weightedSampleK: ES weight bias, scale invariance, zero-weight exclusion") {
+    import graft.operators.Sampling
+    // 400 rows, ids 0..399; weight 100 for ids < 40, weight 1 otherwise —
+    // heavy rows are 40/400 = 10% of the corpus but ~10/11 of the total mass
+    val d = spark.range(400).toDF("id")
+      .withColumn("w", when($"id" < 40, 100.0).otherwise(1.0))
+    val got = Sampling.weightedSampleK(d, "id", $"w", 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(3)))
+    assert(got.length === 50)
+    assert(got.map(_._3).sorted.toSeq === (1 to 50)) // dense ranks
+    // P(heavy in sample) ≈ 10/11: with 40 heavy rows and k=50 the sample
+    // must be dominated by heavy ids (uniform would pick ~5 of them)
+    val heavy = got.count(_._1 < 40L)
+    assert(heavy >= 30, s"expected heavy-weight dominance, got $heavy/50 heavy")
+    // u^(1/w) ordering is invariant under weight scaling (monotonic map)
+    val scaled = Sampling.weightedSampleK(
+        d.withColumn("w", $"w" * 7.0), "id", $"w", 50)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(scaled.map(_._1).toSeq === got.map(_._1).toSeq)
+    // w <= 0 rows are excluded (P ∝ 0), never sampled
+    val withZero = d.withColumn("w", when($"id" >= 40, 0.0).otherwise($"w"))
+    val onlyHeavy = Sampling.weightedSampleK(withZero, "id", $"w", 50)
+      .collect().map(_.getLong(0))
+    assert(onlyHeavy.length === 40 && onlyHeavy.forall(_ < 40L))
+  }
 }

@@ -942,6 +942,17 @@ object SparkEntry {
           operators.Multimodal.syntheticGifMedia(s, 90), 3)
         .withColumn("histogram", to_json(col("histogram")))
     }),
+
+    // Multimodal: windowed audio features — 20ms windows, RMS + Goertzel
+    // band amplitudes at 440/1000/2500 Hz over the qb41 WAV lane (pure JDK,
+    // StrictMath-seeded recurrence); corrupt rows isolated. band_amp →
+    // JSON string for the rows-only compare (same contract as qb39).
+    "qb43_audio_frames" -> ((s, _) => {
+      operators.Multimodal.decodeAudioFrames(
+          operators.Multimodal.syntheticAudio(s, 120), 20,
+          Seq(440.0, 1000.0, 2500.0))
+        .withColumn("band_amp", to_json(col("band_amp")))
+    }),
   )
 
   // ---- DuckDB oracle-SQL generators (DuckDB dialect) -------------------

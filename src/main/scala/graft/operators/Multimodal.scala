@@ -19,6 +19,10 @@ case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
 case class DecodedFrame(media_id: Long, frame_no: Int, n_frames: Int,
     width: Int, height: Int, histogram: Seq[Double], decode_error: Boolean)
 
+/** Top-level for the same Janino-serializer reason as [[DecodedMedia]]. */
+case class AudioFeatureFrame(media_id: Long, frame_no: Int, n_frames: Int,
+    start_ms: Long, rms: Double, band_amp: Seq[Double], decode_error: Boolean)
+
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
   * payloads as opaque `binary` columns plus typed metadata, with
   * decode/feature steps shaped for batch execution.
@@ -132,8 +136,8 @@ object Multimodal {
     * reader (multi-frame container support ships with the JDK — no fake
     * byte-scan here). Frames are COMPOSITED the way a GIF renderer does —
     * each raw raster drawn at its (left, top) offset onto the logical
-    * screen, honoring none/doNotDispose and restore-to-background
-    * disposal (restore-to-previous is approximated as doNotDispose) — so
+    * screen, honoring all three GIF89a disposal methods
+    * (none/doNotDispose, restore-to-background, restore-to-previous) — so
     * dirty-rect-optimized GIFs yield full displayed frames, not patch
     * rasters. Returns `n` evenly spaced frames as (frame_no,
     * total_frames, width, height, luminance histogram); sampling a late
@@ -183,17 +187,23 @@ object Multimodal {
           (0 to sampled.max).foreach { f =>
             val raw = reader.read(f)
             val (x, y, disp) = gifFrameMeta(reader.getImageMetadata(f))
+            // disposal=3 restores the screen as it was BEFORE this frame —
+            // snapshot it now, put it back after the frame is displayed
+            val saved = if (disp == 3) canvas.copyData(null) else null
             g.drawImage(raw, x, y, null)
             if (sampled.contains(f)) {
               val (w, h, hist) = lumHistogram(canvas)
               out += ((f, total, w, h, hist))
             }
-            if (disp == 2) { // restore frame rect to (opaque-black) background
-              val old = g.getComposite
-              g.setComposite(java.awt.AlphaComposite.Src)
-              g.setColor(java.awt.Color.BLACK)
-              g.fillRect(x, y, raw.getWidth, raw.getHeight)
-              g.setComposite(old)
+            disp match {
+              case 2 => // restore frame rect to (opaque-black) background
+                val old = g.getComposite
+                g.setComposite(java.awt.AlphaComposite.Src)
+                g.setColor(java.awt.Color.BLACK)
+                g.fillRect(x, y, raw.getWidth, raw.getHeight)
+                g.setComposite(old)
+              case 3 => canvas.setData(saved) // restore to previous
+              case _ => // none / doNotDispose: leave the screen as drawn
             }
           }
           out.result()
@@ -305,6 +315,103 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** Windowed audio features: the audio analogue of the image histogram —
+    * non-overlapping `windowMs` windows over the mono-mixed signal, each
+    * yielding an RMS plus per-band amplitude at the requested frequencies
+    * via the Goertzel recurrence (the single-bin DFT — O(N) per band, no
+    * FFT dependency, pure JDK). `StrictMath.cos` seeds the recurrence so
+    * the coefficients are bit-identical on any platform. The tail window
+    * keeps its true (shorter) length; `start_ms` is the window's offset.
+    * Throws on null/unparseable/non-16-bit payloads — callers isolate.
+    */
+  def wavFeatureFrames(content: Array[Byte], windowMs: Int,
+      freqsHz: Seq[Double]): Seq[(Int, Int, Long, Double, Array[Double])] = {
+    if (content == null || content.length == 0 || windowMs <= 0 || freqsHz.isEmpty)
+      throw new IllegalArgumentException("corrupt media payload")
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(content))
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        throw new IllegalArgumentException(
+          s"unsupported WAV encoding: ${fmt.getEncoding}/${fmt.getSampleSizeInBits}-bit")
+      val rate = fmt.getSampleRate.toInt
+      val nCh = fmt.getChannels
+      val bytes = ais.readAllBytes()
+      val nFrames = bytes.length / (2 * nCh)
+      if (nFrames == 0) throw new IllegalArgumentException("empty audio stream")
+      val win = math.max(1, rate * windowMs / 1000)
+      val nWin = ((nFrames + win - 1) / win).toInt
+      val coeffs = freqsHz.map(f =>
+        2.0 * StrictMath.cos(2.0 * math.Pi * f / rate)).toArray
+      (0 until nWin).map { wi =>
+        val from = wi * win
+        val to = math.min(nFrames, from + win)
+        val n = to - from
+        val s1 = new Array[Double](coeffs.length)
+        val s2 = new Array[Double](coeffs.length)
+        var sumSq = 0.0
+        var i = from
+        while (i < to) {
+          var acc = 0.0
+          var c = 0
+          while (c < nCh) {
+            val o = (i * nCh + c) * 2
+            val s = // PCM_SIGNED little-endian unless the header says otherwise
+              if (fmt.isBigEndian) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+              else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+            acc += s
+            c += 1
+          }
+          val x = acc / nCh / 32768.0 // mono mix, normalized to [-1, 1)
+          sumSq += x * x
+          var k = 0
+          while (k < coeffs.length) {
+            val s0 = x + coeffs(k) * s1(k) - s2(k)
+            s2(k) = s1(k)
+            s1(k) = s0
+            k += 1
+          }
+          i += 1
+        }
+        val bands = coeffs.indices.map { k =>
+          val p = s1(k) * s1(k) + s2(k) * s2(k) - coeffs(k) * s1(k) * s2(k)
+          // 2|X(f)|/N = the amplitude of a pure tone at f (so a full-scale
+          // sine reports ~its peak amplitude regardless of window length)
+          math.sqrt(math.max(p, 0.0)) * 2.0 / n
+        }.toArray
+        (wi, nWin, from * 1000L / rate, math.sqrt(sumSq / n), bands)
+      }
+    } finally ais.close()
+  }
+
+  /** Audio feature-frame stage: one row per window per payload with RMS +
+    * Goertzel band amplitudes; same per-partition batch shape and
+    * corrupt-row isolation contract as [[decodeImages]] (a corrupt payload
+    * yields a single flagged row). */
+  def decodeAudioFrames(media: DataFrame, windowMs: Int,
+      freqsHz: Seq[Double]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          try wavFeatureFrames(bytes, windowMs, freqsHz).map {
+            case (wi, nWin, startMs, rms, bands) =>
+              AudioFeatureFrame(id, wi, nWin, startMs, rms, bands.toSeq,
+                decode_error = false)
+          } catch {
+            case _: Exception =>
+              Seq(AudioFeatureFrame(id, -1, -1, -1L, -1.0, Seq.empty,
+                decode_error = true))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Audio decode/feature stage: same per-partition batch shape and
     * corrupt-row isolation contract as [[decodeImages]]. */
   def decodeAudios(media: DataFrame): DataFrame = {
@@ -408,6 +515,35 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** One deterministic pure-tone WAV: a 16-bit sine at `freqHz`, amplitude
+    * 0.5 full-scale — the Goertzel ground truth (band amplitude at the tone
+    * frequency ≈ 0.5, elsewhere ≈ 0). */
+  private[graft] def syntheticToneWav(freqHz: Double, sampleRate: Int,
+      channels: Int, nFrames: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var f = 0
+    while (f < nFrames) {
+      val s = (0.5 * StrictMath.sin(2.0 * math.Pi * freqHz * f / sampleRate)
+        * 32767.0).toInt
+      var c = 0
+      while (c < channels) {
+        val o = (f * channels + c) * 2
+        pcm(o) = (s & 0xff).toByte // little-endian
+        pcm(o + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic synthetic audio table: real WAVs with varying rates /
     * channel counts / lengths, plus corrupt payloads (every 9th row) so the
     * decode stage's isolation path is always exercised. */
@@ -454,6 +590,63 @@ object Multimodal {
         writer.writeToSequence(
           new javax.imageio.IIOImage(img, null, null),
           writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Animated GIF with explicit per-frame disposal + offsets — the fixture
+    * for the disposal-method compositing paths ([[demuxGif]]). Each entry is
+    * (frame image, disposal — "none" | "doNotDispose" |
+    * "restoreToBackgroundColor" | "restoreToPrevious", left, top); the
+    * values are written into the real GraphicControlExtension /
+    * ImageDescriptor metadata, so any conformant decoder sees them. */
+  private[graft] def syntheticGifDisposal(
+      frames: Seq[(java.awt.image.BufferedImage, String, Int, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (img, disposal, left, top) =>
+        val param = writer.getDefaultWriteParam
+        val md = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = md.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        // fetch-or-append keeps the DTD child order (ImageDescriptor,
+        // LocalColorTable, GraphicControlExtension, ...) valid either way
+        def node(name: String): javax.imageio.metadata.IIOMetadataNode = {
+          val kids = root.getChildNodes
+          (0 until kids.getLength).map(kids.item)
+            .find(_.getNodeName == name) match {
+            case Some(n) => n.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            case None =>
+              val n = new javax.imageio.metadata.IIOMetadataNode(name)
+              root.appendChild(n)
+              n
+          }
+        }
+        val desc = node("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        desc.setAttribute("imageWidth", img.getWidth.toString)
+        desc.setAttribute("imageHeight", img.getHeight.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        val gce = node("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        md.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), param)
       }
       writer.endWriteSequence()
     } finally {

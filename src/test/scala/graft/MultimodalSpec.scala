@@ -104,6 +104,54 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(decoded.exceptAll(again).count() === 0)
   }
 
+  test("Goertzel band amplitude recovers a pure tone; windows tile the stream") {
+    // 200ms of 440Hz sine at 16kHz → 20ms windows = 10 full windows of 320
+    // samples each; the 440Hz band must read ≈ the tone's 0.5 amplitude,
+    // the off-tone bands ≈ 0
+    val wav = Multimodal.syntheticToneWav(440.0, 16000, 1, 3200)
+    val frames = Multimodal.wavFeatureFrames(wav, 20, Seq(440.0, 1000.0, 2500.0))
+    assert(frames.length === 10)
+    assert(frames.map(_._2).distinct.toSeq === Seq(10))
+    assert(frames.map(_._3).toSeq === (0 until 10).map(_ * 20L))
+    frames.foreach { case (_, _, _, rms, bands) =>
+      // sine RMS = A/√2 ≈ 0.3536; Goertzel at the tone ≈ A (window is not
+      // an integer number of periods, so allow a few percent of leakage)
+      assert(math.abs(rms - 0.5 / math.sqrt(2.0)) < 0.01, s"rms=$rms")
+      assert(math.abs(bands(0) - 0.5) < 0.05, s"on-tone band=${bands(0)}")
+      assert(bands(1) < 0.05 && bands(2) < 0.05,
+        s"off-tone bands must be near zero, got ${bands.toSeq}")
+    }
+    // tail window keeps its true length: 3360 samples → 10 full + 160-sample tail
+    val tail = Multimodal.wavFeatureFrames(
+      Multimodal.syntheticToneWav(440.0, 16000, 2, 3360), 20, Seq(440.0))
+    assert(tail.length === 11 && tail.last._3 === 200L)
+    assert(math.abs(tail.last._5(0) - 0.5) < 0.05) // stereo mono-mix intact
+  }
+
+  test("audio feature-frame stage isolates corrupt rows and matches direct decode") {
+    val df = Multimodal.decodeAudioFrames(
+      Multimodal.syntheticAudio(spark, 18), 20, Seq(440.0, 1000.0))
+    val rows = df.collect()
+    val bad = rows.filter(_.getAs[Boolean]("decode_error"))
+    assert(bad.map(_.getAs[Long]("media_id")).toSet === Set(8L, 17L))
+    assert(bad.forall(r => r.getAs[Int]("frame_no") === -1))
+    // window rows agree with a driver-side decode of the same payload
+    val content = Multimodal.syntheticAudio(spark, 18)
+      .filter($"media_id" === 3L).select($"content")
+      .collect()(0).getAs[Array[Byte]](0)
+    val direct = Multimodal.wavFeatureFrames(content, 20, Seq(440.0, 1000.0))
+    val staged = rows.filter(_.getAs[Long]("media_id") === 3L)
+      .sortBy(_.getAs[Int]("frame_no"))
+    assert(staged.length === direct.length)
+    staged.zip(direct).foreach { case (r, (wi, nWin, startMs, rms, bands)) =>
+      assert(r.getAs[Int]("frame_no") === wi)
+      assert(r.getAs[Int]("n_frames") === nWin)
+      assert(r.getAs[Long]("start_ms") === startMs)
+      assert(r.getAs[Double]("rms") === rms)
+      assert(r.getSeq[Double](r.fieldIndex("band_amp")).toSeq === bands.toSeq)
+    }
+  }
+
   test("GIF demux reads true frame count, dims, and exact 8-level histograms") {
     // 5 frames of 12×10 grayscale pixels at the 8 bin-center levels
     val gif = Multimodal.syntheticGif(seed = 3, w = 12, h = 10, nFrames = 5)
@@ -181,6 +229,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert((w1, h1) === ((8, 8)), "composited frame must be the logical screen")
     assert(hist1(0) === 60.0 / 64 && hist1(7) === 4.0 / 64,
       s"expected 60 black + 4 white composited pixels, got ${hist1.toSeq}")
+  }
+
+  test("GIF disposal=3 restores the previous screen; disposal=2 clears to background") {
+    def solid(w: Int, h: Int, v: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (v << 16) | (v << 8) | v // R=G=B → Rec.601 luminance == v
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    // f0: gray 108 (bin 3), stays; f1: white 252 (bin 7) full-screen with
+    // restore-to-previous — so f2, a 4×4 black patch, composites on f0's
+    // gray, NOT f1's white
+    val gif = Multimodal.syntheticGifDisposal(Seq(
+      (solid(8, 8, 108), "doNotDispose", 0, 0),
+      (solid(8, 8, 252), "restoreToPrevious", 0, 0),
+      (solid(4, 4, 0), "doNotDispose", 0, 0)))
+    val frames = Multimodal.demuxGif(gif, 3)
+    assert(frames.length === 3)
+    val hist1 = frames(1)._5
+    assert(hist1(7) === 1.0, "frame 1 displays full-screen white")
+    val hist2 = frames(2)._5
+    assert(hist2(0) === 16.0 / 64 && hist2(3) === 48.0 / 64,
+      s"disposal=3 must restore frame 0's gray under the patch, got ${hist2.toSeq}")
+
+    // same GIF but disposal=2 on f1: the screen under f2 is the black
+    // background, so the whole composited frame 2 lands in bin 0
+    val gif2 = Multimodal.syntheticGifDisposal(Seq(
+      (solid(8, 8, 108), "doNotDispose", 0, 0),
+      (solid(8, 8, 252), "restoreToBackgroundColor", 0, 0),
+      (solid(4, 4, 0), "doNotDispose", 0, 0)))
+    val hist2b = Multimodal.demuxGif(gif2, 3)(2)._5
+    assert(hist2b(0) === 1.0,
+      s"disposal=2 must clear to background before frame 2, got ${hist2b.toSeq}")
   }
 
   test("content fingerprint dedups identical payloads") {

@@ -33,6 +33,29 @@ object PlanDump {
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $n\n\n```\n$plan\n```\n")
     }
+    // AQE skew-join evidence: the skew split only materializes at runtime,
+    // so this section EXECUTES the zipfian demo and captures the final
+    // adaptive plan — look for SortMergeJoin(skew=true) and the skewed
+    // AQEShuffleRead splitting the hot partition.
+    locally {
+      import graft.operators.Skew
+      val saved = Skew.skewDemoConfs.map { case (k, _) =>
+        k -> spark.conf.getOption(k) }
+      Skew.skewDemoConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val df = Skew.zipfianJoinDemo(spark, 2000000L, 200)
+        df.write.format("noop").mode("overwrite").save()
+        // the noop write runs its own QueryExecution; collect() finalizes
+        // df's own adaptive plan for the dump
+        df.collect()
+        sb.append("\n## aqe_skew_join_demo (zipfian 2M-row fact × 200-row dim, EXECUTED final plan)\n\n")
+        sb.append(s"confs: ${Skew.skewDemoConfs.map { case (k, v) => s"$k=$v" }.mkString(", ")}\n\n")
+        sb.append(s"```\n${df.queryExecution.executedPlan}\n```\n")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))
     println(s"[plandump] wrote ${names.size} plans to $out")

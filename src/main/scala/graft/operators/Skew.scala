@@ -37,6 +37,43 @@ object Skew {
     partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
   }
 
+  /** Synthetic zipfian equi-join — the AQE skew-split demonstrator: half
+    * the fact rows share ONE join key (`key = 0`), the rest hash-spread
+    * over `nKeys`, joined to a `nKeys`-row dim and aggregated. Under a
+    * disabled broadcast threshold this is a sort-merge join whose hot
+    * shuffle partition AQE must split (`skew=true` on the join,
+    * `AQEShuffleRead ... skewed` on its inputs) — the runtime counterpart
+    * to [[saltedAggregate]]'s static salting: at 100 TB you salt the
+    * aggregations you KNOW are hot and let AQE re-plan the joins whose
+    * skew only shows up in the data. SkewSpec asserts the split engages;
+    * PlanDump captures the executed final plan as evidence in PLANS.md.
+    */
+  def zipfianJoinDemo(spark: SparkSession, nRows: Long, nKeys: Int): DataFrame = {
+    val fact = spark.range(nRows).select(
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(hash(col("id")).cast("long"), lit(nKeys.toLong)))
+        .as("key"),
+      col("id").as("v"))
+    val dim = spark.range(nKeys.toLong).select(col("id").as("key"),
+      concat(lit("k"), col("id")).as("label"))
+    fact.join(dim, "key")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+  }
+
+  /** The conf set that makes the skew split observable at test scale:
+    * broadcast off (forces the shuffle join), thresholds lowered so a
+    * local[4] hot partition qualifies as skewed (production defaults are
+    * 256 MB / factor 5 — correct at cluster scale, unreachable in a test
+    * JVM). */
+  val skewDemoConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+
   object Bucketing {
 
     /** Persist `df` bucketed (and sorted) on `key` into the session

@@ -22,6 +22,20 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(salted === direct)
   }
 
+  test("AQE splits the zipfian hot key at join time (skew=true in the final plan)") {
+    withSQLConf(Skew.skewDemoConfs: _*) {
+      val df = Skew.zipfianJoinDemo(spark, 200000L, 200)
+      val rows = df.collect() // materialize → AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split join in the final plan:\n${plan.take(1200)}")
+      // and the answer is still exact: the hot key holds exactly half
+      val byLabel = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byLabel("k0") >= 100000L) // 100k even ids + hash stragglers
+      assert(rows.map(_.getLong(1)).sum === 200000L)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = "/root/testdata/sf0.001"
     Skew.Bucketing.writeBucketed(

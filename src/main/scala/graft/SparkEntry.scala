@@ -607,6 +607,26 @@ object SparkEntry {
       Sampling.weightedSampleK(T(s, dir, "documents"), "doc_id",
         length(col("text")), 50)),
 
+    // Bloom-prefiltered decontamination (the runtime-filter pattern by
+    // hand): bench 3-gram set → one 1 MiB sketch probed in the corpus
+    // scan, exact broadcast-semi confirm on the sliver — zero corpus-side
+    // shuffle (q51's reporting variant distinct's the whole corpus).
+    // Result exact → oracle is the plain anti join.
+    "q79_bloom_decontam" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.bloomDecontaminate(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", 3)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Heavy hitters, exact via sketch + recount: Misra-Gries candidates
+    // (bounded counters, vocab-independent state) then an exact recount
+    // over only the candidate tokens. The sketch-path counterpart to
+    // q67's full-vocab two-level aggregation.
+    "q80_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(T(s, dir, "documents"), "text", 0.01)),
+
     // Trailing time-RANGE window: per-user rolling 1-hour count/sum at
     // every event — the RANGE-frame analytic family (q19/q40 cover ROWS
     // frames). Peer rows (equal ts) share a frame in both engines.
@@ -1387,6 +1407,31 @@ object SparkEntry {
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t WHERE rn <= 20""".stripMargin,
+
+    // the bloom sketch is a pure prefilter (no false negatives, false
+    // positives killed by the exact confirm join), so the oracle is the
+    // sketch-free anti join over the same 3-gram shingles
+    "q79_bloom_decontam" ->
+      s"""$shingleCte,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+         |bad AS (SELECT DISTINCT doc_id FROM sh
+         |  WHERE doc_id >= 50 AND shingle IN (SELECT shingle FROM bench))
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id >= 50
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // the sketch has no false negatives and the recount is exact, so the
+    // oracle is the direct frequency threshold; the 0.01 literal is CAST
+    // to DOUBLE (bare DuckDB decimals parse as DECIMAL) so both engines
+    // compute the identical ceil(theta * N)
+    "q80_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+        |SELECT token, CAST(count(*) AS BIGINT) AS occurrences
+        |FROM toks GROUP BY token
+        |HAVING count(*) >= ceil(CAST(0.01 AS DOUBLE) * (SELECT n FROM tot))""".stripMargin,
 
     "q53_pii_redaction" -> {
       val profile =

@@ -185,6 +185,55 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Bloom-prefiltered decontamination: corpus documents sharing NO word
+    * n-gram shingle with the benchmark set — the "drop contaminated docs
+    * before training" pass ([[benchmarkOverlap]] is the reporting variant
+    * with overlap counts).
+    *
+    * Scale shape — this is the runtime-filter pattern applied by hand:
+    *  1. the bench shingle set folds into ONE `numBits`-bit bloom sketch
+    *     (distributed build, partial sketches OR-merge map-side; only the
+    *     final ~numBits/8-byte blob reaches the driver — bounded, like the
+    *     k-means training sample);
+    *  2. the sketch rides into the corpus SCAN as a literal — every
+    *     non-colliding shingle dies before any exchange. Unlike
+    *     [[benchmarkOverlap]], the corpus side is never distinct'd and
+    *     never shuffled: at 100 TB that corpus-wide dedup shuffle is the
+    *     whole cost, and the bloom removes it;
+    *  3. bloom false positives are killed by an exact broadcast semi join
+    *     over the surviving sliver, so the result is EXACT (oracle = plain
+    *     anti join) — the sketch only decides how much work the exact
+    *     check sees.
+    *
+    * Returns the surviving `corpus` rows unchanged.
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      estimatedBenchShingles: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
+    val benchShingles = shingleRows(bench, idCol, textCol, n)
+      .select("shingle").distinct()
+    val sketch = benchShingles
+      .agg(bloom_agg(xxhash64(col("shingle")), estimatedBenchShingles, numBits)
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (sketch == null) return corpus // empty bench: nothing to remove
+    // no distinct() on the corpus side: duplicates only re-probe the bloom
+    // (scan-stage, free) and the confirm join dedups ids at the end
+    val candidates = shingleRows(corpus, idCol, textCol, n)
+      .filter(bloom_might_contain(lit(sketch), xxhash64(col("shingle"))))
+    val contaminated = candidates.join(broadcast(benchShingles), Seq("shingle"))
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** MinHash permutation value of a shingle for hash seed `seed`: md5 of the
     * seeded shingle, compared lexicographically. */
   def minhashOf(shingle: Column, seed: Int): Column =

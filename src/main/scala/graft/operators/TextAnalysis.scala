@@ -200,6 +200,76 @@ object TextAnalysis {
       .select(col("shingle"), col("occurrences"), col("doc_freq"), col("rank"))
   }
 
+  /** Misra–Gries frequent-items sketch (bounded at `k` counters) as a typed
+    * Aggregator: `reduce` is the classic decrement-on-overflow step,
+    * `merge` the Agarwal et al. 2012 mergeable-summaries rule (sum counts,
+    * subtract the (k+1)-th largest, keep positives). Both preserve the
+    * N/(k+1) undercount bound, so with k ≥ 1/θ the surviving keys are a
+    * guaranteed SUPERSET of every θ-heavy token — no false negatives for
+    * [[heavyHitters]]' exact recount to miss.
+    */
+  private class MisraGriesAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Seq[String]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      b.get(tok) match {
+        case Some(c) => b.updated(tok, c + 1L)
+        case None if b.size < k => b.updated(tok, 1L)
+        case None =>
+          b.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = a ++ b.map { case (t, c) => t -> (a.getOrElse(t, 0L) + c) }
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+        sum.flatMap { case (t, c) =>
+          if (c - cut > 0L) Some(t -> (c - cut)) else None }
+      }
+    }
+    override def finish(r: Map[String, Long]): Seq[String] = r.keys.toSeq.sorted
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Heavy hitters, exact: every token whose occurrence count is ≥
+    * `theta` × total token occurrences — frequent-item detection for vocab
+    * pruning / stop-token discovery.
+    *
+    * Scale shape vs [[topNgrams]]: the two-level aggregation there shuffles
+    * the ENTIRE vocabulary; here pass 1 is a Misra–Gries sketch with
+    * k = ⌈2/θ⌉ counters — per-task state and shuffle bytes bounded by k,
+    * independent of vocabulary size — whose merged survivors (≤ k tokens,
+    * the only driver-bound data) are a guaranteed superset of the θ-heavy
+    * set. Pass 2 recounts ONLY the candidates (a broadcast-able `isin`
+    * filter ahead of the shuffle), so the exact groupBy touches k keys,
+    * not the vocab. Results are EXACT — the sketch decides how much work
+    * the recount sees, never the answer.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, theta: Double): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta must be in (0,1], got $theta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // 2/θ counters: the N/(k+1) undercount stays strictly below θN/2, so
+    // boundary tokens survive the sketch comfortably
+    val k = math.max(1, math.ceil(2.0 / theta).toInt)
+    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+    val candidates = toks.as[String]
+      .select(new MisraGriesAggregator(k).toColumn.name("cand"))
+      .head()
+    if (candidates.isEmpty) return toks.filter(lit(false))
+      .groupBy(col("token")).agg(count(lit(1)).as("occurrences"))
+    val total = toks.agg(count(lit(1)).as("n")).select(col("n"))
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("occurrences"))
+      .crossJoin(broadcast(total))
+      .filter(col("occurrences") >= ceil(lit(theta) * col("n")))
+      .select(col("token"), col("occurrences"))
+  }
+
   /** Gopher-style intra-document repetition metrics (the Rae et al. 2021
     * repetition filters, the standard web-corpus quality gate alongside
     * [[qualityScore]]):

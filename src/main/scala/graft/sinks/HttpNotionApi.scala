@@ -52,6 +52,10 @@ class HttpNotionApi(
   @volatile private var databaseId: String =
     existingDatabaseId.getOrElse("")
 
+  /** Resolved by [[ensureParentPage]] (reference step 1) when the ctor
+    * param is empty; [[createDatabase]] parents the database under it. */
+  @volatile private var resolvedParentId: String = parentPageId
+
   private def request(method: String, path: String, body: Option[JsonNode]): JsonNode = {
     val b = HttpRequest.newBuilder(URI.create(s"$baseUrl$path"))
       .timeout(Duration.ofSeconds(timeoutSeconds))
@@ -102,11 +106,32 @@ class HttpNotionApi(
     props
   }
 
+  /** `create_page` (`notion_data_ingestion.py:48-80`): no-op when an id is
+    * configured; otherwise POST a workspace-parented page whose single
+    * `title` property carries `title`, and remember its id as the parent
+    * for [[createDatabase]]. */
+  override def ensureParentPage(existing: Option[String], title: String): String = {
+    val id = existing.filter(_.nonEmpty).getOrElse {
+      val body = mapper.createObjectNode()
+      val parent = mapper.createObjectNode().put("type", "workspace")
+      parent.put("workspace", true)
+      body.set[JsonNode]("parent", parent)
+      val props = mapper.createObjectNode()
+      val t = mapper.createObjectNode()
+      t.set[JsonNode]("title", textRun(title))
+      props.set[JsonNode]("title", t)
+      body.set[JsonNode]("properties", props)
+      request("POST", "/v1/pages", Some(body)).get("id").asText()
+    }
+    resolvedParentId = id
+    id
+  }
+
   override def createDatabase(name: String, properties: Map[String, String]): String = {
     if (databaseId.nonEmpty) return databaseId // reference: skip if exists
     val body = mapper.createObjectNode()
     body.set[JsonNode]("parent", mapper.createObjectNode()
-      .put("type", "page_id").put("page_id", parentPageId))
+      .put("type", "page_id").put("page_id", resolvedParentId))
     val title = mapper.createObjectNode().put("type", "text")
     title.set[JsonNode]("text", mapper.createObjectNode().put("content", name))
     body.set[JsonNode]("title", mapper.createArrayNode().add(title))

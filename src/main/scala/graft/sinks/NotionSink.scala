@@ -28,6 +28,12 @@ object NotionSink {
   /** Transport interface; production = HTTP, tests = [[InMemoryNotionApi]].
     * Implementations must be thread-safe (one instance per executor). */
   trait NotionApi extends Serializable {
+    /** K4 prelude: ensure the parent page exists — pass-through when an id
+      * is already configured (the reference's `create_page` short-circuit,
+      * `notion_data_ingestion.py:48-80`), else create a workspace-parented
+      * page carrying only a title and return its id for [[createDatabase]]
+      * to hang the database under. */
+    def ensureParentPage(existing: Option[String], title: String): String
     /** K4: idempotent DDL — declare the typed property schema. */
     def createDatabase(name: String, properties: Map[String, String]): String
     /** S5: read back existing (subject_id → page_id). */
@@ -194,6 +200,8 @@ object NotionSink {
       if (failEveryNth > 0 && calls.incrementAndGet() % failEveryNth == 0)
         throw new RuntimeException("injected sink failure")
 
+    override def ensureParentPage(existing: Option[String], title: String): String =
+      existing.getOrElse(s"parent-page-$nextId")
     override def createDatabase(name: String, properties: Map[String, String]): String =
       s"db-$name"
     override def existingRecords(): Map[Long, String] =

@@ -169,6 +169,8 @@ class HttpLaneSpec extends AnyFunSuite with SparkSpec {
     val insertAttempts = new AtomicInteger()
     val queryRequests = new AtomicInteger()
     val databaseSchemas = new ConcurrentHashMap[String, JsonNode]()
+    val parentPagesCreated = new AtomicInteger()
+    @volatile var databaseParentId: String = ""
 
     case class ObjectNodeBox(var props: JsonNode)
 
@@ -180,6 +182,7 @@ class HttpLaneSpec extends AnyFunSuite with SparkSpec {
         if (path == "/v1/databases") { // create
           val body = readBody(x)
           databaseSchemas.put("db-test", body.get("properties"))
+          databaseParentId = body.path("parent").path("page_id").asText("")
           respond(x, 200, """{"id":"db-test"}""")
         } else if (path.endsWith("/query")) {
           queryRequests.incrementAndGet()
@@ -205,10 +208,15 @@ class HttpLaneSpec extends AnyFunSuite with SparkSpec {
       server.createContext("/v1/pages", { x: HttpExchange =>
         val path = x.getRequestURI.getPath
         if (x.getRequestMethod == "POST" && path == "/v1/pages") {
-          if (insertAttempts.incrementAndGet() <= failFirstInserts)
+          val body = readBody(x)
+          if (body.path("parent").path("workspace").asBoolean(false)) {
+            // parent-page create (reference create_page): workspace parent,
+            // not a database row insert
+            respond(x, 200,
+              s"""{"id":"parent-created-${parentPagesCreated.incrementAndGet()}"}""")
+          } else if (insertAttempts.incrementAndGet() <= failFirstInserts)
             respond(x, 429, """{"error":"rate limited"}""")
           else {
-            val body = readBody(x)
             val id = s"page-${nextId.incrementAndGet()}"
             syncPages(pages.put(id, ObjectNodeBox(body.get("properties"))))
             respond(x, 200, s"""{"id":"$id"}""")
@@ -275,6 +283,26 @@ class HttpLaneSpec extends AnyFunSuite with SparkSpec {
       assert(byKey("1").path("score").path("number").asDouble() === 1.5)
       assert(stub.isActive(byKey("3")) === false) // tombstoned over the wire
       assert(stub.isActive(byKey("1")) === true)
+    }
+  }
+
+  test("ensureParentPage: creates the workspace page once, passes through a configured id") {
+    val stub = new NotionStub()
+    withServer(stub.wire) { base =>
+      // configured id → reference short-circuit, no request on the wire
+      val a = api(base)
+      assert(a.ensureParentPage(Some("existing-parent"), "t") === "existing-parent")
+      assert(stub.parentPagesCreated.get() === 0)
+
+      // no id → POST /v1/pages with a workspace parent; the database then
+      // hangs under the page that came back (reference step 1 → step 2)
+      val b = new HttpNotionApi(base, "secret-token", parentPageId = "",
+        propertyTypes = Map("subject_id" -> "title"))
+      val created = b.ensureParentPage(None, "Bangumi Data Import")
+      assert(created === "parent-created-1")
+      assert(stub.parentPagesCreated.get() === 1)
+      b.createDatabase("Bangumi Database", Map("subject_id" -> "title"))
+      assert(stub.databaseParentId === "parent-created-1")
     }
   }
 

@@ -446,6 +446,49 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === "unknown")
   }
 
+  test("heavyHitters is exact under sketch eviction pressure") {
+    // 1000 rows: "hot" on every row, "warm" on every 5th, unique filler
+    // everywhere else — tiny theta forces the MG sketch through constant
+    // evictions across 8 partitions (merge path exercised), yet the
+    // recount must still be exact
+    val rows = (0 until 1000).map { i =>
+      val extra = if (i % 5 == 0) "warm" else s"u$i"
+      (i.toLong, s"hot $extra")
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text").repartition(8)
+    val got = TextAnalysis.heavyHitters(df, "text", 0.1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // totals: 2000 tokens; hot=1000 (50%), warm=200 (10% exactly = ceil ok)
+    assert(got === Map("hot" -> 1000L, "warm" -> 200L))
+    // theta above warm's share drops it
+    val high = TextAnalysis.heavyHitters(df, "text", 0.2)
+      .collect().map(_.getString(0)).toSeq
+    assert(high === Seq("hot"))
+  }
+
+  test("bloomDecontaminate equals the exact anti join; empty bench is a no-op") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // shares 3-grams w/ bench
+      (11L, "completely different content about spark engines"),
+      (12L, "tiny doc"), // < n tokens → whole-text shingle
+      (13L, "quick brown fox appears here too")  // shares "quick brown fox"
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "the quick brown fox ran away"),
+      (2L, "tiny doc")).toDF("doc_id", "text")
+    val survivors = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text", 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors === Seq(11L))
+    // exact reference: any doc with >= 1 overlapping shingle is dropped
+    val overlapping = Dedup.benchmarkOverlap(corpus, bench, "doc_id", "text", 3, 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(overlapping === Set(10L, 12L, 13L))
+    // empty bench → null sketch → corpus unchanged
+    val none = Dedup.bloomDecontaminate(corpus, bench.filter($"doc_id" < 0),
+      "doc_id", "text", 3)
+    assert(none.count() === 4)
+  }
+
   test("weightedSampleK: ES weight bias, scale invariance, zero-weight exclusion") {
     import graft.operators.Sampling
     // 400 rows, ids 0..399; weight 100 for ids < 40, weight 1 otherwise —

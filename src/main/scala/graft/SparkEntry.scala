@@ -627,6 +627,13 @@ object SparkEntry {
     "q80_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(T(s, dir, "documents"), "text", 0.01)),
 
+    // GPT-style concat-and-split packing: 256-token blocks cutting ACROSS
+    // doc boundaries per id-bucket (q56 is the no-split greedy variant);
+    // per-bucket running-sum window + sequence-explode, no fold state.
+    "q81_concat_blocks" -> ((s, dir) =>
+      Packing.concatBlocks(T(s, dir, "documents"), "doc_id", "text",
+        blockSize = 256, nBuckets = 8)),
+
     // Trailing time-RANGE window: per-user rolling 1-hour count/sum at
     // every event — the RANGE-frame analytic family (q19/q40 cover ROWS
     // frames). Peer rows (equal ts) share a frame in both engines.
@@ -696,6 +703,24 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
     }),
+
+    // JSONL interchange round-trip: documents → gzip JSONL shards →
+    // schema-pinned re-read. Gates encode/decode fidelity (newlines,
+    // quotes, CJK text survive the escape/unescape) on the corpus
+    // interchange format; oracle is the source table itself.
+    "q82_jsonl_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_q82").toString
+      val cols = Seq("doc_id", "lang", "text")
+      val src = T(s, dir, "documents").select(cols.map(col): _*)
+      sinks.CorpusWriter.writeJsonl(src, out)
+      sinks.CorpusWriter.readJsonl(s, out, src.schema).select(cols.map(col): _*)
+    }),
+
+    // Compression-ratio quality signal: DEFLATE/raw size per doc (the
+    // model-free redundancy detector). Not SQL-expressible → no-oracle
+    // lane, md5-pinned in GoldenSpec like q39.
+    "q83_deflate_ratio" -> ((s, dir) =>
+      TextAnalysis.deflateRatios(T(s, dir, "documents"), "doc_id", "text")),
 
     // SemDeDup: k-means-cluster the embeddings (q38's deterministic sampled
     // Lloyd centroids), drop any vector with cosine ≥ 0.3 to a lower-id
@@ -1432,6 +1457,32 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS occurrences
         |FROM toks GROUP BY token
         |HAVING count(*) >= ceil(CAST(0.01 AS DOUBLE) * (SELECT n FROM tot))""".stripMargin,
+
+    // round-trip fidelity: the oracle is simply the source projection —
+    // any JSONL escape/unescape drift shows as a hash mismatch
+    "q82_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents",
+
+    // same concatenated-token-stream arithmetic: running-sum offsets per
+    // bucket, block span floor-division (doc_id >= 0 so % == pmod and
+    // // == floor), per-block rollup; only a bucket's last block is short
+    "q81_concat_blocks" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |offs AS (
+        |  SELECT doc_id, bucket, n,
+        |    CAST(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS off,
+        |    CAST(sum(n) OVER (PARTITION BY bucket) AS BIGINT) AS total
+        |  FROM base)
+        |SELECT bucket, CAST(b AS INT) AS block_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(least(256, total - b * 256) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM offs, LATERAL (SELECT unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS b) r
+        |GROUP BY bucket, b, total""".stripMargin,
 
     "q53_pii_redaction" -> {
       val profile =

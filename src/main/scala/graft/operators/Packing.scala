@@ -59,4 +59,53 @@ object Packing {
       }
       .toDF(idCol, "bucket", "pack_idx", "n_tokens")
   }
+
+  /** GPT-style concat-and-split packing: within each bucket, documents are
+    * concatenated in ascending id order and the token stream is cut into
+    * fixed `blockSize` blocks that CROSS document boundaries — zero padding
+    * waste, the standard causal-LM pretraining layout ([[packGreedy]] is
+    * the no-split variant that pads instead of splitting). Returns one row
+    * per (bucket, block): how many documents the block spans, its token
+    * occupancy (only each bucket's last block is partial), and the
+    * spanning id range.
+    *
+    * Shape: per-doc token offsets come from one running-sum window per
+    * bucket (sort width = one bucket, the [[packGreedy]]/epoch-shuffle
+    * bound — never a global sort), each doc then explodes into just the
+    * blocks it intersects (`sequence(first, last)` — a doc adds
+    * ceil(n/blockSize)+1 rows max), and one grouped aggregation emits the
+    * block stats. All codegen'd expressions; no fold state.
+    */
+  def concatBlocks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSize: Int,
+      nBuckets: Int): DataFrame = {
+    require(blockSize >= 1, "block size must be >= 1")
+    require(nBuckets >= 1, "bucket count must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val offs = df.select(col(idCol).cast("long").as("id"),
+        pmod(col(idCol), lit(nBuckets)).cast("long").as("bucket"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
+      .withColumn("off", sum(col("n")).over(w) - col("n"))
+      .withColumn("total", sum(col("n")).over(wAll))
+    val bs = blockSize.toLong
+    offs
+      .select(col("id"), col("bucket"), col("total"),
+        explode(sequence(floor(col("off") / bs),
+          floor((col("off") + col("n") - 1L) / bs))).as("block_id"))
+      .groupBy(col("bucket"), col("block_id"), col("total"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("id")).as("first_doc"),
+        max(col("id")).as("last_doc"))
+      .select(col("bucket"), col("block_id").cast("int").as("block_id"),
+        col("n_docs"),
+        least(lit(bs), col("total") - col("block_id") * bs).as("n_tokens"),
+        col("first_doc"), col("last_doc"))
+  }
 }

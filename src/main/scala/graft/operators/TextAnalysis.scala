@@ -3,6 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Top-level and public for the Janino-serializer reason documented on
+  * [[DecodedMedia]]. */
+case class DeflateRatio(doc_id: Long, n_bytes: Int, n_deflated: Int,
+    ratio: Double)
+
 /** Text-corpus analysis operators for training-data pipelines: tokenization,
   * quality scoring, heuristic language ID, and document fingerprinting.
   *
@@ -198,6 +203,52 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("shingle").asc)
     top.withColumn("rank", row_number().over(w))
       .select(col("shingle"), col("occurrences"), col("doc_freq"), col("rank"))
+  }
+
+  /** Compression-ratio quality signal: DEFLATE size over raw UTF-8 size per
+    * document — the model-free redundancy detector (highly repetitive /
+    * templated text compresses far below ~0.4; near-random noise sits near
+    * 1.0), used alongside [[qualityScore]] and [[repetitionProfile]] in
+    * web-corpus filtering. Per-partition batch shape with ONE reused
+    * `Deflater` (native zlib state is the expensive part — the
+    * [[Multimodal.decodeImages]] codec-per-partition pattern, a sequential
+    * native-buffer loop no `Expression` can express). Ratio is
+    * `n_deflated / max(n_bytes, 1)` rounded to 4dp; not oracle-portable
+    * (DuckDB has no deflate) → golden-pinned lane like q39.
+    */
+  def deflateRatios(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        val mapped = rows.map { case (id, text) =>
+          val in = (if (text == null) "" else text).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          val ratio = out.toDouble / math.max(in.length, 1)
+          DeflateRatio(id, in.length, out,
+            BigDecimal(ratio).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }
+        // release the native zlib state at partition end (end() is
+        // idempotent, so repeated exhausted hasNext calls are safe)
+        new Iterator[DeflateRatio] {
+          override def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          override def next(): DeflateRatio = mapped.next()
+        }
+      }
+      .toDF()
   }
 
   /** Misra–Gries frequent-items sketch (bounded at `k` counters) as a typed

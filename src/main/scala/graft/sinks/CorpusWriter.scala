@@ -55,4 +55,20 @@ object CorpusWriter {
       .mode("overwrite")
       .parquet(outDir)
   }
+
+  /** JSONL corpus interchange (the `.jsonl.gz` shard format most public
+    * text corpora ship as): one JSON object per line, gzip per part file.
+    * Pure `DataFrameWriter` surface — distributed, splittable input on
+    * re-read (gzip parts are not splittable individually, but one file per
+    * task is exactly how these corpora are laid out and consumed). */
+  def writeJsonl(df: DataFrame, outDir: String,
+      compression: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(outDir)
+
+  /** Schema-pinned JSONL read-back: an explicit schema (never inference —
+    * at 100 TB schema inference is a full extra pass over the corpus, and
+    * a malformed shard would silently widen types). */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(dir)
 }

@@ -212,4 +212,25 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(nExchanges === 1, plan)
   }
+
+  test("concatBlocks: hand-computed block layout, boundary docs, partial tail") {
+    // single bucket (nBuckets=1), blockSize=10; doc token stream in id order:
+    //   id 1: 4  → tokens [0,4)   → block 0
+    //   id 2: 6  → tokens [4,10)  → block 0 (exactly fills it)
+    //   id 3: 25 → tokens [10,35) → blocks 1,2,3 (crosses two boundaries)
+    //   id 4: 3  → tokens [35,38) → block 3 (partial tail: 8 tokens)
+    val df = Seq((1L, 4), (2L, 6), (3L, 25), (4L, 3)).toDF("doc_id", "n")
+      .select($"doc_id", nTokenText($"n").as("text"))
+    val got = Packing.concatBlocks(df, "doc_id", "text", 10, 1)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0, 2L, 10L, 1L, 2L), // docs 1+2 fill block 0 exactly
+      (1, 1L, 10L, 3L, 3L), // doc 3 alone spans blocks 1-3
+      (2, 1L, 10L, 3L, 3L),
+      (3, 2L, 8L, 3L, 4L))) // tail block: rest of doc 3 + doc 4, 8 tokens
+    // occupancy conservation: block tokens sum to the corpus token count
+    assert(got.map(_._3).sum === 38L)
+  }
 }

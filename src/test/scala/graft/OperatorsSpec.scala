@@ -446,6 +446,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === "unknown")
   }
 
+  test("deflateRatios: repetitive text compresses far below noise; sizes exact") {
+    val rep = ("spam " * 400).trim                  // highly repetitive
+    val noise = (1 to 400).map(i => (i * 2654435761L).toHexString).mkString(" ")
+    val d = Seq((1L, rep), (2L, noise), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.deflateRatios(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got(1L)._1 === rep.getBytes("UTF-8").length)
+    assert(got(1L)._3 < 0.05, s"repetitive ratio ${got(1L)._3}")
+    assert(got(2L)._3 > 0.5, s"noise ratio ${got(2L)._3}")
+    assert(got(3L)._1 === 0 && got(3L)._3 >= 0.0) // empty doc: guarded div
+    // deterministic across runs (reused per-partition Deflater resets fully)
+    val again = TextAnalysis.deflateRatios(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(again === got)
+  }
+
   test("heavyHitters is exact under sketch eviction pressure") {
     // 1000 rows: "hot" on every row, "warm" on every 5th, unique filler
     // everywhere else — tiny theta forces the MG sketch through constant

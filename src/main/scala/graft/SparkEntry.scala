@@ -614,9 +614,13 @@ object SparkEntry {
     // Result exact → oracle is the plain anti join.
     "q79_bloom_decontam" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
+      // sketch sized to the bench (~6k distinct 3-grams at sf0.01): 2^20
+      // bits = 128 KiB rides the task binary; the 8 MiB default is for
+      // eval suites orders of magnitude larger
       Dedup.bloomDecontaminate(
           docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
-          "doc_id", "text", 3)
+          "doc_id", "text", 3,
+          estimatedBenchShingles = 1L << 16, numBits = 1L << 20)
         .select(col("doc_id"), col("lang"))
     }),
 
@@ -633,6 +637,17 @@ object SparkEntry {
     "q81_concat_blocks" -> ((s, dir) =>
       Packing.concatBlocks(T(s, dir, "documents"), "doc_id", "text",
         blockSize = 256, nBuckets = 8)),
+
+    // Per-host document cap (C4/RefinedWeb anti-spam control) over a
+    // deterministic synthetic URL (the corpus has no natural one):
+    // parse_url host extraction + bounded min-k sample per host.
+    "q84_domain_caps" -> ((s, dir) => {
+      val url = concat(lit("https://www."), col("source"), lit(".example-"),
+        col("lang"), lit(".org/docs/"), col("doc_id"), lit("?ref=graft"))
+      val withUrl = T(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      operators.Scrub.capPerHost(withUrl, "url", "doc_id", 3)
+        .withColumn("domain", operators.Scrub.registrableDomain(col("host")))
+    }),
 
     // Trailing time-RANGE window: per-user rolling 1-hour count/sum at
     // every event — the RANGE-frame analytic family (q19/q40 cover ROWS
@@ -1462,6 +1477,21 @@ object SparkEntry {
     // any JSONL escape/unescape drift shows as a hash mismatch
     "q82_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
+
+    // host re-derived by string concat (so the oracle checks Spark's
+    // parse_url against ground truth), domain re-derived FROM the host by
+    // regex (last two dot-labels), cap = the q52 row_number formulation
+    "q84_domain_caps" ->
+      """WITH u AS (SELECT doc_id,
+        |    'www.' || source || '.example-' || lang || '.org' AS host
+        |  FROM documents),
+        |r AS (SELECT host, doc_id,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM u)
+        |SELECT host, doc_id, CAST(rn AS INT) AS sample_rank,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM r WHERE rn <= 3""".stripMargin,
 
     // same concatenated-token-stream arithmetic: running-sum offsets per
     // bucket, block span floor-division (doc_id >= 0 so % == pmod and

@@ -38,6 +38,33 @@ object Scrub {
         IpPattern, "[IP]"),
       PhonePattern, "[PHONE]")
 
+  /** URL host via the codegen'd `try_parse_url` (null for unparseable
+    * input — the ANSI `parse_url` would fail the whole stage on one
+    * malformed row; a crawl always has malformed rows). */
+  def urlHost(url: Column): Column = try_parse_url(url, lit("HOST"))
+
+  /** Registrable domain approximation: the last `levels` dot-labels of the
+    * host (a public-suffix list is data, not code — callers with exotic
+    * TLD needs substitute their own). Pure array expressions. */
+  def registrableDomain(host: Column, levels: Int = 2): Column =
+    array_join(slice(split(host, "\\."), -levels, levels), ".")
+
+  /** Per-host document cap — the C4/RefinedWeb anti-spam mixture control:
+    * at most `k` documents per URL host, picked deterministically (md5
+    * rank, [[Sampling.stratifiedFixedK]]'s bounded min-k aggregator — the
+    * shuffle carries at most k rows per host per map task, so one mega-host
+    * never bottlenecks a reducer). Output: host, idCol, `sample_rank`.
+    */
+  def capPerHost(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val hosts = df.select(col(idCol), urlHost(col(urlCol)).as("host"))
+      .filter(col("host").isNotNull)
+    Sampling.stratifiedFixedK(hosts, "host", idCol, k)
+  }
+
   /** Drop lines that occur in more than `maxDocFreq` distinct documents —
     * corpus-frequency boilerplate removal (navigation chrome, cookie
     * banners, license footers): the line-level dedup step of the C4

@@ -81,6 +81,29 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
 
   // ---- PII redaction ---------------------------------------------------
 
+  test("capPerHost: per-host cap, unparseable URLs filtered, domain extraction") {
+    import graft.operators.Scrub
+    val d = (1 to 20).map { i =>
+      val url =
+        if (i % 7 == 0) "not a url"
+        else if (i % 2 == 0) s"https://a.big.example.org/p/$i"
+        else s"http://small.example.net/$i"
+      (i.toLong, url)
+    }.toDF("doc_id", "url")
+    val capped = Scrub.capPerHost(d, "url", "doc_id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // two real hosts, ≤3 docs each; the 2 unparseable rows contribute none
+    assert(capped.map(_._1).distinct.sorted.toSeq ===
+      Seq("a.big.example.org", "small.example.net"))
+    assert(capped.groupBy(_._1).forall(_._2.length === 3))
+    assert(capped.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq === Seq(1, 2, 3)))
+    // registrable domain = last two labels
+    val dom = d.select(Scrub.registrableDomain(
+        Scrub.urlHost($"url")).as("dm"))
+      .filter($"dm".isNotNull).distinct().collect().map(_.getString(0)).sorted
+    assert(dom.toSeq === Seq("example.net", "example.org"))
+  }
+
   test("redactPii replaces emails, phones, and IPs with typed tags") {
     val df = Seq(
       (1L, "mail bob.smith+x@sub.example.org now"),

@@ -134,6 +134,52 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("concatBlocks invariants hold on arbitrary corpora") {
+    val docGen = Gen.listOfN(30, for {
+      id <- Gen.choose(-50L, 50L)
+      n <- Gen.choose(1, 40)
+    } yield (id, n))
+    samples(docGen, 5).zipWithIndex.foreach { case (docs0, i) =>
+      val docs = docs0.distinctBy(_._1)
+      val df = docs.toDF("doc_id", "n").select($"doc_id",
+        concat_ws(" ", transform(sequence(lit(1), $"n"), _ => lit("w"))).as("text"))
+      val out = graft.operators.Packing
+        .concatBlocks(df, "doc_id", "text", blockSize = 16, nBuckets = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      // token conservation: block occupancies sum to the corpus total
+      assert(out.map(_._4).sum === docs.map(_._2.toLong).sum, s"case $i tokens")
+      out.groupBy(_._1).foreach { case (b, rows) =>
+        val sorted = rows.sortBy(_._2)
+        // contiguous block ids from 0; every block full except the last
+        assert(sorted.map(_._2).toSeq === sorted.indices.map(identity),
+          s"case $i bucket $b contiguity")
+        assert(sorted.dropRight(1).forall(_._4 === 16L), s"case $i bucket $b fill")
+        assert(sorted.last._4 >= 1L && sorted.last._4 <= 16L)
+        // consecutive blocks meet exactly at the boundary doc: block b's
+        // last doc either precedes or IS block b+1's first doc
+        sorted.sliding(2).foreach {
+          case Array(a, c) =>
+            assert(a._6 <= c._5, s"case $i bucket $b span order")
+            assert(a._5 <= a._6, s"case $i bucket $b span sanity")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("weightedSampleK inclusion follows total weight order on replicated corpora") {
+    // two strata of equal count but 20x weight difference; sampling half
+    // the rows must overwhelmingly pick the heavy stratum (ES guarantee)
+    val df = spark.range(200).toDF("id")
+      .select($"id", when($"id" < 100, 200.0).otherwise(10.0).as("w"))
+    val got = graft.operators.Sampling.weightedSampleK(df, "id", $"w", 100)
+      .collect().map(_.getLong(0))
+    assert(got.length === 100)
+    assert(got.count(_ < 100L) >= 85, s"heavy stratum ${got.count(_ < 100L)}/100")
+  }
+
   test("dedup exact is idempotent and minimal") {
     val docs = samples(Gen.oneOf("a b c", "a  B c", "x y", "p q r s"), 60)
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")

@@ -56,6 +56,46 @@ object CorpusWriter {
       .parquet(outDir)
   }
 
+  case class CompactionReport(filesBefore: Long, filesAfter: Long, rows: Long)
+
+  /** Small-file compaction (the OPTIMIZE-style maintenance job): rewrite a
+    * fragmented parquet corpus — e.g. what weeks of [[graft.streaming
+    * .EventStreams.corpusIngest]] micro-batches leave behind — into
+    * `filesPerPartition` sorted files per hive partition via
+    * [[writePartitioned]] (same one-shuffle shape; file count becomes
+    * partitions × filesPerPartition instead of partitions × micro-batches).
+    * Writes to a NEW directory: at 100 TB the atomic swap is a catalog /
+    * table-format pointer flip, never an in-place rewrite over live
+    * readers. Returns before/after data-file counts + row count for the
+    * maintenance log.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      filesPerPartition: Int = 1): CompactionReport = {
+    def dataFiles(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        // data files only: skip commit logs / _SUCCESS / checksums
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(inDir)
+    val df = spark.read.parquet(inDir)
+    writePartitioned(df, outDir, partitionCols, sortCols, filesPerPartition)
+    CompactionReport(before, dataFiles(outDir),
+      spark.read.parquet(outDir).count())
+  }
+
   /** JSONL corpus interchange (the `.jsonl.gz` shard format most public
     * text corpora ship as): one JSON object per line, gzip per part file.
     * Pure `DataFrameWriter` surface — distributed, splittable input on

@@ -192,6 +192,35 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming ingestion into the partitioned corpus layout: watch
+    * `sourceDir` for JSONL shard drops and append them to a
+    * hive-partitioned parquet corpus through the EXACTLY-ONCE streaming
+    * file sink (the sink's commit log + the source's file-offset
+    * checkpoint make stop/restart lose nothing and duplicate nothing —
+    * a crashed batch is re-run and its orphaned files ignored by the log).
+    * `Trigger.AvailableNow` gives run-to-completion semantics: schedule it
+    * like the reference schedules its sync, each run drains whatever
+    * shards landed since the last one. The 100 TB ingestion front door:
+    * per-file parallelism on read, partition-pruned layout on write.
+    */
+  def corpusIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      outDir: String,
+      checkpointDir: String,
+      partitionCols: Seq[String]): StreamingQuery =
+    spark.readStream
+      .schema(schema) // pinned: inference would re-scan the corpus per run
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy(partitionCols: _*)
+      .start()
+
   /** I1–I2 as a streaming job: watch `sourceDir` for JSON snapshot drops
     * and merge each micro-batch into the parquet target by `key`
     * (`Trigger.AvailableNow` — run-to-completion semantics, the streaming

@@ -111,4 +111,38 @@ class CorpusWriterSpec extends AnyFunSuite with SparkSpec {
       assert(spark.read.parquet(dir.toString).count() === docs.count())
     }
   }
+
+  test("compact: fragmented corpus collapses to one sorted file per partition, lossless") {
+    withOut { frag => withOut { out =>
+      // simulate weeks of micro-batch ingest: 12 tiny files per partition
+      docs.repartition(12).write.partitionBy("lang")
+        .mode("overwrite").parquet(frag.toString)
+      val fragFiles = dataFiles(frag).size
+      assert(fragFiles > 10, s"fixture not fragmented: $fragFiles files")
+
+      val report = sinks.CorpusWriter.compact(spark, frag.toString,
+        out.toString, partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+      assert(report.filesBefore === fragFiles)
+      assert(report.rows === docs.count())
+      val langs = spark.read.parquet(frag.toString)
+        .select("lang").distinct().count()
+      assert(report.filesAfter === langs,
+        s"expected one file per partition, got ${report.filesAfter}")
+
+      // content identical, order aside
+      val a = spark.read.parquet(frag.toString)
+        .select("doc_id", "lang", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val b = spark.read.parquet(out.toString)
+        .select("doc_id", "lang", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(a === b)
+      // and every compacted file is sorted by the sort key
+      dataFiles(out).foreach { f =>
+        val ids = spark.read.parquet(f.toString)
+          .select("doc_id").collect().map(_.getLong(0))
+        assert(ids.sameElements(ids.sorted), s"$f not sorted")
+      }
+    }}
+  }
 }

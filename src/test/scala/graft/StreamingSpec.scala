@@ -162,4 +162,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
     assert(after === Map(2L -> "b2", 3L -> "c")) // 1 hard-deleted
   }
+
+  test("corpusIngest: exactly-once partitioned ingestion across restarts") {
+    val in = Files.createTempDirectory("graft-ingest-in").toString
+    val out = Files.createTempDirectory("graft-ingest-out").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    val schema = Seq((0L, "en", "t")).toDF("doc_id", "lang", "text").schema
+    def drop(name: String, rows: (Long, String, String)*): Unit =
+      Files.writeString(java.nio.file.Paths.get(in, name),
+        rows.map { case (id, lang, text) =>
+          s"""{"doc_id":$id,"lang":"$lang","text":"$text"}"""
+        }.mkString("", "\n", "\n"))
+    def ingest() = EventStreams.corpusIngest(spark, in, schema, out, ckpt,
+      Seq("lang")).awaitTermination()
+    def readBack() = spark.read.schema(schema).parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    drop("s1.json", (1L, "en", "a"), (2L, "zh", "b"))
+    ingest()
+    assert(readBack() === Set((1L, "en", "a"), (2L, "zh", "b")))
+
+    // restart with a new shard: the checkpoint skips s1, drains only s2
+    drop("s2.json", (3L, "en", "c"))
+    ingest()
+    assert(readBack() ===
+      Set((1L, "en", "a"), (2L, "zh", "b"), (3L, "en", "c")))
+
+    // restart with nothing new: exactly-once means nothing changes
+    ingest()
+    assert(readBack() ===
+      Set((1L, "en", "a"), (2L, "zh", "b"), (3L, "en", "c")))
+
+    // layout is the hive-partitioned corpus shape (plus _spark_metadata,
+    // the sink's commit log — the exactly-once mechanism itself)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.contains("_spark_metadata"), "file-sink commit log missing")
+    assert(dirs.filterNot(_.startsWith("_")).toSeq === Seq("lang=en", "lang=zh"))
+  }
 }

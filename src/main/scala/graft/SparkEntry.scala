@@ -638,6 +638,22 @@ object SparkEntry {
       Packing.concatBlocks(T(s, dir, "documents"), "doc_id", "text",
         blockSize = 256, nBuckets = 8)),
 
+    // Statically salted hot-key join: 3/4 of events share ONE dim key;
+    // the salt spreads it over 8 reducers, the dim replicates 8x. Result
+    // identical to the plain join (the oracle), only placement changes —
+    // the skew control for stateful streaming where AQE cannot re-plan.
+    "q85_salted_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(
+        when(col("event_id") % 4 =!= 0, lit(0L))
+          .otherwise(col("user_id") % 200).as("k"),
+        col("value"))
+      import s.implicits._
+      val dim = (0L until 200L).map(i => (i, s"grp${i % 7}")).toDF("k", "grp")
+      operators.Skew.saltedJoin(ev, dim, "k", numSalts = 8)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+    }),
+
     // Per-host document cap (C4/RefinedWeb anti-spam control) over a
     // deterministic synthetic URL (the corpus has no natural one):
     // parse_url host extraction + bounded min-k sample per host.
@@ -1477,6 +1493,16 @@ object SparkEntry {
     // any JSONL escape/unescape drift shows as a hash mismatch
     "q82_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
+
+    // the salt never appears: the oracle is the PLAIN join + rollup
+    "q85_salted_join" ->
+      """WITH ev AS (SELECT CASE WHEN event_id % 4 <> 0 THEN 0
+        |    ELSE user_id % 200 END AS k, value FROM events),
+        |dim AS (SELECT i AS k, 'grp' || (i % 7) AS grp
+        |  FROM (SELECT unnest(range(0, 200)) AS i))
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_v
+        |FROM ev JOIN dim USING (k) GROUP BY grp""".stripMargin,
 
     // host re-derived by string concat (so the oracle checks Spark's
     // parse_url against ground truth), domain re-derived FROM the host by

@@ -37,6 +37,35 @@ object Skew {
     partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
   }
 
+  /** Hot-key equi-join with STATIC salting: the (large, skewed) fact side
+    * draws a uniform salt, the (small) dim side is replicated `numSalts`
+    * times at scan stage, and the join runs on (key, salt) — each hot key
+    * spreads over `numSalts` reducers instead of melting one. The result
+    * is identical to the plain join (the salt is a join-placement detail).
+    *
+    * When to use over AQE's runtime skew split ([[zipfianJoinDemo]]):
+    * stateful streaming joins (AQE is disabled in stateful workloads, so
+    * a skewed stream-stream or stream-static shuffle join has no runtime
+    * rescue) and joins whose skew is known and permanent — the salt also
+    * rebalances the downstream state stores, which AQE never touches.
+    * Cost: the dim side is `numSalts`× larger on the wire; keep it to the
+    * genuinely-small side.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      numSalts: Int = 16): DataFrame = {
+    require(numSalts >= 1, "numSalts must be >= 1")
+    require(!(fact.columns ++ dim.columns).contains("__salt"),
+      "input frames must not contain reserved column __salt")
+    val saltedFact = fact.withColumn("__salt",
+      (rand(42) * numSalts).cast("int"))
+    val repDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Synthetic zipfian equi-join — the AQE skew-split demonstrator: half
     * the fact rows share ONE join key (`key = 0`), the rest hash-spread
     * over `nKeys`, joined to a `nKeys`-row dim and aggregated. Under a

@@ -22,6 +22,29 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(salted === direct)
   }
 
+  test("saltedJoin equals the plain join and joins on (key, salt)") {
+    import org.apache.spark.sql.functions.{lit, when}
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val spark2 = spark
+      import spark2.implicits._
+      // 10k rows, 80% on one key
+      val fact = spark.range(10000).select(
+        when(col("id") % 5 =!= 0, lit(0L)).otherwise(col("id") % 100).as("k"),
+        col("id").as("v"))
+      val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "label")
+      val salted = Skew.saltedJoin(fact, dim, "k", numSalts = 8)
+      val plan = salted.queryExecution.executedPlan
+      val got = salted.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val plain = fact.join(dim, "k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.sorted.toSeq === plain.sorted.toSeq)
+      // placement: the join key set includes the salt, so the hot key's
+      // rows hash to 8 distinct reducer keys
+      assert(plan.toString.contains("__salt"),
+        s"salt missing from the join plan:\n${plan.toString.take(800)}")
+    }
+  }
+
   test("AQE splits the zipfian hot key at join time (skew=true in the final plan)") {
     withSQLConf(Skew.skewDemoConfs: _*) {
       val df = Skew.zipfianJoinDemo(spark, 200000L, 200)

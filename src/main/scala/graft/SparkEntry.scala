@@ -45,13 +45,24 @@ object SparkEntry {
     }
   }
 
+  /** Temp dir that is removed at JVM exit. Query lambdas that WRITE (q78,
+    * q82, the streaming sinks) return a frame reading their output lazily,
+    * so the dir must outlive the lambda — but never the process: without
+    * the exit hook, repeated bench sweeps accumulate sf-sized garbage in
+    * /tmp (round 7 left 27 dirs / 33 MB behind). */
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(d)))
+    d
+  }
+
   /** Run a streaming DataFrame to completion (append mode, parquet file
     * sink, AvailableNow) and read the result back. The checkpoint is
     * deleted immediately (useless after a bounded run); the output dir must
     * outlive this call — the returned frame reads it lazily — and is
     * removed on JVM exit. */
   private def streamToParquet(s: SparkSession, df: DataFrame): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val outDir = scratchDir("graft_stream_out")
     val ckDir = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
     val query = df.writeStream.outputMode("append")
       .format("parquet").option("path", outDir)
@@ -60,7 +71,6 @@ object SparkEntry {
       .start()
     query.awaitTermination()
     rmTree(ckDir)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(outDir)))
     s.read.parquet(outDir)
   }
 
@@ -724,7 +734,7 @@ object SparkEntry {
     // partition-filter-correct end to end; layout/pruning plan shape is
     // pinned in CorpusWriterSpec.
     "q78_partitioned_write" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_q78").toString
+      val out = scratchDir("graft_q78")
       sinks.CorpusWriter.writePartitioned(T(s, dir, "documents"),
         out, Seq("lang", "source"), Seq("doc_id"), filesPerPartition = 2)
       s.read.parquet(out).filter(col("lang") === "en")
@@ -740,7 +750,7 @@ object SparkEntry {
     // quotes, CJK text survive the escape/unescape) on the corpus
     // interchange format; oracle is the source table itself.
     "q82_jsonl_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_q82").toString
+      val out = scratchDir("graft_q82")
       val cols = Seq("doc_id", "lang", "text")
       val src = T(s, dir, "documents").select(cols.map(col): _*)
       sinks.CorpusWriter.writeJsonl(src, out)

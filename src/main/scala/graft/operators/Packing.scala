@@ -33,14 +33,19 @@ object Packing {
       idCol: String,
       textCol: String,
       budget: Int,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int,
+      tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextAnalysis.tokenCount): DataFrame = {
     require(budget >= 1, "token budget must be >= 1")
     require(nBuckets >= 1, "bucket count must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long"),
         pmod(col(idCol), lit(nBuckets)).cast("long"),
-        TextAnalysis.tokenCount(col(textCol)))
+        // clamp to >= 0: the fold below tolerates 0-token docs (they join
+        // the current pack without advancing it) but a negative count
+        // would corrupt the running budget
+        greatest(tokenCounter(col(textCol)), lit(0)))
       .toDF("id", "bucket", "n_tokens")
     base.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("id"))
@@ -81,7 +86,9 @@ object Packing {
       idCol: String,
       textCol: String,
       blockSize: Int,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int,
+      tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextAnalysis.tokenCount): DataFrame = {
     require(blockSize >= 1, "block size must be >= 1")
     require(nBuckets >= 1, "bucket count must be >= 1")
     val w = org.apache.spark.sql.expressions.Window
@@ -91,11 +98,20 @@ object Packing {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
     val offs = df.select(col(idCol).cast("long").as("id"),
         pmod(col(idCol), lit(nBuckets)).cast("long").as("bucket"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
+        greatest(tokenCounter(col(textCol)), lit(0)).cast("long").as("n"))
       .withColumn("off", sum(col("n")).over(w) - col("n"))
       .withColumn("total", sum(col("n")).over(wAll))
     val bs = blockSize.toLong
     offs
+      // a 0-token doc occupies no block — and, unguarded, its span
+      // sequence(floor(off/bs), floor((off+n-1)/bs)) would be DESCENDING
+      // (start k, stop k-1: Spark generates [k, k-1], double-counting the
+      // doc into the previous block). Unreachable via tokenCount (an empty
+      // string still tokenizes to one '' token) but bpeishTokenCount does
+      // return 0 for empty text, so the guard keeps the tokenizer swappable.
+      // Filtered AFTER the window offsets so surviving docs keep exact
+      // positions (an empty doc contributes 0 to every running sum).
+      .filter(col("n") >= 1L)
       .select(col("id"), col("bucket"), col("total"),
         explode(sequence(floor(col("off") / bs),
           floor((col("off") + col("n") - 1L) / bs))).as("block_id"))

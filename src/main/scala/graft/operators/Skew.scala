@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic salt in [0, numSalts): a full-row xxhash64 instead of
+    * rand(seed). Rand is a nondeterministic expression even when seeded
+    * (its stream restarts per partition), which marks the stage
+    * INDETERMINATE — any shuffle-fetch failure then rolls back and reruns
+    * the WHOLE stage, and the state-store placement [[saltedJoin]]
+    * advertises for stateful streaming would silently depend on the source
+    * re-presenting identical partitions on replay. A row hash keeps the
+    * same uniform spread (the non-key columns vary within a hot key) with
+    * none of that: same row → same salt on any retry, any partitioning.
+    * Caveat: bitwise-identical duplicate rows share a salt — irrelevant for
+    * aggregation (map-side partial combine collapses them anyway) and
+    * acceptable for the join (identical rows produce identical output). */
+  private def rowSalt(df: DataFrame, numSalts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(numSalts.toLong)).cast("int")
+
   /** Two-phase count/sum aggregation with key salting. `sums` maps output
     * column name → column to sum. */
   def saltedAggregate(
@@ -23,8 +38,7 @@ object Skew {
       keys: Seq[String],
       sums: Map[String, Column],
       numSalts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt",
-      (rand(42) * numSalts).cast("int"))
+    val salted = df.withColumn("__salt", rowSalt(df, numSalts))
     val partialAggs = sums.toSeq.map { case (name, c) =>
       sum(c).as(s"__p_$name")
     } :+ count(lit(1)).as("__p_cnt")
@@ -59,8 +73,7 @@ object Skew {
     require(numSalts >= 1, "numSalts must be >= 1")
     require(!(fact.columns ++ dim.columns).contains("__salt"),
       "input frames must not contain reserved column __salt")
-    val saltedFact = fact.withColumn("__salt",
-      (rand(42) * numSalts).cast("int"))
+    val saltedFact = fact.withColumn("__salt", rowSalt(fact, numSalts))
     val repDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")

@@ -224,6 +224,12 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(level)
+        // the exhausted-iterator hook below never fires for an
+        // early-terminated consumer (limit/take/failed task) — the task
+        // completion listener covers those, and end() is idempotent so
+        // double-release on the normal path is safe
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         val mapped = rows.map { case (id, text) =>
           val in = (if (text == null) "" else text).getBytes("UTF-8")

@@ -58,6 +58,29 @@ object CorpusWriter {
 
   case class CompactionReport(filesBefore: Long, filesAfter: Long, rows: Long)
 
+  /** Count the DATA files under `dir`: skip any file with a `_`- or
+    * `.`-prefixed component anywhere in its path RELATIVE TO `dir`, not
+    * just in its basename — corpusIngest's streaming sink leaves a
+    * `_spark_metadata/` commit log whose entries are named `0`, `1`,
+    * `9.compact`… and would otherwise count as data files. This is the
+    * same hidden-path rule the parquet reader's file listing applies. */
+  def countDataFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(p).toUri
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+      val hidden = rel.split('/')
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (!hidden) n += 1
+    }
+    n
+  }
+
   /** Small-file compaction (the OPTIMIZE-style maintenance job): rewrite a
     * fragmented parquet corpus — e.g. what weeks of [[graft.streaming
     * .EventStreams.corpusIngest]] micro-batches leave behind — into
@@ -76,24 +99,99 @@ object CorpusWriter {
       partitionCols: Seq[String],
       sortCols: Seq[String],
       filesPerPartition: Int = 1): CompactionReport = {
-    def dataFiles(dir: String): Long = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        val name = f.getPath.getName
-        // data files only: skip commit logs / _SUCCESS / checksums
-        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
-      }
-      n
-    }
-    val before = dataFiles(inDir)
+    val before = countDataFiles(spark, inDir)
+    def dataFiles(dir: String): Long = countDataFiles(spark, dir)
     val df = spark.read.parquet(inDir)
     writePartitioned(df, outDir, partitionCols, sortCols, filesPerPartition)
     CompactionReport(before, dataFiles(outDir),
       spark.read.parquet(outDir).count())
+  }
+
+  /** Name of the manifest pointer file under a versioned corpus root. */
+  val LatestManifest = "_latest"
+
+  /** Publish `version` (a directory name under `rootDir`) as the current
+    * corpus version by atomically replacing the `_latest` manifest. The
+    * write is temp-file + atomic rename (`Options.Rename.OVERWRITE` — a
+    * metadata-only atomic op on HDFS-like stores and POSIX), so a reader
+    * calling [[resolveLatest]] at ANY instant sees either the old version
+    * or the new one, never a torn pointer. The manifest starts with a `_`
+    * so every hive-layout reader (and [[compact]]'s dataFiles counter)
+    * already ignores it.
+    */
+  def publish(spark: org.apache.spark.sql.SparkSession, rootDir: String,
+      version: String): Unit = {
+    require(!version.contains("/") && version.nonEmpty &&
+      !version.startsWith("_") && !version.startsWith("."),
+      s"version must be a plain child-directory name, got '$version'")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(hadoopConf)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".${LatestManifest}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    // FileContext.rename(OVERWRITE) is the atomic replace; FileSystem
+    // .rename refuses an existing destination (delete-then-rename would
+    // open a window with NO manifest)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, hadoopConf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, LatestManifest),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Resolve the currently published version directory under `rootDir`,
+    * or None when nothing has been published yet. Readers open
+    * `resolveLatest(root)` instead of a raw path, so maintenance jobs can
+    * rewrite into a fresh version directory and flip the pointer without
+    * ever mutating files a live reader may hold open. */
+  def resolveLatest(spark: org.apache.spark.sql.SparkSession,
+      rootDir: String): Option[String] = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val manifest = new org.apache.hadoop.fs.Path(rootDir, LatestManifest)
+    val fs = manifest.getFileSystem(hadoopConf)
+    if (!fs.exists(manifest)) None
+    else {
+      val in = fs.open(manifest)
+      val version =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      Some(s"$rootDir/$version")
+    }
+  }
+
+  /** [[compact]] with a reader-safe atomic swap: rewrites the CURRENT
+    * published version into the next version directory (`v000001`,
+    * `v000002`, …) and flips the `_latest` pointer only after the rewrite
+    * completes. A reader resolving mid-compact gets the old, fully intact
+    * version; a reader resolving after gets the compacted one. The old
+    * directory is left for the retention sweep (deleting it immediately
+    * would pull files out from under readers that resolved before the
+    * flip — at 100 TB old versions age out asynchronously, after the
+    * longest-running reader horizon).
+    */
+  def compactAndPublish(
+      spark: org.apache.spark.sql.SparkSession,
+      rootDir: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      filesPerPartition: Int = 1): CompactionReport = {
+    val current = resolveLatest(spark, rootDir).getOrElse(
+      throw new IllegalStateException(
+        s"no published version under $rootDir — publish() the initial " +
+          "ingest directory first"))
+    val currentName = current.split('/').last
+    val nextName = currentName match {
+      case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
+        f"v${s.drop(1).toLong + 1}%06d"
+      case _ => "v000001"
+    }
+    val report = compact(spark, current, s"$rootDir/$nextName",
+      partitionCols, sortCols, filesPerPartition)
+    publish(spark, rootDir, nextName)
+    report
   }
 
   /** JSONL corpus interchange (the `.jsonl.gz` shard format most public

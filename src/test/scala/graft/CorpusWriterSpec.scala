@@ -145,4 +145,63 @@ class CorpusWriterSpec extends AnyFunSuite with SparkSpec {
       }
     }}
   }
+
+  test("countDataFiles ignores commit logs and hidden dirs, not just basenames") {
+    withOut { frag =>
+      docs.repartition(3).write.partitionBy("lang")
+        .mode("overwrite").parquet(frag.toString)
+      val pure = dataFiles(frag).size
+      // what a streaming file sink leaves behind: a _spark_metadata commit
+      // log whose entries are NOT underscore-prefixed themselves — only
+      // the DIRECTORY is, so a basename-only filter counts them as data
+      val meta = frag.resolve("_spark_metadata")
+      Files.createDirectories(meta)
+      Files.writeString(meta.resolve("0"), "v1")
+      Files.writeString(meta.resolve("9.compact"), "v1")
+      // plus an orphaned task-staging dir (dot-prefixed component)
+      val staging = frag.resolve(".staging-123")
+      Files.createDirectories(staging)
+      Files.writeString(staging.resolve("part-orphan.parquet"), "x")
+      assert(sinks.CorpusWriter.countDataFiles(spark, frag.toString) === pure,
+        "commit-log / staging entries counted as data files")
+    }
+  }
+
+  test("publish/resolveLatest: atomic pointer flip, reader-safe mid-compact") {
+    withOut { root =>
+      // nothing published yet
+      assert(sinks.CorpusWriter.resolveLatest(spark, root.toString).isEmpty)
+
+      // initial ingest lands in v000000 and is published
+      val v0 = root.resolve("v000000")
+      docs.repartition(6).write.partitionBy("lang")
+        .mode("overwrite").parquet(v0.toString)
+      sinks.CorpusWriter.publish(spark, root.toString, "v000000")
+      assert(sinks.CorpusWriter.resolveLatest(spark, root.toString)
+        === Some(s"$root/v000000"))
+
+      // a reader that resolved BEFORE the maintenance job keeps a fully
+      // intact directory for its whole scan
+      val preSwapDir = sinks.CorpusWriter.resolveLatest(spark, root.toString).get
+      val preSwapRows = spark.read.parquet(preSwapDir).count()
+
+      val report = sinks.CorpusWriter.compactAndPublish(spark, root.toString,
+        partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+      assert(report.rows === docs.count())
+
+      // the pointer now names the compacted version; the old version is
+      // still on disk (retention sweep deletes it later, after the
+      // longest-running reader horizon)
+      assert(sinks.CorpusWriter.resolveLatest(spark, root.toString)
+        === Some(s"$root/v000001"))
+      assert(spark.read.parquet(preSwapDir).count() === preSwapRows)
+      assert(spark.read.parquet(s"$root/v000001").count() === preSwapRows)
+
+      // the manifest itself is invisible to a hive-layout read of a version
+      // dir (it lives at the root, underscore-prefixed)
+      val manifest = root.resolve(sinks.CorpusWriter.LatestManifest)
+      assert(Files.exists(manifest))
+      assert(Files.readString(manifest) === "v000001")
+    }
+  }
 }

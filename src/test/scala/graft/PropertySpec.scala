@@ -169,6 +169,59 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("packing survives empty/whitespace docs under BOTH tokenizers") {
+    // the armed trap: bpeishTokenCount returns 0 for empty text, and an
+    // unguarded concatBlocks span sequence(k, k-1) would DOUBLE-COUNT the
+    // doc into two blocks (Spark generates descending sequences)
+    val docGen = Gen.listOfN(30, for {
+      id <- Gen.choose(-50L, 50L)
+      text <- Gen.oneOf(Gen.const(""), Gen.const("   "), Gen.const("\t\n"),
+        Gen.choose(1, 25).map(n => Seq.fill(n)("w").mkString(" ")))
+    } yield (id, text))
+    val counters = Seq[
+      (String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      "tokenCount" -> graft.operators.TextAnalysis.tokenCount,
+      "bpeishTokenCount" -> graft.operators.TextAnalysis.bpeishTokenCount)
+    samples(docGen, 4).zipWithIndex.foreach { case (docs0, i) =>
+      val docs = docs0.distinctBy(_._1)
+      val df = docs.toDF("doc_id", "text")
+      counters.foreach { case (cname, counter) =>
+        // token totals as the counter itself sees them
+        val perDoc = df.select($"doc_id",
+            greatest(counter($"text"), lit(0)).cast("long").as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val blocks = graft.operators.Packing
+          .concatBlocks(df, "doc_id", "text", blockSize = 16, nBuckets = 4,
+            tokenCounter = counter)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))
+        // token conservation: no doc is ever double-counted into two blocks
+        assert(blocks.map(_._4).sum === perDoc.values.sum,
+          s"case $i/$cname block token conservation")
+        blocks.groupBy(_._1).foreach { case (b, rows) =>
+          val sorted = rows.sortBy(_._2)
+          assert(sorted.map(_._2).toSeq === sorted.indices.map(identity),
+            s"case $i/$cname bucket $b contiguity")
+          assert(sorted.dropRight(1).forall(_._4 === 16L),
+            s"case $i/$cname bucket $b fill")
+        }
+        val packs = graft.operators.Packing
+          .packGreedy(df, "doc_id", "text", budget = 20, nBuckets = 4,
+            tokenCounter = counter)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        // greedy keeps row identity (empty docs still get an assignment)
+        assert(packs.length === docs.length, s"case $i/$cname row identity")
+        packs.groupBy(t => (t._2, t._3)).foreach { case ((b, p), rows) =>
+          val total = rows.map(_._4.toLong).sum
+          assert(total <= 20 || rows.count(_._4 > 0) == 1,
+            s"case $i/$cname bucket $b pack $p overflow")
+        }
+      }
+    }
+  }
+
   test("weightedSampleK inclusion follows total weight order on replicated corpora") {
     // two strata of equal count but 20x weight difference; sampling half
     // the rows must overwhelmingly pick the heavy stratum (ES guarantee)

@@ -727,6 +727,16 @@ object SparkEntry {
         "embedding", 10, nCentroids = 8, nProbe = 2, m = 8, codebookSize = 8)
     }),
 
+    // PQ + exact refine (the FAISS refine stage): ADC nominates 4×k
+    // candidates from the compressed-domain scan, exact cosine re-ranks
+    // the sliver to k — recall is bounded by candidate recall@40, not ADC
+    // distortion (RecallSpec pins the measured recall floors).
+    "q86_pq_refined_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.pqTopKRefined(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", 10, m = 8, codebookSize = 8, candidateFactor = 4)
+    }),
+
     // Partitioned/sorted output layout, round-tripped: write documents as a
     // hive-partitioned (lang, source) corpus sorted by doc_id within files
     // (one shuffle — sinks.CorpusWriter), re-read through the pruning
@@ -1181,6 +1191,39 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY ev.id
        |        ORDER BY ${l2Sql("ev.v", "c.cv")} ASC, c.cell ASC) AS rn
        |    FROM ev$j ev, c${j}_$iters c) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** WITH-chain for the PQ/ADC oracle, up to and including the ADC-ranked
+    * CTE (`ranked`) — shared by q66 (top-10 of the ADC ranking) and q86
+    * (ADC top-40 candidates re-ranked exactly). Per-subspace kmeans CTE
+    * chains replay the PQ codebooks bit-exact, rank-1 argmin corpus codes,
+    * ADC terms per subspace joined and summed in fixed index order. */
+  private def pqAdcRankedSql: String = {
+    val (m, sub, k, iters) = (8, 8, 8, 2)
+    val subCtes = (0 until m).map(j => pqSubspaceCteSql(j, sub, k, iters))
+      .mkString(",\n")
+    val adcCtes = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      s"""adc$j AS (
+         |  SELECT q.q_id, cd.id, ${l2Sql(s"q.qv[$lo:$hi]", "c.cv")} AS d
+         |  FROM code$j cd JOIN c${j}_$iters c ON c.cell = cd.code, qq q
+         |  WHERE cd.id <> q.q_id)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until m).map(j => s"JOIN adc$j USING (q_id, id)").mkString(" ")
+    val distSum = (0 until m).map(j => s"adc$j.d").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |samp AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS mk FROM e
+       |  ORDER BY mk, id LIMIT 64),
+       |qq AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+       |$subCtes,
+       |$adcCtes,
+       |dist AS (
+       |  SELECT adc0.q_id, adc0.id, $distSum AS dist
+       |  FROM adc0 $joins),
+       |ranked AS (SELECT q_id, id, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, id ASC) AS rn
+       |  FROM dist)""".stripMargin
   }
 
   /** Exact brute-force cosine top-k — shared by q31 (window-rank form) and
@@ -1812,35 +1855,25 @@ object SparkEntry {
     // per-subspace kmeans CTE chains replaying the PQ codebooks bit-exact,
     // rank-1 argmin corpus codes, ADC terms per subspace joined and summed
     // in fixed index order
-    "q66_pq_ann_topk" -> {
-      val (m, sub, k, iters) = (8, 8, 8, 2)
-      val subCtes = (0 until m).map(j => pqSubspaceCteSql(j, sub, k, iters))
-        .mkString(",\n")
-      val adcCtes = (0 until m).map { j =>
-        val (lo, hi) = (j * sub + 1, (j + 1) * sub)
-        s"""adc$j AS (
-           |  SELECT q.q_id, cd.id, ${l2Sql(s"q.qv[$lo:$hi]", "c.cv")} AS d
-           |  FROM code$j cd JOIN c${j}_$iters c ON c.cell = cd.code, qq q
-           |  WHERE cd.id <> q.q_id)""".stripMargin
-      }.mkString(",\n")
-      val joins = (1 until m).map(j => s"JOIN adc$j USING (q_id, id)").mkString(" ")
-      val distSum = (0 until m).map(j => s"adc$j.d").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id AS id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |samp AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS mk FROM e
-         |  ORDER BY mk, id LIMIT 64),
-         |qq AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
-         |$subCtes,
-         |$adcCtes,
-         |dist AS (
-         |  SELECT adc0.q_id, adc0.id, $distSum AS dist
-         |  FROM adc0 $joins),
-         |ranked AS (SELECT q_id, id, dist,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, id ASC) AS rn
-         |  FROM dist)
+    "q66_pq_ann_topk" ->
+      s"""$pqAdcRankedSql
          |SELECT q_id, id, CAST(rn AS INT) AS rank, round(dist, 6) AS dist
-         |FROM ranked WHERE rn <= 10""".stripMargin
-    },
+         |FROM ranked WHERE rn <= 10""".stripMargin,
+
+    // q66's ADC chain truncated at 40 candidates, then the refine stage:
+    // exact cosine over the candidates' raw vectors, re-ranked to 10
+    "q86_pq_refined_topk" ->
+      s"""$pqAdcRankedSql,
+         |cand AS (SELECT q_id, id FROM ranked WHERE rn <= 40),
+         |ex AS (
+         |  SELECT cd.q_id, cd.id, ${cosSql("q.qv", "e2.v")} AS sim
+         |  FROM cand cd JOIN e e2 ON e2.id = cd.id
+         |  JOIN qq q ON q.q_id = cd.q_id),
+         |rr AS (SELECT q_id, id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC) AS rn
+         |  FROM ex)
+         |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
+         |FROM rr WHERE rn <= 10""".stripMargin,
 
     // q38's coarse CTEs (kmeans + rank-1 assign + top-2 probe) composed
     // with q66's subspace CTEs (codebooks + codes), ADC restricted to the

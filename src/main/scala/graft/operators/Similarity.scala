@@ -411,6 +411,58 @@ object Similarity {
     adcRanked(codes.join(broadcast(q), col("id") =!= col("q_id")), books, k)
   }
 
+  /** Exact re-rank of an ANN candidate list — the FAISS refine stage, and
+    * the standard answer to quantization error: a cheap approximate pass
+    * (ADC, LSH buckets, IVF probes) nominates `C >= k` candidates per
+    * query, then ONLY those candidates are re-scored with exact cosine
+    * over the raw vectors and the true top-k of the candidate set
+    * survives. Recall is then bounded by candidate-generation recall@C
+    * (which rises with C), not by quantization distortion at rank time.
+    *
+    * Scale shape: the candidate list is |Q|·C rows — broadcast it into the
+    * corpus scan as a semi-join filter, so raw vectors are fetched for the
+    * candidate sliver only and the corpus is never shuffled (the same
+    * runtime-filter pattern as q79's bloom decontamination). The exact
+    * scoring relation is |Q|·C rows wide, independent of corpus size.
+    */
+  def refineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      candidates: DataFrame,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cand = candidates.select(col("q_id"), col("id"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+    val fetched = c.join(broadcast(cand), Seq("id"))
+    val scored = fetched.join(broadcast(q), Seq("q_id"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), cosine(col("qv"), col("v")).as("sim"))
+    Windows.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("sim").desc, col("id").asc), k, "rank")
+      .select(col("q_id"), col("id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** [[pqTopK]] + [[refineTopK]]: ADC nominates `k × candidateFactor`
+    * candidates, exact cosine re-ranks them to k (PQ's compressed-domain
+    * scan keeps the corpus-side cost; the refine stage pays exact math on
+    * the sliver only). */
+  def pqTopKRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      codebookSize: Int = 8,
+      candidateFactor: Int = 4): DataFrame = {
+    require(candidateFactor >= 1, "candidateFactor must be >= 1")
+    val cand = pqTopK(corpus, queries, idCol, vecCol, k * candidateFactor,
+      m, codebookSize)
+    refineTopK(corpus, queries, idCol, vecCol, cand, k)
+  }
+
   /** IVF-PQ (Jégou et al. '11; the FAISS IVFPQ scan shape): coarse-quantize
     * the corpus into IVF cells ([[assignCells]] — pure expression), PQ-encode
     * every vector as `m` one-byte codes ([[pqEncode]] — pure expression),

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Approximation-QUALITY gate for the ANN family (round-7 verdict gap #2):
+  * the q33/q38/q66/q76 oracles replay each algorithm bit-exact, which
+  * proves determinism but not that the answers are any good — a config
+  * change that silently collapsed recall would still hash-match. Here
+  * recall@10 of every ANN path is measured against the exact q31
+  * brute-force top-k at the gate configs (sf0.01 embeddings, queries
+  * vec_id < 5) and pinned.
+  *
+  * Every number is DETERMINISTIC (seeded hyperplanes, order-pinned Lloyd,
+  * total-order tiebreaks), so the pins are exact values, not noisy floors;
+  * a drop of any size fails the suite. Measured (mean over the 5 queries):
+  *
+  *   SRP-LSH nPlanes=3 (q33)                    0.22
+  *   SRP-LSH nPlanes=1                          0.60   (fewer planes = bigger buckets)
+  *   IVF nProbe=1                               0.20
+  *   IVF nProbe=2 (q38)                         0.44
+  *   IVF nProbe=4                               0.70
+  *   IVF nProbe=8 (all cells)                   1.00   (≡ brute force, asserted exactly)
+  *   PQ ADC m=8 cb=8 (q66)                      0.18
+  *   PQ + exact refine, 40 candidates (q86)     0.38
+  *   PQ + exact refine, 80 candidates           0.54
+  *   IVF-PQ nProbe=2 (q76)                      0.10
+  *
+  * Structural identities asserted alongside the floors:
+  *   - IVF probing ALL cells must EQUAL the brute-force result row for row
+  *     (scoring inside probed cells is exact, so full probe = full scan);
+  *   - recall is monotone in nProbe (more cells = candidate superset — a
+  *     true top-k member can only be displaced by another true top-k
+  *     member);
+  *   - LSH recall at nPlanes=1 ≥ nPlanes=3 (prefix hyperplanes: the
+  *     1-plane bucket is a superset of the 3-plane bucket);
+  *   - exact refine ≥ its own ADC candidate generator (the refine stage
+  *     re-scores a superset of the final answer exactly).
+  *
+  * The low absolute numbers at the gate configs are the honest cost of
+  * tiny quantizers (8 cells / 8-entry codebooks from a 64-row sample) on
+  * synthetic near-isotropic embeddings; the gates above prove the QUALITY
+  * KNOBS work — raise nProbe / drop planes / refine more candidates and
+  * recall climbs to 1.0 — which is the property a 100 TB deployment tunes.
+  */
+class RecallSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val emb = Tables.load(spark, dir, "embeddings")
+  private lazy val qs = emb.filter(col("vec_id") < 5)
+
+  private def neighborSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("q_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private lazy val exact =
+    neighborSets(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10))
+
+  /** Mean recall@10 over the 5 gate queries. */
+  private def recall(df: DataFrame): Double = {
+    val approx = neighborSets(df)
+    val rs = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    rs.sum / rs.size
+  }
+
+  test("IVF probing all cells equals brute force row for row") {
+    val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+      .collect().map(_.toString).sorted
+    val all = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 10,
+      nCentroids = 8, nProbe = 8).collect().map(_.toString).sorted
+    assert(bf.sameElements(all),
+      "full-probe IVF must be the exact result — scoring is exact per cell")
+  }
+
+  test("IVF recall is monotone in nProbe and pinned at the gate config") {
+    val byProbe = Seq(1, 2, 4, 8).map { p =>
+      p -> recall(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 10,
+        nCentroids = 8, nProbe = p))
+    }
+    byProbe.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(ra <= rb + 1e-9, s"recall fell from nProbe=$pa ($ra) to $pb ($rb)")
+    }
+    val gate = byProbe.toMap
+    assert(gate(2) >= 0.44 - 1e-9, s"q38 gate config recall ${gate(2)} < 0.44")
+    assert(gate(8) >= 1.0 - 1e-9, s"all-probe recall ${gate(8)} < 1.0")
+  }
+
+  test("LSH recall rises as planes drop and is pinned at the gate config") {
+    val r3 = recall(Similarity.lshBucketedTopK(emb, qs, "vec_id", "embedding",
+      10, nPlanes = 3, dim = 64))
+    val r1 = recall(Similarity.lshBucketedTopK(emb, qs, "vec_id", "embedding",
+      10, nPlanes = 1, dim = 64))
+    assert(r1 >= r3 - 1e-9, s"1-plane bucket is a superset: $r1 < $r3")
+    assert(r3 >= 0.22 - 1e-9, s"q33 gate config recall $r3 < 0.22")
+    assert(r1 >= 0.60 - 1e-9, s"1-plane recall $r1 < 0.60")
+  }
+
+  test("PQ refine beats raw ADC and is pinned at the q86 config") {
+    val adc = recall(Similarity.pqTopK(emb, qs, "vec_id", "embedding", 10,
+      m = 8, codebookSize = 8))
+    val ref4 = recall(Similarity.pqTopKRefined(emb, qs, "vec_id", "embedding",
+      10, m = 8, codebookSize = 8, candidateFactor = 4))
+    val ref8 = recall(Similarity.pqTopKRefined(emb, qs, "vec_id", "embedding",
+      10, m = 8, codebookSize = 8, candidateFactor = 8))
+    assert(ref4 >= adc - 1e-9, s"refine made recall worse: $ref4 < $adc")
+    assert(ref8 >= ref4 - 1e-9, s"more candidates made recall worse: $ref8 < $ref4")
+    assert(adc >= 0.18 - 1e-9, s"q66 gate config recall $adc < 0.18")
+    assert(ref4 >= 0.38 - 1e-9, s"q86 gate config recall $ref4 < 0.38")
+    assert(ref8 >= 0.54 - 1e-9, s"refine@80 recall $ref8 < 0.54")
+  }
+
+  test("IVF-PQ recall is pinned at the gate config") {
+    val r = recall(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", 10,
+      nCentroids = 8, nProbe = 2, m = 8, codebookSize = 8))
+    assert(r >= 0.10 - 1e-9, s"q76 gate config recall $r < 0.10")
+  }
+}

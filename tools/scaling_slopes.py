@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Scaling-slope gate: time-vs-rows exponents across sf0.001/0.01/0.1.
+
+Runs the expensive-query subset through graft.Bench at all three scale
+factors (or reuses existing /tmp/bench_scale_<sf>.json dumps with
+--reuse), normalizes each query by its driving table's row growth, and
+gates the slope exponent over the informative decade (sf0.01 -> sf0.1,
+where documents grow 10x):
+
+    slope = log(t_big / t_small) / log(rows_big / rows_small)
+
+Gate: slope <= 1.2 for every non-pair query. The embedding PAIR
+generators (q32 cosine near-dup, q65 SemDeDup) are EXPECTED to exceed it
+at fixed quantizer size — their pair cost is ~n²/buckets by design, and
+the documented scale control is raising nPlanes/nCentroids with n to
+hold the per-cell size (and thus the per-cell quadratic) constant.
+Measured at sf0.1: semDeDup nCentroids 8->32 = 3.74 -> 1.93 s; near-dup
+nPlanes 4->6 = 1.83 -> 0.73 s. They are gated at <= 2.0 instead, which a
+genuinely unbounded all-pairs stage (slope ~2 over a 4x step plus
+constant factors) would still trip.
+
+Streaming queries are floor-dominated at these sizes (slopes ~0.0-0.1);
+they are included to prove state does NOT grow with input (watermark
+eviction), not to measure compute.
+
+Usage: python3 tools/scaling_slopes.py [--reuse]
+Exits nonzero if any gate fails.
+"""
+import json
+import math
+import os
+import subprocess
+import sys
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+QUERIES = (
+    "q26_jaccard_pairs,q28_minhash_lsh_pairs,q30_simhash_pairs,"
+    "q32_cosine_neardup,q63_dedup_clusters,q65_semdedup,q47_edit_distance,"
+    "q57_repetition_profile,q64_bm25_rank,q67_vocab_topk,"
+    "q61_stream_interval_join,q71_streaming_sliding,q35_streaming_tumbling,"
+    "q51_contamination"
+)
+# driving table per query, and that table's row count per sf
+TABLE = {
+    "q26_jaccard_pairs": "documents", "q28_minhash_lsh_pairs": "documents",
+    "q30_simhash_pairs": "documents", "q47_edit_distance": "documents",
+    "q57_repetition_profile": "documents", "q63_dedup_clusters": "documents",
+    "q64_bm25_rank": "documents", "q67_vocab_topk": "documents",
+    "q51_contamination": "documents",
+    "q32_cosine_neardup": "embeddings", "q65_semdedup": "embeddings",
+    "q35_streaming_tumbling": "events", "q61_stream_interval_join": "events",
+    "q71_streaming_sliding": "events",
+}
+ROWS = {
+    "documents": {"sf0.001": 500, "sf0.01": 500, "sf0.1": 5000},
+    "embeddings": {"sf0.001": 500, "sf0.01": 500, "sf0.1": 2000},
+    "events": {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000},
+}
+PAIR_QUERIES = {"q32_cosine_neardup", "q65_semdedup"}
+
+
+def bench(sf: str) -> dict:
+    out = f"/tmp/bench_scale_{sf}.json"
+    if "--reuse" in sys.argv and os.path.exists(out):
+        print(f"[slopes] reusing {out}")
+    else:
+        print(f"[slopes] benching {sf} ...")
+        env = dict(os.environ,
+                   SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}",
+                   SPARK_GRAFT_ONLY=QUERIES,
+                   SPARK_GRAFT_BENCH_OUT=out)
+        subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       env=env, check=True, capture_output=True)
+    return json.load(open(out))["queries"]
+
+
+def main() -> int:
+    t = {sf: bench(sf) for sf in SFS}
+    bad = 0
+    print(f"{'query':28s} {'table':11s} {'t(.001)':>8s} {'t(.01)':>8s} "
+          f"{'t(.1)':>8s} {'slope':>6s}  gate")
+    for q in sorted(TABLE):
+        tbl = TABLE[q]
+        a, b, c = (t[sf][q] for sf in SFS)
+        xdata = ROWS[tbl]["sf0.1"] / ROWS[tbl]["sf0.01"]
+        slope = math.log(c / b) / math.log(xdata)
+        limit = 2.0 if q in PAIR_QUERIES else 1.2
+        ok = slope <= limit
+        bad += 0 if ok else 1
+        print(f"{q:28s} {tbl:11s} {a:8.2f} {b:8.2f} {c:8.2f} {slope:6.2f}  "
+              f"{'OK' if ok else f'FAIL (> {limit})'}"
+              + ("  [pair generator: quantizer-knob controlled]"
+                 if q in PAIR_QUERIES else ""))
+    print(f"[slopes] {'all gates pass' if bad == 0 else f'{bad} FAILURES'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

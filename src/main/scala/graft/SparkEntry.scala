@@ -753,6 +753,26 @@ object SparkEntry {
         "embedding", 10, m = 8, codebookSize = 8, candidateFactor = 4)
     }),
 
+    // First BPE-training iteration: adjacent-symbol pair counts over the
+    // pre-tokenized corpus — pair work scales with the WORD-FREQUENCY
+    // table (vocab-bounded), the corpus is touched once at scan stage.
+    "q87_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(T(s, dir, "documents"), "text", 50)),
+
+    // Kneser–Ney continuation counts: distinct predecessors per word (the
+    // KN lower-order numerator) — adjacency built at scan stage, distinct
+    // bigram reduction map-side combinable.
+    "q88_continuations" -> ((s, dir) =>
+      TextAnalysis.continuationCounts(T(s, dir, "documents"), "text", 50)),
+
+    // Deterministic leak-proof train/val/test split: md5-threshold CASE at
+    // scan stage; membership is a pure function of doc_id, so reruns and
+    // corpus growth never move a document across splits.
+    "q89_hash_split" -> ((s, dir) =>
+      operators.Sampling.hashSplit(T(s, dir, "documents"), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("lang"), col("split"))),
+
     // Partitioned/sorted output layout, round-tripped: write documents as a
     // hive-partitioned (lang, source) corpus sorted by doc_id within files
     // (one shuffle — sinks.CorpusWriter), re-read through the pruning
@@ -1875,6 +1895,54 @@ object SparkEntry {
       s"""$pqAdcRankedSql
          |SELECT q_id, id, CAST(rn AS INT) AS rank, round(dist, 6) AS dist
          |FROM ranked WHERE rn <= 10""".stripMargin,
+
+    // word-frequency table first (the BPE-trainer shape), then adjacent
+    // 2-char substrings weighted by word count
+    "q87_bpe_pairs" ->
+      s"""WITH words AS (
+         |  SELECT unnest(regexp_extract_all(text,
+         |    '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS w FROM documents),
+         |wf AS (SELECT w, count(*) AS wcnt FROM words GROUP BY w),
+         |pairs AS (
+         |  SELECT substring(w, i, 2) AS pair, wcnt
+         |  FROM wf, unnest(generate_series(1, length(w) - 1)) AS t(i)
+         |  WHERE length(w) >= 2),
+         |agg AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS n
+         |  FROM pairs GROUP BY pair),
+         |ranked AS (SELECT pair, n,
+         |    row_number() OVER (ORDER BY n DESC, pair ASC) AS rank FROM agg)
+         |SELECT pair, n, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 50""".stripMargin,
+
+    // per-doc adjacency (ws[i], ws[i+1]), then distinct-predecessor and
+    // occurrence rollups per following word
+    "q88_continuations" ->
+      s"""WITH docs AS (SELECT regexp_extract_all(text,
+         |    '[A-Za-z0-9]+|[^A-Za-z0-9\\s]') AS ws FROM documents),
+         |bigrams AS (
+         |  SELECT ws[i] AS w1, ws[i+1] AS w2
+         |  FROM docs, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+         |  WHERE len(ws) >= 2),
+         |cc AS (SELECT w2 AS word,
+         |    CAST(count(DISTINCT w1) AS BIGINT) AS continuations,
+         |    CAST(count(*) AS BIGINT) AS occurrences
+         |  FROM bigrams GROUP BY w2),
+         |ranked AS (SELECT word, continuations, occurrences,
+         |    row_number() OVER (ORDER BY continuations DESC, word ASC) AS rank
+         |  FROM cc)
+         |SELECT word, continuations, occurrences, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 50""".stripMargin,
+
+    // the same md5 sample key + cumulative thresholds the operator inlines
+    "q89_hash_split" -> {
+      val t80 = operators.Sampling.fractionThreshold(0.8)
+      val t90 = operators.Sampling.fractionThreshold(0.8 + 0.1)
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '$t80' THEN 'train'
+         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '$t90' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
 
     // q66's ADC chain truncated at 40 candidates, then the refine stage:
     // exact cosine over the candidates' raw vectors, re-ranked to 10

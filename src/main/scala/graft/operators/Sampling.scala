@@ -41,6 +41,32 @@ object Sampling {
     f"${clamped}%016x".takeRight(16)
   }
 
+  /** Deterministic train/val/test split assignment: each row lands in the
+    * first split whose cumulative-probability threshold its md5 sample key
+    * falls under. Zero shuffle (a scan-stage CASE over the key) and, more
+    * importantly, LEAK-PROOF: membership is a pure function of the id, so
+    * re-ingesting, growing, or re-partitioning the corpus never moves an
+    * existing document across splits — the property that keeps eval sets
+    * uncontaminated across pipeline reruns (random splits silently leak
+    * train docs into test on every rerun). Fractions must sum to 1.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0.0), "split fractions must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val key = sampleKey(col(idCol))
+    // build the when-chain inside-out so the FIRST split's condition is
+    // outermost; the last split is the unconditional fallback
+    val assign = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), c)) =>
+        when(key < lit(fractionThreshold(c)), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** Deterministic Bernoulli sample with a per-stratum rate: keeps rows
     * whose md5 sample key falls below the stratum's threshold. Zero-shuffle
     * (a scan-stage filter); rerun-stable; cross-engine reproducible.

@@ -205,6 +205,74 @@ object TextAnalysis {
       .select(col("shingle"), col("occurrences"), col("doc_freq"), col("rank"))
   }
 
+  /** The BPE-ish pre-tokenizer word stream: alnum runs + isolated
+    * punctuation, in document order — the same RE2-safe split
+    * [[bpeishTokenCount]] counts, kept as one extract so adjacency is
+    * preserved for [[bpePairCounts]]/[[continuationCounts]]. */
+  private def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** First BPE-training iteration: adjacent-symbol pair frequencies over
+    * the pre-tokenized corpus, top-k by count (Sennrich et al. '16 — the
+    * merge a BPE trainer would pick next is the argmax of exactly this
+    * table; iterating merge+recount is the full trainer).
+    *
+    * Shape at 100 TB: the classic trainer trick — aggregate to the WORD
+    * FREQUENCY table first (one shuffle, vocab-bounded, map-side
+    * combinable), then explode each distinct word's ≤len-1 adjacent pairs
+    * weighted by its count (pair work scales with vocabulary size, not
+    * corpus size), one more vocab-bounded aggregation, TakeOrdered top-k.
+    * The corpus itself is touched once, scan-stage only.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val wf = df.select(explode(preTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+    // sequence(1, len-1) inverts for 1-char words (the q81 descending-
+    // sequence trap) — filter them before the explode
+    val pairs = wf.filter(length(col("w")) >= 2)
+      .select(col("wcnt"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+    val agg = pairs.groupBy(col("pair")).agg(sum(col("wcnt")).as("n"))
+    val top = agg.orderBy(col("n").desc, col("pair").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("pair"), col("n"), col("rank"))
+  }
+
+  /** Kneser–Ney continuation counts: for each word, the number of DISTINCT
+    * predecessors it follows (the KN lower-order numerator — "how many
+    * contexts license this word"), plus its raw bigram occurrence count;
+    * top-k by continuations. The complement to [[topNgrams]]' raw
+    * frequencies in an LM-statistics pass.
+    *
+    * Shape at 100 TB: bigrams are built per document at scan stage (pure
+    * expressions over the pre-token array — adjacency never crosses a
+    * shuffle), distinct-pair reduction first (map-side combinable, bounded
+    * by the bigram vocabulary), then a per-word rollup where
+    * count(*) of the distinct relation IS count(distinct w1). */
+  def continuationCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val ws = preTokens(col(textCol))
+    val bigrams = df.select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2) // sequence(1, 0) inverts — same trap
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val occurrences = bigrams.groupBy(col("w2"))
+      .agg(count(lit(1)).as("occurrences"))
+    val continuations = bigrams.select(col("w1"), col("w2")).distinct()
+      .groupBy(col("w2")).agg(count(lit(1)).as("continuations"))
+    val cc = continuations.join(occurrences, Seq("w2"))
+      .select(col("w2").as("word"), col("continuations"), col("occurrences"))
+    val top = cc.orderBy(col("continuations").desc, col("word").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("continuations").desc, col("word").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("word"), col("continuations"), col("occurrences"), col("rank"))
+  }
+
   /** Compression-ratio quality signal: DEFLATE size over raw UTF-8 size per
     * document — the model-free redundancy detector (highly repetitive /
     * templated text compresses far below ~0.4; near-random noise sits near

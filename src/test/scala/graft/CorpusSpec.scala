@@ -256,4 +256,47 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     // occupancy conservation: block tokens sum to the corpus token count
     assert(got.map(_._3).sum === 38L)
   }
+
+  test("bpePairCounts: hand-computed pair table, punct split, 1-char words") {
+    // pre-tokens: "low low lower" -> low×2, lower×1; "l!" -> l (1 char,
+    // no pairs) + ! (1 char); CJK chars are single non-alnum tokens
+    val df = Seq((1L, "low low lower"), (2L, "l!")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.bpePairCounts(df, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    // pairs: low -> lo,ow (×2); lower -> lo,ow,we,er (×1)
+    assert(got === Seq(
+      ("lo", 3L, 1), ("ow", 3L, 2), ("er", 1L, 3), ("we", 1L, 4)))
+  }
+
+  test("continuationCounts: distinct predecessors vs raw occurrences") {
+    // bigrams: (a b) (b a) (a b) | (c b) -> b follows {a, c} = 2 distinct,
+    // 3 occurrences; a follows {b} = 1/1
+    val df = Seq((1L, "a b a b"), (2L, "c b")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.continuationCounts(df, "text", 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got === Seq(("b", 2L, 3L, 1), ("a", 1L, 1L, 2)))
+  }
+
+  test("hashSplit: exhaustive partition, rerun-stable, growth-stable") {
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val small = spark.range(200).toDF("id")
+    val a = operators.Sampling.hashSplit(small, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every row lands in exactly one split; proportions are sane
+    assert(a.size === 200)
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    val nTrain = a.values.count(_ == "train")
+    assert(nTrain > 120 && nTrain < 200, s"train share off: $nTrain/200")
+    // leak-proofness: growing the corpus never moves an existing row
+    val big = spark.range(400).toDF("id")
+    val b = operators.Sampling.hashSplit(big, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.foreach { case (id, s) => assert(b(id) === s, s"row $id moved") }
+    // degenerate fractions rejected
+    intercept[IllegalArgumentException] {
+      operators.Sampling.hashSplit(small, "id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
 }

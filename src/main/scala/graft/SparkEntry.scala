@@ -773,6 +773,14 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // Temperature-scaled mixture plan (share^alpha reweighting): the
+    // per-language sampling-fraction table a data recipe applies via
+    // stratifiedByFraction (q55's gate); one corpus count agg, the rest
+    // dim-sized arithmetic.
+    "q90_mixture_plan" -> ((s, dir) =>
+      operators.Sampling.mixturePlan(T(s, dir, "documents"), "lang",
+        alpha = 0.3, targetRows = 1000)),
+
     // Partitioned/sorted output layout, round-tripped: write documents as a
     // hive-partitioned (lang, source) corpus sorted by doc_id within files
     // (one shuffle — sinks.CorpusWriter), re-read through the pruning
@@ -1932,6 +1940,21 @@ object SparkEntry {
          |  FROM cc)
          |SELECT word, continuations, occurrences, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 50""".stripMargin,
+
+    // share^alpha reweighting in the same arithmetic order as the
+    // operator; 6dp rounding absorbs libm pow ulp differences
+    "q90_mixture_plan" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_docs) AS total FROM c),
+        |w AS (SELECT lang, n_docs, n_docs / total AS share,
+        |    pow(n_docs / total, 0.3) AS tw FROM c, t),
+        |s AS (SELECT sum(tw) AS tw_total FROM w)
+        |SELECT lang, n_docs, round(share, 6) AS raw_share,
+        |  round(tw / tw_total, 6) AS temp_share,
+        |  round(least(1.0, 1000 * (tw / tw_total) / n_docs), 6)
+        |    AS sample_fraction
+        |FROM w, s""".stripMargin,
 
     // the same md5 sample key + cumulative thresholds the operator inlines
     "q89_hash_split" -> {

@@ -41,6 +41,46 @@ object Sampling {
     f"${clamped}%016x".takeRight(16)
   }
 
+  /** Temperature-scaled mixture plan (the mC4/XLM-R data-recipe step):
+    * per-stratum sampling weights ∝ (n_i/N)^alpha, renormalized, converted
+    * to per-stratum Bernoulli fractions against a target sample size —
+    * alpha=1 keeps natural proportions, alpha→0 flattens toward uniform
+    * (upsampling tail languages/sources). Emits the PLAN (one row per
+    * stratum: counts, shares, fraction) — apply it with
+    * [[stratifiedByFraction]], which q55 gates. Fractions are capped at 1
+    * (a stratum can't supply more rows than it has; the shortfall is the
+    * standard recipe trade-off, reported here via the capped fraction).
+    *
+    * Shape at 100 TB: one map-side-combinable count aggregation over the
+    * corpus; everything after operates on the stratum table (bounded like
+    * a dim, window over a handful of rows). Outputs rounded to 6dp so the
+    * libm pow of any engine reproduces them.
+    */
+  def mixturePlan(
+      df: DataFrame,
+      strataCol: String,
+      alpha: Double,
+      targetRows: Long): DataFrame = {
+    require(alpha >= 0.0, "alpha must be >= 0")
+    require(targetRows >= 0, "targetRows must be >= 0")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy() // the stratum table is dim-sized; a global window is fine
+    val withShare = counts
+      .withColumn("share", col("n_docs") / sum(col("n_docs")).over(w))
+      .withColumn("tw", pow(col("share"), lit(alpha)))
+      .withColumn("temp_share", col("tw") / sum(col("tw")).over(w))
+    withShare.select(
+      col(strataCol),
+      col("n_docs"),
+      round(col("share"), 6).as("raw_share"),
+      round(col("temp_share"), 6).as("temp_share"),
+      round(least(lit(1.0),
+        lit(targetRows.toDouble) * col("temp_share") / col("n_docs")), 6)
+        .as("sample_fraction"))
+  }
+
   /** Deterministic train/val/test split assignment: each row lands in the
     * first split whose cumulative-probability threshold its md5 sample key
     * falls under. Zero shuffle (a scan-stage CASE over the key) and, more

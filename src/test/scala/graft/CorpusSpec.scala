@@ -299,4 +299,32 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       operators.Sampling.hashSplit(small, "id", Seq(("a", 0.5), ("b", 0.4)))
     }
   }
+
+  test("mixturePlan: alpha=1 keeps natural shares, alpha=0 flattens, cap binds") {
+    // strata: a=800 docs, b=150, c=50
+    val df = spark.range(1000).toDF("id").select($"id",
+      when($"id" < 800, "a").when($"id" < 950, "b").otherwise("c").as("src"))
+    def plan(alpha: Double, target: Long) =
+      operators.Sampling.mixturePlan(df, "src", alpha, target)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+
+    // alpha=1: temp shares == raw shares; fractions proportional to target
+    val p1 = plan(1.0, 100)
+    assert(p1("a") === ((800L, 0.8, 0.8, 0.1)))
+    assert(p1("b") === ((150L, 0.15, 0.15, 0.1)))
+    assert(p1("c") === ((50L, 0.05, 0.05, 0.1)))
+
+    // alpha=0: every stratum weighted equally (share^0 = 1 -> 1/3 each);
+    // the tail stratum upsamples hardest
+    val p0 = plan(0.0, 99)
+    assert(p0.values.forall(v => math.abs(v._3 - 1.0 / 3) < 1e-5))
+    assert(p0("c")._4 > p0("a")._4)
+
+    // cap: a target larger than a stratum can supply clamps to 1.0
+    val pc = plan(0.0, 3000)
+    assert(pc("c")._4 === 1.0)
+  }
 }

@@ -992,6 +992,26 @@ object SparkEntry {
           unix_micros(col("view_ts")).as("view_us")))
     }),
 
+    // Streaming LEFT OUTER interval join: q61's attribution join, but
+    // unmatched clicks ALSO emit (with null view columns) — and only once
+    // the watermark proves no future view can match, which is the
+    // semantics this lane gates: the oracle encodes the final-watermark
+    // cutoff, so a row emitted early or held forever both fail the hash.
+    "q91_stream_outer_join" -> ((s, dir) => {
+      val clicks = eventFileStream(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val views = eventFileStream(s, dir).filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+      streamToParquet(s, graft.streaming.EventStreams
+        .intervalJoin(clicks, views, "c_user", "v_user",
+          "click_ts", "view_ts", "180 minutes", "240 minutes", "leftOuter")
+        .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("view_ts")).as("view_us")))
+    }),
+
     // IVF ANN: expression-only coarse quantization + probed cells.
     "q38_ivf_ann_topk" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -2224,6 +2244,37 @@ object SparkEntry {
         |  ON c.user_id = v.user_id
         |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 180 MINUTE
         |WHERE c.event_type = 'click' AND v.event_type = 'view'""".stripMargin,
+
+    // q61's join with the outer lane: matched pairs plus unmatched clicks
+    // whose state the final watermark closed. The watermark is the MIN of
+    // the two streams' (max event time - delay) — empirically pinned:
+    // max-over-all-events over-emits by 2 rows at sf0.01. 10800000000 µs
+    // = the 180-minute lag, 14400000000 µs = the 240-minute delay.
+    "q91_stream_outer_join" ->
+      """WITH e2 AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |    FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+        |  FROM e2 WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, ts_us AS view_us
+        |  FROM e2 WHERE event_type = 'view'),
+        |wm AS (SELECT least(
+        |    (SELECT max(ts_us) FROM e2 WHERE event_type = 'click'),
+        |    (SELECT max(ts_us) FROM e2 WHERE event_type = 'view'))
+        |    - 14400000000 AS w),
+        |matched AS (
+        |  SELECT c.click_id, v.view_id, c.user_id, c.click_us, v.view_us
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |    AND v.view_us >= c.click_us
+        |    AND v.view_us <= c.click_us + 10800000000),
+        |unmatched AS (
+        |  SELECT c.click_id, CAST(NULL AS BIGINT) AS view_id, c.user_id,
+        |    c.click_us, CAST(NULL AS BIGINT) AS view_us
+        |  FROM c, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id
+        |      AND v.view_us >= c.click_us
+        |      AND v.view_us <= c.click_us + 10800000000)
+        |    AND c.click_us + 10800000000 < wm.w)
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin,
 
     // doubled delivery deduped on event_id = the source rows, exactly once
     "q58_streaming_dedup" ->

@@ -106,11 +106,13 @@ object EventStreams {
       leftTs: String,
       rightTs: String,
       maxLag: String = "10 minutes",
-      watermark: String = "30 minutes"): DataFrame =
+      watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
-          s"AND $rightTs <= $leftTs + interval $maxLag"))
+          s"AND $rightTs <= $leftTs + interval $maxLag"),
+        joinType)
 
   /** Sliding-window per-user activity (frame overlap = 2×). */
   def slidingUserActivity(

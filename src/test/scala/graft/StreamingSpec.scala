@@ -111,6 +111,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out === Set((1L, 10L), (1L, 13L)))
   }
 
+  test("LEFT OUTER interval join emits unmatched rows only at watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("c_user", "click_ts", "click_id")
+    val vdf = views.toDF().toDF("v_user", "view_ts", "view_id")
+    val q = EventStreams.intervalJoin(cdf, vdf, "c_user", "v_user",
+        "click_ts", "view_ts", "10 minutes", "30 minutes", "leftOuter")
+      .select($"click_id", $"view_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivj_outer_out").start()
+    def rows = spark.table("ivj_outer_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val t = (m: String) => Timestamp.valueOf(s"2024-01-01 $m:00")
+    // click 1 matches view 10; click 2 has no view in range
+    clicks.addData((7L, t("00:10"), 1L), (7L, t("00:20"), 2L))
+    views.addData((7L, t("00:15"), 10L))
+    q.processAllAvailable()
+    // the match emits eagerly; the unmatched click is still HELD — a
+    // matching view could yet arrive inside watermark + lag
+    assert(rows === Set((1L, 10L)))
+    // advance both watermarks far past click 2's last possible match
+    // (00:20 + 10min lag + 30min delay): the null row must now emit
+    clicks.addData((9L, t("09:00"), 99L))
+    views.addData((9L, t("09:00"), 98L))
+    q.processAllAvailable()
+    q.processAllAvailable() // one extra batch for the eviction scan
+    assert(rows.contains((2L, -1L)), s"unmatched click never emitted: $rows")
+    q.stop()
+  }
+
   test("stateful sessionization emits closed sessions via state timeouts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]

@@ -27,9 +27,23 @@ object Skew {
     * none of that: same row → same salt on any retry, any partitioning.
     * Caveat: bitwise-identical duplicate rows share a salt — irrelevant for
     * aggregation (map-side partial combine collapses them anyway) and
-    * acceptable for the join (identical rows produce identical output). */
-  private def rowSalt(df: DataFrame, numSalts: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(numSalts.toLong)).cast("int")
+    * acceptable for the join (identical rows produce identical output).
+    * Map-typed columns are hashed through their string rendering: xxhash64
+    * rejects MapType anywhere in its input (maps have no canonical order),
+    * and failing at analysis time on any schema with a properties map
+    * would be a regression vs the old rand() salt. */
+  private def rowSalt(df: DataFrame, numSalts: Int): Column = {
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val inputs = df.schema.fields.map { f =>
+      if (hasMap(f.dataType)) col(f.name).cast("string") else col(f.name)
+    }
+    pmod(xxhash64(inputs.toIndexedSeq: _*), lit(numSalts.toLong)).cast("int")
+  }
 
   /** Two-phase count/sum aggregation with key salting. `sums` maps output
     * column name → column to sum. */

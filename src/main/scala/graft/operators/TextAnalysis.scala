@@ -249,9 +249,10 @@ object TextAnalysis {
     *
     * Shape at 100 TB: bigrams are built per document at scan stage (pure
     * expressions over the pre-token array — adjacency never crosses a
-    * shuffle), distinct-pair reduction first (map-side combinable, bounded
-    * by the bigram vocabulary), then a per-word rollup where
-    * count(*) of the distinct relation IS count(distinct w1). */
+    * shuffle), then ONE corpus pass: a (w1, w2) count reduction (map-side
+    * combinable, bounded by the bigram vocabulary) rolled up per w2 —
+    * count(*) of the pair relation IS count(distinct w1), and summing its
+    * counts recovers raw occurrences, so no second scan and no join. */
   def continuationCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val ws = preTokens(col(textCol))
     val bigrams = df.select(ws.as("ws"))
@@ -260,11 +261,10 @@ object TextAnalysis {
         i => struct(element_at(col("ws"), i).as("w1"),
           element_at(col("ws"), i + 1).as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val occurrences = bigrams.groupBy(col("w2"))
-      .agg(count(lit(1)).as("occurrences"))
-    val continuations = bigrams.select(col("w1"), col("w2")).distinct()
-      .groupBy(col("w2")).agg(count(lit(1)).as("continuations"))
-    val cc = continuations.join(occurrences, Seq("w2"))
+    val pairCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val cc = pairCounts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("continuations"), sum(col("c")).as("occurrences"))
       .select(col("w2").as("word"), col("continuations"), col("occurrences"))
     val top = cc.orderBy(col("continuations").desc, col("word").asc).limit(k)
     val w = org.apache.spark.sql.expressions.Window

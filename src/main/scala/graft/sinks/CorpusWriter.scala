@@ -100,10 +100,9 @@ object CorpusWriter {
       sortCols: Seq[String],
       filesPerPartition: Int = 1): CompactionReport = {
     val before = countDataFiles(spark, inDir)
-    def dataFiles(dir: String): Long = countDataFiles(spark, dir)
     val df = spark.read.parquet(inDir)
     writePartitioned(df, outDir, partitionCols, sortCols, filesPerPartition)
-    CompactionReport(before, dataFiles(outDir),
+    CompactionReport(before, countDataFiles(spark, outDir),
       spark.read.parquet(outDir).count())
   }
 
@@ -182,12 +181,17 @@ object CorpusWriter {
       throw new IllegalStateException(
         s"no published version under $rootDir — publish() the initial " +
           "ingest directory first"))
-    val currentName = current.split('/').last
-    val nextName = currentName match {
-      case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
-        f"v${s.drop(1).toLong + 1}%06d"
-      case _ => "v000001"
-    }
+    // next version = max existing v<digits> dir + 1, NEVER derived from the
+    // current pointer alone: a published non-versioned name (or a version
+    // dir left by an aborted run) must not make the rewrite land on — and
+    // overwrite — a directory a reader may still be scanning
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case s if s.length > 1 && s.startsWith("v") &&
+        s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
+    val nextName = f"v${existing.foldLeft(-1L)(math.max) + 1}%06d"
     val report = compact(spark, current, s"$rootDir/$nextName",
       partitionCols, sortCols, filesPerPartition)
     publish(spark, rootDir, nextName)

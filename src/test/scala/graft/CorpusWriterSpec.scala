@@ -204,4 +204,33 @@ class CorpusWriterSpec extends AnyFunSuite with SparkSpec {
       assert(Files.readString(manifest) === "v000001")
     }
   }
+
+  test("compactAndPublish never lands on an existing version directory") {
+    withOut { root =>
+      // v000000 and v000001 already exist (v000001 = an earlier compaction
+      // a reader may still be scanning); the CURRENT pointer names a
+      // non-versioned ingest dir — the next rewrite must allocate v000002,
+      // not fall back onto v000001 and overwrite it
+      val v0 = root.resolve("v000000")
+      docs.repartition(4).write.partitionBy("lang")
+        .mode("overwrite").parquet(v0.toString)
+      sinks.CorpusWriter.publish(spark, root.toString, "v000000")
+      sinks.CorpusWriter.compactAndPublish(spark, root.toString,
+        partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+      val v1Files = dataFiles(root.resolve("v000001")).map(_.toString).toSet
+
+      val hotfix = root.resolve("hotfix-ingest")
+      docs.repartition(2).write.partitionBy("lang")
+        .mode("overwrite").parquet(hotfix.toString)
+      sinks.CorpusWriter.publish(spark, root.toString, "hotfix-ingest")
+      sinks.CorpusWriter.compactAndPublish(spark, root.toString,
+        partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+      assert(sinks.CorpusWriter.resolveLatest(spark, root.toString)
+        === Some(s"$root/v000002"))
+      // v000001 is byte-untouched
+      assert(dataFiles(root.resolve("v000001")).map(_.toString).toSet
+        === v1Files)
+      assert(spark.read.parquet(s"$root/v000001").count() === docs.count())
+    }
+  }
 }

@@ -45,6 +45,26 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("salted operators accept map-typed columns (xxhash64 can't hash maps)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{lit, map, sum => fsum}
+    val fact = spark.range(100).select(
+      (col("id") % 3).as("k"), col("id").as("v"),
+      map(lit("a"), col("id").cast("string")).as("props"))
+    val dim = (0L until 3L).map(i => (i, s"d$i")).toDF("k", "label")
+    // both operators must plan and run — the map column is hashed through
+    // its string rendering instead of failing analysis
+    val joined = Skew.saltedJoin(fact, dim, "k", numSalts = 4)
+    assert(joined.count() === 100)
+    val agg = Skew.saltedAggregate(fact, Seq("k"),
+      Map("sv" -> col("v")), numSalts = 4)
+    val got = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = fact.groupBy("k").agg(fsum("v").as("sv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("AQE splits the zipfian hot key at join time (skew=true in the final plan)") {
     withSQLConf(Skew.skewDemoConfs: _*) {
       val df = Skew.zipfianJoinDemo(spark, 200000L, 200)

@@ -82,6 +82,11 @@ def main() -> int:
     for q in sorted(TABLE):
         tbl = TABLE[q]
         a, b, c = (t[sf][q] for sf in SFS)
+        if min(a, b, c) <= 0:  # Bench records failures as -1.0
+            print(f"{q:28s} {tbl:11s} {a:8.2f} {b:8.2f} {c:8.2f}   n/a  "
+                  f"FAIL (bench error sentinel)")
+            bad += 1
+            continue
         xdata = ROWS[tbl]["sf0.1"] / ROWS[tbl]["sf0.01"]
         slope = math.log(c / b) / math.log(xdata)
         limit = 2.0 if q in PAIR_QUERIES else 1.2

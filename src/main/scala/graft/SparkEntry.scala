@@ -773,6 +773,19 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // Hybrid retrieval fusion: cosine top-20 and raw-dot (MIPS) top-20
+    // fused by reciprocal rank — the rank-based combiner that needs no
+    // score calibration between systems. Fusion cost is |Q|·N·systems
+    // rows, independent of corpus size.
+    "q92_rrf_fusion" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      operators.Fusion.rrf(Seq(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 20),
+        Similarity.bruteForceTopKDot(e, q, "vec_id", "embedding", 20)),
+        k = 10)
+    }),
+
     // Temperature-scaled mixture plan (share^alpha reweighting): the
     // per-language sampling-fraction table a data recipe applies via
     // stratifiedByFraction (q55's gate); one corpus count agg, the rest
@@ -1960,6 +1973,30 @@ object SparkEntry {
          |  FROM cc)
          |SELECT word, continuations, occurrences, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 50""".stripMargin,
+
+    // the two exact rankings at depth 20, fused by 1/(60+rank); a two-term
+    // IEEE sum is order-independent, so the fused score is exact
+    "q92_rrf_fusion" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |cosr AS (SELECT q_id, id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC) AS rn
+         |  FROM (SELECT q_id, vec_id AS id, ${cosSql("qv", "v")} AS sim
+         |        FROM e, q WHERE vec_id <> q_id)),
+         |dotr AS (SELECT q_id, id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC) AS rn
+         |  FROM (SELECT q_id, vec_id AS id, ${dotSql("qv", "v")} AS sim
+         |        FROM e, q WHERE vec_id <> q_id)),
+         |u AS (SELECT q_id, id, rn FROM cosr WHERE rn <= 20
+         |  UNION ALL SELECT q_id, id, rn FROM dotr WHERE rn <= 20),
+         |f AS (SELECT q_id, id, round(sum(1.0 / (60.0 + rn)), 6) AS rrf_score,
+         |    CAST(count(*) AS BIGINT) AS n_systems FROM u GROUP BY 1, 2),
+         |r AS (SELECT q_id, id, rrf_score, n_systems,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rrf_score DESC, id ASC) AS rn FROM f)
+         |SELECT q_id, id, rrf_score, n_systems, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 10""".stripMargin,
 
     // share^alpha reweighting in the same arithmetic order as the
     // operator; 6dp rounding absorbs libm pow ulp differences

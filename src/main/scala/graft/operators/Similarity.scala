@@ -117,6 +117,26 @@ object Similarity {
       bufferEncoder
   }
 
+  /** Exact top-k by raw DOT PRODUCT (MIPS — maximum inner-product search):
+    * the unnormalized ranking, which weights vector magnitude where
+    * [[bruteForceTopK]]'s cosine ignores it. Same shape (query broadcast,
+    * window top-k, id tiebreak); a second retrieval signal for
+    * [[Fusion.rrf]]. */
+  def bruteForceTopKDot(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), dot(col("qv"), col("v")).as("sim"))
+    Windows.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("sim").desc, col("id").asc), k, "rank")
+      .select(col("q_id"), col("id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** [[bruteForceTopK]] via [[TopKAggregator]] — identical output, bounded
     * shuffle (use this form at corpus scale). */
   def bruteForceTopKAgg(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsofJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Fusion, RangeJoin, Similarity, TextAnalysis}
 
 /** Unit coverage for the training-data operators. */
 class OperatorsSpec extends AnyFunSuite with SparkSpec {
@@ -531,5 +531,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val onlyHeavy = Sampling.weightedSampleK(withZero, "id", $"w", 50)
       .collect().map(_.getLong(0))
     assert(onlyHeavy.length === 40 && onlyHeavy.forall(_ < 40L))
+  }
+
+  test("rrf fuses rankings by reciprocal rank: hand-computed order") {
+    // system A ranks [1,2,3]; system B ranks [3,2,4].
+    //   doc 2: 1/62 + 1/62 = .032258   doc 3: 1/63 + 1/61 = .032262
+    //   doc 1: 1/61 = .016393          doc 4: 1/63 = .015873
+    // fused order: 3, 2, 1, 4 — a doc two systems agree on beats either
+    // system's solo #1
+    val a = Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3)).toDF("q_id", "id", "rank")
+    val b = Seq((7L, 3L, 1), (7L, 2L, 2), (7L, 4L, 3)).toDF("q_id", "id", "rank")
+    val got = Fusion.rrf(Seq(a, b), k = 4)
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._4).toSeq
+    assert(got.map(_._1) === Seq(3L, 2L, 1L, 4L))
+    assert(got.map(_._3) === Seq(2L, 2L, 1L, 1L)) // n_systems
+    assert(got(0)._2 === BigDecimal(1.0 / 63 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // single-system fusion is a no-op reranking of that system
+    val solo = Fusion.rrf(Seq(a), k = 3).collect()
+      .map(r => (r.getLong(1), r.getInt(4))).sortBy(_._2).toSeq
+    assert(solo.map(_._1) === Seq(1L, 2L, 3L))
   }
 }

@@ -773,6 +773,19 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // Incremental exact dedup: today's delta (doc_id >= 250) cleaned
+    // against the historical index's fingerprints (doc_id < 250) without
+    // ever shuffling the index — delta-bloom probed in the index scan,
+    // exact broadcast anti-join confirm (the q79 pattern, roles reversed).
+    "q93_incremental_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val index = docs.filter(col("doc_id") < 250)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+      Dedup.incrementalExact(docs.filter(col("doc_id") >= 250), index,
+          "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // Hybrid retrieval fusion: cosine top-20 and raw-dot (MIPS) top-20
     // fused by reciprocal rank — the rank-based combiner that needs no
     // score calibration between systems. Fusion cost is |Q|·N·systems
@@ -1973,6 +1986,21 @@ object SparkEntry {
          |  FROM cc)
          |SELECT word, continuations, occurrences, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 50""".stripMargin,
+
+    // plain anti joins replay the bloom+confirm lane exactly (the sketch
+    // never decides the answer, only the work the exact check sees)
+    "q93_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id, lang, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+        |delta AS (SELECT * FROM fp WHERE doc_id >= 250),
+        |within AS (
+        |  SELECT d.* FROM delta d
+        |  JOIN (SELECT fp, min(doc_id) AS keep FROM delta GROUP BY fp) w
+        |    ON d.doc_id = w.keep)
+        |SELECT doc_id, lang, source FROM within
+        |WHERE fp NOT IN (SELECT fp FROM idx)""".stripMargin,
 
     // the two exact rankings at depth 20, fused by 1/(60+rank); a two-term
     // IEEE sum is order-independent, so the fused score is exact

@@ -38,6 +38,43 @@ object Dedup {
     df.join(keep, idCol)
   }
 
+  /** Incremental exact dedup: clean a NEW delta shard (today's crawl)
+    * against an existing corpus INDEX of fingerprints, plus within-delta
+    * dedup — the production shape where the historical corpus must never
+    * be re-deduplicated per ingest. Returns the delta rows that are
+    * first-of-fingerprint within the delta AND absent from the index.
+    *
+    * Shape at 100 TB: the INDEX is the big side and is never shuffled —
+    * a bloom sketch of the (small) delta's fingerprints is probed in the
+    * index scan (the q79 runtime-filter pattern, roles reversed), and only
+    * the colliding index fingerprints — bounded by |delta| + false
+    * positives — are broadcast back for the exact anti join. Result is
+    * EXACT: the sketch only decides how much of the index the exact check
+    * sees. Within-delta dedup is the usual one fingerprint hash-shuffle.
+    */
+  def incrementalExact(
+      delta: DataFrame,
+      indexFps: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = delta.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
+    // within-delta winners (min id per fingerprint)
+    val fresh = exact(delta, idCol, textCol)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val sketch = fresh
+      .agg(bloom_agg(xxhash64(col("__fp")), 1L << 20, 1L << 23).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (sketch == null) return fresh.drop("__fp") // empty delta
+    // index scan filtered by the delta bloom — only the sliver that might
+    // collide leaves the scan; exact confirm via broadcast anti join
+    val hits = indexFps
+      .filter(bloom_might_contain(lit(sketch), xxhash64(col("fp"))))
+      .select(col("fp").as("__fp")).distinct()
+    fresh.join(broadcast(hits), Seq("__fp"), "left_anti").drop("__fp")
+  }
+
   /** Word n-gram shingles of `text` as an array column; documents shorter
     * than `n` tokens contribute their whole token sequence as one shingle.
     *

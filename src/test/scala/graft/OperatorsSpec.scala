@@ -533,6 +533,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(onlyHeavy.length === 40 && onlyHeavy.forall(_ < 40L))
   }
 
+  test("incrementalExact: within-delta dupes, index collisions, ws/case variants") {
+    val index = Seq("seen before", "also  SEEN  here").toDF("text")
+      .select(TextAnalysis.fingerprint($"text").as("fp"))
+    val delta = Seq(
+      (10L, "brand new document"),
+      (11L, "seen before"),          // exact index hit → dropped
+      (12L, "ALSO seen   here"),     // normalized index hit → dropped
+      (13L, "brand  NEW document"),  // within-delta dup of 10 → dropped
+      (14L, "another fresh one")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(delta, index, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(10L, 14L))
+    // empty index: pure within-delta dedup
+    val noIdx = Dedup.incrementalExact(delta,
+      index.filter($"fp" === "none"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(noIdx === Seq(10L, 11L, 12L, 14L))
+  }
+
   test("rrf fuses rankings by reciprocal rank: hand-computed order") {
     // system A ranks [1,2,3]; system B ranks [3,2,4].
     //   doc 2: 1/62 + 1/62 = .032258   doc 3: 1/63 + 1/61 = .032262

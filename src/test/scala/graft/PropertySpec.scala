@@ -233,6 +233,32 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(got.count(_ < 100L) >= 85, s"heavy stratum ${got.count(_ < 100L)}/100")
   }
 
+  test("incrementalExact equals the naive two-anti-join reference") {
+    val textGen = Gen.oneOf("aa bb", "aa  BB", "cc dd", "ee", "ff gg hh", "ii")
+    val corpusGen = Gen.listOfN(30, textGen)
+    samples(Gen.zip(corpusGen, corpusGen), 4).zipWithIndex.foreach {
+      case ((idxTexts, deltaTexts), i) =>
+        val index = idxTexts.zipWithIndex
+          .map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+          .select(graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+          .distinct()
+        val delta = deltaTexts.zipWithIndex
+          .map { case (t, j) => (100L + j, t) }.toDF("doc_id", "text")
+        val got = graft.operators.Dedup
+          .incrementalExact(delta, index, "doc_id", "text")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        // reference: min-id per normalized delta text, minus index hits
+        def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+        val idxSet = idxTexts.map(norm).toSet
+        val want = deltaTexts.zipWithIndex.map { case (t, j) => (100L + j, norm(t)) }
+          .groupBy(_._2).values.map(_.map(_._1).min)
+          .filter(id => !idxSet.contains(
+            norm(deltaTexts((id - 100L).toInt))))
+          .toSet
+        assert(got === want, s"case $i")
+    }
+  }
+
   test("dedup exact is idempotent and minimal") {
     val docs = samples(Gen.oneOf("a b c", "a  B c", "x y", "p q r s"), 60)
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")

@@ -18,4 +18,24 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
   test("query names are unique and well-formed") {
     assert(SparkEntry.queries.keySet.forall(_.matches("qb?\\d+_[a-z0-9_]+")))
   }
+
+  test("every query is gated: DuckDB oracle or a DOCUMENTED golden lane") {
+    // the no-oracle lanes are a closed, deliberately-chosen set — each is
+    // md5-pinned in GoldenSpec AND independently re-derived by a tools/
+    // rederive_*.py script. A new query that lands outside oracleSql
+    // without joining this list is an ungated query: fail loudly here
+    // instead of silently entering the driver's weaker rows-only lane.
+    val goldenLanes = Set(
+      "q39_rolling_chunks",  // rederive_chunks.py
+      "q83_deflate_ratio",   // rederive_deflate.py
+      "qb34_bangumi_raw", "qb35_bangumi_analytics", "qb36_bangumi_summary",
+      "qb37_bangumi_quality", "qb38_bangumi_source", // rederive_goldens.py
+      "qb39_media_decode", "qb40_media_frames", "qb41_audio_decode",
+      "qb42_gif_frames", "qb43_audio_frames") // rederive_media.py
+    val ungated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(ungated === goldenLanes,
+      s"queries outside the oracle gate and the documented golden set: " +
+        s"${ungated -- goldenLanes}; stale golden entries: " +
+        s"${goldenLanes -- ungated}")
+  }
 }

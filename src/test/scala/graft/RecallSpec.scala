@@ -120,4 +120,20 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
       nCentroids = 8, nProbe = 2, m = 8, codebookSize = 8))
     assert(r >= 0.10 - 1e-9, s"q76 gate config recall $r < 0.10")
   }
+
+  test("the high-recall composition: wider probe + exact refine stacks the knobs") {
+    // the deployment recipe: IVF-PQ probes more cells for candidates, the
+    // refine stage re-scores them exactly — refineTopK composes over ANY
+    // candidate generator, so the quality path needs no new operator
+    val candidates = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
+      40, nCentroids = 8, nProbe = 4, m = 8, codebookSize = 8)
+    val refined = recall(Similarity.refineTopK(emb, qs, "vec_id", "embedding",
+      candidates, 10))
+    val base = recall(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", 10,
+      nCentroids = 8, nProbe = 2, m = 8, codebookSize = 8))
+    assert(refined > base + 1e-9,
+      s"stacked knobs did not improve recall: $refined <= $base")
+    assert(refined >= 0.36 - 1e-9,
+      s"probe=4 + refine@40 recall $refined < 0.36 (3.6× the gate config)")
+  }
 }

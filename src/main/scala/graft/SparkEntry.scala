@@ -773,6 +773,23 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // q93's ingest dedup as an always-on STREAM: zero streaming state —
+    // the index bloom rejects provably-new rows at scan stage, the
+    // bloom-positive sliver goes through an exact stream-static left-anti
+    // join. No watermark horizon: a year-old duplicate still drops.
+    "q94_stream_ingest_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val index = docs.filter(col("doc_id") < 250)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+      val docStream = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= 250)
+      streamToParquet(s, graft.streaming.EventStreams
+        .indexFilteredIngest(docStream, index, "text")
+        .select(col("doc_id"), col("lang"), col("source")))
+    }),
+
     // Incremental exact dedup: today's delta (doc_id >= 250) cleaned
     // against the historical index's fingerprints (doc_id < 250) without
     // ever shuffling the index — delta-bloom probed in the index scan,
@@ -1986,6 +2003,16 @@ object SparkEntry {
          |  FROM cc)
          |SELECT word, continuations, occurrences, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 50""".stripMargin,
+
+    // the streaming lane has no within-delta dedup (stateless by design),
+    // so the oracle is the plain index anti join over the delta rows
+    "q94_stream_ingest_dedup" ->
+      """WITH fp AS (SELECT doc_id, lang, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250)
+        |SELECT doc_id, lang, source FROM fp
+        |WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM idx)""".stripMargin,
 
     // plain anti joins replay the bloom+confirm lane exactly (the sketch
     // never decides the answer, only the work the exact check sees)

@@ -223,6 +223,48 @@ object EventStreams {
       .partitionBy(partitionCols: _*)
       .start()
 
+  /** Continuous ingest dedup: filter a DOCUMENT STREAM against a static
+    * historical fingerprint index with ZERO streaming state — the
+    * always-on form of [[graft.operators.Dedup.incrementalExact]].
+    *
+    * Shape: rows whose fingerprint the index bloom rejects are provably
+    * new — they bypass the join entirely (scan-stage filter); only the
+    * bloom-positive sliver goes through the exact stream-static LEFT ANTI
+    * join that kills false positives. Both branches are stateless: no
+    * watermark, no state store, so unlike `dropDuplicatesWithinWatermark`
+    * this dedup has no horizon — a duplicate of a YEAR-old document is
+    * still dropped. (Within-stream duplicates are the complement; chain
+    * `dedupEvents` for those.) The sketch pins the index SNAPSHOT at
+    * query start; to pick up index growth, restart the query (or rebuild
+    * the sketch in a `foreachBatch` wrapper). At 100 TB the anti join's
+    * index side is the partitioned fingerprint table and only the
+    * bloom-positive sliver of the stream reaches it — the q93
+    * work-bounding argument, streaming edition.
+    */
+  def indexFilteredIngest(
+      docs: DataFrame,
+      indexFps: DataFrame,
+      textCol: String,
+      estimatedIndexFps: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    val spark = indexFps.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, xxhash64}
+    val sketch = indexFps
+      .agg(bloom_agg(xxhash64(col("fp")), estimatedIndexFps, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val withFp = docs.withColumn("__fp",
+      graft.operators.TextAnalysis.fingerprint(col(textCol)))
+    if (sketch == null) return withFp.drop("__fp") // empty index
+    val probe = bloom_might_contain(lit(sketch), xxhash64(col("__fp")))
+    val provablyNew = withFp.filter(!probe)
+    val suspects = withFp.filter(probe)
+      .join(broadcast(indexFps.withColumnRenamed("fp", "__fp")),
+        Seq("__fp"), "left_anti")
+    provablyNew.unionByName(suspects).drop("__fp")
+  }
+
   /** I1–I2 as a streaming job: watch `sourceDir` for JSON snapshot drops
     * and merge each micro-batch into the parquet target by `key`
     * (`Trigger.AvailableNow` — run-to-completion semantics, the streaming

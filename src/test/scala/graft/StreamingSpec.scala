@@ -142,6 +142,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("indexFilteredIngest drops index hits across batches, zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Seq("seen before", "also  SEEN  here").toDF("text")
+      .select(graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+      .distinct()
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.indexFilteredIngest(stream, index, "text")
+      .select($"doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_dedup_out").start()
+    // batch 1: one new doc, one exact index hit
+    mem.addData((1L, "fresh document"), (2L, "seen before"))
+    q.processAllAvailable()
+    // batch 2: a normalized index hit and another new doc — the index
+    // filter applies in EVERY batch with no state carried between them
+    mem.addData((3L, "ALSO seen   here"), (4L, "another fresh"))
+    q.processAllAvailable()
+    val got = spark.table("ingest_dedup_out").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(got === Seq(1L, 4L))
+  }
+
   test("stateful sessionization emits closed sessions via state timeouts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]

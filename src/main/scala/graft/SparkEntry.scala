@@ -773,6 +773,28 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // ORC interchange round trip: same fidelity contract as q82's JSONL
+    // lane over the other columnar warehouse format (built into Spark).
+    "q95_orc_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("graft_q95")
+      val cols = Seq("doc_id", "lang", "text")
+      val src = T(s, dir, "documents").select(cols.map(col): _*)
+      sinks.CorpusWriter.writeOrc(src, out)
+      sinks.CorpusWriter.readOrc(s, out, src.schema).select(cols.map(col): _*)
+    }),
+
+    // CSV round trip — the reference's export format (K2) made lossless:
+    // RFC 4180 quoting, multiLine re-read, null-vs-empty sentinel. The
+    // text column carries newlines, quotes, and CJK — the cases naive CSV
+    // silently corrupts.
+    "q96_csv_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("graft_q96")
+      val cols = Seq("doc_id", "lang", "text")
+      val src = T(s, dir, "documents").select(cols.map(col): _*)
+      sinks.CorpusWriter.writeCsv(src, out)
+      sinks.CorpusWriter.readCsv(s, out, src.schema).select(cols.map(col): _*)
+    }),
+
     // q93's ingest dedup as an always-on STREAM: zero streaming state —
     // the index bloom rejects provably-new rows at scan stage, the
     // bloom-positive sliver goes through an exact stream-static left-anti
@@ -1652,6 +1674,12 @@ object SparkEntry {
     // round-trip fidelity: the oracle is simply the source projection —
     // any JSONL escape/unescape drift shows as a hash mismatch
     "q82_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents",
+
+    // same contract for the ORC and lossless-CSV lanes
+    "q95_orc_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents",
+    "q96_csv_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
 
     // the salt never appears: the oracle is the PLAIN join + rollup

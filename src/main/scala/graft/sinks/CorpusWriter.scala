@@ -213,4 +213,45 @@ object CorpusWriter {
   def readJsonl(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(dir)
+
+  /** ORC interchange — the other columnar format warehouse pipelines
+    * exchange (ships with Spark core; same predicate-pushdown/column-
+    * pruning surface as parquet). */
+  def writeOrc(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").orc(outDir)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(dir)
+
+  /** CSV interchange — the reference's own export format
+    * (`bangumi_data_ingestion.py:522-524`) at engine scale. The options
+    * make the round trip lossless where default CSV is not:
+    * RFC 4180 quote-escaping (`escape="` — embedded quotes double, not
+    * backslash), `multiLine` re-read for embedded newlines, and a
+    * distinct `nullValue` sentinel (`\N`, the Hive/MySQL convention) so
+    * NULL and empty string survive as different values (default CSV
+    * writes both as "" and reads both back null).
+    *
+    * Known caveat, pinned in CorpusWriterSpec: a data string EQUAL to the
+    * sentinel itself reads back as NULL — Spark's reader compares the
+    * sentinel after unquoting, so no quoting scheme can disambiguate it.
+    * This is inherent to CSV-with-sentinel; corpora that could contain
+    * the literal sentinel should interchange via JSONL/ORC/parquet
+    * (q82/q95), which have real type systems. */
+  def writeCsv(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("nullValue", "\\N")
+      .csv(outDir)
+
+  def readCsv(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("nullValue", "\\N")
+      .option("multiLine", "true")
+      .csv(dir)
 }

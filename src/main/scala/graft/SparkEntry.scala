@@ -773,6 +773,17 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // Incremental NEAR-dup: the delta shard LSH-matched against the
+    // historical SIGNATURE index (no historical text needed) — q93's
+    // counterpart for edited re-posts. Integer signature-agreement verify.
+    "q97_incremental_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val indexSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", 3, 8)
+      Dedup.incrementalMinhashPairs(docs.filter(col("doc_id") >= 250),
+        indexSigs, "doc_id", "text", 3, 8, 2, minMatchFraction = 0.5)
+    }),
+
     // ORC interchange round trip: same fidelity contract as q82's JSONL
     // lane over the other columnar warehouse format (built into Spark).
     "q95_orc_roundtrip" -> ((s, dir) => {
@@ -2432,6 +2443,34 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM banded a JOIN banded b USING (band, key)
          |WHERE a.doc_id < b.doc_id""".stripMargin
+    },
+
+    // signatures are per-doc (independent of the rest of the corpus), so
+    // one sig-over-all split by doc_id equals the operator's two halves;
+    // integer n_match >= ceil(0.5*8)=4 verify — no float boundary
+    "q97_incremental_neardup" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM ")
+      val dbands = bands.map(_ + "dsig").mkString("\nUNION ALL ")
+      val ibands = bands.map(_ + "isig").mkString("\nUNION ALL ")
+      val nMatch = (0 until 8)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$shingleCte,
+         |sig AS ($minhashSigSelect),
+         |dsig AS (SELECT * FROM sig WHERE doc_id >= 250),
+         |isig AS (SELECT * FROM sig WHERE doc_id < 250),
+         |dband AS ($dbands),
+         |iband AS ($ibands),
+         |cand AS (SELECT DISTINCT d.doc_id AS delta_id, i.doc_id AS index_id
+         |  FROM dband d JOIN iband i USING (band, key)),
+         |ver AS (SELECT c.delta_id, c.index_id,
+         |    CAST($nMatch AS BIGINT) AS n_match
+         |  FROM cand c JOIN dsig a ON a.doc_id = c.delta_id
+         |  JOIN isig b ON b.doc_id = c.index_id)
+         |SELECT delta_id, index_id, n_match,
+         |  round(n_match / 8.0, 6) AS est_jaccard
+         |FROM ver WHERE n_match >= 4""".stripMargin
     },
 
     "q29_simhash" -> s"$simhashSigCte\nSELECT doc_id, simhash FROM sig",

@@ -296,6 +296,73 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** One (id, band, key) row per signature band: the LSH bucketing keys,
+    * shared by the self-join ([[minhashLshPairs]]) and the delta-vs-index
+    * join ([[incrementalMinhashPairs]]). */
+  private def bandedKeys(sig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bandKeys = (0 until nBands).map { bnd =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"),
+        md5(concat_ws("|", cols: _*)).as("key"))
+    }
+    sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Incremental NEAR-dup detection: LSH-match a new delta shard against a
+    * persisted HISTORICAL SIGNATURE INDEX — the [[incrementalExact]]
+    * counterpart that catches edited re-posts, not just byte-identical
+    * copies, without the historical TEXT (only the k-hash signatures are
+    * kept, the standard dedup-index layout). Candidates collide on any
+    * full signature band; each candidate is verified by signature
+    * agreement — the fraction of matching minhash components is an
+    * unbiased Jaccard estimator (Broder '97), so `minMatchFraction` is an
+    * estimated-similarity threshold. The verify compares integers
+    * (matching components ≥ ceil(fraction × numHashes)), so no float
+    * boundary can flip a pair between engines.
+    *
+    * Shape at 100 TB: delta signatures are computed scan-stage from the
+    * shard; the join shuffles on (band, key) — the index side is huge but
+    * band-bucketed (the q28 scale argument), and only colliding buckets
+    * meet. Returns (delta id, index id, n_match, est_jaccard).
+    */
+  def incrementalMinhashPairs(
+      delta: DataFrame,
+      indexSigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      minMatchFraction: Double): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    require(minMatchFraction >= 0.0 && minMatchFraction <= 1.0,
+      "minMatchFraction must be in [0, 1]")
+    val minMatch = math.ceil(minMatchFraction * numHashes).toInt
+    val dsig = minhashSignatures(delta, idCol, textCol, n, numHashes)
+      .localCheckpoint(eager = true)
+    val dband = bandedKeys(dsig, idCol, numHashes, rowsPerBand)
+      .withColumnRenamed(idCol, "delta_id")
+    val iband = bandedKeys(indexSigs, idCol, numHashes, rowsPerBand)
+      .withColumnRenamed(idCol, "index_id")
+    val cand = dband.join(iband, Seq("band", "key"))
+      .select("delta_id", "index_id").distinct()
+    val a = dsig.toDF(dsig.columns.map(c =>
+      if (c == idCol) "delta_id" else s"a_$c"): _*)
+    val b = indexSigs.toDF(indexSigs.columns.map(c =>
+      if (c == idCol) "index_id" else s"b_$c"): _*)
+    val nMatch = (0 until numHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(a, "delta_id").join(b, "index_id")
+      .select(col("delta_id"), col("index_id"), nMatch.as("n_match"))
+      .filter(col("n_match") >= minMatch)
+      .withColumn("est_jaccard",
+        round(col("n_match") / lit(numHashes.toDouble), 6))
+  }
+
   /** LSH candidate pairs from MinHash signatures: `numHashes` rows split into
     * bands of `rowsPerBand`; docs sharing any full band collide. Probability
     * a pair with Jaccard s collides: 1 − (1 − s^r)^b.
@@ -320,15 +387,7 @@ object Dedup {
     // price for iterative/self-join reuse.
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
       .localCheckpoint(eager = true)
-    val nBands = numHashes / rowsPerBand
-    val bandKeys = (0 until nBands).map { bnd =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"),
-        md5(concat_ws("|", cols: _*)).as("key"))
-    }
-    val banded = sig
-      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandedKeys(sig, idCol, numHashes, rowsPerBand)
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("key"))
     l.join(r, Seq("band", "key"))

@@ -553,6 +553,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(noIdx === Seq(10L, 11L, 12L, 14L))
   }
 
+  test("incrementalMinhashPairs flags edited re-posts against a signature index") {
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "completely unrelated historical text about database engines")
+    ).toDF("doc_id", "text")
+    val indexSigs = Dedup.minhashSignatures(history, "doc_id", "text", 3, 8)
+    val delta = Seq(
+      // doc 1 with one word edited — a re-post, must match history doc 1
+      (10L, "the quick brown fox jumps over the lazy cat and runs away fast"),
+      (11L, "entirely fresh delta document about streaming watermarks")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhashPairs(delta, indexSigs,
+        "doc_id", "text", 3, 8, 2, minMatchFraction = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(p => (p._1, p._2)).toSet === Set((10L, 1L)))
+    val (_, _, nMatch, est) = got.head
+    assert(nMatch >= 4L && nMatch <= 8L)
+    assert(est === BigDecimal(nMatch / 8.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("rrf fuses rankings by reciprocal rank: hand-computed order") {
     // system A ranks [1,2,3]; system B ranks [3,2,4].
     //   doc 2: 1/62 + 1/62 = .032258   doc 3: 1/63 + 1/61 = .032262

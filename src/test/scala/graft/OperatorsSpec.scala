@@ -595,5 +595,9 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val solo = Fusion.rrf(Seq(a), k = 3).collect()
       .map(r => (r.getLong(1), r.getInt(4))).sortBy(_._2).toSeq
     assert(solo.map(_._1) === Seq(1L, 2L, 3L))
+    // system order must not matter (the union is a set of contributions)
+    val ab = Fusion.rrf(Seq(a, b), k = 4).collect().map(_.toString).sorted
+    val ba = Fusion.rrf(Seq(b, a), k = 4).collect().map(_.toString).sorted
+    assert(ab.sameElements(ba))
   }
 }

@@ -56,15 +56,22 @@ object Dedup {
       delta: DataFrame,
       indexFps: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      estimatedDeltaFps: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
     val spark = delta.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
-    // within-delta winners (min id per fingerprint)
+    // within-delta winners (min id per fingerprint); materialized because
+    // it feeds two consumers (the sketch action and the returned frame) —
+    // the sig-relation reuse rule from minhashLshPairs. Size the bloom to
+    // the shard: an undersized sketch saturates, its false-positive rate
+    // climbs toward 1, and `hits` grows toward the whole index.
     val fresh = exact(delta, idCol, textCol)
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .localCheckpoint(eager = true)
     val sketch = fresh
-      .agg(bloom_agg(xxhash64(col("__fp")), 1L << 20, 1L << 23).as("bf"))
+      .agg(bloom_agg(xxhash64(col("__fp")), estimatedDeltaFps, numBits).as("bf"))
       .head().getAs[Array[Byte]](0)
     if (sketch == null) return fresh.drop("__fp") // empty delta
     // index scan filtered by the delta bloom — only the sliver that might
@@ -343,15 +350,20 @@ object Dedup {
     val minMatch = math.ceil(minMatchFraction * numHashes).toInt
     val dsig = minhashSignatures(delta, idCol, textCol, n, numHashes)
       .localCheckpoint(eager = true)
+    // the index side also feeds two consumers (band keys + the verify
+    // join); a non-persisted caller frame would otherwise evaluate its
+    // signature subtree twice. The materialized relation is k hashes per
+    // doc — tiny at any scale (the sig-relation rule again).
+    val isig = indexSigs.localCheckpoint(eager = true)
     val dband = bandedKeys(dsig, idCol, numHashes, rowsPerBand)
       .withColumnRenamed(idCol, "delta_id")
-    val iband = bandedKeys(indexSigs, idCol, numHashes, rowsPerBand)
+    val iband = bandedKeys(isig, idCol, numHashes, rowsPerBand)
       .withColumnRenamed(idCol, "index_id")
     val cand = dband.join(iband, Seq("band", "key"))
       .select("delta_id", "index_id").distinct()
     val a = dsig.toDF(dsig.columns.map(c =>
       if (c == idCol) "delta_id" else s"a_$c"): _*)
-    val b = indexSigs.toDF(indexSigs.columns.map(c =>
+    val b = isig.toDF(isig.columns.map(c =>
       if (c == idCol) "index_id" else s"b_$c"): _*)
     val nMatch = (0 until numHashes)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))

@@ -32,8 +32,12 @@ object Fusion {
   def rrf(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")
     require(k >= 1 && rrfK >= 0, "k must be >= 1 and rrfK >= 0")
+    // enforce the "one rank per (query, doc) PER SYSTEM" input contract:
+    // a malformed ranking carrying the same doc twice (e.g. a union of
+    // shards) would otherwise contribute two reciprocal terms from ONE
+    // system and inflate n_systems — keep its best rank instead
     val union = rankings
-      .map(_.select(col("q_id"), col("id"), col("rank")))
+      .map(_.groupBy(col("q_id"), col("id")).agg(min(col("rank")).as("rank")))
       .reduce(_.unionByName(_))
     val fused = union.groupBy(col("q_id"), col("id"))
       .agg(

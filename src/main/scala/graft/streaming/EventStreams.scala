@@ -250,7 +250,7 @@ object EventStreams {
     val spark = indexFps.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
-    import org.apache.spark.sql.functions.{broadcast, col, lit, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
     val sketch = indexFps
       .agg(bloom_agg(xxhash64(col("fp")), estimatedIndexFps, numBits).as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -259,9 +259,12 @@ object EventStreams {
     if (sketch == null) return withFp.drop("__fp") // empty index
     val probe = bloom_might_contain(lit(sketch), xxhash64(col("__fp")))
     val provablyNew = withFp.filter(!probe)
+    // no broadcast hint: the index side is the scale contract's partitioned
+    // fingerprint table — let the planner broadcast it only when its size
+    // statistics say so, and shuffle the (bloom-pruned) micro-batch sliver
+    // against it otherwise
     val suspects = withFp.filter(probe)
-      .join(broadcast(indexFps.withColumnRenamed("fp", "__fp")),
-        Seq("__fp"), "left_anti")
+      .join(indexFps.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
     provablyNew.unionByName(suspects).drop("__fp")
   }
 

@@ -237,13 +237,15 @@ class CorpusWriterSpec extends AnyFunSuite with SparkSpec {
         .readCsv(spark, dir.toString, sentinel.schema).collect()
       assert(back.length === 1 && back(0).isNullAt(1))
     }
-    // ORC: same hostile set, schema-pinned
+    // ORC: same hostile set, schema-pinned, full-map equality
     withOut { dir =>
       sinks.CorpusWriter.writeOrc(hostile, dir.toString)
       val back = sinks.CorpusWriter.readOrc(spark, dir.toString, hostile.schema)
         .collect().map(r => r.getLong(0) ->
           (if (r.isNullAt(1)) null else r.getString(1))).toMap
-      assert(back.size === 6 && back(3L) === null && back(2L) === "")
+      val want = hostile.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(back === want)
     }
   }
 

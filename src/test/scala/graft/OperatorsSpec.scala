@@ -599,5 +599,14 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val ab = Fusion.rrf(Seq(a, b), k = 4).collect().map(_.toString).sorted
     val ba = Fusion.rrf(Seq(b, a), k = 4).collect().map(_.toString).sorted
     assert(ab.sameElements(ba))
+    // a malformed system listing one doc twice contributes only its best
+    // rank, and n_systems counts SYSTEMS, not rows
+    val dup = Seq((7L, 2L, 2), (7L, 2L, 5), (7L, 1L, 1)).toDF("q_id", "id", "rank")
+    val g = Fusion.rrf(Seq(dup), k = 2).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+    assert(g.map(_._1).toSet === Set(1L, 2L))
+    assert(g.forall(_._3 === 1L), s"n_systems inflated: $g")
+    assert(g.find(_._1 == 2L).get._2 === BigDecimal(1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 }

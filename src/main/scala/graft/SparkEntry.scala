@@ -359,10 +359,12 @@ object SparkEntry {
         "embedding", 10)
     }),
 
-    // Embedding-cosine near-dup pairs within SRP-LSH buckets.
+    // Embedding-cosine near-dup pairs within SRP-LSH buckets. Plane count
+    // auto-derived from the corpus (bucket population held ~64 as the
+    // corpus grows — the linear-overall configuration).
     "q32_cosine_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(T(s, dir, "embeddings"), "vec_id",
-        "embedding", 0.3, nPlanes = 4, dim = 64)
+        "embedding", 0.3, dim = 64)
     }),
 
     // Approximate ANN: SRP-bucketed cosine top-k (scale path of q31).
@@ -765,6 +767,12 @@ object SparkEntry {
     "q88_continuations" -> ((s, dir) =>
       TextAnalysis.continuationCounts(T(s, dir, "documents"), "text", 50)),
 
+    // Full BPE trainer: 20 rounds of count → merge-argmax → re-tokenize,
+    // all on the vocab-bounded word-frequency relation (q87 is one round
+    // of the counting step). Emits the merge table a tokenizer ships.
+    "q98_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(T(s, dir, "documents"), "text", 20)),
+
     // Deterministic leak-proof train/val/test split: md5-threshold CASE at
     // scan stage; membership is a pure function of doc_id, so reruns and
     // corpus growth never move a document across splits.
@@ -895,10 +903,11 @@ object SparkEntry {
 
     // SemDeDup: k-means-cluster the embeddings (q38's deterministic sampled
     // Lloyd centroids), drop any vector with cosine ≥ 0.3 to a lower-id
-    // vector in its cluster; min-id survivors keep kept=1.
+    // vector in its cluster; min-id survivors keep kept=1. Quantizer size
+    // auto-derived: k = ceil(count/64) holds cell population ~64 as the
+    // corpus grows, so the within-cell pair stage stays linear overall.
     "q65_semdedup" -> ((s, dir) =>
-      Similarity.semDeDup(T(s, dir, "embeddings"), "vec_id", "embedding",
-          0.3, nCentroids = 8)
+      Similarity.semDeDup(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
         .select(col("id").as("vec_id"), col("cell"), col("kept"))),
 
     // BM25 lexical ranking: top-20 docs for a fixed query-term bag.
@@ -1265,31 +1274,52 @@ object SparkEntry {
     * left fold — exactly the scalar fold the Scala side runs — so the
     * centroid doubles match bit-for-bit (prototyped and verified exact).
     * Ends with cent{iters}(cell, cv). */
-  private def kmeansCteSql(k: Int, sampleSize: Int, iters: Int): String = {
-    def iterCte(p: Int): String =
-      s"""a_$p AS (
-         |  SELECT s.id, s.v, s.mk, c.cell,
-         |    row_number() OVER (PARTITION BY s.id
-         |      ORDER BY ${cosSql("s.v", "c.cv")} DESC, c.cell ASC) AS rn
-         |  FROM samp s, cent$p c),
-         |m_$p AS (
-         |  SELECT cell, list(v ORDER BY mk, id) AS vs, count(*) AS cnt
-         |  FROM a_$p WHERE rn = 1 GROUP BY cell),
-         |cent${p + 1} AS (
-         |  SELECT c.cell,
-         |    CASE WHEN m.cell IS NULL THEN c.cv
-         |         ELSE list_transform(
-         |           list_reduce(m.vs, (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])),
-         |           x -> x / m.cnt) END AS cv
-         |  FROM cent$p c LEFT JOIN m_$p m USING (cell))""".stripMargin
+  private def kmeansIterCteSql(p: Int): String =
+    s"""a_$p AS (
+       |  SELECT s.id, s.v, s.mk, c.cell,
+       |    row_number() OVER (PARTITION BY s.id
+       |      ORDER BY ${cosSql("s.v", "c.cv")} DESC, c.cell ASC) AS rn
+       |  FROM samp s, cent$p c),
+       |m_$p AS (
+       |  SELECT cell, list(v ORDER BY mk, id) AS vs, count(*) AS cnt
+       |  FROM a_$p WHERE rn = 1 GROUP BY cell),
+       |cent${p + 1} AS (
+       |  SELECT c.cell,
+       |    CASE WHEN m.cell IS NULL THEN c.cv
+       |         ELSE list_transform(
+       |           list_reduce(m.vs, (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])),
+       |           x -> x / m.cnt) END AS cv
+       |  FROM cent$p c LEFT JOIN m_$p m USING (cell))""".stripMargin
+
+  private def kmeansCteSql(k: Int, sampleSize: Int, iters: Int): String =
     s"""samp AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS mk FROM e
        |  ORDER BY mk, id LIMIT $sampleSize),
        |cent0 AS (SELECT cell, cv FROM (
        |    SELECT row_number() OVER (ORDER BY mk, id) - 1 AS cell, v AS cv
        |    FROM samp) t
        |  WHERE cell < $k),
-       |${(0 until iters).map(iterCte).mkString(",\n")}""".stripMargin
-  }
+       |${(0 until iters).map(kmeansIterCteSql).mkString(",\n")}""".stripMargin
+
+  /** Auto-k [[kmeansCteSql]]: k and the sample size are derived IN SQL
+    * from `count(*)` with the same INTEGER arithmetic as
+    * `Similarity.autoCentroids`/`autoSampleSize` (ceil-division +
+    * GREATEST/LEAST clamps — no float log/ceil, so there is no 1-ulp
+    * boundary on which Scala and DuckDB could disagree). The oracle
+    * thereby replays the auto-derived quantizer at ANY corpus size, not
+    * just the scale factor the pin was taken at. */
+  private def kmeansCteSqlAuto(targetCellSize: Int, iters: Int): String =
+    s"""kk AS (SELECT CAST(LEAST(65536, GREATEST(1,
+       |    (count(*) + ${targetCellSize - 1}) // $targetCellSize)) AS INT) AS k FROM e),
+       |ss AS (SELECT CAST(LEAST(16384, GREATEST(64, 4 * k)) AS INT) AS n FROM kk),
+       |samp AS (SELECT id, v, mk FROM (
+       |    SELECT id, v, md5(CAST(id AS VARCHAR)) AS mk,
+       |      row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+       |    FROM e) t WHERE rn <= (SELECT n FROM ss)),
+       |cent0 AS (SELECT cell, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY mk, id) - 1 AS cell, v AS cv
+       |    FROM samp) t
+       |  WHERE cell < (SELECT k FROM kk)),
+       |${(0 until iters).map(kmeansIterCteSql).mkString(",\n")}""".stripMargin
 
   private def l2Sql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), " +
@@ -2043,6 +2073,48 @@ object SparkEntry {
          |SELECT word, continuations, occurrences, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 50""".stripMargin,
 
+    // the full BPE training loop, unrolled to 20 rounds of CTEs. Each
+    // word's segmentation is its symbols wrapped \x01sym\x02 and
+    // concatenated; the greedy left-to-right non-overlapping merge is then
+    // EXACTLY SQL replace() of \x01a\x02\x01b\x02 with \x01ab\x02 (the
+    // wrapping makes a cross-symbol-boundary match impossible, and a
+    // merged symbol continues scanning after itself — the same semantics
+    // as the Scala aggregate-fold; the corpus contains no \x01/\x02).
+    // Pair counts per round re-split the wrapped string; argmax tiebreak
+    // (n DESC, a ASC, b ASC) matches the Scala TakeOrdered.
+    "q98_bpe_merges" -> {
+      val rounds = 20
+      // MATERIALIZED is load-bearing: round r references round r-1 twice
+      // (pair counts + rewrite); inlined CTEs would re-evaluate the whole
+      // prefix per reference — 2^rounds scans
+      def roundCtes(r: Int): String =
+        s"""p$r AS MATERIALIZED (
+           |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(wcnt) AS BIGINT) AS n
+           |  FROM (SELECT wcnt, string_split(substr(s, 2, length(s) - 2),
+           |          chr(2) || chr(1)) AS l FROM w${r - 1}) t,
+           |       unnest(generate_series(1, len(l) - 1)) AS u(i)
+           |  WHERE len(l) >= 2 GROUP BY 1, 2),
+           |m$r AS MATERIALIZED (SELECT a, b, n FROM p$r
+           |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+           |w$r AS MATERIALIZED (SELECT wcnt,
+           |    replace(s, chr(1) || a || chr(2) || chr(1) || b || chr(2),
+           |      chr(1) || a || b || chr(2)) AS s
+           |  FROM w${r - 1}, m$r)""".stripMargin
+      val union = (1 to rounds).map { r =>
+        s"""SELECT $r AS rnd, a AS "left", b AS "right", a || b AS merged, n
+           |FROM m$r""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH words AS (SELECT unnest(regexp_extract_all(text,
+         |    '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS w FROM documents),
+         |wf AS (SELECT w, count(*) AS wcnt FROM words GROUP BY w),
+         |w0 AS MATERIALIZED (SELECT wcnt,
+         |    regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+         |  FROM wf),
+         |${(1 to rounds).map(roundCtes).mkString(",\n")}
+         |SELECT CAST(rnd AS INT) AS rnd, "left", "right", merged, n FROM (
+         |$union) z""".stripMargin
+    },
+
     // the streaming lane has no within-delta dedup (stateless by design),
     // so the oracle is the plain index anti join over the delta rows
     "q94_stream_ingest_dedup" ->
@@ -2189,13 +2261,15 @@ object SparkEntry {
          |FROM ranked WHERE rn <= 10""".stripMargin
     },
 
-    // kmeans CTE chain (bit-exact centroid replay, as q38) + rank-1 cell
+    // kmeans CTE chain with AUTO-DERIVED k = ceil(count/64) (bit-exact
+    // centroid replay; k and sample size computed in SQL by the same
+    // integer arithmetic as Similarity.autoCentroids) + rank-1 cell
     // assignment + within-cell pair scan; dropped = id_b of any qualifying
     // (a < b) pair
     "q65_semdedup" ->
       s"""WITH e AS (SELECT vec_id AS id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |${kmeansCteSql(8, 64, 2)},
+         |${kmeansCteSqlAuto(64, 2)},
          |cent AS (SELECT cell, cv FROM cent2),
          |assign AS (
          |  SELECT id, v, cell FROM (
@@ -2497,11 +2571,22 @@ object SparkEntry {
     // window-rank form exactly (ties broken by id on both sides)
     "q48_topk_agg" -> bruteForceTopKSql,
 
+    // AUTO-DERIVED plane count: p = bit-length(ceil(count/64) - 1) — the
+    // same integer arithmetic as Similarity.autoPlanes, computed in SQL.
+    // hyperplanes() fills plane-major from one seeded stream, so the p
+    // derived planes are a PREFIX of the inlined 24-plane max set — the
+    // bucket is substr(full bit string, 1, p) at any corpus size.
     "q32_cosine_neardup" -> {
-      val planes = Similarity.hyperplanes(4, 64)
+      val planes = Similarity.hyperplanes(24, 64)
       s"""WITH e AS (SELECT vec_id AS id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (SELECT id, v, ${bucketSql("v", planes)} AS bucket FROM e)
+         |pp AS (SELECT CAST(LEAST(24, GREATEST(1,
+         |    CASE WHEN q <= 1 THEN 1
+         |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
+         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM e)),
+         |b AS (SELECT id, v,
+         |    substr(${bucketSql("v", planes)}, 1, (SELECT p FROM pp)) AS bucket
+         |  FROM e)
          |SELECT a.id AS id_a, c.id AS id_b, round(${cosSql("a.v", "c.v")}, 6) AS sim
          |FROM b a JOIN b c USING (bucket)
          |WHERE a.id < c.id AND ${cosSql("a.v", "c.v")} >= 0.3""".stripMargin

@@ -527,6 +527,46 @@ object Similarity {
       books, k)
   }
 
+  // ---- scale-adaptive quantizer sizing ---------------------------------
+  // The pair generators below ([[semDeDup]], [[embeddingNearDupPairs]]) do
+  // all-pairs work INSIDE a cell/bucket: per-cell cost is ~(n/k)², so at a
+  // FIXED quantizer size k the total is n²/k — quadratic in the corpus. The
+  // scale-correct default is k ∝ n (constant target cell size), which makes
+  // the within-cell total ~n·cellSize — linear. These derivations are pure
+  // INTEGER arithmetic (ceil-division, bit length) so a SQL oracle replays
+  // the exact same sizes from count(*) with zero float-edge risk (a
+  // log2/ceil float formula can disagree by 1 ulp across libms exactly at
+  // the power-of-two boundaries).
+
+  /** Auto quantizer size: k = ceil(n / targetCellSize), clamped to
+    * [1, 65536]. The upper clamp bounds the literal-expression assignment
+    * ([[assignCells]] materializes one sim column per centroid) and the
+    * codebook broadcast; past it, supply `nCentroids` explicitly and use a
+    * hierarchical / IVF-style assignment. */
+  def autoCentroids(n: Long, targetCellSize: Int): Int = {
+    require(targetCellSize >= 1, "targetCellSize must be >= 1")
+    // overflow-safe ceil division (n + c - 1 wraps near Long.MaxValue)
+    val k = n / targetCellSize + (if (n % targetCellSize > 0) 1L else 0L)
+    math.min(65536L, math.max(1L, k)).toInt
+  }
+
+  /** Auto training-sample size for an auto-derived k: 4 points per
+    * centroid, floored at 64 (the fixed-config sample), capped at 16384
+    * (bounds the one driver-side collect at ~8 MB for 64-dim vectors). */
+  def autoSampleSize(k: Int): Int = math.min(16384, math.max(64, 4 * k))
+
+  /** Auto SRP plane count: the smallest p with 2^p buckets ≥
+    * n / targetBucketSize (integer bit-length, no float log2), clamped to
+    * [1, 24]. Holds the expected bucket size constant as the corpus grows,
+    * which keeps the within-bucket all-pairs stage linear overall. */
+  def autoPlanes(n: Long, targetBucketSize: Int): Int = {
+    require(targetBucketSize >= 1, "targetBucketSize must be >= 1")
+    // overflow-safe ceil division (n + c - 1 wraps near Long.MaxValue)
+    val q = n / targetBucketSize + (if (n % targetBucketSize > 0) 1L else 0L)
+    val p = if (q <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    math.min(24, math.max(1, p))
+  }
+
   /** SemDeDup (Abbas et al. '23): semantic deduplication by embedding —
     * k-means-cluster the corpus embeddings, then inside each cluster drop
     * every vector that has cosine ≥ `threshold` with a lower-id vector
@@ -536,9 +576,13 @@ object Similarity {
     * ([[kmeansCentroids]]); corpus assignment is a pure scan-stage
     * expression ([[assignCells]] — no shuffle); the pairwise pass is an
     * equi-join on the cell key, never an all-pairs product, and its cost is
-    * bounded by the largest cluster (tune `nCentroids` up at scale).
-    * `assigned` is localCheckpointed: it feeds three subtrees (both join
-    * sides + the final tag) and would otherwise evaluate three times.
+    * bounded by the largest cluster. `nCentroids <= 0` (the default) derives
+    * the quantizer from the corpus: k = ceil(count / targetCellSize)
+    * ([[autoCentroids]], one extra count job) — cell population stays
+    * ~targetCellSize as the corpus grows, so the within-cell quadratic
+    * stays a constant factor instead of n²/k. `assigned` is
+    * localCheckpointed: it feeds three subtrees (both join sides + the
+    * final tag) and would otherwise evaluate three times.
     *
     * Returns (id, cell, kept: 1|0); survivors are `kept = 1`.
     */
@@ -547,9 +591,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nCentroids: Int = 8): DataFrame = {
+      nCentroids: Int = 0,
+      targetCellSize: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    val k =
+      if (nCentroids > 0) nCentroids
+      else autoCentroids(corpus.count(), targetCellSize)
+    val centroids =
+      kmeansCentroids(corpus, idCol, vecCol, k, autoSampleSize(k))
     val assigned = assignCells(c, centroids).localCheckpoint()
     val l = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val r = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
@@ -566,16 +615,29 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
     * `threshold`, restricted to SRP-bucket collisions (near-dups almost
     * surely collide at small `nPlanes`).
+    *
+    * `nPlanes <= 0` (the default) derives the plane count from the corpus:
+    * the smallest p with 2^p buckets ≥ count / targetBucketSize
+    * ([[autoPlanes]], one extra count job) — expected bucket population
+    * stays ~targetBucketSize as the corpus grows, keeping the
+    * within-bucket all-pairs stage linear overall instead of n²/2^p at a
+    * fixed p. Because [[hyperplanes]] fills plane-major from one seeded
+    * stream, the p derived planes are a PREFIX of any larger plane set —
+    * an oracle can inline the max plane set and truncate the bit string.
     */
   def embeddingNearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nPlanes: Int = 4,
+      nPlanes: Int = 0,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
+      seed: Long = 42L,
+      targetBucketSize: Int = 64): DataFrame = {
+    val p =
+      if (nPlanes > 0) nPlanes
+      else autoPlanes(corpus.count(), targetBucketSize)
+    val planes = hyperplanes(p, dim, seed)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", srpBucket(col("v"), planes))
     val l = c.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))

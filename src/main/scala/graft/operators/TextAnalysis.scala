@@ -241,6 +241,82 @@ object TextAnalysis {
       .select(col("pair"), col("n"), col("rank"))
   }
 
+  /** One greedy left-to-right merge round over a symbol array: every
+    * non-overlapping adjacent (a, b) becomes the single symbol a||b,
+    * scanning left to right — "aaa" under (a, a) → [aa, a], the standard
+    * BPE apply order. A pure `aggregate` fold (no UDF): the accumulator
+    * appends each symbol unless the previous output symbol is exactly `a`
+    * and the current is `b`, in which case the tail is replaced by the
+    * merged symbol. Overlap is handled for free: the merged symbol a||b
+    * can never equal `a` (b is non-empty), so it cannot immediately
+    * re-merge as a left operand. */
+  private[operators] def mergeSyms(syms: Column, a: Column, b: Column): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === a && s === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Full iterative BPE training loop (Sennrich et al. '16): initialize
+    * every distinct word as its character sequence, then `nMerges` rounds
+    * of: count adjacent symbol pairs weighted by word frequency → merge
+    * the argmax pair (count desc, then (left, right) lexicographic — a
+    * total, deterministic tiebreak) → rewrite every word's symbols via
+    * [[mergeSyms]]. Returns the merge table (rnd, left, right, merged, n)
+    * — the artifact a tokenizer ships ([[bpePairCounts]] is exactly one
+    * round of the counting step).
+    *
+    * Shape at 100 TB: the corpus is touched ONCE (the word-frequency
+    * aggregation, map-side combinable); every loop iteration runs on the
+    * vocab-bounded distinct-word relation — pair counting explodes ≤len-1
+    * structs per DISTINCT word, the argmax is a 1-row TakeOrdered (the
+    * only per-round driver materialization, bounded by construction), and
+    * the rewrite is a scan-stage fold. `localCheckpoint` per round cuts
+    * the otherwise exponentially-nesting lineage (round r's plan would
+    * embed all r-1 prior rewrites). The interpreted higher-order
+    * `aggregate` is acceptable here because it runs over the vocabulary,
+    * not the corpus. Stops early when no pair remains (all words fully
+    * merged).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    require(nMerges >= 1, "nMerges must be >= 1")
+    var wf = df.select(explode(preTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .select(col("wcnt"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val top = wf.filter(size(col("syms")) >= 2)
+        .select(col("wcnt"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wcnt")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r + 1, a, b, n))
+        wf = wf.select(col("wcnt"),
+          mergeSyms(col("syms"), lit(a), lit(b)).as("syms"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rnd", "left", "right", "n")
+      .select(col("rnd"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("n"))
+  }
+
   /** Kneser–Ney continuation counts: for each word, the number of DISTINCT
     * predecessors it follows (the KN lower-order numerator — "how many
     * contexts license this word"), plus its raw bigram occurrence count;

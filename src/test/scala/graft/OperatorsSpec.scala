@@ -353,6 +353,41 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) === s(1, 4))
   }
 
+  test("bpeTrain: hand-computed merge schedule, greedy apply, early stop") {
+    // words: aaab ×3, banana ×2. Every round's argmax (count desc, then
+    // (left, right) lexicographic) and greedy left-to-right apply is
+    // hand-derived; the trainer must stop at 7 when no pair remains.
+    val d = Seq((1L, "aaab aaab banana"), (2L, "banana aaab"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, "text", 20)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    val want = Seq(
+      (1, "a", "a", "aa", 6L), // "aaa" counts the overlap, merges once
+      (2, "a", "n", "an", 4L), // 4-4 tie vs (n,a) → left asc
+      (3, "a", "b", "ab", 3L), // 3-3 tie vs (aa,a) → "a" < "aa"
+      (4, "aa", "ab", "aaab", 3L),
+      (5, "an", "a", "ana", 2L), // 2-2-2 tie → ("an","a") minimal
+      (6, "an", "ana", "anana", 2L),
+      (7, "b", "anana", "banana", 2L))
+    assert(got.toSeq === want)
+  }
+
+  test("bpeTrain: merge schedule is prefix-stable in nMerges") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(40)
+    val long = TextAnalysis.bpeTrain(d, "text", 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .sortBy(_._1)
+    val short = TextAnalysis.bpeTrain(d, "text", 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .sortBy(_._1)
+    assert(long.length === 8 && short.length === 4)
+    assert(long.take(4).toSeq === short.toSeq)
+  }
+
   test("semDeDup keeps the min id of each near-identical group") {
     val e = Seq(
       (10L, Array(1.0f, 0.0f, 0.0f)),
@@ -364,6 +399,54 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val out = Similarity.semDeDup(e, "vec_id", "embedding", 0.95, nCentroids = 3)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(out === Map(10L -> 1, 11L -> 0, 12L -> 1, 13L -> 0, 14L -> 1))
+  }
+
+  test("auto quantizer sizing: integer identities and clamps") {
+    // k = ceil(n / cell), integer-exact at the boundaries a float
+    // log/ceil could miss by 1 ulp
+    assert(Similarity.autoCentroids(500, 64) === 8)
+    assert(Similarity.autoCentroids(512, 64) === 8)
+    assert(Similarity.autoCentroids(513, 64) === 9)
+    assert(Similarity.autoCentroids(1, 64) === 1)
+    assert(Similarity.autoCentroids(0, 64) === 1)
+    assert(Similarity.autoCentroids(Long.MaxValue, 64) === 65536) // clamp
+    assert(Similarity.autoSampleSize(8) === 64)
+    assert(Similarity.autoSampleSize(32) === 128)
+    assert(Similarity.autoSampleSize(100000) === 16384) // clamp
+    // p = smallest power of two with 2^p buckets >= ceil(n / bucket);
+    // exact at powers of two: 4096/64 = 64 = 2^6 → exactly 6 planes
+    assert(Similarity.autoPlanes(500, 64) === 3)
+    assert(Similarity.autoPlanes(2000, 64) === 5)
+    assert(Similarity.autoPlanes(4096, 64) === 6)
+    assert(Similarity.autoPlanes(4097, 64) === 7)
+    assert(Similarity.autoPlanes(64, 64) === 1)
+    assert(Similarity.autoPlanes(Long.MaxValue, 64) === 24) // clamp
+    // monotone non-decreasing in n — corpus growth never shrinks the
+    // quantizer
+    val ns = Seq(1L, 63L, 64L, 65L, 500L, 2000L, 5000L, 100000L)
+    assert(ns.map(Similarity.autoCentroids(_, 64)).sliding(2)
+      .forall(w => w.head <= w.last))
+    assert(ns.map(Similarity.autoPlanes(_, 64)).sliding(2)
+      .forall(w => w.head <= w.last))
+  }
+
+  test("auto-config pair generators equal the explicitly-sized runs") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count()
+    val k = Similarity.autoCentroids(n, 64)
+    val auto = Similarity.semDeDup(e, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    val explicit = Similarity.semDeDup(e, "vec_id", "embedding", 0.3,
+      nCentroids = k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(auto.toSeq === explicit.toSeq)
+    val p = Similarity.autoPlanes(n, 64)
+    val autoP = Similarity.embeddingNearDupPairs(e, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val explicitP = Similarity.embeddingNearDupPairs(e, "vec_id", "embedding",
+      0.3, nPlanes = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(autoP.toSeq === explicitP.toSeq)
   }
 
   test("pq codes: identical vectors share codes; self-query ranks its dup first") {

@@ -9,15 +9,13 @@ where documents grow 10x):
 
     slope = log(t_big / t_small) / log(rows_big / rows_small)
 
-Gate: slope <= 1.2 for every non-pair query. The embedding PAIR
-generators (q32 cosine near-dup, q65 SemDeDup) are EXPECTED to exceed it
-at fixed quantizer size — their pair cost is ~n²/buckets by design, and
-the documented scale control is raising nPlanes/nCentroids with n to
-hold the per-cell size (and thus the per-cell quadratic) constant.
-Measured at sf0.1: semDeDup nCentroids 8->32 = 3.74 -> 1.93 s; near-dup
-nPlanes 4->6 = 1.83 -> 0.73 s. They are gated at <= 2.0 instead, which a
-genuinely unbounded all-pairs stage (slope ~2 over a 4x step plus
-constant factors) would still trip.
+Gate: slope <= 1.2 for EVERY query, the embedding pair generators
+included. Since round 9, q32 (cosine near-dup) and q65 (SemDeDup)
+auto-derive their quantizer from the corpus count (cell/bucket
+population held ~64 as the corpus grows — Similarity.autoCentroids /
+autoPlanes), which turns their within-cell pair stage from n²/k at
+fixed k into ~n·cellSize — linear overall, so the uniform 1.2 gate
+applies. The former fixed-knob escape hatch (gate <= 2.0) is gone.
 
 Streaming queries are floor-dominated at these sizes (slopes ~0.0-0.1);
 they are included to prove state does NOT grow with input (watermark
@@ -56,7 +54,6 @@ ROWS = {
     "embeddings": {"sf0.001": 500, "sf0.01": 500, "sf0.1": 2000},
     "events": {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000},
 }
-PAIR_QUERIES = {"q32_cosine_neardup", "q65_semdedup"}
 
 
 def bench(sf: str) -> dict:
@@ -89,13 +86,11 @@ def main() -> int:
             continue
         xdata = ROWS[tbl]["sf0.1"] / ROWS[tbl]["sf0.01"]
         slope = math.log(c / b) / math.log(xdata)
-        limit = 2.0 if q in PAIR_QUERIES else 1.2
+        limit = 1.2
         ok = slope <= limit
         bad += 0 if ok else 1
         print(f"{q:28s} {tbl:11s} {a:8.2f} {b:8.2f} {c:8.2f} {slope:6.2f}  "
-              f"{'OK' if ok else f'FAIL (> {limit})'}"
-              + ("  [pair generator: quantizer-knob controlled]"
-                 if q in PAIR_QUERIES else ""))
+              f"{'OK' if ok else f'FAIL (> {limit})'}")
     print(f"[slopes] {'all gates pass' if bad == 0 else f'{bad} FAILURES'}")
     return 1 if bad else 0
 

@@ -745,6 +745,19 @@ object SparkEntry {
         "embedding", 10, nCentroids = 8, nProbe = 2, m = 8, codebookSize = 8)
     }),
 
+    // ANN build/serve split: train the IVF-PQ quantizers ONCE, persist
+    // centroids + codebooks + encoded corpus as a parquet index, then
+    // serve top-k from the STORED index (no retraining, no raw vectors) —
+    // the production deployment shape, same ranking as q76.
+    "q99_ann_index_serve" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val idx = scratchDir("graft_q99_idx")
+      Similarity.buildIvfPqIndex(e, "vec_id", "embedding", idx,
+        nCentroids = 8, m = 8, codebookSize = 8)
+      Similarity.ivfPqTopKFromIndex(s, idx, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10, nProbe = 2)
+    }),
+
     // PQ + exact refine (the FAISS refine stage): ADC nominates 4×k
     // candidates from the compressed-domain scan, exact cosine re-ranks
     // the sliver to k — recall is bounded by candidate recall@40, not ADC
@@ -1394,6 +1407,56 @@ object SparkEntry {
        |ranked AS (SELECT q_id, id, dist,
        |    row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, id ASC) AS rn
        |  FROM dist)""".stripMargin
+  }
+
+  /** The full IVF-PQ re-derivation (q38's coarse CTEs composed with q66's
+    * subspace CTEs, ADC restricted to the probed candidate set) — shared
+    * by q76 (train-and-query in one plan) and q99 (train persisted to a
+    * parquet index, served in a separate job): both compute the identical
+    * ranking, so one oracle gates both paths. */
+  private def ivfPqOracleSql: String = {
+    val (m, sub, k, iters) = (8, 8, 8, 2)
+    val subCtes = (0 until m).map(j => pqSubspaceCteSql(j, sub, k, iters))
+      .mkString(",\n")
+    val adcCtes = (0 until m).map { j =>
+      val (lo, hi) = (j * sub + 1, (j + 1) * sub)
+      s"""adc$j AS (
+         |  SELECT cn.q_id, cn.id, ${l2Sql(s"cn.qv[$lo:$hi]", "c.cv")} AS d
+         |  FROM cand cn JOIN code$j cd ON cd.id = cn.id
+         |  JOIN c${j}_$iters c ON c.cell = cd.code)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until m).map(j => s"JOIN adc$j USING (q_id, id)").mkString(" ")
+    val distSum = (0 until m).map(j => s"adc$j.d").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${kmeansCteSql(8, 64, 2)},
+       |cent AS (SELECT cell, cv FROM cent2),
+       |assign AS (
+       |  SELECT id, cell FROM (
+       |    SELECT e.id, c.cell,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+       |    FROM e, cent c) t WHERE rn = 1),
+       |qq AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
+       |probe AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.q_id, q.qv, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC) AS rn
+       |    FROM qq q, cent c) t WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.q_id, p.qv, a.id
+       |  FROM assign a JOIN probe p USING (cell) WHERE a.id <> p.q_id),
+       |$subCtes,
+       |$adcCtes,
+       |dist AS (
+       |  SELECT adc0.q_id, adc0.id, $distSum AS dist
+       |  FROM adc0 $joins),
+       |ranked AS (SELECT q_id, id, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, id ASC) AS rn
+       |  FROM dist)
+       |SELECT q_id, id, CAST(rn AS INT) AS rank, round(dist, 6) AS dist
+       |FROM ranked WHERE rn <= 10""".stripMargin
   }
 
   /** Exact brute-force cosine top-k — shared by q31 (window-rank form) and
@@ -2216,50 +2279,13 @@ object SparkEntry {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
 
-    "q76_ivfpq_ann_topk" -> {
-      val (m, sub, k, iters) = (8, 8, 8, 2)
-      val subCtes = (0 until m).map(j => pqSubspaceCteSql(j, sub, k, iters))
-        .mkString(",\n")
-      val adcCtes = (0 until m).map { j =>
-        val (lo, hi) = (j * sub + 1, (j + 1) * sub)
-        s"""adc$j AS (
-           |  SELECT cn.q_id, cn.id, ${l2Sql(s"cn.qv[$lo:$hi]", "c.cv")} AS d
-           |  FROM cand cn JOIN code$j cd ON cd.id = cn.id
-           |  JOIN c${j}_$iters c ON c.cell = cd.code)""".stripMargin
-      }.mkString(",\n")
-      val joins = (1 until m).map(j => s"JOIN adc$j USING (q_id, id)").mkString(" ")
-      val distSum = (0 until m).map(j => s"adc$j.d").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id AS id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |${kmeansCteSql(8, 64, 2)},
-         |cent AS (SELECT cell, cv FROM cent2),
-         |assign AS (
-         |  SELECT id, cell FROM (
-         |    SELECT e.id, c.cell,
-         |      row_number() OVER (PARTITION BY e.id
-         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
-         |    FROM e, cent c) t WHERE rn = 1),
-         |qq AS (SELECT id AS q_id, v AS qv FROM e WHERE id < 5),
-         |probe AS (
-         |  SELECT q_id, qv, cell FROM (
-         |    SELECT q.q_id, q.qv, c.cell,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cell ASC) AS rn
-         |    FROM qq q, cent c) t WHERE rn <= 2),
-         |cand AS (
-         |  SELECT p.q_id, p.qv, a.id
-         |  FROM assign a JOIN probe p USING (cell) WHERE a.id <> p.q_id),
-         |$subCtes,
-         |$adcCtes,
-         |dist AS (
-         |  SELECT adc0.q_id, adc0.id, $distSum AS dist
-         |  FROM adc0 $joins),
-         |ranked AS (SELECT q_id, id, dist,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, id ASC) AS rn
-         |  FROM dist)
-         |SELECT q_id, id, CAST(rn AS INT) AS rank, round(dist, 6) AS dist
-         |FROM ranked WHERE rn <= 10""".stripMargin
-    },
+    "q76_ivfpq_ann_topk" -> ivfPqOracleSql,
+
+    // the build/serve split changes WHERE the quantizers live (parquet
+    // index vs in-plan recomputation), not WHAT is computed — the oracle
+    // is the identical end-to-end IVF-PQ re-derivation; a serve-path
+    // mismatch with the stored codebooks would hash-mismatch here
+    "q99_ann_index_serve" -> ivfPqOracleSql,
 
     // kmeans CTE chain with AUTO-DERIVED k = ceil(count/64) (bit-exact
     // centroid replay; k and sample size computed in SQL by the same
@@ -2455,6 +2481,12 @@ object SparkEntry {
     // the two streams' (max event time - delay) — empirically pinned:
     // max-over-all-events over-emits by 2 rows at sf0.01. 10800000000 µs
     // = the 180-minute lag, 14400000000 µs = the 240-minute delay.
+    // NOTE this CTE replays Spark's INTERNAL watermark-advancement rule
+    // (per-stream max minus delay, strict <), pinned against Spark 4.1.2.
+    // If a Spark upgrade changes no-data-batch/watermark semantics, this
+    // gate fails as an opaque hash mismatch — diagnose via
+    // StreamingSpec's behavioral outer-join tests FIRST (they assert the
+    // semantics directly); only then re-pin the rule here.
     "q91_stream_outer_join" ->
       """WITH e2 AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |    FROM events),

@@ -63,4 +63,34 @@ object GraftFunctions {
     * sketch must be a literal or scalar subquery — Catalyst enforces it. */
   def bloom_might_contain(sketch: Column, h64: Column): Column =
     call_function("graft_bloom_might_contain", sketch, h64)
+
+  /** Sketch size for `nItems` distinct keys: ~16 bits per item (false-
+    * positive rate well under 1% at the optimal hash count), rounded up to
+    * a power of two, clamped to [2^20, 2^27]. The upper clamp matters
+    * because the sketch is inlined as a LITERAL into a scan filter — a
+    * 2^27-bit sketch is a 16 MB plan constant, the practical ceiling;
+    * past ~8M items the caller sees the [[bloomFillFactor]] saturation
+    * warning instead of a silently useless filter. */
+  def bloomBitsFor(nItems: Long): Long = {
+    val want = math.max(1L << 20, 16L * math.max(1L, nItems))
+    val pow =
+      if (java.lang.Long.bitCount(want) == 1) want
+      else java.lang.Long.highestOneBit(want) << 1
+    math.min(1L << 27, pow)
+  }
+
+  /** Fraction of bits set in a serialized bloom sketch (the 12-byte
+    * header — version, hash count, word count — is skipped). A fill
+    * factor beyond ~0.5 means the sketch is saturating: results stay
+    * exact (the bloom only prefilters), but its work-bounding collapses
+    * and every probe tends toward "maybe". */
+  def bloomFillFactor(sketch: Array[Byte], numBits: Long): Double = {
+    var set = 0L
+    var i = 12
+    while (i < sketch.length) {
+      set += java.lang.Integer.bitCount(sketch(i) & 0xff)
+      i += 1
+    }
+    set.toDouble / math.max(1L, numBits)
+  }
 }

@@ -57,8 +57,8 @@ object Dedup {
       indexFps: DataFrame,
       idCol: String,
       textCol: String,
-      estimatedDeltaFps: Long = 1L << 20,
-      numBits: Long = 1L << 23): DataFrame = {
+      estimatedDeltaFps: Long = 0L,
+      numBits: Long = 0L): DataFrame = {
     val spark = delta.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
@@ -66,14 +66,29 @@ object Dedup {
     // it feeds two consumers (the sketch action and the returned frame) —
     // the sig-relation reuse rule from minhashLshPairs. Size the bloom to
     // the shard: an undersized sketch saturates, its false-positive rate
-    // climbs toward 1, and `hits` grows toward the whole index.
+    // climbs toward 1, and `hits` grows toward the whole index. Defaults
+    // (<= 0) derive the size from a count of the checkpointed delta
+    // (cheap — it is already materialized) instead of trusting a fixed
+    // guess; an explicit estimate skips the count job.
     val fresh = exact(delta, idCol, textCol)
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .localCheckpoint(eager = true)
+    val nDelta =
+      if (estimatedDeltaFps > 0L) estimatedDeltaFps else fresh.count()
+    val bits =
+      if (numBits > 0L) numBits
+      else graft.functions.GraftFunctions.bloomBitsFor(nDelta)
     val sketch = fresh
-      .agg(bloom_agg(xxhash64(col("__fp")), estimatedDeltaFps, numBits).as("bf"))
+      .agg(bloom_agg(xxhash64(col("__fp")), math.max(1L, nDelta), bits)
+        .as("bf"))
       .head().getAs[Array[Byte]](0)
     if (sketch == null) return fresh.drop("__fp") // empty delta
+    val fill = graft.functions.GraftFunctions.bloomFillFactor(sketch, bits)
+    if (fill > 0.5) System.err.println(
+      f"[graft] incrementalExact: delta bloom fill factor $fill%.2f " +
+        f"(numBits=$bits) — sketch saturating; results stay exact but the " +
+        "index-scan prefilter is losing selectivity. Raise numBits or " +
+        "shrink the delta shard.")
     // index scan filtered by the delta bloom — only the sliver that might
     // collide leaves the scan; exact confirm via broadcast anti join
     val hits = indexFps

@@ -567,6 +567,98 @@ object Similarity {
     math.min(24, math.max(1, p))
   }
 
+  // ---- ANN index build/serve split -------------------------------------
+  // The production deployment shape: quantizers are TRAINED ONCE and
+  // persisted (centroids + per-subspace PQ codebooks + the encoded corpus),
+  // then every query session SERVES top-k from the stored index without
+  // touching raw corpus vectors or re-running k-means — the same
+  // train-once/probe-many pattern as the q93 fingerprint index and the q97
+  // signature index. At 100 TB the build is the one expensive pass; serving
+  // reads the m-bytes-per-doc codes relation and two tiny codebook tables.
+
+  /** Train an IVF-PQ index over `corpus` and persist it under `outDir` as
+    * three parquet relations:
+    *  - `centroids` (cell INT, cv ARRAY<DOUBLE>) — IVF coarse centroids;
+    *  - `codebooks` (subspace INT, cell INT, cv ARRAY<DOUBLE>) — PQ
+    *    codebooks per subspace;
+    *  - `codes` (id, cell, code_0..code_{m-1}) — the encoded corpus
+    *    (m small ints per doc; raw vectors are NOT stored).
+    * Training is the same deterministic sampled Lloyd as [[ivfPqTopK]]
+    * ([[kmeansCentroids]] / [[pqCodebooks]]), so serving from the stored
+    * index reproduces [[ivfPqTopK]] exactly — gated by spec and oracle.
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDir: String,
+      nCentroids: Int = 8,
+      m: Int = 8,
+      codebookSize: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize)
+    centroids.toSeq.toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.map { case (cell, cv) => (j, cell, cv) }
+    }.toSeq.toDF("subspace", "cell", "cv")
+      .write.mode("overwrite").parquet(s"$outDir/codebooks")
+    pqEncode(assignCells(c, centroids), books, Seq("cell"))
+      .write.mode("overwrite").parquet(s"$outDir/codes")
+  }
+
+  /** Serve IVF-PQ top-k from an index persisted by [[buildIvfPqIndex]]:
+    * no training, no raw corpus — the two codebook relations are read
+    * back into plan literals (bounded by construction: nCentroids and
+    * m×codebookSize rows — the same driver-materialization budget the
+    * trainer itself has) and the ADC scan runs over the stored `codes`.
+    * Output is identical to [[ivfPqTopK]] at the same build parameters
+    * (doubles round-trip parquet bit-exactly).
+    */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val centroids: Array[(Int, Seq[Double])] =
+      spark.read.parquet(s"$indexDir/centroids")
+        .select(col("cell").cast("int"), col("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    val books: Array[Array[(Int, Seq[Double])]] =
+      spark.read.parquet(s"$indexDir/codebooks")
+        .select(col("subspace").cast("int"), col("cell").cast("int"),
+          col("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
+    require(centroids.nonEmpty && books.nonEmpty,
+      s"ivfPqTopKFromIndex: no index under $indexDir")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val q = queries.select(col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val centDf = centroids.toSeq.toDF("cell", "cv")
+    val probe = Windows.topKPerGroup(
+      q.crossJoin(broadcast(centDf))
+        .select(col("q_id"), col("qv"), col("cell"),
+          cosine(col("qv"), col("cv")).as("csim")),
+      Seq(col("q_id")), Seq(col("csim").desc, col("cell").asc), nProbe, "prn")
+      .select(col("q_id"), col("qv"), col("cell"))
+    adcRanked(
+      codes.join(broadcast(probe), Seq("cell"))
+        .filter(col("id") =!= col("q_id")),
+      books, k)
+  }
+
   /** SemDeDup (Abbas et al. '23): semantic deduplication by embedding —
     * k-means-cluster the corpus embeddings, then inside each cluster drop
     * every vector that has cosine ≥ `threshold` with a lower-id vector

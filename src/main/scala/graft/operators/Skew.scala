@@ -28,21 +28,37 @@ object Skew {
     * Caveat: bitwise-identical duplicate rows share a salt — irrelevant for
     * aggregation (map-side partial combine collapses them anyway) and
     * acceptable for the join (identical rows produce identical output).
-    * Map-typed columns are hashed through their string rendering: xxhash64
-    * rejects MapType anywhere in its input (maps have no canonical order),
-    * and failing at analysis time on any schema with a properties map
-    * would be a regression vs the old rand() salt. */
-  private def rowSalt(df: DataFrame, numSalts: Int): Column = {
+    * xxhash64 rejects MapType anywhere in its input (maps have no
+    * canonical entry order), so a TOP-LEVEL map column is hashed through
+    * `array_sort(map_entries(...))` — a canonical (key-sorted) rendering,
+    * so two logically-equal maps built in different entry orders (e.g. a
+    * shuffled upstream re-presenting partitions differently on task
+    * retry) always salt identically. A map NESTED deeper (inside an
+    * array/struct, or a map-valued map) has no expression-reachable
+    * canonical form and is EXCLUDED from the salt input — a weaker spread
+    * (other columns still vary within a hot key) but never an unstable
+    * one; a cast-to-string rendering would re-open the indeterminate-
+    * retry problem this salt exists to close. */
+  private[graft] def rowSalt(df: DataFrame, numSalts: Int): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => true
-      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
-      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
       case _ => false
     }
-    val inputs = df.schema.fields.map { f =>
-      if (hasMap(f.dataType)) col(f.name).cast("string") else col(f.name)
+    val inputs = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case m: MapType if !hasMap(m.keyType) && !hasMap(m.valueType) =>
+          Some(array_sort(map_entries(col(f.name))))
+        case dt if hasMap(dt) => None
+        case _ => Some(col(f.name))
+      }
     }
-    pmod(xxhash64(inputs.toIndexedSeq: _*), lit(numSalts.toLong)).cast("int")
+    // a schema whose every column nests a map degenerates to salt 0 —
+    // still deterministic, and strictly better than failing analysis
+    val safe = if (inputs.isEmpty) Seq(lit(0L)) else inputs.toIndexedSeq
+    pmod(xxhash64(safe: _*), lit(numSalts.toLong)).cast("int")
   }
 
   /** Two-phase count/sum aggregation with key salting. `sums` maps output

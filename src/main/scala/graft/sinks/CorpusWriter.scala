@@ -32,7 +32,8 @@ object CorpusWriter {
       outDir: String,
       partitionCols: Seq[String],
       sortCols: Seq[String],
-      filesPerPartition: Int = 1): Unit = {
+      filesPerPartition: Int = 1,
+      mode: String = "overwrite"): Unit = {
     require(partitionCols.nonEmpty && sortCols.nonEmpty,
       "need at least one partition column and one sort column")
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
@@ -52,7 +53,7 @@ object CorpusWriter {
       .drop("__salt")
       .write
       .partitionBy(partitionCols: _*)
-      .mode("overwrite")
+      .mode(mode)
       .parquet(outDir)
   }
 
@@ -98,10 +99,12 @@ object CorpusWriter {
       outDir: String,
       partitionCols: Seq[String],
       sortCols: Seq[String],
-      filesPerPartition: Int = 1): CompactionReport = {
+      filesPerPartition: Int = 1,
+      mode: String = "overwrite"): CompactionReport = {
     val before = countDataFiles(spark, inDir)
     val df = spark.read.parquet(inDir)
-    writePartitioned(df, outDir, partitionCols, sortCols, filesPerPartition)
+    writePartitioned(df, outDir, partitionCols, sortCols, filesPerPartition,
+      mode)
     CompactionReport(before, countDataFiles(spark, outDir),
       spark.read.parquet(outDir).count())
   }
@@ -170,6 +173,13 @@ object CorpusWriter {
     * would pull files out from under readers that resolved before the
     * flip — at 100 TB old versions age out asynchronously, after the
     * longest-running reader horizon).
+    *
+    * Concurrent maintenance jobs are allocation-safe: each candidate slot
+    * is claimed by an atomic create-no-overwrite marker before anything is
+    * written, so two racing compactions land in DIFFERENT version
+    * directories and the last `publish` wins (publishing is itself an
+    * atomic pointer swap). The loser's directory ages out with the
+    * retention sweep like any other superseded version.
     */
   def compactAndPublish(
       spark: org.apache.spark.sql.SparkSession,
@@ -184,16 +194,41 @@ object CorpusWriter {
     // next version = max existing v<digits> dir + 1, NEVER derived from the
     // current pointer alone: a published non-versioned name (or a version
     // dir left by an aborted run) must not make the rewrite land on — and
-    // overwrite — a directory a reader may still be scanning
+    // overwrite — a directory a reader may still be scanning.
+    // List-then-allocate alone would race a concurrent maintenance job
+    // (both compute the same next version and write into one directory
+    // before either publishes), so the slot is CLAIMED first: an atomic
+    // create-no-overwrite of `<version>/.claim` — the loser of a tie gets
+    // FileAlreadyExists and probes the next number. The marker is
+    // dot-prefixed, so every hive-layout reader and the data-file counter
+    // already ignore it.
     val root = new org.apache.hadoop.fs.Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing = fs.listStatus(root).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .collect { case s if s.length > 1 && s.startsWith("v") &&
         s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
-    val nextName = f"v${existing.foldLeft(-1L)(math.max) + 1}%06d"
+    var candidate = existing.foldLeft(-1L)(math.max) + 1
+    var nextName: String = null
+    while (nextName == null) {
+      val name = f"v$candidate%06d"
+      val claim = new org.apache.hadoop.fs.Path(root, s"$name/.claim")
+      try {
+        fs.create(claim, /* overwrite = */ false).close()
+        nextName = name
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.io.IOException if fs.exists(claim) ||
+              fs.exists(new org.apache.hadoop.fs.Path(root, name)) =>
+          candidate += 1 // lost the race for this slot; probe the next
+      }
+    }
+    // append, not overwrite: the claimed slot is empty by construction,
+    // and an overwrite would delete-and-recreate the directory — removing
+    // the .claim marker and briefly un-listing the slot, which is exactly
+    // the window the claim exists to close
     val report = compact(spark, current, s"$rootDir/$nextName",
-      partitionCols, sortCols, filesPerPartition)
+      partitionCols, sortCols, filesPerPartition, mode = "append")
     publish(spark, rootDir, nextName)
     report
   }

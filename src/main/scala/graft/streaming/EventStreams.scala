@@ -245,18 +245,34 @@ object EventStreams {
       docs: DataFrame,
       indexFps: DataFrame,
       textCol: String,
-      estimatedIndexFps: Long = 1L << 20,
-      numBits: Long = 1L << 23): DataFrame = {
+      estimatedIndexFps: Long = 0L,
+      numBits: Long = 0L): DataFrame = {
     val spark = indexFps.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
     import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    // Defaults (<= 0) size the sketch from a count of the index (for a
+    // parquet-backed fingerprint table this is a metadata-cheap job, run
+    // ONCE at query start — the sketch pins the index snapshot anyway);
+    // an explicit estimate skips it. A fixed default would silently
+    // saturate past ~1M fingerprints.
+    val nIndex =
+      if (estimatedIndexFps > 0L) estimatedIndexFps else indexFps.count()
+    val bits =
+      if (numBits > 0L) numBits
+      else graft.functions.GraftFunctions.bloomBitsFor(nIndex)
     val sketch = indexFps
-      .agg(bloom_agg(xxhash64(col("fp")), estimatedIndexFps, numBits).as("bf"))
+      .agg(bloom_agg(xxhash64(col("fp")), math.max(1L, nIndex), bits)
+        .as("bf"))
       .head().getAs[Array[Byte]](0)
     val withFp = docs.withColumn("__fp",
       graft.operators.TextAnalysis.fingerprint(col(textCol)))
     if (sketch == null) return withFp.drop("__fp") // empty index
+    val fill = graft.functions.GraftFunctions.bloomFillFactor(sketch, bits)
+    if (fill > 0.5) System.err.println(
+      f"[graft] indexFilteredIngest: index bloom fill factor $fill%.2f " +
+        f"(numBits=$bits) — sketch saturating; dedup stays exact but " +
+        "most rows will take the exact-join path. Raise numBits.")
     val probe = bloom_might_contain(lit(sketch), xxhash64(col("__fp")))
     val provablyNew = withFp.filter(!probe)
     // no broadcast hint: the index side is the scale contract's partitioned

@@ -277,4 +277,31 @@ class CorpusWriterSpec extends AnyFunSuite with SparkSpec {
       assert(spark.read.parquet(s"$root/v000001").count() === docs.count())
     }
   }
+
+  test("compactAndPublish skips a slot already claimed by a concurrent job") {
+    withOut { root =>
+      val v0 = root.resolve("v000000")
+      docs.repartition(2).write.partitionBy("lang")
+        .mode("overwrite").parquet(v0.toString)
+      sinks.CorpusWriter.publish(spark, root.toString, "v000000")
+      // simulate a concurrent maintenance job that claimed v000001 but has
+      // not written (or published) yet: only its .claim marker exists —
+      // a plain list-then-allocate would land on the same slot
+      val claimed = root.resolve("v000001")
+      java.nio.file.Files.createDirectories(claimed)
+      java.nio.file.Files.createFile(claimed.resolve(".claim"))
+      sinks.CorpusWriter.compactAndPublish(spark, root.toString,
+        partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+      // this job probed past the claimed slot and published v000002
+      assert(sinks.CorpusWriter.resolveLatest(spark, root.toString)
+        === Some(s"$root/v000002"))
+      // the concurrent job's claimed slot is untouched
+      assert(java.nio.file.Files.list(claimed).iterator().next()
+        .getFileName.toString === ".claim")
+      assert(spark.read.parquet(s"$root/v000002").count() === docs.count())
+      // the winner's own claim marker survives its append-mode write
+      assert(java.nio.file.Files.exists(
+        root.resolve("v000002").resolve(".claim")))
+    }
+  }
 }

@@ -467,6 +467,33 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(top.forall(_._3 >= 0.0))
   }
 
+  test("ANN index build/serve: stored index reproduces ivfPqTopK in a fresh session") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    // TRAIN job: build + persist (centroids, codebooks, codes)
+    Similarity.buildIvfPqIndex(e, "vec_id", "embedding", idx,
+      nCentroids = 4, m = 4, codebookSize = 4)
+    // SERVE job: a separate session, touching only the stored index and
+    // the query vectors — no retraining, no raw corpus scan
+    val serve = spark.newSession()
+    val q2 = Tables.load(serve, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 3)
+    val served = Similarity.ivfPqTopKFromIndex(serve, idx, q2,
+      "vec_id", "embedding", 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).sorted
+    val direct = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5,
+      nCentroids = 4, nProbe = 2, m = 4, codebookSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).sorted
+    assert(served.toSeq === direct.toSeq)
+    // the index really is the compact artifact: codes carry m small ints
+    // per doc, never the raw vectors
+    val codeCols = spark.read.parquet(s"$idx/codes").columns.toSet
+    assert(codeCols === Set("id", "cell", "code_0", "code_1", "code_2", "code_3"))
+  }
+
   test("ivfPqTopK probing every cell equals plain pqTopK (and recall holds)") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter($"vec_id" < 3)
@@ -614,6 +641,14 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val onlyHeavy = Sampling.weightedSampleK(withZero, "id", $"w", 50)
       .collect().map(_.getLong(0))
     assert(onlyHeavy.length === 40 && onlyHeavy.forall(_ < 40L))
+  }
+
+  test("bloomBitsFor: 16 bits/item, power-of-two, literal-size clamps") {
+    import graft.functions.GraftFunctions.bloomBitsFor
+    assert(bloomBitsFor(0L) === (1L << 20)) // floor
+    assert(bloomBitsFor(65536L) === (1L << 20)) // 16 * 2^16 exactly
+    assert(bloomBitsFor(65537L) === (1L << 21)) // next power of two
+    assert(bloomBitsFor(1L << 40) === (1L << 27)) // plan-literal ceiling
   }
 
   test("incrementalExact: within-delta dupes, index collisions, ws/case variants") {

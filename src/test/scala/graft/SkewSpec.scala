@@ -54,7 +54,7 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
       map(lit("a"), col("id").cast("string")).as("props"))
     val dim = (0L until 3L).map(i => (i, s"d$i")).toDF("k", "label")
     // both operators must plan and run — the map column is hashed through
-    // its string rendering instead of failing analysis
+    // its canonical key-sorted entry list instead of failing analysis
     val joined = Skew.saltedJoin(fact, dim, "k", numSalts = 4)
     assert(joined.count() === 100)
     val agg = Skew.saltedAggregate(fact, Seq("k"),
@@ -63,6 +63,31 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     val want = fact.groupBy("k").agg(fsum("v").as("sv"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
+  }
+
+  test("rowSalt: logically-equal maps salt identically regardless of entry order") {
+    import org.apache.spark.sql.functions.{lit, map}
+    // the same logical map built in two different entry orders — a retry
+    // of a nondeterministically-ordered upstream can produce exactly this
+    val a = spark.range(20).select(col("id"),
+      map(lit("x"), col("id").cast("string"),
+        lit("y"), lit("c")).as("props"))
+    val b = spark.range(20).select(col("id"),
+      map(lit("y"), lit("c"),
+        lit("x"), col("id").cast("string")).as("props"))
+    val sa = a.withColumn("s", Skew.rowSalt(a, 16)).select("id", "s")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sb = b.withColumn("s", Skew.rowSalt(b, 16)).select("id", "s")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sa === sb)
+    // nested maps are excluded from the salt input, not rendered unstably:
+    // a schema of ONLY nested-map columns still plans (constant salt)
+    val nested = spark.range(5).select(
+      org.apache.spark.sql.functions.array(
+        map(lit("k"), lit("v"))).as("nm"))
+    val s = nested.withColumn("s", Skew.rowSalt(nested, 16))
+      .select("s").distinct().collect()
+    assert(s.length === 1)
   }
 
   test("AQE splits the zipfian hot key at join time (skew=true in the final plan)") {

@@ -70,8 +70,22 @@ object Similarity {
     concat(bits.toIndexedSeq: _*)
   }
 
-  /** Approximate top-k: only corpus vectors in the query's SRP bucket are
-    * scored. Recall rises as `nPlanes` falls (bigger buckets). */
+  /** Approximate top-k: only corpus vectors sharing the query's SRP bucket
+    * in AT LEAST ONE of `nTables` independent hash tables are scored —
+    * the classic (p, L) LSH quality dial (Indyk–Motwani; Charikar '02 for
+    * the SRP family): recall per table is collision probability
+    * (1 − θ/π)^p, and L tables OR together, 1 − (1 − r)^L, so recall
+    * climbs geometrically in L while per-table work stays bucket-bounded.
+    * Table t draws its planes from `seed + t` — table 0 reproduces the
+    * single-table result exactly, so adding tables only ever ADDS
+    * candidates (a superset — monotone recall, asserted in RecallSpec).
+    *
+    * Scale shape: one bucket equi-join per table (queries broadcast), the
+    * per-pair cosine is recomputed in whichever tables collide (a pure
+    * expression — cheaper than a vector re-fetch join), and the
+    * cross-table duplicate collapse is a DISTINCT on k-bounded ranked
+    * input sized by Σ per-table collisions, never the corpus.
+    */
   def lshBucketedTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -80,15 +94,19 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
+      seed: Long = 42L,
+      nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, "nTables must be >= 1")
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", srpBucket(col("v"), planes))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", srpBucket(col("qv"), planes))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("id") =!= col("q_id"))
-      .select(col("q_id"), col("id"), cosine(col("qv"), col("v")).as("sim"))
+    val scored = (0 until nTables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seed + t)
+      val ct = c.withColumn("bucket", srpBucket(col("v"), planes))
+      val qt = q.withColumn("bucket", srpBucket(col("qv"), planes))
+      ct.join(broadcast(qt), Seq("bucket"))
+        .filter(col("id") =!= col("q_id"))
+        .select(col("q_id"), col("id"), cosine(col("qv"), col("v")).as("sim"))
+    }.reduce(_ unionByName _).distinct()
     Windows.topKPerGroup(scored, Seq(col("q_id")),
       Seq(col("sim").desc, col("id").asc), k, "rank")
       .select(col("q_id"), col("id"), col("rank"), round(col("sim"), 6).as("sim"))
@@ -423,8 +441,9 @@ object Similarity {
       vecCol: String,
       k: Int,
       m: Int = 8,
-      codebookSize: Int = 8): DataFrame = {
-    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize)
+      codebookSize: Int = 8,
+      sampleSize: Int = 64): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sampleSize)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val codes = pqEncode(c, books, Nil)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
@@ -476,10 +495,11 @@ object Similarity {
       k: Int,
       m: Int = 8,
       codebookSize: Int = 8,
-      candidateFactor: Int = 4): DataFrame = {
+      candidateFactor: Int = 4,
+      sampleSize: Int = 64): DataFrame = {
     require(candidateFactor >= 1, "candidateFactor must be >= 1")
     val cand = pqTopK(corpus, queries, idCol, vecCol, k * candidateFactor,
-      m, codebookSize)
+      m, codebookSize, sampleSize)
     refineTopK(corpus, queries, idCol, vecCol, cand, k)
   }
 
@@ -506,12 +526,13 @@ object Similarity {
       nCentroids: Int = 8,
       nProbe: Int = 2,
       m: Int = 8,
-      codebookSize: Int = 8): DataFrame = {
+      codebookSize: Int = 8,
+      sampleSize: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
-    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize)
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, sampleSize)
+    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sampleSize)
     val codes = pqEncode(assignCells(c, centroids), books, Seq("cell"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val centDf = centroids.toSeq.toDF("cell", "cv")
@@ -577,12 +598,16 @@ object Similarity {
   // reads the m-bytes-per-doc codes relation and two tiny codebook tables.
 
   /** Train an IVF-PQ index over `corpus` and persist it under `outDir` as
-    * three parquet relations:
+    * four parquet relations:
     *  - `centroids` (cell INT, cv ARRAY<DOUBLE>) — IVF coarse centroids;
     *  - `codebooks` (subspace INT, cell INT, cv ARRAY<DOUBLE>) — PQ
     *    codebooks per subspace;
     *  - `codes` (id, cell, code_0..code_{m-1}) — the encoded corpus
-    *    (m small ints per doc; raw vectors are NOT stored).
+    *    (m small ints per doc — the compressed-domain scan relation);
+    *  - `vectors` (id, v) — the raw vectors, the refine store (the FAISS
+    *    `IndexRefineFlat` sidecar): candidates are re-scored exactly
+    *    against it at serve time, so the deployment-grade recall path
+    *    needs no access to the original corpus table.
     * Training is the same deterministic sampled Lloyd as [[ivfPqTopK]]
     * ([[kmeansCentroids]] / [[pqCodebooks]]), so serving from the stored
     * index reproduces [[ivfPqTopK]] exactly — gated by spec and oracle.
@@ -594,12 +619,14 @@ object Similarity {
       outDir: String,
       nCentroids: Int = 8,
       m: Int = 8,
-      codebookSize: Int = 8): Unit = {
+      codebookSize: Int = 8,
+      sampleSize: Int = 64): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
-    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize)
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids,
+      sampleSize)
+    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sampleSize)
     centroids.toSeq.toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$outDir/centroids")
     books.zipWithIndex.flatMap { case (book, j) =>
@@ -608,6 +635,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$outDir/codebooks")
     pqEncode(assignCells(c, centroids), books, Seq("cell"))
       .write.mode("overwrite").parquet(s"$outDir/codes")
+    c.write.mode("overwrite").parquet(s"$outDir/vectors")
   }
 
   /** Serve IVF-PQ top-k from an index persisted by [[buildIvfPqIndex]]:
@@ -657,6 +685,33 @@ object Similarity {
       codes.join(broadcast(probe), Seq("cell"))
         .filter(col("id") =!= col("q_id")),
       books, k)
+  }
+
+  /** The deployment-grade serve path: [[ivfPqTopKFromIndex]] nominates
+    * `k × candidateFactor` candidates from the stored codes, then the
+    * stored `vectors` refine relation re-scores that sliver exactly and
+    * the true top-k of the candidate set survives ([[refineTopK]] over
+    * the index's own refine store — no access to the corpus table at all).
+    * Recall is bounded by candidate recall@C within the probed cells, not
+    * by ADC distortion; RecallSpec pins the measured floor at the q99
+    * gate config.
+    */
+  def ivfPqServeRefined(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 2,
+      candidateFactor: Int = 4): DataFrame = {
+    require(candidateFactor >= 1, "candidateFactor must be >= 1")
+    val cand = ivfPqTopKFromIndex(spark, indexDir, queries, idCol, vecCol,
+      k * candidateFactor, nProbe)
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    refineTopK(vectors, queries.select(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v")),
+      "id", "v", cand, k)
   }
 
   /** SemDeDup (Abbas et al. '23): semantic deduplication by embedding —

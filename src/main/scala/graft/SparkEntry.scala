@@ -820,6 +820,29 @@ object SparkEntry {
       sinks.CorpusWriter.readOrc(s, out, src.schema).select(cols.map(col): _*)
     }),
 
+    // Avro interchange round trip over the LOGICAL types naive exports
+    // corrupt: timestamp-micros, decimal(12,2) (exact unscaled-bytes
+    // encoding, no double-rounding), and a union-null lane. Emitted with
+    // epoch-µs longs and the decimal kept as decimal (both engines hash
+    // it exactly).
+    "q100_avro_roundtrip" -> ((s, dir) => {
+      val out = scratchDir("graft_q100")
+      val src = T(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        col("o_orderdate").as("odate"))
+      sinks.AvroCorpus.writeAvro(src, out)
+      sinks.AvroCorpus.readAvro(s, out, src.schema)
+        .select(col("o_orderkey"), col("status"),
+          // decimal emitted as exact integer cents (decimal×100 is exact;
+          // a raw decimal column would reach the compare as float)
+          (col("price") * 100).cast("long").as("price_cents"),
+          // odate loads as TIMESTAMP_NTZ; UTC-session cast → epoch µs
+          unix_micros(col("odate").cast("timestamp")).as("odate_us"))
+    }),
+
     // CSV round trip — the reference's export format (K2) made lossless:
     // RFC 4180 quoting, multiLine re-read, null-vs-empty sentinel. The
     // text column carries newlines, quotes, and CJK — the cases naive CSV
@@ -1793,6 +1816,18 @@ object SparkEntry {
       "SELECT doc_id, lang, text FROM documents",
     "q96_csv_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
+
+    // and for Avro: the oracle is the source projection — any
+    // logical-type drift through the container round trip (µs truncation,
+    // decimal re-rounding, null-union loss) shows as a hash mismatch
+    "q100_avro_roundtrip" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END
+        |    AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS price_cents,
+        |  epoch_us(o_orderdate) AS odate_us
+        |FROM orders""".stripMargin,
 
     // the salt never appears: the oracle is the PLAIN join + rollup
     "q85_salted_join" ->

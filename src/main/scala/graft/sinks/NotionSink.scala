@@ -182,10 +182,14 @@ object NotionSink {
   }
 
   /** In-memory fake for tests (and the offline build): page_id →
-    * (key, properties, is_active). `failEveryNth` injects R4 faults. */
+    * (key, properties, is_active). `failEveryNth` injects transient R4
+    * faults (absorbed by the retry envelope); `failKeys` fails EVERY
+    * insert attempt for those keys — a permanent mid-batch outage the
+    * retry budget cannot mask, for replay-idempotence tests. */
   class InMemoryNotionApi(
       storeId: String = java.util.UUID.randomUUID().toString,
-      failEveryNth: Int = 0) extends NotionApi {
+      failEveryNth: Int = 0,
+      failKeys: Set[Long] = Set.empty) extends NotionApi {
 
     def pages: ConcurrentHashMap[String, (Long, Map[String, String], Boolean)] =
       InMemoryNotionApi.stores.computeIfAbsent(storeId,
@@ -207,6 +211,8 @@ object NotionSink {
     override def existingRecords(): Map[Long, String] =
       pages.asScala.collect { case (pid, (k, _, _)) => k -> pid }.toMap
     override def insert(key: Long, properties: Map[String, String]): Unit = {
+      if (failKeys(key))
+        throw new RuntimeException(s"injected permanent failure for $key")
       maybeFail()
       pages.put(s"page-$nextId", (key, properties, true))
     }

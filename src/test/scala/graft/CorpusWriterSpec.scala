@@ -249,6 +249,52 @@ class CorpusWriterSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Avro round trip: logical types, unions, and hostile strings survive") {
+    import org.apache.spark.sql.Row
+    val spark2 = spark
+    import spark2.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456")
+    val preEpoch = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999")
+    val rows = Seq(
+      Row(1L, "plain", new java.math.BigDecimal("12345.67"), ts,
+        Array[Byte](1, 2, 3), java.sql.Date.valueOf("2024-03-01")),
+      Row(2L, "多语言\nline2", new java.math.BigDecimal("-0.01"), preEpoch,
+        Array[Byte](), java.sql.Date.valueOf("1969-01-01")),
+      Row(3L, null, new java.math.BigDecimal("0.00"), null, null, null))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DecimalType(10, 2)),
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("dt",
+        org.apache.spark.sql.types.DateType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    withOut { dir =>
+      sinks.AvroCorpus.writeAvro(df, dir.toString)
+      val back = sinks.AvroCorpus.readAvro(spark, dir.toString, schema)
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("id"), col("s"), col("d"),
+          unix_micros(col("t")).as("t_us"), hex(col("b")).as("bh"),
+          col("dt").cast("string").as("dts"))
+          .collect().map(_.toString).sorted.toSeq
+      assert(canon(back) === canon(df))
+      // µs precision explicitly: .123456 survives, .999999 pre-epoch too
+      val us = back.filter(col("id") === 1L)
+        .select(unix_micros(col("t"))).head().getLong(0)
+      assert(us % 1000000L === 123456L)
+      val pre = back.filter(col("id") === 2L)
+        .select(unix_micros(col("t"))).head().getLong(0)
+      assert(pre === -1L)
+    }
+  }
+
   test("compactAndPublish never lands on an existing version directory") {
     withOut { root =>
       // v000000 and v000001 already exist (v000001 = an earlier compaction

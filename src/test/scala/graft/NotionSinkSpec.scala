@@ -54,6 +54,29 @@ class NotionSinkSpec extends AnyFunSuite with SparkSpec {
     assert(report.inserted >= 6) // retries absorb most injected faults
   }
 
+  test("a batch killed mid-flight replays idempotently (exactly-once-ish upsert)") {
+    // run 1: keys 4 and 9 fail EVERY attempt — beyond the retry budget,
+    // i.e. the batch dies partially written, like a crash mid-flight
+    val run1Api = new InMemoryNotionApi("t-replay", failKeys = Set(4L, 9L))
+    val df = frame((1 to 10).map(i => (i.toLong, s"r$i", i.toDouble)): _*)
+    val r1 = NotionSink.upsert(df, "subject_id", run1Api)
+    assert(r1.inserted === 8 && r1.errors === 2)
+    // replay the SAME batch on a healthy transport against the same store:
+    // the upsert keys must dedupe — previously-written rows route to
+    // UPDATE via the fresh read-back snapshot, only the missing two insert
+    val run2Api = new InMemoryNotionApi("t-replay")
+    val r2 = NotionSink.upsert(df, "subject_id", run2Api)
+    assert(r2 === NotionSink.WriteReport(2, 8, 0, 0))
+    // exactly one active page per key — the replay created no duplicates
+    val byKey = run2Api.pages.asScala.values.groupBy(_._1)
+    assert(byKey.keySet === (1L to 10L).toSet)
+    assert(byKey.values.forall(ps => ps.size === 1 && ps.head._3))
+    // and a THIRD replay is a pure no-op shape: all updates, no inserts
+    val r3 = NotionSink.upsert(df, "subject_id",
+      new InMemoryNotionApi("t-replay"))
+    assert(r3 === NotionSink.WriteReport(0, 10, 0, 0))
+  }
+
   test("mass-deletion sync stays distributed and counts every tombstone") {
     val api = new InMemoryNotionApi("t-mass-delete")
     NotionSink.upsert(

@@ -763,6 +763,21 @@ object SparkEntry {
         "vec_id", "embedding", 10, nProbe = 6, candidateFactor = 24)
     }),
 
+    // Incremental ANN index lifecycle: build on the HISTORICAL corpus
+    // (vec_id < 400), append the delta (vec_id >= 400) encoded with the
+    // STORED quantizers (no retraining), serve over the extended index —
+    // the daily-ingest path; delta rows are fully retrievable.
+    "q102_ann_index_append" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val idx = scratchDir("graft_q102_idx")
+      Similarity.buildIvfPqIndex(e.filter(col("vec_id") < 400), "vec_id",
+        "embedding", idx, nCentroids = 8, m = 8, codebookSize = 8)
+      Similarity.appendToIvfPqIndex(s, idx, e.filter(col("vec_id") >= 400),
+        "vec_id", "embedding")
+      Similarity.ivfPqServeRefined(s, idx, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10, nProbe = 6, candidateFactor = 24)
+    }),
+
     // PQ + exact refine (the FAISS refine stage): ADC nominates 4×k
     // candidates from the compressed-domain scan, exact cosine re-ranks
     // the sliver to k — recall is bounded by candidate recall@40, not ADC
@@ -790,6 +805,18 @@ object SparkEntry {
     // of the counting step). Emits the merge table a tokenizer ships.
     "q98_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeTrain(T(s, dir, "documents"), "text", 20)),
+
+    // Tokenizer train + ENCODE end-to-end: apply q98's trained merges to
+    // the corpus. The merge table (20 rows, bounded) rides into the plan
+    // as literals; the apply is a codegen'd chain of replace()s over the
+    // wrapped segmentation string — one scan, zero shuffles.
+    "q101_bpe_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", 20)
+        .orderBy(col("rnd")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+    }),
 
     // Deterministic leak-proof train/val/test split: md5-threshold CASE at
     // scan stage; membership is a pure function of doc_id, so reruns and
@@ -1336,8 +1363,9 @@ object SparkEntry {
        |           x -> x / m.cnt) END AS cv
        |  FROM cent$p c LEFT JOIN m_$p m USING (cell))""".stripMargin
 
-  private def kmeansCteSql(k: Int, sampleSize: Int, iters: Int): String =
-    s"""samp AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS mk FROM e
+  private def kmeansCteSql(k: Int, sampleSize: Int, iters: Int,
+      trainSrc: String = "e"): String =
+    s"""samp AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS mk FROM $trainSrc
        |  ORDER BY mk, id LIMIT $sampleSize),
        |cent0 AS (SELECT cell, cv FROM (
        |    SELECT row_number() OVER (ORDER BY mk, id) - 1 AS cell, v AS cv
@@ -1447,8 +1475,16 @@ object SparkEntry {
     * one plan, top-10 of the ranking) and q99 (train persisted to a
     * parquet index, candidates served from it and exactly refined): the
     * trainings are identical, so one WITH-chain gates both paths. */
-  private def ivfPqRankedSql(nProbe: Int): String = {
+  private def ivfPqRankedSql(nProbe: Int,
+      trainFilter: Option[String] = None): String = {
     val (m, sub, k, iters) = (8, 8, 8, 2)
+    // trainFilter restricts the QUANTIZER TRAINING sample to a historical
+    // subset (the q102 build/append split); corpus encoding, probing, and
+    // scoring still run over all of e
+    val (trainCte, trainSrc) = trainFilter match {
+      case Some(f) => (s"et AS (SELECT id, v FROM e WHERE $f),\n", "et")
+      case None => ("", "e")
+    }
     val subCtes = (0 until m).map(j => pqSubspaceCteSql(j, sub, k, iters))
       .mkString(",\n")
     val adcCtes = (0 until m).map { j =>
@@ -1462,7 +1498,7 @@ object SparkEntry {
     val distSum = (0 until m).map(j => s"adc$j.d").mkString(" + ")
     s"""WITH e AS (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |${kmeansCteSql(8, 64, 2)},
+       |$trainCte${kmeansCteSql(8, 64, 2, trainSrc)},
        |cent AS (SELECT cell, cv FROM cent2),
        |assign AS (
        |  SELECT id, cell FROM (
@@ -1488,6 +1524,52 @@ object SparkEntry {
        |ranked AS (SELECT q_id, id, dist,
        |    row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, id ASC) AS rn
        |  FROM dist)""".stripMargin
+  }
+
+  /** The exact-refine tail over an ADC `ranked` CTE: top-240 candidates
+    * per query re-scored with exact cosine against the raw vectors,
+    * re-ranked to 10 — shared by q99 and q102 (both serve paths refine
+    * against the index's stored vector relation). */
+  private def serveRefineTailSql: String =
+    s"""scand AS (SELECT q_id, id FROM ranked WHERE rn <= 240),
+       |sx AS (
+       |  SELECT cd.q_id, cd.id, ${cosSql("q.qv", "e2.v")} AS sim
+       |  FROM scand cd JOIN e e2 ON e2.id = cd.id
+       |  JOIN qq q ON q.q_id = cd.q_id),
+       |sr AS (SELECT q_id, id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC) AS rn
+       |  FROM sx)
+       |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
+       |FROM sr WHERE rn <= 10""".stripMargin
+
+  /** The unrolled BPE-training CTE chain (words → word frequencies →
+    * wrapped segmentations → `rounds` × (pair counts p_r, argmax merge
+    * m_r, rewrite w_r)) — shared by q98 (emits the merge table) and q101
+    * (applies m1..m_rounds to every document). MATERIALIZED is
+    * load-bearing: round r references round r-1 twice (pair counts +
+    * rewrite); inlined CTEs would re-evaluate the whole prefix per
+    * reference — 2^rounds scans. */
+  private def bpeTrainCtes(rounds: Int): String = {
+    def roundCtes(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(wcnt) AS BIGINT) AS n
+         |  FROM (SELECT wcnt, string_split(substr(s, 2, length(s) - 2),
+         |          chr(2) || chr(1)) AS l FROM w${r - 1}) t,
+         |       unnest(generate_series(1, len(l) - 1)) AS u(i)
+         |  WHERE len(l) >= 2 GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT a, b, n FROM p$r
+         |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT wcnt,
+         |    replace(s, chr(1) || a || chr(2) || chr(1) || b || chr(2),
+         |      chr(1) || a || b || chr(2)) AS s
+         |  FROM w${r - 1}, m$r)""".stripMargin
+    s"""words AS (SELECT unnest(regexp_extract_all(text,
+       |    '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS wcnt FROM words GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT wcnt,
+       |    regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+       |  FROM wf),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
   }
 
   /** Exact brute-force cosine top-k — shared by q31 (window-rank form) and
@@ -2190,35 +2272,40 @@ object SparkEntry {
     // (n DESC, a ASC, b ASC) matches the Scala TakeOrdered.
     "q98_bpe_merges" -> {
       val rounds = 20
-      // MATERIALIZED is load-bearing: round r references round r-1 twice
-      // (pair counts + rewrite); inlined CTEs would re-evaluate the whole
-      // prefix per reference — 2^rounds scans
-      def roundCtes(r: Int): String =
-        s"""p$r AS MATERIALIZED (
-           |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(wcnt) AS BIGINT) AS n
-           |  FROM (SELECT wcnt, string_split(substr(s, 2, length(s) - 2),
-           |          chr(2) || chr(1)) AS l FROM w${r - 1}) t,
-           |       unnest(generate_series(1, len(l) - 1)) AS u(i)
-           |  WHERE len(l) >= 2 GROUP BY 1, 2),
-           |m$r AS MATERIALIZED (SELECT a, b, n FROM p$r
-           |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
-           |w$r AS MATERIALIZED (SELECT wcnt,
-           |    replace(s, chr(1) || a || chr(2) || chr(1) || b || chr(2),
-           |      chr(1) || a || b || chr(2)) AS s
-           |  FROM w${r - 1}, m$r)""".stripMargin
       val union = (1 to rounds).map { r =>
         s"""SELECT $r AS rnd, a AS "left", b AS "right", a || b AS merged, n
            |FROM m$r""".stripMargin
       }.mkString("\nUNION ALL ")
-      s"""WITH words AS (SELECT unnest(regexp_extract_all(text,
-         |    '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS w FROM documents),
-         |wf AS (SELECT w, count(*) AS wcnt FROM words GROUP BY w),
-         |w0 AS MATERIALIZED (SELECT wcnt,
-         |    regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
-         |  FROM wf),
-         |${(1 to rounds).map(roundCtes).mkString(",\n")}
+      s"""WITH ${bpeTrainCtes(rounds)}
          |SELECT CAST(rnd AS INT) AS rnd, "left", "right", merged, n FROM (
          |$union) z""".stripMargin
+    },
+
+    // q98's training chain re-derives the merge tables m1..m20, then each
+    // DOCUMENT is wrapped the same way (words joined by \x03 so no merge
+    // crosses a word boundary) and the 20 merges applied in training
+    // order via chained replace() — the SQL mirror of bpeEncode's
+    // literal-replace chain; symbols re-extracted between the wrappers
+    "q101_bpe_encode" -> {
+      val rounds = 20
+      val applyCtes = (1 to rounds).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT doc_id,
+           |    replace(s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+           |      chr(1) || m.a || m.b || chr(2)) AS s
+           |  FROM d${r - 1}, m$r m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeTrainCtes(rounds)},
+         |d0 AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(
+         |    regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'),
+         |    w -> regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')),
+         |    chr(3)) AS s FROM documents),
+         |$applyCtes,
+         |toks AS (SELECT doc_id, regexp_extract_all(s,
+         |    chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1) AS t
+         |  FROM d$rounds)
+         |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+         |  array_to_string(t, ' ') AS encoded
+         |FROM toks""".stripMargin
     },
 
     // the streaming lane has no within-delta dedup (stateless by design),
@@ -2335,16 +2422,14 @@ object SparkEntry {
     // with the stored codebooks or refine store would hash-mismatch here
     "q99_ann_index_serve" ->
       s"""${ivfPqRankedSql(6)},
-         |scand AS (SELECT q_id, id FROM ranked WHERE rn <= 240),
-         |sx AS (
-         |  SELECT cd.q_id, cd.id, ${cosSql("q.qv", "e2.v")} AS sim
-         |  FROM scand cd JOIN e e2 ON e2.id = cd.id
-         |  JOIN qq q ON q.q_id = cd.q_id),
-         |sr AS (SELECT q_id, id, sim,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC) AS rn
-         |  FROM sx)
-         |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
-         |FROM sr WHERE rn <= 10""".stripMargin,
+         |$serveRefineTailSql""".stripMargin,
+
+    // same serve+refine tail, but the quantizer-training CTEs see only
+    // the historical subset (id < 400) — exactly what the stored index
+    // carries after build(old) + append(delta with stored codebooks)
+    "q102_ann_index_append" ->
+      s"""${ivfPqRankedSql(6, Some("id < 400"))},
+         |$serveRefineTailSql""".stripMargin,
 
     // kmeans CTE chain with AUTO-DERIVED k = ceil(count/64) (bit-exact
     // centroid replay; k and sample size computed in SQL by the same

@@ -646,6 +646,28 @@ object Similarity {
     * Output is identical to [[ivfPqTopK]] at the same build parameters
     * (doubles round-trip parquet bit-exactly).
     */
+  /** Stored IVF centroids back into the trainer's in-memory shape —
+    * bounded by construction (nCentroids rows). */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Array[(Int, Seq[Double])] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell").cast("int"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** Stored PQ codebooks back into the trainer's shape — m × codebookSize
+    * rows, bounded by construction. */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Array[Array[(Int, Seq[Double])]] =
+    spark.read.parquet(s"$indexDir/codebooks")
+      .select(col("subspace").cast("int"), col("cell").cast("int"),
+        col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
+
   def ivfPqTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String,
@@ -655,20 +677,8 @@ object Similarity {
       k: Int,
       nProbe: Int = 2): DataFrame = {
     import spark.implicits._
-    val centroids: Array[(Int, Seq[Double])] =
-      spark.read.parquet(s"$indexDir/centroids")
-        .select(col("cell").cast("int"), col("cv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
-    val books: Array[Array[(Int, Seq[Double])]] =
-      spark.read.parquet(s"$indexDir/codebooks")
-        .select(col("subspace").cast("int"), col("cell").cast("int"),
-          col("cv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-        .groupBy(_._1).toArray.sortBy(_._1)
-        .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
+    val centroids = readCentroids(spark, indexDir)
+    val books = readCodebooks(spark, indexDir)
     require(centroids.nonEmpty && books.nonEmpty,
       s"ivfPqTopKFromIndex: no index under $indexDir")
     val codes = spark.read.parquet(s"$indexDir/codes")
@@ -685,6 +695,37 @@ object Similarity {
       codes.join(broadcast(probe), Seq("cell"))
         .filter(col("id") =!= col("q_id")),
       books, k)
+  }
+
+  /** Incrementally extend a persisted index with a DELTA of new vectors:
+    * encode the delta with the STORED quantizers (no retraining — the
+    * production ingest path; quantizer drift is a rebuild decision, not
+    * an ingest-time one) and append its codes and raw vectors. The
+    * historical index files are never rewritten — the q93/q97
+    * incremental-index shape for the ANN family: at 100 TB the daily
+    * delta is scan-stage encoded (both quantizations are pure
+    * expressions over broadcast literals) and lands as new parquet files
+    * next to the existing ones.
+    *
+    * Caller contract: delta ids must be disjoint from the index (ids are
+    * the dedup key downstream; this mirrors the q93 "delta vs index"
+    * split). Serving picks the appended vectors up immediately —
+    * [[ivfPqServeRefined]] reads codes/vectors fresh per query job.
+    */
+  def appendToIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val centroids = readCentroids(spark, indexDir)
+    val books = readCodebooks(spark, indexDir)
+    require(centroids.nonEmpty && books.nonEmpty,
+      s"appendToIvfPqIndex: no index under $indexDir")
+    val c = delta.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    pqEncode(assignCells(c, centroids), books, Seq("cell"))
+      .write.mode("append").parquet(s"$indexDir/codes")
+    c.write.mode("append").parquet(s"$indexDir/vectors")
   }
 
   /** The deployment-grade serve path: [[ivfPqTopKFromIndex]] nominates

@@ -317,6 +317,43 @@ object TextAnalysis {
         concat(col("left"), col("right")).as("merged"), col("n"))
   }
 
+  /** Encode the corpus with a TRAINED merge list ([[bpeTrain]]'s output
+    * order): the tokenizer-apply step. Each pre-token's characters are
+    * wrapped `\u0001sym\u0002` and the words joined by `\u0003`, then the
+    * merges are applied IN TRAINING ORDER as a chain of plain
+    * `replace(str, search, replacement)` calls — string replace IS the
+    * greedy left-to-right non-overlapping merge (same semantics as
+    * training's [[mergeSyms]] fold, proven by the q98 oracle), the
+    * wrapping makes cross-symbol matches impossible, and the `\u0003`
+    * word joiner breaks any cross-word match. Everything is a codegen'd
+    * scan-stage expression — the merge list rides into the plan as
+    * literals, the corpus is never shuffled, and unlike training there is
+    * no per-round job: one pass, N nested replaces.
+    *
+    * Returns (idCol, n_tokens, encoded) where `encoded` is the BPE symbol
+    * sequence joined by single spaces (pre-tokens never contain
+    * whitespace, so the join is unambiguous).
+    *
+    * The corpus must not contain U+0001–U+0003 (true of any sane text
+    * corpus; the q98 gate data is verified clean).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val (so, sc, wj) = ("\u0001", "\u0002", "\u0003") // sym open/close, word joiner
+    val wrapped = concat_ws(wj,
+      transform(preTokens(col(textCol)),
+        w => regexp_replace(w, "(.)", so + "$1" + sc)))
+    val applied = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      org.apache.spark.sql.functions.replace(c,
+        lit(so + a + sc + so + b + sc), lit(so + a + b + sc))
+    }
+    val toks = regexp_extract_all(applied,
+      lit(so + "([^" + sc + "]+)" + sc), lit(1))
+    df.select(col(idCol), size(toks).as("n_tokens"),
+      concat_ws(" ", toks).as("encoded"))
+  }
+
+
   /** Kneser–Ney continuation counts: for each word, the number of DISTINCT
     * predecessors it follows (the KN lower-order numerator — "how many
     * contexts license this word"), plus its raw bigram occurrence count;

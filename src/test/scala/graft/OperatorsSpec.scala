@@ -494,6 +494,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(codeCols === Set("id", "cell", "code_0", "code_1", "code_2", "code_3"))
   }
 
+  test("incremental index append: delta encoded with stored codebooks, retrievable") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-app").toString
+    Similarity.buildIvfPqIndex(e, "vec_id", "embedding", idx,
+      nCentroids = 4, m = 4, codebookSize = 4)
+    val codesBefore = spark.read.parquet(s"$idx/codes").count()
+    // the delta: an exact copy of vec 0's vector under a fresh id — it
+    // must quantize into vec 0's cell with vec 0's codes and, after the
+    // exact refine, rank FIRST for the vec-0 query (cosine 1.0, id 9999
+    // beats nothing else at sim 1.0 except... nothing: ids are distinct)
+    val dup = e.filter($"vec_id" === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfPqIndex(spark, idx, dup, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$idx/codes").count() === codesBefore + 1)
+    assert(spark.read.parquet(s"$idx/vectors")
+      .filter(col("id") === 9999L).count() === 1)
+    val got = Similarity.ivfPqServeRefined(spark, idx,
+      e.filter($"vec_id" === 0), "vec_id", "embedding", 5,
+      nProbe = 4, candidateFactor = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(got.head._1 === 9999L, s"appended duplicate not ranked first: ${got.toSeq}")
+    assert(got.head._2 === 1.0)
+  }
+
   test("ivfPqTopK probing every cell equals plain pqTopK (and recall holds)") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter($"vec_id" < 3)

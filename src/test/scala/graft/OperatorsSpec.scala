@@ -668,6 +668,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(onlyHeavy.length === 40 && onlyHeavy.forall(_ < 40L))
   }
 
+  test("incrementalExact stays exact under a deliberately saturated sketch") {
+    // a 64-bit sketch for a 300-row delta saturates completely (fill → 1,
+    // the warning path): the bloom then passes ~everything to the exact
+    // anti join, so the RESULT must not change — only the work bound does
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val delta = docs.filter($"doc_id" >= 200)
+    val index = docs.filter($"doc_id" < 200)
+      .select(operators.TextAnalysis.fingerprint($"text").as("fp")).distinct()
+    val sat = operators.Dedup.incrementalExact(delta, index, "doc_id", "text",
+      estimatedDeltaFps = 300L, numBits = 64L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val auto = operators.Dedup.incrementalExact(delta, index, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(sat.toSeq === auto.toSeq)
+  }
+
   test("bloomBitsFor: 16 bits/item, power-of-two, literal-size clamps") {
     import graft.functions.GraftFunctions.bloomBitsFor
     assert(bloomBitsFor(0L) === (1L << 20)) // floor

@@ -76,6 +76,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "expected map-side partial aggregation")
   }
 
+  test("q101: BPE encode is scan-stage only — zero shuffles, no UDF") {
+    // the merge chain is replace() literals inside the projection; the
+    // corpus must never shuffle (training ran separately — this pins the
+    // ENCODE plan, built from a fixed merge list)
+    val df = graft.operators.TextAnalysis.bpeEncode(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      Seq(("t", "h"), ("th", "e")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "encode must stay expression-only")
+  }
+
+  test("q33: multi-table LSH joins are all broadcast; one distinct shuffle") {
+    // per-table bucket joins broadcast the query side; the only
+    // hash-partitioned Exchanges are the cross-table DISTINCT and the
+    // final ranked window — never a corpus-sized join shuffle
+    val p = plan("q33_lsh_ann_topk")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "bucket joins should broadcast")
+  }
+
+  test("q99: index serve reads stored codes — no kmeans scan of the corpus") {
+    // the serve plan's scans are the index relations + the query slice;
+    // scoring is ADC against codebook literals, so no raw-vector columns
+    // from the corpus table appear outside the refine sliver
+    val p = plan("q99_ann_index_serve")
+    assert(p.contains("BroadcastExchange"), "probe/candidates should broadcast")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("media decode encoder compiles (no interpreted fallback)") {
     // round 1: a private object-nested case class made the encoder's
     // generated serializer fail Janino compilation, silently dropping the

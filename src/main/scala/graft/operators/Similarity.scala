@@ -290,7 +290,18 @@ object Similarity {
     * blowup). argmax = first position of the max (ties → lowest cell,
     * matching an oracle's ORDER BY sim DESC, cell ASC). Returns
     * (id, v, cell). */
-  private[operators] def assignCells(
+  /** Past this many centroids the literal-expression assignment becomes a
+    * codegen liability (one materialized sim column per centroid);
+    * [[assignCells]] switches to the join-based form. */
+  private[graft] val MaxExprCentroids = 256
+
+  private[graft] def assignCells(
+      c: DataFrame,
+      centroids: Array[(Int, Seq[Double])]): DataFrame =
+    if (centroids.length <= MaxExprCentroids) assignCellsExpr(c, centroids)
+    else assignCellsViaJoin(c, centroids)
+
+  private[graft] def assignCellsExpr(
       c: DataFrame,
       centroids: Array[(Int, Seq[Double])]): DataFrame = {
     def litVec(p: Seq[Double]) = array(p.map(lit(_)): _*)
@@ -305,6 +316,34 @@ object Similarity {
     // it in cell 0 (ranked last by sim) instead of dropping it at the join
     withSims.withColumn("cell", coalesce(argmax, lit(0)))
       .select(col("id"), col("v"), col("cell"))
+  }
+
+  /** Join-based rank-1 assignment for LARGE centroid counts (the scale
+    * path the auto-derived quantizer needs past [[MaxExprCentroids]]):
+    * broadcast the centroid relation, score the cross join map-side, and
+    * keep each row's argmax via `min_by` over the total order
+    * (−sim, cell) — maximize sim, ties to the lowest cell, exactly
+    * [[assignCellsExpr]]'s semantics (equivalence is spec-gated). Null
+    * sims (null/empty vectors) key as −2 < any cosine, so such rows land
+    * in cell 0 like the expression path. Cost vs the expression form: one
+    * corpus shuffle (the per-id reduction) — linear, map-side combinable,
+    * and independent of k; the expression form's generated code is
+    * O(k · dim) per row, which wins while it compiles. */
+  private[graft] def assignCellsViaJoin(
+      c: DataFrame,
+      centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toSeq.toDF("__cell", "__cv")
+    c.crossJoin(broadcast(centDf))
+      .select(col("id"), col("v"), col("__cell"),
+        coalesce(cosine(col("v"), col("__cv")), lit(-2.0)).as("__sim"))
+      .groupBy(col("id"))
+      .agg(
+        first(col("v")).as("v"),
+        min_by(col("__cell"),
+          struct((-col("__sim")).as("s"), col("__cell"))).as("cell"))
+      .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
   }
 
   def ivfTopK(

@@ -430,6 +430,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .forall(w => w.head <= w.last))
   }
 
+  test("join-based cell assignment equals the expression form (incl. ties/nulls)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+    val cents = Similarity.kmeansCentroids(
+      Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
+      "vec_id", "embedding", 8)
+    val expr = Similarity.assignCellsExpr(e, cents)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val join = Similarity.assignCellsViaJoin(e, cents)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(join === expr)
+    // and the dispatcher picks the join path for k > MaxExprCentroids
+    // without changing semantics on a duplicated-centroid tie fixture
+    val tied = cents ++ cents.map { case (i, cv) => (i + 8, cv) } // exact ties
+    val exprT = Similarity.assignCellsExpr(e, tied)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val joinT = Similarity.assignCellsViaJoin(e, tied)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(joinT === exprT) // ties → lowest cell on both paths
+  }
+
   test("auto-config pair generators equal the explicitly-sized runs") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val n = e.count()

@@ -870,6 +870,27 @@ object SparkEntry {
           unix_micros(col("odate").cast("timestamp")).as("odate_us"))
     }),
 
+    // Canonical text cleanup (crawl-ingest stage 0): NFC composition via
+    // the custom codegen'd nfc_normalize expression, control strip,
+    // whitespace collapse, trim — all in one scan-stage project, zero
+    // shuffle. The appended suffix (stray spaces, \x01 control, e +
+    // combining acute U+0301) makes every row exercise every pass — the
+    // synthetic corpus is otherwise pure ASCII, which NFC fast-paths.
+    "q103_unicode_clean" -> ((s, dir) => {
+      functions.GraftFunctions.register(s)
+      val dirty = concat(col("text"), lit("  x\u0001e\u0301 "))
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        operators.Scrub.normalizeText(dirty).as("cleaned"),
+        length(operators.Scrub.normalizeText(dirty)).cast("int").as("n_clean"))
+    }),
+
+    // Corpus-trained add-k bigram LM quality score (CCNet-style
+    // perplexity filter): model build is one vocab-bounded shuffle,
+    // scoring is a model-vs-corpus hash join + map-side-combinable avg.
+    "q104_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(T(s, dir, "documents"), "doc_id", "text")),
+
     // CSV round trip — the reference's export format (K2) made lossless:
     // RFC 4180 quoting, multiLine re-read, null-vs-empty sentinel. The
     // text column carries newlines, quotes, and CJK — the cases naive CSV
@@ -2280,6 +2301,41 @@ object SparkEntry {
          |SELECT CAST(rnd AS INT) AS rnd, "left", "right", merged, n FROM (
          |$union) z""".stripMargin
     },
+
+    // DuckDB's nfc_normalize is the independent NFC implementation; the
+    // dirty suffix is rebuilt with chr() (769 = U+0301 combining acute).
+    // \x0B is routed through the control class, not \s — Java \s matches
+    // it, RE2's does not (see Scrub.ControlPattern).
+    "q103_unicode_clean" ->
+      """SELECT doc_id, cleaned, CAST(length(cleaned) AS INT) AS n_clean
+        |FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(
+        |      nfc_normalize(text || '  x' || chr(1) || 'e' || chr(769) || ' '),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS cleaned
+        |  FROM documents) t""".stripMargin,
+
+    // the same add-0.5 bigram model re-derived: context totals and the
+    // continuation vocabulary V both come from the aggregated model CTE
+    // (as in bigramLm), avg_logprob rounded to 4 dp on both sides
+    "q104_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS g) u
+        |  WHERE len(ts) > 1),
+        |model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM model GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM model)
+        |SELECT b.doc_id,
+        |  round(avg(ln((m.c + 0.5) / (u.ctx + 0.5 * v.v))), 4) AS avg_logprob,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams
+        |FROM bg b JOIN model m USING (w1, w2) JOIN ctx u USING (w1) CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
 
     // q98's training chain re-derives the merge tables m1..m20, then each
     // DOCUMENT is wrapped the same way (words joined by \x03 so no merge

@@ -19,6 +19,8 @@ object GraftFunctions {
         intArg(exprs, 1, 16), intArg(exprs, 2, 6)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     // Catalyst ships distributed bloom-filter expressions for its runtime
     // join filters but does not register them for users; exposing them
     // through the registry keeps the public-API-only Column path.
@@ -50,6 +52,10 @@ object GraftFunctions {
 
   /** 64-bit SimHash of a token array as 16 hex chars (codegen'd kernel). */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Unicode NFC canonical composition (codegen'd; ASCII rows are an
+    * allocation-free identity). */
+  def nfc_normalize(text: Column): Column = call_function("nfc_normalize", text)
 
   /** Distributed bloom-filter build over xxhash64 values (binary sketch of
     * `numBits` bits; partial sketches OR-merge map-side, so the shuffle

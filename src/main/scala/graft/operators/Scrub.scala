@@ -25,6 +25,31 @@ object Scrub {
   def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** C0/C1-ish control characters, EXCLUDING the whitespace controls
+    * TAB/LF/CR (\x09 \x0A \x0D) which the whitespace-collapse pass owns.
+    * \x0B (vertical tab) is deliberately IN this class: Java's `\s`
+    * matches it but RE2's does not, so routing it through the control
+    * strip — which both engines agree on — keeps [[normalizeText]]
+    * cross-engine exact. */
+  val ControlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Canonical text cleanup — the first stage of a crawl-ingest pipeline:
+    * Unicode NFC composition (combining marks → precomposed, so dedup
+    * fingerprints / shingles / vocab don't fracture on encoding variants),
+    * control-character strip, whitespace-run collapse to a single space,
+    * and edge trim. Entirely codegen'd expressions (the NFC step is the
+    * custom [[graft.functions.NfcNormalize]] expression with an
+    * allocation-free ASCII fast path), so the whole cleanup rides in the
+    * scan stage's WholeStageCodegen span: no shuffle, cost linear in bytes
+    * scanned — the only shape that survives 100 TB. */
+  def normalizeText(text: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(
+          graft.functions.GraftFunctions.nfc_normalize(text),
+          ControlPattern, ""),
+        "\\s+", " "))
+
   /** Redact PII spans with typed placeholders, in a fixed order chosen so
     * earlier passes cannot manufacture later matches: emails first (their
     * local/domain parts contain digit runs a later pass could half-match),

@@ -545,4 +545,62 @@ object TextAnalysis {
           .as("top_2gram_frac"),
         col("total").as("n_3grams"))
   }
+
+  /** Adjacent-bigram array of a token array, built with a scan-stage
+    * `transform` (0-based lambda index over the length−1 prefix, each
+    * element paired with its successor) — no shuffle, no explode until the
+    * caller asks for rows. */
+  private[operators] def bigramPairs(ts: Column): Column =
+    transform(slice(ts, lit(1), size(ts) - 1),
+      (t, i) => struct(t.as("w1"), element_at(ts, i + 2).as("w2")))
+
+  /** Corpus-trained add-k-smoothed bigram language-model score per document
+    * — the CCNet/Wenzek '19 style perplexity quality filter: train token
+    * bigram statistics on the corpus itself, then score each document by
+    * its mean log conditional probability
+    * `avg(ln((c(w1,w2)+k) / (c(w1,·)+k·V)))` (V = distinct continuation
+    * vocabulary). Low scores flag boilerplate-free but unnatural text —
+    * lorem-ipsum, token salad, OCR noise — that length/punctuation
+    * heuristics miss. Documents with fewer than two tokens drop out (no
+    * bigrams, nothing to score).
+    *
+    * Output: idCol, `avg_logprob` (rounded to 4 dp — the emitted value,
+    * so summation-order ulps can't flip the gate), `n_bigrams`.
+    *
+    * Shape at 100 TB: two corpus scans, both scan-stage narrow until their
+    * aggregation — (1) model build: explode bigrams → groupBy(w1,w2)
+    * count, map-side combinable, so the shuffle carries distinct bigrams
+    * (vocab², bounded), not corpus tokens; context totals `c(w1,·)` and
+    * the continuation vocabulary V both derive from the aggregated model
+    * relation, NOT from a re-scan of the corpus. (2) scoring: re-explode,
+    * shuffle-hash-join against the model on (w1,w2) — build side is the
+    * model (vocab-bounded), probe side streams; frequent-bigram probe skew
+    * is AQE's skew-join case, and the final per-doc avg is again map-side
+    * combinable. V rides in as a broadcast scalar. */
+  def bigramLm(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val toks = df
+      .select(col(idCol), tokens(lower(col(textCol))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    def bg(d: DataFrame): DataFrame =
+      d.select(col(idCol), explode(bigramPairs(col("ts"))).as("p"))
+        .select(col(idCol), col("p.w1"), col("p.w2"))
+    val model = bg(toks).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val ctx = model.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
+    val vocab = model.select(countDistinct(col("w2")).as("v"))
+    bg(toks)
+      .join(model, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log(
+          (col("c") + lit(addK)) / (col("ctx") + lit(addK) * col("v")))), 4)
+          .as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
 }

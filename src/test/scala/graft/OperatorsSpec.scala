@@ -794,4 +794,74 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(g.find(_._1 == 2L).get._2 === BigDecimal(1.0 / 62)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("nfc_normalize composes marks, fast-paths ASCII, stays codegen'd") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, "éclair"),        // decomposed → composes to é
+      (2L, "éclair"),          // already precomposed → unchanged
+      (3L, "plain ascii"),          // ASCII identity fast path
+      (4L, "각"),   // Hangul jamo → syllable 각
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val out = rows
+      .select($"id", graft.functions.GraftFunctions.nfc_normalize($"s").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "éclair")
+    assert(out(2L) === "éclair")
+    assert(out(3L) === "plain ascii")
+    assert(out(4L) === "각")
+    assert(out(5L) === null)
+    // idempotence: a normalized string is a fixed point
+    val twice = rows.filter($"s".isNotNull)
+      .select(graft.functions.GraftFunctions.nfc_normalize(
+        graft.functions.GraftFunctions.nfc_normalize($"s")).as("n2"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice === Set("éclair", "plain ascii", "각"))
+    // and it runs inside a WholeStageCodegen span, not interpreted (a
+    // parquet scan, not the local relation — Catalyst constant-folds
+    // projections over LocalRelation before any codegen happens)
+    val plan = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.functions.GraftFunctions.nfc_normalize($"text").as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("nfc_normalize") && l.trim.stripPrefix(":- ").startsWith("*(")),
+      plan)
+  }
+
+  test("normalizeText: NFC + control strip + whitespace collapse + trim") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, "  a \t\n b  "),          // runs of real whitespace collapse
+      (2L, "a\u0001b\u007Fc"),       // C0/DEL controls stripped, no space
+      (3L, "a\u000Bb"),              // \x0B via control class (Java-vs-RE2 \s gap)
+      (4L, "é \u0002 fin "))   // NFC first, then strip, then collapse
+      .toDF("id", "s")
+    val out = rows
+      .select($"id", operators.Scrub.normalizeText($"s").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a b")
+    assert(out(2L) === "abc")
+    assert(out(3L) === "ab")
+    assert(out(4L) === "é fin")
+  }
+
+  test("bigram LM matches a hand-computed add-k model") {
+    // corpus: d1 = "a b a b", d2 = "b c", d3 = "a" (no bigrams → dropped).
+    // model: c(a,b)=2 c(b,a)=1 c(b,c)=1; ctx: a→2 b→2; V = |{a,b,c}| = 3.
+    val docs = Seq((1L, "A b a B"), (2L, "b C"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLm(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = math.log((2 + 0.5) / (2 + 0.5 * 3)) // P(b|a)
+    val pBA = math.log((1 + 0.5) / (2 + 0.5 * 3)) // P(a|b)
+    val pBC = math.log((1 + 0.5) / (2 + 0.5 * 3)) // P(c|b)
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((r4((pAB + pBA + pAB) / 3), 3L)))
+    assert(got(2L) === ((r4(pBC), 1L)))
+  }
 }

@@ -23,7 +23,8 @@ object PlanDump {
       "q57_repetition_profile", "q59_range_join", "q60_corpus_pipeline",
       "q64_bm25_rank", "q66_pq_ann_topk", "q67_vocab_topk",
       "q79_bloom_decontam", "q81_concat_blocks", "q86_pq_refined_topk",
-      "q87_bpe_pairs", "q93_incremental_dedup")
+      "q87_bpe_pairs", "q93_incremental_dedup", "q103_unicode_clean",
+      "q104_bigram_lm")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

@@ -121,6 +121,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q103: unicode cleanup is scan-stage only — zero shuffles, no UDF") {
+    // NFC + control strip + ws collapse must stay one codegen'd projection
+    // over the scan: normalization cost is bytes-scanned-linear, and any
+    // Exchange here would shuffle the full corpus text for a row-local op
+    val p = plan("q103_unicode_clean")
+    assert(!p.contains("Exchange"), s"cleanup must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "cleanup must stay expression-only")
+    assert(p.contains("nfc_normalize"), "custom expression missing from plan")
+  }
+
+  test("q104: bigram LM joins hash, never nested-loop; aggs are partial+final") {
+    // model and scoring joins key on (w1,w2)/(w1) — hash joins with the
+    // vocab-bounded side as build; the only cartesian allowed is the 1-row
+    // vocabulary scalar broadcast. Aggregations must combine map-side so
+    // the shuffles carry distinct bigrams / per-doc partials, not tokens.
+    val p = plan("q104_bigram_lm")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "model count must map-side combine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "vocab scalar should broadcast")
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

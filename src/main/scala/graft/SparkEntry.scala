@@ -891,6 +891,37 @@ object SparkEntry {
     "q104_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLm(T(s, dir, "documents"), "doc_id", "text")),
 
+    // URL canonicalization — the crawl-dedup key: case-folded scheme/host,
+    // default port stripped, fragment gone, tracking params dropped,
+    // surviving params sorted, trailing path slash trimmed. The dirty URL
+    // is synthesized per-row (the corpus has no natural one) so every
+    // doc_id residue class exercises a different spelling variant.
+    "q105_url_canonicalize" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val dirty = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("https://www.")),
+        col("source"), lit(".Example-"), col("lang"), lit(".org"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("?utm_source=feed&b=2&fbclid=XYZ&a=1")).otherwise(lit("?a=1&b=2")),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      d.select(col("doc_id"), dirty.as("url"),
+        operators.Scrub.canonicalizeUrl(dirty).as("canon"))
+    }),
+
+    // Semantic decontamination: the eval set (vec_id < 20) leaked into the
+    // corpus verbatim — embedding cosine >= 0.95 flags it where n-gram
+    // overlap (q51/q79) would need exact text. Bench side broadcast,
+    // corpus never shuffled; per-id max is the only exchange.
+    "q106_semantic_decontam" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      operators.Dedup.embeddingDecontaminate(
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding", 0.95)
+    }),
+
     // CSV round trip — the reference's export format (K2) made lossless:
     // RFC 4180 quoting, multiLine re-read, null-vs-empty sentinel. The
     // text column carries newlines, quotes, and CJK — the cases naive CSV
@@ -2336,6 +2367,62 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_bigrams
         |FROM bg b JOIN model m USING (w1, w2) JOIN ctx u USING (w1) CROSS JOIN v
         |GROUP BY 1""".stripMargin,
+
+    // dirty-URL synthesis replayed per residue class, then the same
+    // three anchored regexp_extract decompositions and list pipeline
+    // (filter tracking params → sort → rejoin); RE2 semantics match the
+    // Java patterns because every pattern is lookaround/backref-free
+    "q105_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+        |    || source || '.Example-' || lang || '.org'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        |    || '/Docs/' || doc_id
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&fbclid=XYZ&a=1'
+        |        ELSE '?a=1&b=2' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pathraw,
+        |    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS q
+        |  FROM u),
+        |cooked AS (
+        |  SELECT doc_id, url, scheme, hostraw,
+        |    regexp_replace(pathraw, '/+$', '') AS pathtrim,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)='))), '&') AS qc
+        |  FROM parts)
+        |SELECT doc_id, url,
+        |  CASE WHEN scheme = '' OR hostraw = '' THEN NULL
+        |  ELSE scheme || '://'
+        |    || (CASE WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+        |        WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+        |        ELSE hostraw END)
+        |    || (CASE WHEN pathtrim = '' THEN '/' ELSE pathtrim END)
+        |    || (CASE WHEN qc = '' THEN '' ELSE '?' || qc END)
+        |  END AS canon
+        |FROM cooked""".stripMargin,
+
+    // exact brute-force max-cosine vs the bench slice, same 6dp rounding
+    // on the EMITTED value (the kept flag derives from the rounded sim on
+    // both sides, so an engine ulp can never flip it)
+    "q106_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT v AS bv FROM e WHERE vec_id < 20),
+         |sims AS (
+         |  SELECT e.vec_id, round(max(${cosSql("e.v", "b.bv")}), 6) AS max_sim
+         |  FROM e, b GROUP BY 1)
+         |SELECT vec_id, max_sim,
+         |  CASE WHEN max_sim >= CAST(0.95 AS DOUBLE) THEN 0 ELSE 1 END AS kept
+         |FROM sims""".stripMargin,
 
     // q98's training chain re-derives the merge tables m1..m20, then each
     // DOCUMENT is wrapped the same way (words joined by \x03 so no merge

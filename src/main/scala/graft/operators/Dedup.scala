@@ -293,6 +293,41 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Semantic decontamination: corpus rows whose embedding has cosine
+    * similarity ≥ `threshold` to ANY benchmark embedding are flagged —
+    * the paraphrase-contamination check n-gram overlap misses (a reworded
+    * eval question shares no shingles but sits on top of the original in
+    * embedding space).
+    *
+    * Output: idCol, `max_sim` (max cosine vs the bench set, rounded 6dp —
+    * the emitted value), `kept` (1 = below threshold, survives).
+    *
+    * Scale shape: the benchmark set is the small side by definition, so it
+    * is **broadcast** and scored map-side in a nested-loop scan — the
+    * corpus is NEVER shuffled on any join key; the per-id max-reduction is
+    * the only exchange, map-side combinable, carrying one row per corpus
+    * id. Brute-force scoring is exact and costs |corpus|·|bench| dot
+    * products; a bench set large enough to make that bite belongs behind
+    * the IVF index path ([[Similarity.ivfTopK]]) instead. */
+  def embeddingDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol),
+      Similarity.asDouble(col(vecCol)).as("__v"))
+    val b = bench.select(Similarity.asDouble(col(vecCol)).as("__bv"))
+    c.crossJoin(broadcast(b))
+      .select(col(idCol),
+        Similarity.cosine(col("__v"), col("__bv")).as("__sim"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("__sim")), 6).as("max_sim"))
+      .select(col(idCol), col("max_sim"),
+        when(col("max_sim") >= threshold, lit(0)).otherwise(lit(1))
+          .as("kept"))
+  }
+
   /** MinHash permutation value of a shingle for hash seed `seed`: md5 of the
     * seeded shingle, compared lexicographically. */
   def minhashOf(shingle: Column, seed: Int): Column =

@@ -74,6 +74,47 @@ object Scrub {
   def registrableDomain(host: Column, levels: Int = 2): Column =
     array_join(slice(split(host, "\\."), -levels, levels), ".")
 
+  /** Tracking query parameters dropped by [[canonicalizeUrl]]: the
+    * click-attribution family that fractures URL-dedup keys (every social
+    * share of one page gets a distinct fbclid). RE2-safe alternation. */
+  val TrackingParamPattern = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+  /** URL canonicalization — the dedup key a crawl pipeline groups by
+    * before per-host caps and exact dedup: lowercase scheme+host, strip
+    * the scheme's default port (:443/:80), drop the fragment, drop
+    * tracking parameters ([[TrackingParamPattern]]), sort the surviving
+    * query parameters (param order is non-semantic), and trim trailing
+    * path slashes (root stays `/`). Without this, trivially-distinct
+    * spellings of one page each survive exact dedup and skew per-URL
+    * stats.
+    *
+    * Entirely codegen'd string/array expressions over RE2-safe patterns
+    * (the component split is three anchored `regexp_extract`s, not a
+    * parser) — scan-stage only, zero shuffle, cross-engine replayable,
+    * which is the contract every stage-0 cleanup op here follows.
+    * Malformed rows (no `scheme://`) yield null rather than a half-canon
+    * key — callers route them to a quarantine lane, mirroring
+    * [[urlHost]]'s null contract. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .otherwise(hostRaw)
+    val pathRaw =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathTrim = regexp_replace(pathRaw, "/+$", "")
+    val path = when(pathTrim === "", lit("/")).otherwise(pathTrim)
+    val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern))
+    val queryC = array_join(array_sort(params), "&")
+    when(scheme === "" || hostRaw === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(queryC =!= "", concat(lit("?"), queryC)).otherwise(lit(""))))
+  }
+
   /** Per-host document cap — the C4/RefinedWeb anti-spam mixture control:
     * at most `k` documents per URL host, picked deterministically (md5
     * rank, [[Sampling.stratifiedFixedK]]'s bounded min-k aggregator — the

@@ -864,4 +864,52 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L) === ((r4((pAB + pBA + pAB) / 3), 3L)))
     assert(got(2L) === ((r4(pBC), 1L)))
   }
+
+  test("canonicalizeUrl: case, ports, params, fragments, slashes, malformed") {
+    val cases = Seq(
+      // scheme+host case-fold; path case preserved
+      (1L, "HTTPS://WWW.Example.ORG/Docs/A", "https://www.example.org/Docs/A"),
+      // default port stripped per scheme; non-default kept
+      (2L, "https://h.org:443/a", "https://h.org/a"),
+      (3L, "http://h.org:80/a", "http://h.org/a"),
+      (4L, "https://h.org:8080/a", "https://h.org:8080/a"),
+      (5L, "http://h.org:443/a", "http://h.org:443/a"),
+      // fragment dropped; tracking params dropped; survivors sorted
+      (6L, "https://h.org/p?utm_source=x&b=2&fbclid=z&a=1#frag",
+        "https://h.org/p?a=1&b=2"),
+      // all-tracking query collapses to no query at all
+      (7L, "https://h.org/p?utm_medium=m&gclid=g", "https://h.org/p"),
+      // trailing slashes trimmed, root and empty path both canon to /
+      (8L, "https://h.org/docs///", "https://h.org/docs"),
+      (9L, "https://h.org/", "https://h.org/"),
+      (10L, "https://h.org", "https://h.org/"),
+      // malformed: no scheme -> null (quarantine lane, like urlHost)
+      (11L, "not a url", null),
+      (12L, "://missing.scheme/a", null))
+      .toDF("id", "url", "want")
+    val got = cases
+      .select($"id", operators.Scrub.canonicalizeUrl($"url").as("got"), $"want")
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("got") === r.getAs[String]("want"),
+        s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("embeddingDecontaminate flags the planted eval leak, keeps the rest") {
+    val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),  // scaled copy: cosine 1.0 -> dropped
+      (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal -> kept
+      (3L, Array(1.0f, 1.0f, 0.0f)))  // cos = 1/sqrt(2) ~ 0.707 -> kept at 0.95
+      .toDF("vec_id", "embedding")
+    val out = operators.Dedup
+      .embeddingDecontaminate(corpus, bench, "vec_id", "embedding", 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(out(1L) === ((1.0, 0)))
+    assert(out(2L) === ((0.0, 1)))
+    assert(out(3L)._2 === 1)
+    assert(math.abs(out(3L)._1 - 1.0 / math.sqrt(2)) < 1e-6)
+  }
 }

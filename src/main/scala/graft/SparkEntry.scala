@@ -912,6 +912,26 @@ object SparkEntry {
         operators.Scrub.canonicalizeUrl(dirty).as("canon"))
     }),
 
+    // HTML-to-text extraction over a synthesized page wrapper (script/
+    // style content must vanish, tags become spaces, entities decode,
+    // &amp; last), finished with the q103 normalizeText canonicalization —
+    // the full crawl stage-0 chain, one scan-stage projection.
+    "q107_html_strip" -> ((s, dir) => {
+      functions.GraftFunctions.register(s)
+      val page = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><style>p { color: red }</style></head><body><p id=\"c\">"),
+        col("text"),
+        lit("</p><br/><b>tail</b> &amp;amp; &lt;fin&gt;&nbsp;&#39;q&#39;" +
+          "</body></html>"))
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        operators.Scrub.normalizeText(operators.Scrub.stripHtml(page))
+          .as("clean"),
+        length(operators.Scrub.normalizeText(operators.Scrub.stripHtml(page)))
+          .cast("int").as("n_clean"))
+    }),
+
     // Semantic decontamination: the eval set (vec_id < 20) leaked into the
     // corpus verbatim — embedding cosine >= 0.95 flags it where n-gram
     // overlap (q51/q79) would need exact text. Bench side broadcast,
@@ -2408,6 +2428,28 @@ object SparkEntry {
         |    || (CASE WHEN qc = '' THEN '' ELSE '?' || qc END)
         |  END AS canon
         |FROM cooked""".stripMargin,
+
+    // same page synthesis, block/tag/entity chain ((?is) + lazy .*? are
+    // common Java-regex/RE2 syntax), then the q103 cleanup pipeline
+    "q107_html_strip" ->
+      """SELECT doc_id, clean, CAST(length(clean) AS INT) AS n_clean FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            '<html><head><script type="text/javascript">var x = 1 < 2;'
+        |            || '</script><style>p { color: red }</style></head><body><p id="c">'
+        |            || text
+        |            || '</p><br/><b>tail</b> &amp;amp; &lt;fin&gt;&nbsp;&#39;q&#39;'
+        |            || '</body></html>',
+        |            '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&')),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM documents) t""".stripMargin,
 
     // exact brute-force max-cosine vs the bench slice, same 6dp rounding
     // on the EMITTED value (the kept flag derives from the rounded sim on

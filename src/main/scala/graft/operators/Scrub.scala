@@ -74,6 +74,31 @@ object Scrub {
   def registrableDomain(host: Column, levels: Int = 2): Column =
     array_join(slice(split(host, "\\."), -levels, levels), ".")
 
+  /** HTML-to-text extraction — the step between a raw crawl and every
+    * text operator here: `<script>`/`<style>` blocks go first (their
+    * CONTENT is code, not prose — tag-only stripping would leak it into
+    * the corpus), then all remaining tags become spaces (block boundaries
+    * must not glue words together), then the five ubiquitous named
+    * entities decode, `&amp;` LAST so `&amp;lt;` ends as the literal
+    * `&lt;` the author wrote, not a re-decoded `<`.
+    *
+    * All patterns are RE2-safe — `(?is)` inline flags and lazy `.*?`
+    * repetition are common to Java regex and RE2, and there are no
+    * lookarounds/backrefs — so DuckDB replays the chain byte-identically.
+    * Scan-stage codegen'd expressions only; callers finish with
+    * [[normalizeText]] for whitespace/NFC canonicalization. Numeric
+    * character references need an indexed-substitution loop (backrefs), so
+    * they are out of expression reach by design — a corpus that needs them
+    * routes through a decode lane, not this fast path. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+  }
+
   /** Tracking query parameters dropped by [[canonicalizeUrl]]: the
     * click-attribution family that fractures URL-dedup keys (every social
     * share of one page gets a distinct fbclid). RE2-safe alternation. */

@@ -896,6 +896,35 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("stripHtml: block content, tags, entity decode order") {
+    graft.functions.GraftFunctions.register(spark)
+    val cases = Seq(
+      // script/style CONTENT vanishes (incl. a '<' inside the code),
+      // case-insensitive tag match, attributes on the opening tag
+      (1L, "a<SCRIPT type=\"x\">var y = 1 < 2;</script>b", "a b"),
+      (2L, "a<style>p { color: red }</STYLE>b", "a b"),
+      // multiline block content ((?s) in the block pattern)
+      (3L, "a<script>\nline1\nline2\n</script>b", "a b"),
+      // plain tags become spaces so block boundaries don't glue words
+      (4L, "<p>one</p><br/>two", "one two"),
+      // the five named entities; &amp; decodes LAST so an author-escaped
+      // &amp;lt; ends as the literal text "&lt;", never a second-pass '<'
+      (5L, "&lt;x&gt; &quot;q&quot; &#39;s&#39;&nbsp;end", "<x> \"q\" 's' end"),
+      (6L, "&amp;amp; &amp;lt;", "&amp; &lt;"))
+      .toDF("id", "html", "want")
+    val got = cases
+      .select($"id",
+        operators.Scrub.normalizeText(operators.Scrub.stripHtml($"html"))
+          .as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "a b")
+    assert(got(2L) === "a b")
+    assert(got(3L) === "a b")
+    assert(got(4L) === "one two")
+    assert(got(5L) === "<x> \"q\" 's' end")
+    assert(got(6L) === "&amp; &lt;")
+  }
+
   test("embeddingDecontaminate flags the planted eval leak, keeps the rest") {
     val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(

@@ -145,6 +145,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "vocab scalar should broadcast")
   }
 
+  test("q105: URL canonicalization is scan-stage only — zero shuffles, no UDF") {
+    // canonicalizeUrl is pure regexp/array expressions; any Exchange would
+    // shuffle full URL strings for a row-local rewrite
+    val p = plan("q105_url_canonicalize")
+    assert(!p.contains("Exchange"), s"canonicalize must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("ScalaUDF"), "must stay expression-only")
+  }
+
+  test("q106: bench side broadcasts; corpus is never shuffled on a join key") {
+    // the corpus×bench cross is a BroadcastNestedLoopJoin with the tiny
+    // bench side as build — the ONLY exchange is the per-id max agg
+    val p = plan("q106_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus must not shuffle-join against the bench set")
+  }
+
+  test("q107: HTML strip + cleanup is scan-stage only — zero shuffles, no UDF") {
+    val p = plan("q107_html_strip")
+    assert(!p.contains("Exchange"), s"strip must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("ScalaUDF"), "must stay expression-only")
+    assert(p.contains("nfc_normalize"), "cleanup chain missing from plan")
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

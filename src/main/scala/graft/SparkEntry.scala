@@ -932,6 +932,74 @@ object SparkEntry {
           .cast("int").as("n_clean"))
     }),
 
+    // C4 row-local line rules (terminal punct, >=5 words, no javascript)
+    // + page rules (lorem ipsum / curly brace / >=3 surviving lines) over
+    // a page synthesized per-row: l1 and l6 always survive, l4 only on
+    // even ids (punct parity), the interstitial/short/chrome lines never
+    // do — so odd pages die on min-lines, and %17 / %19 ids die on the
+    // lorem / brace page rules. Scan-stage only.
+    "q108_c4_line_filter" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      def ws(a: Int, n: Int) = array_join(slice(words, a, n), " ")
+      val lines = array(
+        concat(ws(1, 8), lit(".")),
+        lit("Enable JavaScript to view comments."),
+        ws(9, 3),
+        concat(ws(4, 8),
+          when(col("doc_id") % 2 === 0, lit("!")).otherwise(lit(""))),
+        lit("(c) 2026 Example Corp"),
+        concat(ws(2, 6), lit("?")))
+      val extra = when(col("doc_id") % 17 === 0,
+          array(lit("Lorem ipsum dolor sit amet.")))
+        .when(col("doc_id") % 19 === 0, array(lit("function() { return 1; }")))
+        .otherwise(array().cast("array<string>"))
+      val page = array_join(concat(lines, extra), "\n")
+      val kept = operators.Scrub.c4KeptLines(page)
+      val keep = operators.Scrub.c4PageKeep(page, kept)
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(page, "\n")).as("n_lines"),
+        size(kept).as("n_kept"),
+        when(keep, lit(1)).otherwise(lit(0)).as("page_kept"),
+        when(keep, array_join(kept, "\n")).otherwise(lit("")).as("cleaned"))
+    }),
+
+    // Paragraph-level keep-first-global-occurrence dedup (the Dolma
+    // recipe) over synthesized paragraphs: p1 is doc-unique, p2 repeats
+    // across each doc_id%7 class, p3 is corpus-universal boilerplate, and
+    // every %4 doc repeats its own p1 (the within-doc case). Winner per
+    // fingerprint is a map-side-combinable min(struct(id,pos)) aggregate —
+    // the text never rides the fingerprint shuffle.
+    "q109_paragraph_dedup" -> ((s, dir) => {
+      val p1 = array_join(slice(split(col("text"), " "), 1, 10), " ")
+      val paras = concat(
+        array(p1,
+          concat(lit("Subscribe to our newsletter "),
+            (col("doc_id") % 7).cast("string")),
+          lit("All rights reserved")),
+        when(col("doc_id") % 4 === 0, array(p1))
+          .otherwise(array().cast("array<string>")))
+      val synth = T(s, dir, "documents")
+        .select(col("doc_id"), array_join(paras, "\n").as("page"))
+      operators.Dedup.paragraphDedup(synth, "doc_id", "page", "\n")
+    }),
+
+    // Best-of-cluster survivor selection: near-dup pairs -> connected
+    // components (q63's lane) -> per-cluster representative by QUALITY
+    // (q21's score), ties to the highest id — the production dedup policy
+    // (keep the cleanest copy, not the first-crawled one).
+    "q110_cluster_reps" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        3, 0.3, maxShingleDocFreq = 100L)
+      val clusters = operators.Components.dedupClusters(
+        docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+      val scored = docs.select(col("doc_id"),
+        operators.TextAnalysis.qualityScore(col("text")).as("q"))
+      operators.Components.clusterRepresentatives(
+        clusters, "doc_id", "component", scored, "q")
+    }),
+
     // Semantic decontamination: the eval set (vec_id < 20) leaked into the
     // corpus verbatim — embedding cosine >= 0.95 flags it where n-gram
     // overlap (q51/q79) would need exact text. Bench side broadcast,
@@ -2451,6 +2519,62 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS clean
         |  FROM documents) t""".stripMargin,
 
+    // same page synthesis; the C4 line lambda and page rules restated in
+    // DuckDB's list_filter (both regexes RE2-safe)
+    "q108_c4_line_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pg AS (SELECT doc_id, array_to_string(list_concat(
+        |    [array_to_string(ws[1:8], ' ') || '.',
+        |     'Enable JavaScript to view comments.',
+        |     array_to_string(ws[9:11], ' '),
+        |     array_to_string(ws[4:11], ' ')
+        |       || (CASE WHEN doc_id % 2 = 0 THEN '!' ELSE '' END),
+        |     '(c) 2026 Example Corp',
+        |     array_to_string(ws[2:7], ' ') || '?'],
+        |    CASE WHEN doc_id % 17 = 0 THEN ['Lorem ipsum dolor sit amet.']
+        |         WHEN doc_id % 19 = 0 THEN ['function() { return 1; }']
+        |         ELSE CAST([] AS VARCHAR[]) END), chr(10)) AS page FROM w),
+        |k AS (SELECT doc_id, page,
+        |    len(string_split(page, chr(10))) AS n_lines,
+        |    list_filter(string_split(page, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"'']$')
+        |      AND len(string_split_regex(trim(l), ' +')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept FROM pg),
+        |f AS (SELECT doc_id, n_lines, kept,
+        |    (CASE WHEN NOT contains(lower(page), 'lorem ipsum')
+        |          AND NOT contains(page, '{')
+        |          AND len(kept) >= 3 THEN 1 ELSE 0 END) AS page_kept FROM k)
+        |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+        |  CAST(len(kept) AS INT) AS n_kept, page_kept,
+        |  CASE WHEN page_kept = 1 THEN array_to_string(kept, chr(10))
+        |       ELSE '' END AS cleaned
+        |FROM f""".stripMargin,
+
+    // same paragraph synthesis; keep-first is a row_number over the md5
+    // fingerprint ordered by (doc_id, pos) — the operator's min(struct)
+    // winner under a different spelling (pos is 1-based here, 0-based in
+    // Spark; only its order matters and it is never emitted)
+    "q109_paragraph_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pr AS (SELECT doc_id, list_concat(
+        |    [array_to_string(ws[1:10], ' '),
+        |     'Subscribe to our newsletter ' || CAST(doc_id % 7 AS VARCHAR),
+        |     'All rights reserved'],
+        |    CASE WHEN doc_id % 4 = 0 THEN [array_to_string(ws[1:10], ' ')]
+        |         ELSE CAST([] AS VARCHAR[]) END) AS ps FROM w),
+        |x AS (SELECT doc_id, unnest(ps) AS para,
+        |    unnest(generate_series(1, len(ps))) AS pos FROM pr),
+        |rk AS (SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos)
+        |      AS rn FROM x),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(para, chr(10) ORDER BY pos) AS cleaned
+        |  FROM rk WHERE rn = 1 GROUP BY doc_id),
+        |n AS (SELECT doc_id, count(*) AS n_paras FROM x GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_paras, coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.cleaned, '') AS cleaned
+        |FROM n LEFT JOIN k USING (doc_id)""".stripMargin,
+
     // exact brute-force max-cosine vs the bench slice, same 6dp rounding
     // on the EMITTED value (the kept flag derives from the rounded sim on
     // both sides, so an engine ulp can never flip it)
@@ -2707,6 +2831,53 @@ object SparkEntry {
          |SELECT d.doc_id,
          |  least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
          |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin,
+
+    // q63's transitive-closure CTE chain, then q21's quality expression
+    // and the per-cluster argmax restated as a row_number ordered by
+    // (q DESC, doc_id DESC) — the operator's max(struct(q, id)) winner
+    "q110_cluster_reps" ->
+      s"""${shingleCte.replace("WITH toks", "WITH RECURSIVE toks")},
+         |capped AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |        HAVING count(*) <= 100) ok USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM capped a JOIN capped b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.3),
+         |eb AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS node, dst AS r FROM eb
+         |  UNION
+         |  SELECT re.node, e.dst FROM reach re JOIN eb e ON re.r = e.src
+         |  WHERE e.dst <> re.node),
+         |comp AS (SELECT node, min(r) AS mn FROM reach GROUP BY node),
+         |ct AS (SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |scored AS (SELECT doc_id,
+         |    (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END
+         |     + CASE WHEN len(regexp_split_to_array(trim(text), '\\s+'))
+         |         BETWEEN 5 AND 20000 THEN 1 ELSE 0 END
+         |     + CASE WHEN CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+         |         / CAST(greatest(length(text), 1) AS DOUBLE) > 0.15
+         |         THEN 1 ELSE 0 END) AS q
+         |  FROM documents),
+         |rk AS (SELECT ct.component, ct.doc_id, s.q,
+         |    row_number() OVER (PARTITION BY ct.component
+         |      ORDER BY s.q DESC, ct.doc_id DESC) AS rn,
+         |    count(*) OVER (PARTITION BY ct.component) AS nm
+         |  FROM ct JOIN scored s USING (doc_id))
+         |SELECT component, CAST(nm AS BIGINT) AS n_members,
+         |  doc_id AS rep_id, q AS rep_score
+         |FROM rk WHERE rn = 1""".stripMargin,
 
     // the oracle states the range predicate directly; the operator's bin
     // bucketing must be invisible in the result

@@ -150,4 +150,35 @@ object Components {
     df.join(comp, Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol).cast("long")))
   }
+
+  /** Pick the canonical survivor per duplicate cluster by QUALITY, not by
+    * min id: the production dedup policy (keep the best-scored copy of the
+    * page, drop its near-duplicates) — min-id survivors systematically
+    * prefer whichever crawl happened to be ingested first, which is
+    * uncorrelated with being the cleanest copy.
+    *
+    * `clusters` is [[dedupClusters]] output (idCol, compCol); `scores` maps
+    * idCol → scoreCol (e.g. [[TextAnalysis.qualityScore]]). The winner is
+    * `max(struct(score, id))` — lexicographic struct ordering, so ties on
+    * score break to the highest id: a TOTAL order, deterministic on any
+    * engine. Output: compCol, `n_members`, `rep_id`, `rep_score`.
+    *
+    * Scale shape: one id-keyed equi-join (cluster ids against scores) and
+    * one component-keyed aggregate whose `max`/`count` both combine
+    * map-side — the shuffle carries one candidate struct per component per
+    * map task. No window, no sort, nothing driver-side.
+    */
+  def clusterRepresentatives(
+      clusters: DataFrame,
+      idCol: String,
+      compCol: String,
+      scores: DataFrame,
+      scoreCol: String): DataFrame =
+    clusters.join(scores, Seq(idCol))
+      .groupBy(col(compCol))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol), col(idCol))).as("best"))
+      .select(col(compCol), col("n_members"),
+        col("best").getField(idCol).as("rep_id"),
+        col("best").getField(scoreCol).as("rep_score"))
 }

@@ -587,4 +587,59 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Paragraph-level exact dedup, keep-FIRST-global-occurrence (the Dolma
+    * recipe): every paragraph that already appeared — in an earlier
+    * document, or earlier in the SAME document — is dropped, and each
+    * document is reassembled from its surviving paragraphs in original
+    * order. This removes the shared-boilerplate mass (nav chrome, footers,
+    * syndicated intros) that document-level dedup ([[exact]]) cannot see,
+    * without the corpus-frequency threshold [[graft.operators.Scrub.dropBoilerplateLines]]
+    * needs.
+    *
+    * Output: idCol, `n_paras` (before), `n_kept`, `cleaned` (reassembled;
+    * empty string when every paragraph was seen before).
+    *
+    * Scale shape (100 TB): paragraphs explode narrowly; the winner per
+    * fingerprint is a `min(struct(id, pos))` AGGREGATE — map-side
+    * combinable, so the fingerprint shuffle carries one (fp, id, pos)
+    * candidate per fingerprint per map task, never the paragraph text. The
+    * text-bearing relation shuffles exactly once, in the left-semi join
+    * against the winner set (equi keys (fp, id, pos); AQE broadcasts the
+    * winner side when it is small). First-occurrence is md5-keyed and
+    * `(id, pos)`-ordered — a total order, so results are deterministic and
+    * engine-replayable. A window (`row_number` over fp) would sort and
+    * carry full text through the shuffle; the aggregate form is strictly
+    * cheaper.
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+      .withColumn("fp", md5(col("para")))
+    val winners = paras
+      .groupBy(col("fp"))
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col("fp").as("w_fp"), col("w").getField(idCol).as("w_id"),
+        col("w").getField("pos").as("w_pos"))
+    val kept = paras.join(winners,
+      paras("fp") === col("w_fp") && paras(idCol) === col("w_id") &&
+        paras("pos") === col("w_pos"),
+      "left_semi")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            s => s.getField("para")),
+          sep).as("cleaned"))
+    paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
 }

@@ -99,6 +99,32 @@ object Scrub {
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
   }
 
+  /** Terminal sentence punctuation — the C4 "looks like prose" line test:
+    * navigation chrome, button labels, and code fragments rarely end in
+    * one of these. RE2-safe character class. */
+  val TerminalPunctPattern = "[.!?\"']$"
+
+  /** The ROW-LOCAL line rules of the C4 cleaning recipe (Raffel et al.
+    * 2020 §2.2), complementing [[dropBoilerplateLines]]'s corpus-frequency
+    * rule: keep only lines that end in terminal punctuation, have at least
+    * `minWords` words, and do not mention javascript (the "enable
+    * JavaScript" interstitial family). Pure higher-order array expressions
+    * over the split page — scan-stage, zero shuffle at any corpus size,
+    * and every predicate is RE2-safe so DuckDB replays it exactly. */
+  def c4KeptLines(page: Column, minWords: Int = 5, sep: String = "\n"): Column =
+    filter(split(page, java.util.regex.Pattern.quote(sep)), l =>
+      l.rlike(TerminalPunctPattern) &&
+        size(split(trim(l), " +")) >= minWords &&
+        not(lower(l).contains("javascript")))
+
+  /** C4's PAGE-level drop rules over the line survivors: any page with
+    * "lorem ipsum" (placeholder text), a curly brace (leaked code), or
+    * fewer than `minLines` surviving lines is removed wholesale. */
+  def c4PageKeep(page: Column, keptLines: Column, minLines: Int = 3): Column =
+    not(lower(page).contains("lorem ipsum")) &&
+      not(page.contains("{")) &&
+      (size(keptLines) >= minLines)
+
   /** Tracking query parameters dropped by [[canonicalizeUrl]]: the
     * click-attribution family that fractures URL-dedup keys (every social
     * share of one page gets a distinct fbclid). RE2-safe alternation. */

@@ -925,6 +925,61 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(6L) === "&amp; &lt;")
   }
 
+  test("c4 line rules: punctuation, min-words, javascript, page-level drops") {
+    val good = Seq(
+      "This sentence has enough words to survive here.",
+      "Enable JavaScript to view comments.",          // javascript rule
+      "Too short.",                                   // < 5 words
+      "no terminal punctuation on this line either way", // punct rule
+      "A second fine sentence closes with a question mark?",
+      "And a third good line ends with an exclamation!").mkString("\n")
+    val cases = Seq(
+      (1L, good),                                       // 3 kept -> page kept
+      (2L, good + "\nLorem ipsum dolor sit amet."),     // page: lorem
+      (3L, good + "\nvar f = function() { return 1; }"),// page: brace
+      (4L, "One good line to keep around here today.\n" + // 2 kept < 3
+        "Second good line to keep around here today."))
+      .toDF("id", "page")
+    val kept = operators.Scrub.c4KeptLines($"page")
+    val out = cases.select($"id", size(kept).as("n"),
+        operators.Scrub.c4PageKeep($"page", kept).as("keep"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((3, true)))
+    assert(out(2L) === ((4, false)), "lorem page must drop regardless of lines")
+    assert(out(3L) === ((3, false)), "curly-brace page must drop")
+    assert(out(4L) === ((2, false)), "fewer than 3 surviving lines drops the page")
+  }
+
+  test("paragraphDedup keeps the first global occurrence, incl. within-doc repeats") {
+    val docs = Seq(
+      (1L, "alpha unique one\nshared footer\nalpha unique one"),
+      (2L, "beta unique two\nshared footer"),
+      (3L, "shared footer"))
+      .toDF("id", "t")
+    val out = operators.Dedup.paragraphDedup(docs, "id", "t")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((3L, 2L, "alpha unique one\nshared footer")),
+      "doc 1 owns both first occurrences; its own repeat of p1 drops")
+    assert(out(2L) === ((2L, 1L, "beta unique two")))
+    assert(out(3L) === ((1L, 0L, "")), "all-duplicate doc ends empty, not missing")
+  }
+
+  test("clusterRepresentatives picks max quality, ties to the highest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "component")
+    val scores = Seq((1L, 2), (2L, 3), (3L, 3), (4L, 1)).toDF("doc_id", "q")
+    val out = operators.Components
+      .clusterRepresentatives(clusters, "doc_id", "component", scores, "q")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(out(1L) === ((3L, 3L, 3)),
+      "docs 2 and 3 tie on q=3; the higher id wins deterministically")
+    assert(out(4L) === ((1L, 4L, 1)))
+  }
+
   test("embeddingDecontaminate flags the planted eval leak, keeps the rest") {
     val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(

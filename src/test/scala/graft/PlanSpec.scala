@@ -170,6 +170,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("nfc_normalize"), "cleanup chain missing from plan")
   }
 
+  test("q108: C4 line filter is scan-stage only — zero shuffles, no UDF") {
+    // row-local rules must stay one higher-order-expression projection
+    // over the scan; an Exchange would shuffle full page text
+    val p = plan("q108_c4_line_filter")
+    assert(!p.contains("Exchange"), s"filter must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("ScalaUDF"), "must stay expression-only")
+  }
+
+  test("q109: paragraph-dedup winner is a combinable aggregate, not a window") {
+    // keep-first must be min(struct(id,pos)) with a map-side partial (the
+    // fingerprint shuffle carries one candidate per fp per task, no text);
+    // a row_number window would sort and carry paragraphs through it
+    val p = plan("q109_paragraph_dedup")
+    assert(!p.contains("Window"), "winner must be an aggregate, not a window")
+    assert(p.contains("partial_min"), "winner min must combine map-side")
+    assert(p.contains("LeftSemi"), "survivors rejoin via semi join")
+  }
+
+  test("q110: cluster representative is a combinable max(struct), no cartesian") {
+    val p = plan("q110_cluster_reps")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_max"), "argmax must combine map-side")
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

@@ -1000,6 +1000,23 @@ object SparkEntry {
         clusters, "doc_id", "component", scored, "q")
     }),
 
+    // Exact repeated-span EXCISION (Lee et al. '21): every %3 doc carries
+    // a shared 9-word template (all its interior 5-grams repeat corpus-
+    // wide -> the whole template is cut), every %11 doc re-appends its own
+    // first 5 words (a within-doc repeat -> both copies cut); boundary
+    // grams are doc-unique and survive. Natural 5-gram collisions in the
+    // synthetic soup are excised too — both engines count identically.
+    "q111_span_excision" -> ((s, dir) => {
+      val first5 = array_join(slice(split(col("text"), " "), 1, 5), " ")
+      val page = concat_ws(" ", col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("as seen on our network of partner sites today")),
+        when(col("doc_id") % 11 === 0, first5))
+      val synth = T(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+      operators.Dedup.exciseRepeatedSpans(synth, "doc_id", "page", 5, 2L)
+    }),
+
     // Semantic decontamination: the eval set (vec_id < 20) leaked into the
     // corpus verbatim — embedding cosine >= 0.95 flags it where n-gram
     // overlap (q51/q79) would need exact text. Bench side broadcast,
@@ -2574,6 +2591,37 @@ object SparkEntry {
         |SELECT n.doc_id, n.n_paras, coalesce(k.n_kept, 0) AS n_kept,
         |  coalesce(k.cleaned, '') AS cleaned
         |FROM n LEFT JOIN k USING (doc_id)""".stripMargin,
+
+    // same synthesis (concat_ws skips the NULL CASE arms on both
+    // engines); gram counting over md5(5-gram), and the splice restated
+    // with DuckDB's 1-based indexed list lambdas
+    "q111_span_excision" ->
+      """WITH base AS (SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'as seen on our network of partner sites today' END,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN array_to_string((string_split(text, ' '))[1:5], ' ') END)
+        |    AS page FROM documents),
+        |w AS (SELECT doc_id, string_split(page, ' ') AS ws FROM base),
+        |g AS (SELECT doc_id, s.st AS st,
+        |    md5(array_to_string(ws[s.st:s.st+4], ' ')) AS fp
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS st) s
+        |  WHERE len(ws) >= 5),
+        |hot AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, list_sort(list(st)) AS hs
+        |  FROM (SELECT g.doc_id, g.st FROM g JOIN hot USING (fp))
+        |  GROUP BY doc_id),
+        |j AS (SELECT w.doc_id, w.ws,
+        |    coalesce(cov.hs, CAST([] AS BIGINT[])) AS hs
+        |  FROM w LEFT JOIN cov USING (doc_id)),
+        |k AS (SELECT doc_id, ws, hs,
+        |    list_filter(ws, (x, i) ->
+        |      len(list_filter(hs, h -> h <= i AND i <= h + 4)) = 0) AS kept
+        |  FROM j)
+        |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+        |  CAST(len(ws) - len(kept) AS INT) AS n_removed,
+        |  coalesce(array_to_string(kept, ' '), '') AS cleaned
+        |FROM k""".stripMargin,
 
     // exact brute-force max-cosine vs the bench slice, same 6dp rounding
     // on the EMITTED value (the kept flag derives from the rounded sim on

@@ -588,6 +588,72 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Exact repeated-span EXCISION (the Lee et al. '21 "Deduplicating
+    * Training Data" family): instead of detecting duplicate documents,
+    * rewrite each document by cutting out every span of `w` consecutive
+    * words whose exact text occurs at least `minOccurrences` times in the
+    * whole corpus (within-doc repeats count — a doc that repeats its own
+    * boilerplate gets it excised too). This removes the repeated-substring
+    * mass (templated intros, quoted chain content, syndicated snippets)
+    * that document- and paragraph-granularity dedup both miss when the
+    * surrounding text differs.
+    *
+    * Output: idCol, `n_words`, `n_removed` (word positions cut),
+    * `cleaned` (the spliced document; empty when fully covered).
+    *
+    * Scale shape (100 TB): the gram explode is positional and narrow —
+    * only (id, start, md5) rows leave the scan, never gram text; the
+    * occurrence count is a fingerprint-keyed aggregate with map-side
+    * partials, and hit positions return via a fingerprint-keyed semi
+    * join (both sides narrow). The per-document interval cover is pure
+    * higher-order expressions over the doc's own sorted hit-start array —
+    * row-local, no shuffle, bounded by doc length. The cover test is
+    * exists() over hit starts (O(words·hits) per doc) — fine at document
+    * scale; a doc with pathological hit density is already mostly
+    * duplicate and cheap to cut. */
+  def exciseRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      minOccurrences: Long = 2L): DataFrame = {
+    require(w >= 1, "span width must be positive")
+    val words = split(col(textCol), " ")
+    val base = df.select(col(idCol), words.as("ws"))
+    // (id, start, fp) for every w-gram, 1-based starts; docs shorter than
+    // w contribute no grams (nothing can repeat at width w)
+    // NB sequence(1, n) REVERSES when n < 1 (Spark's descending default),
+    // so the short-doc case must yield an empty array explicitly
+    val starts = when(size(col("ws")) >= w,
+      sequence(lit(1), size(col("ws")) - (w - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = base
+      .select(col(idCol), col("ws"), explode(starts).as("start"))
+      .select(col(idCol), col("start"),
+        md5(array_join(slice(col("ws"), col("start"), lit(w)), " ")).as("fp"))
+    val hot = grams.groupBy(col("fp"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("fp").as("hot_fp"))
+    val hits = grams.join(hot, grams("fp") === col("hot_fp"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("start"))).as("hit_starts"))
+    // splice row-locally: position p is covered iff some hit start s has
+    // s <= p <= s + w - 1; keep the uncovered words in original order
+    val joined = base.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("ws"),
+        coalesce(col("hit_starts"), array().cast("array<int>")).as("hs"))
+    val keptWords = filter(
+      transform(col("ws"), (word, i) => struct((i + 1).as("p"), word.as("word"))),
+      s => !exists(col("hs"), h =>
+        h <= s.getField("p") && s.getField("p") <= h + (w - 1)))
+    joined.select(col(idCol),
+      size(col("ws")).as("n_words"),
+      (size(col("ws")) - size(keptWords)).as("n_removed"),
+      array_join(transform(keptWords, s => s.getField("word")), " ")
+        .as("cleaned"))
+  }
+
   /** Paragraph-level exact dedup, keep-FIRST-global-occurrence (the Dolma
     * recipe): every paragraph that already appeared — in an earlier
     * document, or earlier in the SAME document — is dropped, and each

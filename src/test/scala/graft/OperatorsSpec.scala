@@ -980,6 +980,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) === ((1L, 4L, 1)))
   }
 
+  test("exciseRepeatedSpans cuts cross-doc and within-doc repeats in place") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e q"),        // ...at a different offset
+      (3L, "p q r s t u p q r s t u"),// repeats ITSELF -> fully covered
+      (4L, "one two three"))          // shorter than w: no grams, untouched
+      .toDF("id", "t")
+    val out = operators.Dedup.exciseRepeatedSpans(docs, "id", "t", 5, 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((8, 5, "f g h")))
+    assert(out(2L) === ((8, 5, "x y q")))
+    assert(out(3L) === ((12, 12, "")),
+      "within-doc repetition counts toward occurrences and excises both copies")
+    assert(out(4L) === ((3, 0, "one two three")))
+  }
+
   test("embeddingDecontaminate flags the planted eval leak, keeps the rest") {
     val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(

@@ -194,6 +194,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_max"), "argmax must combine map-side")
   }
 
+  test("q111: span excision counts grams map-side; hits return via semi join") {
+    // the gram shuffle carries (id, start, md5) — never gram text; the
+    // occurrence count must have a map-side partial, the hit lookup must
+    // be a semi join, and the splice is row-local (no window, no cartesian)
+    val p = plan("q111_span_excision")
+    assert(p.contains("partial_count"), "gram count must combine map-side")
+    assert(p.contains("LeftSemi"), "hit positions must return via semi join")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

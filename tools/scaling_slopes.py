@@ -36,7 +36,8 @@ QUERIES = (
     "q32_cosine_neardup,q63_dedup_clusters,q65_semdedup,q47_edit_distance,"
     "q57_repetition_profile,q64_bm25_rank,q67_vocab_topk,"
     "q61_stream_interval_join,q71_streaming_sliding,q35_streaming_tumbling,"
-    "q51_contamination,q109_paragraph_dedup,q110_cluster_reps"
+    "q51_contamination,q109_paragraph_dedup,q110_cluster_reps,"
+    "q111_span_excision"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -46,6 +47,7 @@ TABLE = {
     "q64_bm25_rank": "documents", "q67_vocab_topk": "documents",
     "q51_contamination": "documents",
     "q109_paragraph_dedup": "documents", "q110_cluster_reps": "documents",
+    "q111_span_excision": "documents",
     "q32_cosine_neardup": "embeddings", "q65_semdedup": "embeddings",
     "q35_streaming_tumbling": "events", "q61_stream_interval_join": "events",
     "q71_streaming_sliding": "events",

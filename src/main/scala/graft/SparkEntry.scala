@@ -1017,6 +1017,16 @@ object SparkEntry {
       operators.Dedup.exciseRepeatedSpans(synth, "doc_id", "page", 5, 2L)
     }),
 
+    // Curriculum ordering: token-count terciles at EXACT corpus quantiles
+    // (the one tiny-output extra job, broadcast back), md5 order key
+    // within phase — the easy->hard training schedule, zero corpus
+    // shuffle (ordering belongs to the phase-partitioned writer).
+    "q112_curriculum_order" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      operators.Sampling.curriculumOrder(d, "doc_id", "n_tokens")
+    }),
+
     // Semantic decontamination: the eval set (vec_id < 20) leaked into the
     // corpus verbatim — embedding cosine >= 0.95 flags it where n-gram
     // overlap (q51/q79) would need exact text. Bench side broadcast,
@@ -2622,6 +2632,26 @@ object SparkEntry {
         |  CAST(len(ws) - len(kept) AS INT) AS n_removed,
         |  coalesce(array_to_string(kept, ' '), '') AS cleaned
         |FROM k""".stripMargin,
+
+    // the histogram disc-quantile cuts restated: cumulative counts over
+    // distinct token-count values, cut k = min value reaching k/3 of the
+    // corpus; the only non-integer op is the same int/double division
+    "q112_curriculum_order" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+        |      AS n_tokens FROM documents),
+        |hist AS (SELECT n_tokens AS v, count(*) AS cnt FROM s GROUP BY 1),
+        |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+        |    sum(cnt) OVER () AS total FROM hist),
+        |cuts AS (SELECT k, min(v) AS cut
+        |  FROM c, (SELECT unnest([1, 2]) AS k) t
+        |  WHERE cum >= k * total / 3.0 GROUP BY k),
+        |ca AS (SELECT list_sort(list(cut)) AS cuts FROM cuts)
+        |SELECT doc_id, n_tokens,
+        |  CAST(len(list_filter(ca.cuts, x -> x < n_tokens)) + 1 AS INT)
+        |    AS phase,
+        |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS ord
+        |FROM s, ca""".stripMargin,
 
     // exact brute-force max-cosine vs the bench slice, same 6dp rounding
     // on the EMITTED value (the kept flag derives from the rounded sim on

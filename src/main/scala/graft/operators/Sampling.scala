@@ -268,4 +268,63 @@ object Sampling {
     keyed.select(col("epoch"), col(idCol), col("shard"),
       (row_number().over(w) - 1).as("pos"))
   }
+
+  /** Curriculum phase assignment + deterministic within-phase order — the
+    * sequence-length-warmup data-ordering step: documents are split into
+    * `nPhases` complexity bands at exact DISCRETE corpus quantiles
+    * (phase 1 = simplest), and each row gets a replay-stable md5 order
+    * key, so a writer emitting (phase, ord)-sorted shards produces the
+    * easy→hard training schedule.
+    *
+    * The quantile cuts come from a HISTOGRAM of the integral complexity
+    * measure, not an interpolating percentile: cut k = smallest value
+    * whose cumulative count reaches k/nPhases of the corpus. Two reasons:
+    * (1) the cumulative window runs over the DOMAIN-bounded histogram
+    * (one row per distinct value — thousands at most for token counts),
+    * never the corpus, so the "global window" is a non-issue at any
+    * scale; (2) everything is integer arithmetic plus one exact
+    * int÷double division that both Spark and a SQL oracle evaluate
+    * identically — an interpolated percentile lands within an ulp of an
+    * integer exactly when neighbors straddle a band edge, and a strict
+    * `<` there would flip between engines.
+    *
+    * Corpus cost: one groupBy(value) count (map-side combinable,
+    * domain-sized output) and one scan-stage projection against the
+    * broadcast cut array. Values equal to a cut fall to the LOWER phase;
+    * a value spanning multiple targets absorbs the skipped phase
+    * (standard disc-quantile behavior under heavy ties).
+    *
+    * Output: idCol, complexityCol, `phase` (1..nPhases), `ord`.
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      complexityCol: String,
+      nPhases: Int = 3,
+      seed: String = "epoch0"): DataFrame = {
+    require(nPhases >= 2, s"need at least 2 phases, got $nPhases")
+    val hist = df.groupBy(col(complexityCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val cum = hist.select(col("v"),
+      sum(col("cnt")).over(wCum).as("cum"),
+      sum(col("cnt")).over(wAll).as("total"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = broadcast((1 until nPhases).toDF("k"))
+    val cuts = cum.crossJoin(targets)
+      .filter(col("cum") >= col("k") * col("total") / lit(nPhases.toDouble))
+      .groupBy(col("k")).agg(min(col("v")).as("cut"))
+      .agg(sort_array(collect_list(col("cut"))).as("cuts"))
+    df.crossJoin(broadcast(cuts))
+      .select(col(idCol), col(complexityCol),
+        (size(filter(col("cuts"), c => c < col(complexityCol))) + 1)
+          .as("phase"),
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+          .as("ord"))
+  }
 }

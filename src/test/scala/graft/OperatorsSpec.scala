@@ -998,6 +998,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) === ((3, 0, "one two three")))
   }
 
+  test("curriculumOrder: disc cuts, boundaries fall low, ties absorb phases") {
+    // values 1..9, N=9, targets 3 and 6 -> cuts {3, 6}:
+    // phase 1 = {1,2,3} (boundary value 3 falls LOW), 2 = {4,5,6}, 3 = {7,8,9}
+    val df = (1 to 9).map(i => (i.toLong, i)).toDF("id", "c")
+    val out = operators.Sampling.curriculumOrder(df, "id", "c", 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2, 6L -> 2,
+      7L -> 3, 8L -> 3, 9L -> 3))
+    // degenerate: one value spans every target -> everything lands phase 1
+    val ties = (1 to 6).map(i => (i.toLong, 5)).toDF("id", "c")
+    val tied = operators.Sampling.curriculumOrder(ties, "id", "c", 3)
+      .collect().map(_.getInt(2)).toSet
+    assert(tied === Set(1), "all-equal corpus collapses to the first phase")
+    // the order key is the replay-stable md5 of seed:id
+    val ord = operators.Sampling.curriculumOrder(df, "id", "c", 3, "epoch0")
+      .filter($"id" === 1L).head.getString(3)
+    assert(ord === java.security.MessageDigest.getInstance("MD5")
+      .digest("epoch0:1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+  }
+
   test("embeddingDecontaminate flags the planted eval leak, keeps the rest") {
     val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(

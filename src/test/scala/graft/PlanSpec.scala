@@ -204,6 +204,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q112: curriculum cuts come from a broadcast histogram, corpus never shuffles") {
+    // the corpus-sized side must see only a scan-stage projection against
+    // the broadcast cut array; the window/cumsum runs over the DOMAIN-
+    // bounded histogram (map-side partial count), never the corpus
+    val p = plan("q112_curriculum_order")
+    assert(p.contains("partial_count"), "histogram must combine map-side")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "cut array must broadcast")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

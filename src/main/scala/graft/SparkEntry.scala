@@ -1027,6 +1027,13 @@ object SparkEntry {
       operators.Sampling.curriculumOrder(d, "doc_id", "n_tokens")
     }),
 
+    // TF-IDF keyword extraction: top-5 characteristic terms per doc,
+    // rank over the ROUNDED score (q64's ulp-proof pattern); the per-doc
+    // top-k rides Spark's WindowGroupLimit rewrite (q09's pinned shape).
+    "q113_tfidf_keywords" -> ((s, dir) =>
+      operators.TextAnalysis.tfidfKeywords(
+        T(s, dir, "documents"), "doc_id", "text", 5)),
+
     // Semantic decontamination: the eval set (vec_id < 20) leaked into the
     // corpus verbatim — embedding cosine >= 0.95 flags it where n-gram
     // overlap (q51/q79) would need exact text. Bench side broadcast,
@@ -2632,6 +2639,24 @@ object SparkEntry {
         |  CAST(len(ws) - len(kept) AS INT) AS n_removed,
         |  coalesce(array_to_string(kept, ' '), '') AS cleaned
         |FROM k""".stripMargin,
+
+    // rank over the 6dp-rounded score with term tiebreak on both engines
+    // (q64's pattern), so ln() ulps can't flip the gate
+    "q113_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    round(tf * ln(n_docs / df), 6) AS score
+        |  FROM tf JOIN dfreq USING (term), st),
+        |rk AS (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, term, score, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 5""".stripMargin,
 
     // the histogram disc-quantile cuts restated: cumulative counts over
     // distinct token-count values, cut k = min value reaching k/3 of the

@@ -603,4 +603,45 @@ object TextAnalysis {
           .as("avg_logprob"),
         count(lit(1)).as("n_bigrams"))
   }
+
+  /** TF-IDF keyword extraction: the top-`k` most characteristic terms per
+    * document by `tf · ln(N/df)` — the corpus-exploration / auto-tagging
+    * counterpart to [[bm25Scores]] (which ranks documents against a GIVEN
+    * query; this has no query — it surfaces what each document is about).
+    *
+    * Output: idCol, `term`, `score` (rounded 6dp), `rank` (1..k).
+    *
+    * Determinism contract (the q64 pattern): the rank is computed over the
+    * ROUNDED score with the term as tiebreak — a total order per document
+    * — so a 1–2 ulp `ln` drift between engines can never flip the emitted
+    * ranking.
+    *
+    * Scale shape: one (doc, term) shuffle with map-side-combinable counts;
+    * document frequency is a vocab-bounded aggregate joined back on the
+    * term key (AQE broadcasts it when small); the corpus-count scalar is a
+    * 1-row broadcast; and the per-doc top-k is a rank-filtered window that
+    * Spark rewrites to Partial+Final `WindowGroupLimit` — each map task
+    * pre-keeps k rows per document, so the window shuffle carries ≤ k·docs
+    * rows, never the full scored relation. */
+  def tfidfKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(col("n_docs") / col("df_")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

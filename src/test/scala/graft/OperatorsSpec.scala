@@ -1019,6 +1019,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .map("%02x".format(_)).mkString)
   }
 
+  test("tfidfKeywords matches hand-computed tf·ln(N/df) with rounded-rank order") {
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date"))
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.tfidfKeywords(docs, "doc_id", "text", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, 1)) === (("apple", r6(2 * math.log(3.0)))))
+    assert(out((1L, 2)) === (("banana", r6(math.log(1.5)))))
+    assert(out((3L, 1)) === (("cherry", r6(3 * math.log(1.5)))))
+    assert(out((3L, 2)) === (("date", r6(math.log(3.0)))))
+    assert(out.size === 6, "k=2 per document")
+  }
+
   test("embeddingDecontaminate flags the planted eval leak, keeps the rest") {
     val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(

@@ -215,6 +215,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("q113: per-doc top-k is a Partial+Final WindowGroupLimit, counts combine map-side") {
+    // the scored relation must NOT fully sort through the window shuffle:
+    // InferWindowGroupLimit pre-keeps k rows per doc per map task (q09's
+    // shape), and the tf/df counts must have map-side partials
+    val p = plan("q113_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("partial_count"), "tf/df counts must combine map-side")
+    assert(!p.contains("CartesianProduct"), "stats scalar must broadcast")
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

@@ -268,4 +268,81 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(once.count() ===
       docs.select(graft.operators.TextAnalysis.fingerprint($"text")).distinct().count())
   }
+
+  test("paragraphDedup equals a sequential keep-first reference on random corpora") {
+    // small paragraph pool forces heavy cross-doc and within-doc collisions
+    val paraGen = Gen.oneOf("alpha one", "beta two", "gamma three", "delta")
+    val docGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, paraGen))
+    (0 until 3).foreach { round =>
+      val docs = samples(docGen, 12).zipWithIndex
+        .map { case (ps, i) => (i.toLong, ps.mkString("\n")) }
+      val got = graft.operators.Dedup
+        .paragraphDedup(docs.toDF("id", "t"), "id", "t")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      val seen = scala.collection.mutable.Set[String]()
+      val want = docs.sortBy(_._1).map { case (id, t) =>
+        val ps = t.split("\n", -1)
+        val kept = ps.filter(seen.add)
+        id -> ((ps.length.toLong, kept.length.toLong, kept.mkString("\n")))
+      }.toMap
+      assert(got === want, s"round $round")
+    }
+  }
+
+  test("exciseRepeatedSpans equals an occurrence-count reference on random corpora") {
+    val w = 3
+    // 4-word vocab, lengths straddling the span width (incl. < w docs)
+    val docGen = Gen.choose(0, 9)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+      .map(_.mkString(" "))
+    (0 until 3).foreach { round =>
+      val docs = samples(docGen, 15).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.Dedup
+        .exciseRepeatedSpans(docs.toDF("id", "t"), "id", "t", w, 2L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+        .toMap
+      val allGrams = docs.flatMap { case (_, t) =>
+        val ws = t.split(" ", -1)
+        if (ws.length < w) Seq.empty
+        else (0 to ws.length - w).map(s => ws.slice(s, s + w).mkString(" "))
+      }
+      val occ = allGrams.groupBy(identity).view.mapValues(_.size).toMap
+      val want = docs.map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        val hits =
+          if (ws.length < w) Seq.empty
+          else (0 to ws.length - w)
+            .filter(s => occ(ws.slice(s, s + w).mkString(" ")) >= 2)
+        val covered = hits.flatMap(s => s until s + w).toSet
+        val kept = ws.zipWithIndex.collect { case (x, i) if !covered(i) => x }
+        id -> ((ws.length, covered.size, kept.mkString(" ")))
+      }.toMap
+      assert(got === want, s"round $round")
+    }
+  }
+
+  test("curriculumOrder phases are monotone in complexity and partition the corpus") {
+    val docGen = Gen.choose(1, 40)
+    (0 until 3).foreach { round =>
+      val rows = samples(docGen, 50).zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }
+      val out = graft.operators.Sampling
+        .curriculumOrder(rows.toDF("id", "c"), "id", "c", 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(out.length === rows.length, "phases must partition the corpus")
+      assert(out.forall(t => t._3 >= 1 && t._3 <= 4))
+      val byPhase = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      val phases = byPhase.keys.toSeq.sorted
+      phases.sliding(2).foreach {
+        case Seq(lo, hi) =>
+          assert(byPhase(lo).max <= byPhase(hi).min,
+            s"round $round: phase $lo must not exceed phase $hi")
+        case _ =>
+      }
+    }
+  }
 }

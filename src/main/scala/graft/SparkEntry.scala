@@ -924,12 +924,12 @@ object SparkEntry {
         col("text"),
         lit("</p><br/><b>tail</b> &amp;amp; &lt;fin&gt;&nbsp;&#39;q&#39;" +
           "</body></html>"))
-      T(s, dir, "documents").select(
-        col("doc_id"),
-        operators.Scrub.normalizeText(operators.Scrub.stripHtml(page))
-          .as("clean"),
-        length(operators.Scrub.normalizeText(operators.Scrub.stripHtml(page)))
-          .cast("int").as("n_clean"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.Scrub.normalizeText(operators.Scrub.stripHtml(page))
+            .as("clean"))
+        .select(col("doc_id"), col("clean"),
+          length(col("clean")).cast("int").as("n_clean"))
     }),
 
     // C4 row-local line rules (terminal punct, >=5 words, no javascript)
@@ -2540,13 +2540,15 @@ object SparkEntry {
         |      replace(replace(replace(replace(replace(replace(
         |        regexp_replace(
         |          regexp_replace(
-        |            '<html><head><script type="text/javascript">var x = 1 < 2;'
-        |            || '</script><style>p { color: red }</style></head><body><p id="c">'
-        |            || text
-        |            || '</p><br/><b>tail</b> &amp;amp; &lt;fin&gt;&nbsp;&#39;q&#39;'
-        |            || '</body></html>',
-        |            '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
-        |          '(?s)<[^>]*>', ' ', 'g'),
+        |            regexp_replace(
+        |              '<html><head><script type="text/javascript">var x = 1 < 2;'
+        |              || '</script><style>p { color: red }</style></head><body><p id="c">'
+        |              || text
+        |              || '</p><br/><b>tail</b> &amp;amp; &lt;fin&gt;&nbsp;&#39;q&#39;'
+        |              || '</body></html>',
+        |              '(?is)<script([ \t\r\n][^>]*)?>.*?</script>', ' ', 'g'),
+        |            '(?is)<style([ \t\r\n][^>]*)?>.*?</style>', ' ', 'g'),
+        |          '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
         |        '&nbsp;', ' '), '&amp;', '&')),
         |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
@@ -2571,7 +2573,7 @@ object SparkEntry {
         |k AS (SELECT doc_id, page,
         |    len(string_split(page, chr(10))) AS n_lines,
         |    list_filter(string_split(page, chr(10)), l ->
-        |      regexp_matches(l, '[.!?"'']$')
+        |      regexp_matches(l, '[.!?"'']\r?$')
         |      AND len(string_split_regex(trim(l), ' +')) >= 5
         |      AND NOT contains(lower(l), 'javascript')) AS kept FROM pg),
         |f AS (SELECT doc_id, n_lines, kept,

@@ -158,7 +158,13 @@ object Components {
     * uncorrelated with being the cleanest copy.
     *
     * `clusters` is [[dedupClusters]] output (idCol, compCol); `scores` maps
-    * idCol → scoreCol (e.g. [[TextAnalysis.qualityScore]]). The winner is
+    * idCol → scoreCol (e.g. [[TextAnalysis.qualityScore]]) and MUST cover
+    * every cluster id exactly once — the join is inner, so an unscored
+    * member silently leaves `n_members` (and a fully-unscored cluster
+    * leaves the output); a duplicated score row inflates the count. Both
+    * hold trivially when scores are computed per-document from the same
+    * corpus the clusters came from, which is the intended composition.
+    * The winner is
     * `max(struct(score, id))` — lexicographic struct ordering, so ties on
     * score break to the highest id: a TOTAL order, deterministic on any
     * engine. Output: compCol, `n_members`, `rep_id`, `rep_score`.

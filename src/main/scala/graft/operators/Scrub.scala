@@ -91,9 +91,19 @@ object Scrub {
     * they are out of expression reach by design — a corpus that needs them
     * routes through a decode lane, not this fast path. */
   def stripHtml(html: Column): Column = {
-    val noBlocks = regexp_replace(html,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
-    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    // one pass per block NAME, the name followed by explicit whitespace
+    // or '>' (NOT \b — '-' is a non-word char, so \b would still let
+    // `<style-card>` open a block; RE2 has no lookahead, so the follow
+    // set is spelled out, and as [ \t\r\n] rather than \s because Java's
+    // \s matches \x0B while RE2's does not). Open and close tags PAIR
+    // per name: `<script>...</style>` does not close a script block.
+    val noBlocks = Seq("script", "style").foldLeft(html) { (c, tag) =>
+      regexp_replace(c, s"(?is)<$tag([ \\t\\r\\n][^>]*)?>.*?</$tag>", " ")
+    }
+    // tags must LOOK like tags (</? + letter or !): a free-standing
+    // comparison in prose — `profit was < 100 but growth > 5` — is not
+    // swallowed as a pseudo-tag
+    val noTags = regexp_replace(noBlocks, "(?s)</?[A-Za-z!][^>]*>", " ")
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
       "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
@@ -101,8 +111,12 @@ object Scrub {
 
   /** Terminal sentence punctuation — the C4 "looks like prose" line test:
     * navigation chrome, button labels, and code fragments rarely end in
-    * one of these. RE2-safe character class. */
-  val TerminalPunctPattern = "[.!?\"']$"
+    * one of these. The optional `\r` keeps CRLF pages honest after an
+    * `\n` split AND keeps the two engines agreeing: Java's `$` matches
+    * before a final line terminator while RE2's matches only at absolute
+    * end, so a bare `$` against "...sentence.\r" would keep the line in
+    * Spark and drop it in the oracle. */
+  val TerminalPunctPattern = "[.!?\"']\\r?$"
 
   /** The ROW-LOCAL line rules of the C4 cleaning recipe (Raffel et al.
     * 2020 §2.2), complementing [[dropBoilerplateLines]]'s corpus-frequency

@@ -910,7 +910,11 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       // the five named entities; &amp; decodes LAST so an author-escaped
       // &amp;lt; ends as the literal text "&lt;", never a second-pass '<'
       (5L, "&lt;x&gt; &quot;q&quot; &#39;s&#39;&nbsp;end", "<x> \"q\" 's' end"),
-      (6L, "&amp;amp; &amp;lt;", "&amp; &lt;"))
+      (6L, "&amp;amp; &amp;lt;", "&amp; &lt;"),
+      // name boundary: <style-card> is an ordinary tag, NOT a style block
+      (7L, "<style-card>keep me</style-card><style>p{}</style>end", "keep me end"),
+      // free-standing comparisons in prose are not pseudo-tags
+      (8L, "profit was < 100 but growth > 5 percent", "profit was < 100 but growth > 5 percent"))
       .toDF("id", "html", "want")
     val got = cases
       .select($"id",
@@ -923,6 +927,10 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) === "one two")
     assert(got(5L) === "<x> \"q\" 's' end")
     assert(got(6L) === "&amp; &lt;")
+    assert(got(7L) === "keep me end",
+      "style-card must not open a style block; blocks pair per name")
+    assert(got(8L) === "profit was < 100 but growth > 5 percent",
+      "unescaped comparisons in prose must survive the tag stripper")
   }
 
   test("c4 line rules: punctuation, min-words, javascript, page-level drops") {
@@ -938,7 +946,13 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (2L, good + "\nLorem ipsum dolor sit amet."),     // page: lorem
       (3L, good + "\nvar f = function() { return 1; }"),// page: brace
       (4L, "One good line to keep around here today.\n" + // 2 kept < 3
-        "Second good line to keep around here today."))
+        "Second good line to keep around here today."),
+      // CRLF page: the \r must not defeat the terminal-punct test (and
+      // must do so IDENTICALLY in the DuckDB replay — RE2's $ does not
+      // match before a trailing \r, Java's does)
+      (5L, "First fine sentence survives the carriage return.\r\n" +
+        "Second fine sentence survives the carriage return too.\r\n" +
+        "Third fine sentence survives the carriage return as well.\r"))
       .toDF("id", "page")
     val kept = operators.Scrub.c4KeptLines($"page")
     val out = cases.select($"id", size(kept).as("n"),
@@ -948,6 +962,7 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === ((4, false)), "lorem page must drop regardless of lines")
     assert(out(3L) === ((3, false)), "curly-brace page must drop")
     assert(out(4L) === ((2, false)), "fewer than 3 surviving lines drops the page")
+    assert(out(5L) === ((3, true)), "CRLF lines keep their terminal punctuation")
   }
 
   test("paragraphDedup keeps the first global occurrence, incl. within-doc repeats") {

@@ -2511,7 +2511,7 @@ object SparkEntry {
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pathraw,
-        |    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS q
+        |    regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS q
         |  FROM u),
         |cooked AS (
         |  SELECT doc_id, url, scheme, hostraw,
@@ -2691,9 +2691,10 @@ object SparkEntry {
          |sims AS (
          |  SELECT e.vec_id, round(max(${cosSql("e.v", "b.bv")}), 6) AS max_sim
          |  FROM e, b GROUP BY 1)
-         |SELECT vec_id, max_sim,
-         |  CASE WHEN max_sim >= CAST(0.95 AS DOUBLE) THEN 0 ELSE 1 END AS kept
-         |FROM sims""".stripMargin,
+         |SELECT e.vec_id, s.max_sim,
+         |  CASE WHEN s.max_sim IS NOT NULL AND s.max_sim >= CAST(0.95 AS DOUBLE)
+         |    THEN 0 ELSE 1 END AS kept
+         |FROM e LEFT JOIN sims s ON s.vec_id = e.vec_id""".stripMargin,
 
     // q98's training chain re-derives the merge tables m1..m20, then each
     // DOCUMENT is wrapped the same way (words joined by \x03 so no merge

@@ -72,31 +72,84 @@ object GraftFunctions {
 
   /** Sketch size for `nItems` distinct keys: ~16 bits per item (false-
     * positive rate well under 1% at the optimal hash count), rounded up to
-    * a power of two, clamped to [2^20, 2^27]. The upper clamp matters
-    * because the sketch is inlined as a LITERAL into a scan filter — a
-    * 2^27-bit sketch is a 16 MB plan constant, the practical ceiling;
-    * past ~8M items the caller sees the [[bloomFillFactor]] saturation
-    * warning instead of a silently useless filter. */
+    * a power of two, clamped to [2^20, 2^26]. The upper clamp is 2^26
+    * because Spark's `BloomFilterAggregate` SILENTLY `Math.min`s the
+    * requested bits against `spark.sql.optimizer.runtime.bloomFilter.
+    * maxNumBits` (default 2^26, verified in the 4.1.2 bytecode) — asking
+    * for more would produce a smaller sketch than requested and make
+    * every size-derived diagnostic lie. An 8 MB plan constant is also the
+    * practical literal ceiling; past ~4M items the caller sees the
+    * [[bloomFillFactor]] saturation warning instead of a silently
+    * useless filter (raise the session conf AND pass explicit numBits to
+    * go bigger). */
   def bloomBitsFor(nItems: Long): Long = {
     val want = math.max(1L << 20, 16L * math.max(1L, nItems))
     val pow =
       if (java.lang.Long.bitCount(want) == 1) want
       else java.lang.Long.highestOneBit(want) << 1
-    math.min(1L << 27, pow)
+    math.min(1L << 26, pow)
   }
 
-  /** Fraction of bits set in a serialized bloom sketch (the 12-byte
-    * header — version, hash count, word count — is skipped). A fill
-    * factor beyond ~0.5 means the sketch is saturating: results stay
-    * exact (the bloom only prefilters), but its work-bounding collapses
-    * and every probe tends toward "maybe". */
-  def bloomFillFactor(sketch: Array[Byte], numBits: Long): Double = {
+  /** Number of data bits in a serialized bloom sketch, with the header
+    * located by probing: the header is version + hash count + word count
+    * ints (12 bytes in the classic layout; Spark 4's serialization adds
+    * one more int, 16 bytes), and the word count × 8 must equal the
+    * remaining byte length — probing both candidates instead of
+    * hard-coding an offset keeps this correct across serialization
+    * versions. */
+  def bloomDataBits(sketch: Array[Byte]): (Int, Long) = {
+    def intAt(o: Int): Long =
+      ((sketch(o) & 0xffL) << 24) | ((sketch(o + 1) & 0xffL) << 16) |
+        ((sketch(o + 2) & 0xffL) << 8) | (sketch(o + 3) & 0xffL)
+    Seq(12, 16).collectFirst {
+      case h if sketch.length >= h &&
+        intAt(h - 4) * 8L == (sketch.length - h).toLong =>
+        (h, (sketch.length - h) * 8L)
+    }.getOrElse((12, (sketch.length - 12L) * 8L))
+  }
+
+  /** Fraction of bits set in a serialized bloom sketch (header skipped
+    * via [[bloomDataBits]]). Measured against the sketch's ACTUAL bit
+    * length, not the requested size — Spark caps requests at its
+    * `maxNumBits` conf, and a fill factor computed against the bigger
+    * request would under-report saturation exactly when it matters.
+    * Beyond ~0.5 the sketch is saturating: results stay exact (the
+    * bloom only prefilters), but its work-bounding collapses and every
+    * probe tends toward "maybe". */
+  def bloomFillFactor(sketch: Array[Byte]): Double = {
+    val (header, bits) = bloomDataBits(sketch)
     var set = 0L
-    var i = 12
+    var i = header
     while (i < sketch.length) {
       set += java.lang.Integer.bitCount(sketch(i) & 0xff)
       i += 1
     }
-    set.toDouble / math.max(1L, numBits)
+    set.toDouble / math.max(1L, bits)
+  }
+
+  /** Build a bloom sketch over `h64` sized for `nItems` (or an explicit
+    * `numBits`), warning on saturation — the shared sizing + diagnostics
+    * used by `Dedup.incrementalExact` and
+    * `streaming.EventStreams.indexFilteredIngest`. None for empty input. */
+  def sizedBloomSketch(
+      df: org.apache.spark.sql.DataFrame,
+      h64: Column,
+      nItems: Long,
+      numBits: Long,
+      context: String): Option[Array[Byte]] = {
+    val bits = if (numBits > 0L) numBits else bloomBitsFor(nItems)
+    val sketch = df.agg(bloom_agg(h64, math.max(1L, nItems), bits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    Option(sketch).map { s =>
+      val fill = bloomFillFactor(s)
+      if (fill > 0.5) System.err.println(
+        f"[graft] $context%s: bloom fill factor $fill%.2f (requested " +
+          f"numBits=$bits%d, actual ${bloomDataBits(s)._2}%d) — sketch " +
+          "saturating; results stay exact but the prefilter is losing " +
+          "selectivity. Raise numBits (and the session's " +
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits) or shrink " +
+          "the shard.")
+      s
+    }
   }
 }

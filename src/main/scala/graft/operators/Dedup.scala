@@ -75,20 +75,12 @@ object Dedup {
       .localCheckpoint(eager = true)
     val nDelta =
       if (estimatedDeltaFps > 0L) estimatedDeltaFps else fresh.count()
-    val bits =
-      if (numBits > 0L) numBits
-      else graft.functions.GraftFunctions.bloomBitsFor(nDelta)
-    val sketch = fresh
-      .agg(bloom_agg(xxhash64(col("__fp")), math.max(1L, nDelta), bits)
-        .as("bf"))
-      .head().getAs[Array[Byte]](0)
-    if (sketch == null) return fresh.drop("__fp") // empty delta
-    val fill = graft.functions.GraftFunctions.bloomFillFactor(sketch, bits)
-    if (fill > 0.5) System.err.println(
-      f"[graft] incrementalExact: delta bloom fill factor $fill%.2f " +
-        f"(numBits=$bits) — sketch saturating; results stay exact but the " +
-        "index-scan prefilter is losing selectivity. Raise numBits or " +
-        "shrink the delta shard.")
+    val sketch = graft.functions.GraftFunctions.sizedBloomSketch(
+      fresh, xxhash64(col("__fp")), nDelta, numBits, "incrementalExact")
+      match {
+        case None => return fresh.drop("__fp") // empty delta
+        case Some(s) => s
+      }
     // index scan filtered by the delta bloom — only the sliver that might
     // collide leaves the scan; exact confirm via broadcast anti join
     val hits = indexFps
@@ -318,13 +310,19 @@ object Dedup {
     val c = corpus.select(col(idCol),
       Similarity.asDouble(col(vecCol)).as("__v"))
     val b = bench.select(Similarity.asDouble(col(vecCol)).as("__bv"))
-    c.crossJoin(broadcast(b))
+    val sims = c.crossJoin(broadcast(b))
       .select(col(idCol),
         Similarity.cosine(col("__v"), col("__bv")).as("__sim"))
       .groupBy(col(idCol))
       .agg(round(max(col("__sim")), 6).as("max_sim"))
+    // rejoin to the corpus so an EMPTY benchmark keeps everything (the
+    // cross join alone would emit zero rows — the opposite of "nothing
+    // to decontaminate against"), mirroring benchmarkOverlap's left_anti
+    // contract; max_sim is null for those rows
+    c.select(col(idCol)).join(sims, Seq(idCol), "left")
       .select(col(idCol), col("max_sim"),
-        when(col("max_sim") >= threshold, lit(0)).otherwise(lit(1))
+        when(col("max_sim").isNotNull && col("max_sim") >= threshold,
+          lit(0)).otherwise(lit(1))
           .as("kept"))
   }
 

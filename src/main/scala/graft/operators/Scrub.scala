@@ -171,7 +171,10 @@ object Scrub {
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val pathTrim = regexp_replace(pathRaw, "/+$", "")
     val path = when(pathTrim === "", lit("/")).otherwise(pathTrim)
-    val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    // anchor at the FIRST '?': a greedy [^#]* would skip to the LAST one,
+    // silently dropping everything before it when a query VALUE itself
+    // contains '?' (legal and common: redirect=/x?y=2)
+    val query = regexp_extract(url, "^[^?#]*\\?([^#]*)", 1)
     val params = filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingParamPattern))
     val queryC = array_join(array_sort(params), "&")

@@ -677,14 +677,6 @@ object Similarity {
     c.write.mode("overwrite").parquet(s"$outDir/vectors")
   }
 
-  /** Serve IVF-PQ top-k from an index persisted by [[buildIvfPqIndex]]:
-    * no training, no raw corpus — the two codebook relations are read
-    * back into plan literals (bounded by construction: nCentroids and
-    * m×codebookSize rows — the same driver-materialization budget the
-    * trainer itself has) and the ADC scan runs over the stored `codes`.
-    * Output is identical to [[ivfPqTopK]] at the same build parameters
-    * (doubles round-trip parquet bit-exactly).
-    */
   /** Stored IVF centroids back into the trainer's in-memory shape —
     * bounded by construction (nCentroids rows). */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -707,6 +699,14 @@ object Similarity {
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
 
+  /** Serve IVF-PQ top-k from an index persisted by [[buildIvfPqIndex]]:
+    * no training, no raw corpus — the two codebook relations are read
+    * back into plan literals (bounded by construction: nCentroids and
+    * m×codebookSize rows — the same driver-materialization budget the
+    * trainer itself has) and the ADC scan runs over the stored `codes`.
+    * Output is identical to [[ivfPqTopK]] at the same build parameters
+    * (doubles round-trip parquet bit-exactly).
+    */
   def ivfPqTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String,
@@ -750,6 +750,21 @@ object Similarity {
     * the dedup key downstream; this mirrors the q93 "delta vs index"
     * split). Serving picks the appended vectors up immediately —
     * [[ivfPqServeRefined]] reads codes/vectors fresh per query job.
+    *
+    * Crash/visibility contract: each append is one Spark write job (the
+    * file committer makes it atomic in isolation), but the TWO jobs are
+    * not jointly atomic. Vectors land FIRST, codes second, on purpose:
+    * candidate nomination reads `codes`, refinement reads `vectors`, so
+    * a serve between the jobs (or after a crash between them) sees the
+    * consistent OLD candidate set — orphaned extra vectors are never
+    * nominated and thus never served; the reverse order would nominate
+    * codes whose refine rows don't exist yet and silently drop them from
+    * top-k. A crash between the jobs is repaired by re-running with the
+    * same delta AFTER wiping its vector files, or by a rebuild; blind
+    * re-runs duplicate rows (append mode is not idempotent) — a
+    * production deployment wanting stronger semantics should version the
+    * whole index directory with [[graft.sinks.CorpusWriter]]'s
+    * claim-based atomic publish instead.
     */
   def appendToIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -762,9 +777,9 @@ object Similarity {
     require(centroids.nonEmpty && books.nonEmpty,
       s"appendToIvfPqIndex: no index under $indexDir")
     val c = delta.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    c.write.mode("append").parquet(s"$indexDir/vectors")
     pqEncode(assignCells(c, centroids), books, Seq("cell"))
       .write.mode("append").parquet(s"$indexDir/codes")
-    c.write.mode("append").parquet(s"$indexDir/vectors")
   }
 
   /** The deployment-grade serve path: [[ivfPqTopKFromIndex]] nominates

@@ -141,9 +141,21 @@ object AvroCorpus {
         // executor-side default Configuration: resolves file:// locally and
         // the cluster defaults (core-site.xml on the classpath) elsewhere
         val conf = new org.apache.hadoop.conf.Configuration()
-        val path = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.avro")
-        val fs = path.getFileSystem(conf)
-        val out = fs.create(path, /* overwrite = */ true) // retry-safe
+        // write to an ATTEMPT-scoped temp, rename into place on success:
+        // a bare create(dst, overwrite) is only sequential-retry-safe —
+        // under speculative execution two live attempts of the same
+        // partition would interleave into one stream and corrupt the
+        // container. Each attempt owns its temp; rename is atomic, and a
+        // losing attempt (rename refused because a sibling committed
+        // first) just discards its temp — both attempts hold identical
+        // content, so either winner is correct.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val dst = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.avro")
+        val tmp = new org.apache.hadoop.fs.Path(
+          outDir, f"part-$pid%05d.avro.$attempt%d.tmp")
+        val fs = dst.getFileSystem(conf)
+        val out = fs.create(tmp, /* overwrite = */ true) // retry of THIS attempt id
         val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
         writer.create(schema, out)
@@ -156,6 +168,11 @@ object AvroCorpus {
             writer.append(rec)
           }
         } finally writer.close() // closes the stream; flushes the container
+        if (!fs.rename(tmp, dst)) {
+          fs.delete(tmp, /* recursive = */ false)
+          if (!fs.exists(dst)) throw new java.io.IOException(
+            s"writeAvro: could not commit $tmp to $dst")
+        }
       }
     }
   }

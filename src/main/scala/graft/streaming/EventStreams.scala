@@ -258,21 +258,14 @@ object EventStreams {
     // saturate past ~1M fingerprints.
     val nIndex =
       if (estimatedIndexFps > 0L) estimatedIndexFps else indexFps.count()
-    val bits =
-      if (numBits > 0L) numBits
-      else graft.functions.GraftFunctions.bloomBitsFor(nIndex)
-    val sketch = indexFps
-      .agg(bloom_agg(xxhash64(col("fp")), math.max(1L, nIndex), bits)
-        .as("bf"))
-      .head().getAs[Array[Byte]](0)
     val withFp = docs.withColumn("__fp",
       graft.operators.TextAnalysis.fingerprint(col(textCol)))
-    if (sketch == null) return withFp.drop("__fp") // empty index
-    val fill = graft.functions.GraftFunctions.bloomFillFactor(sketch, bits)
-    if (fill > 0.5) System.err.println(
-      f"[graft] indexFilteredIngest: index bloom fill factor $fill%.2f " +
-        f"(numBits=$bits) — sketch saturating; dedup stays exact but " +
-        "most rows will take the exact-join path. Raise numBits.")
+    val sketch = graft.functions.GraftFunctions.sizedBloomSketch(
+      indexFps, xxhash64(col("fp")), nIndex, numBits, "indexFilteredIngest")
+      match {
+        case None => return withFp.drop("__fp") // empty index
+        case Some(s) => s
+      }
     val probe = bloom_might_contain(lit(sketch), xxhash64(col("__fp")))
     val provablyNew = withFp.filter(!probe)
     // no broadcast hint: the index side is the scale contract's partitioned

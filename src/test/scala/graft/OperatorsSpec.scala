@@ -715,7 +715,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(bloomBitsFor(0L) === (1L << 20)) // floor
     assert(bloomBitsFor(65536L) === (1L << 20)) // 16 * 2^16 exactly
     assert(bloomBitsFor(65537L) === (1L << 21)) // next power of two
-    assert(bloomBitsFor(1L << 40) === (1L << 27)) // plan-literal ceiling
+    // ceiling = Spark's runtime.bloomFilter.maxNumBits DEFAULT: asking
+    // for more would be silently Math.min'd by BloomFilterAggregate and
+    // every size-derived diagnostic would lie about the real sketch
+    assert(bloomBitsFor(1L << 40) === (1L << 26))
+  }
+
+  test("bloom sketch is never silently smaller than bloomBitsFor requests") {
+    // the whole saturation-diagnostic story rests on requested == actual;
+    // Spark caps requests at spark.sql.optimizer.runtime.bloomFilter.
+    // maxNumBits, so the bloomBitsFor ceiling must not exceed it
+    import graft.functions.GraftFunctions
+    val maxConf = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    assert(GraftFunctions.bloomBitsFor(Long.MaxValue / 32) <= maxConf,
+      s"bloomBitsFor ceiling exceeds Spark's cap $maxConf")
+    GraftFunctions.register(spark)
+    val df = (1L to 1000L).toDF("x")
+    val s = GraftFunctions.sizedBloomSketch(df,
+      org.apache.spark.sql.functions.xxhash64($"x"), 1000L, 0L, "spec").get
+    // actual bit size == the requested floor (2^20), proving no cap bit
+    assert(GraftFunctions.bloomDataBits(s)._2 === GraftFunctions.bloomBitsFor(1000L))
   }
 
   test("incrementalExact: within-delta dupes, index collisions, ws/case variants") {
@@ -885,7 +905,11 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (10L, "https://h.org", "https://h.org/"),
       // malformed: no scheme -> null (quarantine lane, like urlHost)
       (11L, "not a url", null),
-      (12L, "://missing.scheme/a", null))
+      (12L, "://missing.scheme/a", null),
+      // '?' INSIDE a query value: the query starts at the FIRST '?', so
+      // nothing before the embedded one is dropped
+      (13L, "https://h.org/p?b=2&redirect=/x?y=2&a=1",
+        "https://h.org/p?a=1&b=2&redirect=/x?y=2"))
       .toDF("id", "url", "want")
     val got = cases
       .select($"id", operators.Scrub.canonicalizeUrl($"url").as("got"), $"want")
@@ -1069,5 +1093,12 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === ((0.0, 1)))
     assert(out(3L)._2 === 1)
     assert(math.abs(out(3L)._1 - 1.0 / math.sqrt(2)) < 1e-6)
+    // an EMPTY benchmark means nothing to decontaminate against: every
+    // corpus row survives (kept=1, null max_sim) — not zero rows
+    val none = operators.Dedup
+      .embeddingDecontaminate(corpus, bench.limit(0), "vec_id", "embedding",
+        0.95)
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getInt(2)))
+    assert(none.toSet === Set((1L, true, 1), (2L, true, 1), (3L, true, 1)))
   }
 }

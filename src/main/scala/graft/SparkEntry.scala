@@ -1034,6 +1034,45 @@ object SparkEntry {
       operators.TextAnalysis.tfidfKeywords(
         T(s, dir, "documents"), "doc_id", "text", 5)),
 
+    // Interpolated Kneser–Ney bigram scoring — q104's production upgrade:
+    // absolute discounting + continuation-unigram backoff (q88's
+    // statistic), all four KN statistics derived from the one
+    // vocab-bounded model relation; no extra corpus scans vs add-k.
+    "q114_kn_score" -> ((s, dir) =>
+      operators.TextAnalysis.knBigramScore(
+        T(s, dir, "documents"), "doc_id", "text")),
+
+    // Count-Min sketch frequency estimation: the fixed-memory counterpart
+    // to q80's Misra–Gries — the sketch shuffle carries ≤ depth×width keys
+    // regardless of vocabulary; the exact side exists only to exhibit the
+    // one-sided error bound (est >= exact, always).
+    "q115_cms_counts" -> ((s, dir) =>
+      operators.TextAnalysis.cmsTopKCompare(
+        T(s, dir, "documents"), "text", 50)),
+
+    // Host-graph PageRank — crawl-budget ranking over the q84 host
+    // universe. The link graph is synthesized deterministically (doc i
+    // links to doc (31i+7) mod n, host-to-host, self-loops dropped) and
+    // the lexicographically-last host's out-edges are removed so the
+    // dangling-mass redistribution path is actually exercised.
+    "q116_host_pagerank" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws(".", col("source"), col("lang")).as("host"))
+      val cnt = d.agg(count(lit(1)).as("ndocs"))
+      val tgt = d.crossJoin(broadcast(cnt))
+        .select(col("host").as("src_host"),
+          ((col("doc_id") * 31 + 7) % col("ndocs")).as("tgt_id"))
+      val edges = tgt.join(
+        d.select(col("doc_id").as("tgt_id"), col("host").as("dst_host")),
+        Seq("tgt_id"))
+      val maxHost = d.agg(max(col("host")).as("mh"))
+      val pruned = edges.crossJoin(broadcast(maxHost))
+        .filter(col("src_host") =!= col("mh"))
+        .select(col("src_host"), col("dst_host"))
+      operators.Components.pageRank(pruned, "src_host", "dst_host")
+        .select(col("node").as("host"), col("pr"), col("rank"))
+    }),
+
     // Semantic decontamination: the eval set (vec_id < 20) leaked into the
     // corpus verbatim — embedding cosine >= 0.95 flags it where n-gram
     // overlap (q51/q79) would need exact text. Bench side broadcast,
@@ -2659,6 +2698,121 @@ object SparkEntry {
         |      ORDER BY score DESC, term) AS rank FROM sc)
         |SELECT doc_id, term, score, CAST(rank AS INT) AS rank
         |FROM rk WHERE rank <= 5""".stripMargin,
+
+    // the KN model re-derived from the same aggregated bigram relation:
+    // ctx totals + fan-out in one rollup, continuation counts in another,
+    // bigram-type total as a scalar; the probability's association order
+    // mirrors the Scala expression term-for-term (all inputs are exactly
+    // double-representable, so both engines round the same IEEE value at
+    // 4 dp — the q104 contract)
+    "q114_kn_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS g) u
+        |  WHERE len(ts) > 1),
+        |model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx,
+        |    CAST(count(*) AS BIGINT) AS fanout FROM model GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont
+        |  FROM model GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM model)
+        |SELECT b.doc_id,
+        |  round(avg(ln(
+        |    greatest(m.c - 0.75, 0.0) / x.ctx +
+        |    (0.75 * x.fanout / x.ctx) * (n.cont / t.btypes))), 4)
+        |    AS avg_logprob,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams
+        |FROM bg b JOIN model m USING (w1, w2) JOIN ctx x USING (w1)
+        |  JOIN cont n USING (w2) CROSS JOIN tot t
+        |GROUP BY 1""".stripMargin,
+
+    // the exact sketch replayed: md5 buckets decoded with the 6-digit
+    // strpos polynomial (q72/q77 precedent), the d×w counter table
+    // rebuilt by the same group-by, estimates as min over the probe's
+    // depth rows — pure integer arithmetic end to end
+    "q115_cms_counts" -> {
+      val poly = (1 to 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${BigInt(16).pow(6 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH tok AS (
+         |  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |toks AS (
+         |  SELECT ts[g] || ' ' || ts[g + 1] AS term
+         |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS g) u
+         |  WHERE len(ts) > 1),
+         |js AS (SELECT CAST(unnest(range(1, 5)) AS INT) AS j),
+         |hashed AS (SELECT j,
+         |    md5('cms' || CAST(j AS VARCHAR) || ':' || term) AS hx
+         |  FROM toks, js),
+         |sketch AS (SELECT j, CAST($poly % 256 AS INT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM hashed GROUP BY 1, 2),
+         |exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
+         |  FROM toks GROUP BY 1),
+         |topk AS (SELECT term, exact FROM exact
+         |  ORDER BY exact DESC, term ASC LIMIT 50),
+         |probe AS (SELECT term, exact, j,
+         |    md5('cms' || CAST(j AS VARCHAR) || ':' || term) AS hx
+         |  FROM topk, js),
+         |est AS (SELECT p.term, p.exact, min(s.cnt) AS est
+         |  FROM (SELECT term, exact, j, CAST($poly % 256 AS INT) AS bucket
+         |        FROM probe) p
+         |  JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+         |  GROUP BY 1, 2)
+         |SELECT term, exact, est, est - exact AS overcount,
+         |  CAST(row_number() OVER (ORDER BY exact DESC, term ASC) AS INT)
+         |    AS rank
+         |FROM est""".stripMargin
+    },
+
+    // the power iteration unrolled to 10 CTE rounds (the q98 pattern).
+    // (1-d) is written as a DOUBLE subtraction so both engines compute
+    // the identical IEEE value (a 0.15 decimal literal is a different
+    // double); the per-round 12 dp round is the drift firewall — without
+    // it sum-order ulps would compound across iterations.
+    "q116_host_pagerank" -> {
+      val iterCtes = (1 to 10).map { i =>
+        val p = s"pr${i - 1}"
+        s"""pr$i AS MATERIALIZED (
+           |  SELECT nodes.node,
+           |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+           |      + CAST(0.85 AS DOUBLE) * (coalesce(c.contrib, 0.0)
+           |        + dg.dang / n.n), 12) AS pr
+           |  FROM nodes
+           |  LEFT JOIN (SELECT e.dst AS node, sum(p.pr / od.deg) AS contrib
+           |      FROM e JOIN $p p ON p.node = e.src
+           |      JOIN od ON od.node = e.src
+           |      GROUP BY 1) c ON c.node = nodes.node
+           |  CROSS JOIN (SELECT coalesce(sum(p.pr), 0.0) AS dang
+           |      FROM $p p LEFT JOIN od ON od.node = p.node
+           |      WHERE od.node IS NULL) dg
+           |  CROSS JOIN n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, source || '.' || lang AS host
+         |  FROM documents),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM d),
+         |mh AS (SELECT max(host) AS mh FROM d),
+         |e0 AS (SELECT d1.host AS src, d2.host AS dst
+         |  FROM d d1, cnt, d d2
+         |  WHERE d2.doc_id = (d1.doc_id * 31 + 7) % ndocs),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0, mh
+         |  WHERE src <> dst AND src <> mh),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |od AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e GROUP BY 1),
+         |pr0 AS MATERIALIZED (SELECT node, 1.0 / n.n AS pr FROM nodes, n),
+         |$iterCtes
+         |SELECT node AS host, round(pr, 8) AS pr,
+         |  CAST(row_number() OVER (ORDER BY round(pr, 8) DESC, node ASC)
+         |    AS INT) AS rank
+         |FROM pr10""".stripMargin
+    },
 
     // the histogram disc-quantile cuts restated: cumulative counts over
     // distinct token-count values, cut k = min value reaching k/3 of the

@@ -644,4 +644,138 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Interpolated Kneser–Ney bigram score per document — the production
+    * upgrade of [[bigramLm]]'s add-k filter (Kneser & Ney '95; Chen &
+    * Goodman '99 eq. 12): absolute discounting with the mass freed by the
+    * discount re-spent on the CONTINUATION unigram (how many distinct
+    * contexts license w2 — [[continuationCounts]]' statistic), which is
+    * what separates "Francisco" (frequent but only after "San") from
+    * genuinely productive words:
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1,·)
+    *            + (D · N1+(w1,·) / c(w1,·)) · (N1+(·,w2) / N1+(·,·))
+    *
+    * Output: idCol, `avg_logprob` (mean ln P over the document's bigrams,
+    * rounded 4 dp — the q104 drift contract), `n_bigrams`. Self-scored on
+    * the training corpus every bigram has c ≥ 1, so the first term can be
+    * 0 (c=1 < D) but the interpolation weight never is — no log(0) lane.
+    *
+    * Shape at 100 TB: identical skeleton to [[bigramLm]] — one
+    * vocab-bounded model reduction (map-side combinable; the shuffle
+    * carries distinct bigrams, not corpus tokens), with ALL FOUR KN
+    * statistics derived from that one aggregated relation: per-context
+    * totals c(w1,·) and fan-out N1+(w1,·) in one rollup, continuation
+    * counts N1+(·,w2) in another, the bigram-type total N1+(·,·) as a
+    * 1-row broadcast scalar. Scoring re-explodes the corpus once and
+    * hash-joins the vocab-bounded statistics in; the per-doc avg is
+    * map-side combinable. No extra corpus scans vs add-k — KN costs two
+    * more vocab-sized joins, nothing corpus-sized. */
+  def knBigramScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val toks = df
+      .select(col(idCol), tokens(lower(col(textCol))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    def bg(d: DataFrame): DataFrame =
+      d.select(col(idCol), explode(bigramPairs(col("ts"))).as("p"))
+        .select(col(idCol), col("p.w1"), col("p.w2"))
+    val model = bg(toks).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    // c(w1,·) and N1+(w1,·) from ONE pass over the model relation:
+    // its per-w1 row count IS the distinct-successor count
+    val ctx = model.groupBy(col("w1"))
+      .agg(sum(col("c")).as("ctx"), count(lit(1)).as("fanout"))
+    val cont = model.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val totals = model.select(count(lit(1)).as("btypes"))
+    bg(toks)
+      .join(model, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(
+        // association order mirrored verbatim by the oracle SQL so both
+        // engines round the same IEEE value
+        round(avg(log(
+          greatest(col("c") - lit(discount), lit(0.0)) / col("ctx") +
+            (lit(discount) * col("fanout") / col("ctx")) *
+            (col("cont") / col("btypes")))), 4).as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** Count-Min sketch over the token stream (Cormode & Muthukrishnan '05):
+    * `depth` independent md5-derived hash rows of `width` counters; every
+    * counter is the sum of the true counts of the terms landing in its
+    * bucket, so `est(t) = min_j sketch[j][h_j(t)] ≥ count(t)` always
+    * (one-sided error, ≤ εN with prob 1−δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉).
+    *
+    * This is the FIXED-MEMORY counterpart to [[heavyHitters]]' Misra–Gries:
+    * the aggregation shuffle carries at most depth×width distinct
+    * (row, bucket) keys REGARDLESS of vocabulary size — map-side combine
+    * caps every task's output at d·w rows, so frequency summaries over a
+    * 100 TB corpus cost a constant-size exchange where exact counting
+    * pays a vocabulary-sized one. Sketches are mergeable by elementwise
+    * sum (a relational groupBy IS that merge — property-tested), so
+    * per-shard sketches union for free.
+    *
+    * Buckets are md5-keyed (`h_j(t) = int(md5("cms j : t")[0,6)) mod w`) —
+    * the [[Sampling.hashSplit]] engine-portability idiom: any engine with
+    * md5 replays the exact sketch. Takes an already-tokenized term stream
+    * so callers pick the granularity (unigrams, bigrams, shingles). */
+  def cmsSketch(terms: DataFrame, termCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    terms
+      .select(col(termCol).as("term"),
+        explode(sequence(lit(1), lit(depth))).as("j"))
+      .select(col("j"), cmsBucket(col("term"), col("j"), width).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** `h_j(term)`: first 6 md5 hex chars of "cms{j}:{term}" decoded to its
+    * 24-bit int, mod width — portable (strpos-polynomial replayable). */
+  private def cmsBucket(term: Column, j: Column, width: Int): Column =
+    (conv(substring(md5(concat(lit("cms"), j.cast("string"), lit(":"),
+      term)), 1, 6), 16, 10).cast("long") % width).cast("int")
+
+  /** CMS demonstration gate over the corpus BIGRAM stream (token bigrams
+    * give a vocab²-sized key space — the regime where a sketch earns its
+    * keep; the raw unigram vocabulary is small enough to count exactly):
+    * estimate the top-`k` exact-frequency bigrams against the sketch and
+    * emit the guaranteed-nonnegative overcount. The EXACT side (a
+    * vocabulary-sized count) exists only to exhibit the error bound — a
+    * production probe is the sketch join alone: explode the k probe terms
+    * × depth rows, join the d·w-bounded sketch (AQE broadcasts it), take
+    * min per term. Output: term, exact, est, overcount, rank. */
+  def cmsTopKCompare(df: DataFrame, textCol: String, k: Int,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val terms = df
+      .select(tokens(lower(col(textCol))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(bigramPairs(col("ts"))).as("p"))
+      .select(concat_ws(" ", col("p.w1"), col("p.w2")).as("term"))
+    val sketch = cmsSketch(terms, "term", depth, width)
+    val exact = terms
+      .groupBy(col("term")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("term").asc).limit(k)
+    val probed = exact
+      .select(col("term"), col("exact"),
+        explode(sequence(lit(1), lit(depth))).as("j"))
+      .select(col("term"), col("exact"), col("j"),
+        cmsBucket(col("term"), col("j"), width).as("bucket"))
+      .join(sketch, Seq("j", "bucket"))
+      .groupBy(col("term"), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("exact").desc, col("term").asc)
+    probed
+      .select(col("term"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .withColumn("rank", row_number().over(w))
+  }
 }

@@ -85,4 +85,35 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 9L -> 3L))
   }
+
+  test("pageRank: cycle is uniform; dangling graph matches scalar replay") {
+    // a→b→c→a: perfectly symmetric, every node holds exactly 1/3
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val uni = Components.pageRank(cyc, "s", "d").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(uni === Map("a" -> 0.33333333, "b" -> 0.33333333,
+      "c" -> 0.33333333))
+
+    // a→{b,c}, b→c, c dangling — replay the same 12dp-rounded power
+    // iteration with scalar doubles as the independent reference
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"))
+    val got = Components.pageRank(edges.toDF("s", "d"), "s", "d").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    def r(x: Double, dp: Int) =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var pr = Map("a" -> 1 / 3.0, "b" -> 1 / 3.0, "c" -> 1 / 3.0)
+    for (_ <- 1 to 10) {
+      val dang = pr("c")
+      def contrib(v: String) = edges.collect {
+        case (u, `v`) => pr(u) / out(u)
+      }.sum
+      pr = pr.keys.map(v =>
+        v -> r((1.0 - 0.85) / 3 + 0.85 * (contrib(v) + dang / 3), 12)).toMap
+    }
+    assert(got.map(t => t._1 -> t._2).toMap === pr.map { case (k, v) => k -> r(v, 8) })
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-6, "rank mass conserves")
+    assert(got.sortBy(_._3).map(_._1) === Seq("c", "b", "a"),
+      "c receives from both and the dangling refund — it must rank first")
+  }
 }

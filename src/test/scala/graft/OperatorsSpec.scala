@@ -1078,6 +1078,60 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out.size === 6, "k=2 per document")
   }
 
+  test("knBigramScore matches a hand-computed interpolated KN model") {
+    // q104's fixture. model: c(a,b)=2 c(b,a)=1 c(b,c)=1.
+    // ctx: a→(2, fanout 1), b→(2, fanout 2); cont: a=b=c=1; btypes=3.
+    // P(b|a) = (2−.75)/2 + (.75·1/2)(1/3) = 0.75
+    // P(a|b) = P(c|b) = (1−.75)/2 + (.75·2/2)(1/3) = 0.375
+    val docs = Seq((1L, "A b a B"), (2L, "b C"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramScore(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) ===
+      ((r4((math.log(0.75) + math.log(0.375) + math.log(0.75)) / 3), 3L)))
+    assert(got(2L) === ((r4(math.log(0.375)), 1L)))
+  }
+
+  test("cmsSketch: one-sided error, row-sum invariant, mergeable by sum") {
+    // width 4 forces collisions; every estimate must still dominate the
+    // exact count (CMS's one-sided guarantee), and each hash row's
+    // counters must sum to the total stream length.
+    val terms = Seq("a", "b", "c", "d", "e", "a", "a", "b", "f", "g")
+      .toDF("term")
+    val sk = TextAnalysis.cmsSketch(terms, "term", 3, 4)
+    val counters = sk.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (1 to 3).foreach { j =>
+      assert(counters.collect { case ((`j`, _), c) => c }.sum === 10L,
+        s"row $j must sum to the stream length")
+    }
+    val est = TextAnalysis.cmsTopKCompare(
+      Seq((1L, terms.collect().map(_.getString(0)).mkString(" ")))
+        .toDF("doc_id", "text").selectExpr("text"), "text", 50, 3, 4)
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"CMS must never undercount: ${r.mkString(",")}")
+    }
+    // mergeability: sketch(A ∪ B) == sketch(A) ⊎ sketch(B) elementwise
+    val a = Seq("a", "b", "c", "a").toDF("term")
+    val b = Seq("b", "d", "e").toDF("term")
+    val merged = TextAnalysis.cmsSketch(a.union(b), "term", 3, 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val partA = TextAnalysis.cmsSketch(a, "term", 3, 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val partB = TextAnalysis.cmsSketch(b, "term", 3, 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val summed = (partA.keySet ++ partB.keySet).map(k =>
+      k -> (partA.getOrElse(k, 0L) + partB.getOrElse(k, 0L))).toMap
+    assert(merged === summed, "sketches must merge by elementwise sum")
+  }
+
   test("embeddingDecontaminate flags the planted eval leak, keeps the rest") {
     val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(

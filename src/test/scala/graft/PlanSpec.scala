@@ -145,6 +145,38 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "vocab scalar should broadcast")
   }
 
+  test("q114: KN scoring keeps q104's shape — hash joins, map-side partials") {
+    // four statistics relations all derive from the one aggregated model;
+    // the only cartesian allowed is the 1-row bigram-type scalar broadcast
+    val p = plan("q114_kn_score")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "model count must map-side combine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "bigram-type scalar should broadcast")
+  }
+
+  test("q115: CMS sketch agg combines map-side; probe joins hash, no cartesian") {
+    // the sketch groupBy must have a partial so each map task emits at
+    // most depth×width rows — the whole point of the sketch; the probe
+    // side joins the d·w-bounded sketch by key, never nested-loop
+    val p = plan("q115_cms_counts")
+    assert(p.contains("partial_count"), "sketch counters must combine map-side")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "bucket hashing must stay expression-only")
+  }
+
+  test("q116: PageRank iterations are hash joins + map-side partial sums") {
+    // each power-iteration round is an edge⋈rank equi-join plus a
+    // dst-keyed sum; the only nested-loop joins allowed are the 1-row
+    // scalar broadcasts (N, dangling mass, max-host prune)
+    val p = plan("q116_host_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_sum"), "contrib sum must combine map-side")
+    assert(!p.contains("ScalaUDF"), "iteration must stay expression-only")
+  }
+
   test("q105: URL canonicalization is scan-stage only — zero shuffles, no UDF") {
     // canonicalizeUrl is pure regexp/array expressions; any Exchange would
     // shuffle full URL strings for a row-local rewrite

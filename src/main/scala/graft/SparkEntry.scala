@@ -1073,6 +1073,14 @@ object SparkEntry {
         .select(col("node").as("host"), col("pr"), col("rank"))
     }),
 
+    // HyperLogLog distinct-bigram cardinality per source — the sketch
+    // trio's cardinality leg (CMS frequencies q115, Misra–Gries top items
+    // q80). md5-replayable registers, so the oracle rebuilds the exact
+    // sketch; the exact countDistinct column exists to exhibit the error.
+    "q117_hll_distinct" -> ((s, dir) =>
+      operators.TextAnalysis.hllBigramCardinality(
+        T(s, dir, "documents"), "source", "text")),
+
     // Semantic decontamination: the eval set (vec_id < 20) leaked into the
     // corpus verbatim — embedding cosine >= 0.95 flags it where n-gram
     // overlap (q51/q79) would need exact text. Bench side broadcast,
@@ -2812,6 +2820,50 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY round(pr, 8) DESC, node ASC)
          |    AS INT) AS rank
          |FROM pr10""".stripMargin
+    },
+
+    // the HLL registers rebuilt exactly: 13-hex md5 polynomial (q77),
+    // bucket = top 9 bits, rho from minimal-width bin() (common to both
+    // engines), max per register, then the Flajolet estimator with the
+    // alpha·m² constant computed ONCE in Scala and embedded — re-deriving
+    // it in SQL decimal arithmetic could round differently. The register
+    // sum is exact dyadic arithmetic, so the branch predicate and
+    // estimate are bit-identical across engines before the 4dp round.
+    "q117_hll_distinct" -> {
+      val alphaM2 = 0.7213 / (1 + 1.079 / 512) * 512 * 512
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH tok AS (
+         |  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |bg AS (
+         |  SELECT source, ts[g] || ' ' || ts[g + 1] AS term
+         |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS g) u
+         |  WHERE len(ts) > 1),
+         |vv AS (SELECT source, $poly AS v
+         |  FROM (SELECT source, md5(term) AS h FROM bg) z),
+         |regs AS (SELECT source, v >> 43 AS bucket,
+         |    CASE WHEN (v & 8796093022207) = 0 THEN 44
+         |         ELSE 44 - length(bin(v & 8796093022207)) END AS rho
+         |  FROM vv),
+         |reg AS (SELECT source, bucket, max(rho) AS reg
+         |  FROM regs GROUP BY 1, 2),
+         |sums AS (SELECT source, sum(pow(2.0, -reg)) AS s_present,
+         |    CAST(count(*) AS BIGINT) AS n_present
+         |  FROM reg GROUP BY 1),
+         |est AS (SELECT source,
+         |    CASE WHEN CAST('$alphaM2' AS DOUBLE)
+         |          / (s_present + (512 - n_present)) <= 1280.0
+         |        AND (512 - n_present) > 0
+         |      THEN round(512.0 * ln(512.0 / CAST(512 - n_present AS DOUBLE)), 4)
+         |      ELSE round(CAST('$alphaM2' AS DOUBLE)
+         |          / (s_present + (512 - n_present)), 4) END AS hll_est
+         |  FROM sums),
+         |exact AS (SELECT source, CAST(count(DISTINCT term) AS BIGINT)
+         |    AS exact_distinct FROM bg GROUP BY 1)
+         |SELECT source, exact_distinct, hll_est
+         |FROM exact JOIN est USING (source)""".stripMargin
     },
 
     // the histogram disc-quantile cuts restated: cumulative counts over

@@ -778,4 +778,77 @@ object TextAnalysis {
         (col("est") - col("exact")).as("overcount"))
       .withColumn("rank", row_number().over(w))
   }
+
+  /** HyperLogLog distinct-count estimation per group (Flajolet et al.
+    * '07), md5-replayable — completes the sketch trio ([[cmsSketch]]
+    * frequencies, [[heavyHitters]] top items, this cardinalities). Spark's
+    * own `approx_count_distinct` is HLL++ but its binary hash is not
+    * replayable by another engine; this one is: the 13-hex-char md5 prefix
+    * (the [[Sampling]] 52-bit idiom) splits into a top-`p`-bit register
+    * index and a (52−p)-bit tail whose leading-zero count is
+    * `(52−p+1) − length(bin(tail))` — minimal-width binary rendering is
+    * common to Spark and DuckDB, so both engines compute the identical
+    * registers.
+    *
+    * Estimator: `E = α_m · m² / Σ_b 2^{−M[b]}` with linear counting
+    * `m·ln(m/V)` below 2.5m when empty registers remain (the standard
+    * small-range correction; the 2^32 large-range correction is moot — the
+    * hash space is 52-bit). Absent registers are not materialized: they
+    * contribute `(m − n_present)·2⁰` to the sum and are exactly the
+    * zero-register count V. Σ 2^{−M[b]} is a sum of dyadic rationals
+    * spanning ≤ 53 mantissa bits — EXACT in a double, so the only
+    * order-sensitive float op is the final ln/division, absorbed by the
+    * 4 dp round.
+    *
+    * Shape at 100 TB: the register reduction carries ≤ m rows per group
+    * out of every map task (max combines map-side) — constant-size
+    * exchange per group like the CMS, where exact countDistinct shuffles
+    * the full key space. Registers merge across shards by the same
+    * `max` (relational groupBy IS the merge — property-tested). */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String,
+      p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 12, "p must be in [4, 12]")
+    val m = 1 << p
+    val wBits = 52 - p
+    val mask = (1L << wBits) - 1
+    // computed HERE and embedded as one double literal on both sides —
+    // re-deriving it in SQL decimal arithmetic could round differently
+    val alphaM2 = 0.7213 / (1 + 1.079 / m) * m * m
+    val v = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val tail = v.bitwiseAND(lit(mask))
+    val rho = when(tail === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(tail)))
+    val regs = df
+      .select(col(groupCol), shiftright(v, wBits).as("bucket"), rho.as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    val sums = regs.groupBy(col(groupCol)).agg(
+      sum(pow(lit(2.0), -col("reg"))).as("s_present"),
+      count(lit(1)).as("n_present"))
+    val s = col("s_present") + (lit(m) - col("n_present")).cast("double")
+    val zeros = (lit(m) - col("n_present")).cast("double")
+    val eRaw = lit(alphaM2) / s
+    sums.select(col(groupCol),
+      when(eRaw <= lit(2.5 * m) && zeros > 0,
+        round(lit(m.toDouble) * log(lit(m.toDouble) / zeros), 4))
+        .otherwise(round(eRaw, 4)).as("hll_est"))
+  }
+
+  /** HLL demonstration gate: per-group distinct-BIGRAM cardinality, the
+    * [[hllDistinct]] estimate side by side with the exact countDistinct
+    * (which exists only to exhibit the ~1.04/√m error — the production
+    * path is the register sketch alone). */
+  def hllBigramCardinality(df: DataFrame, groupCol: String,
+      textCol: String, p: Int = 9): DataFrame = {
+    val terms = df
+      .select(col(groupCol), tokens(lower(col(textCol))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col(groupCol), explode(bigramPairs(col("ts"))).as("pp"))
+      .select(col(groupCol),
+        concat_ws(" ", col("pp.w1"), col("pp.w2")).as("term"))
+    val exact = terms.groupBy(col(groupCol))
+      .agg(countDistinct(col("term")).as("exact_distinct"))
+    exact.join(hllDistinct(terms, groupCol, "term", p), Seq(groupCol))
+  }
 }

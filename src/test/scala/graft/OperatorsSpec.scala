@@ -1132,6 +1132,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(merged === summed, "sketches must merge by elementwise sum")
   }
 
+  test("hllDistinct: linear-count floor, duplicate invariance, ~1/√m accuracy") {
+    // one distinct key lands in linear counting: 512·ln(512/511) ≈ 1.001
+    val one = Seq(("g", "only-key"), ("g", "only-key")).toDF("grp", "k")
+    val e1 = TextAnalysis.hllDistinct(one, "grp", "k")
+      .collect().head.getDouble(1)
+    assert(math.abs(e1 - 1.0) < 0.01, s"single key estimated $e1")
+
+    // registers are max-merged: duplicating the stream changes nothing
+    val keys = (1 to 5000).map(i => ("g", s"key-$i")).toDF("grp", "k")
+    val est = TextAnalysis.hllDistinct(keys, "grp", "k")
+      .collect().head.getDouble(1)
+    val estDup = TextAnalysis.hllDistinct(keys.union(keys), "grp", "k")
+      .collect().head.getDouble(1)
+    assert(est === estDup, "duplicates must not move the estimate")
+
+    // standard error is 1.04/√512 ≈ 4.6%; this fixed hash realization
+    // must land well inside 2σ of the true 5000
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.10, s"estimate $est")
+  }
+
   test("embeddingDecontaminate flags the planted eval leak, keeps the rest") {
     val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(

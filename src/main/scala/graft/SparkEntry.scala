@@ -1081,6 +1081,14 @@ object SparkEntry {
       operators.TextAnalysis.hllBigramCardinality(
         T(s, dir, "documents"), "source", "text")),
 
+    // DSIR importance resampling (Xie et al. '23): select the 100 raw
+    // documents whose hashed n-gram features look most like the target
+    // slice (doc_id % 10 = 0 plays the curated set), via a
+    // target-vs-raw likelihood ratio + deterministic Gumbel top-k.
+    "q118_dsir_select" -> ((s, dir) =>
+      operators.Sampling.dsirResample(T(s, dir, "documents"),
+        "doc_id", "text", col("doc_id") % 10 === 0, 100)),
+
     // Semantic decontamination: the eval set (vec_id < 20) leaked into the
     // corpus verbatim — embedding cosine >= 0.95 flags it where n-gram
     // overlap (q51/q79) would need exact text. Bench side broadcast,
@@ -2864,6 +2872,59 @@ object SparkEntry {
          |    AS exact_distinct FROM bg GROUP BY 1)
          |SELECT source, exact_distinct, hll_est
          |FROM exact JOIN est USING (source)""".stripMargin
+    },
+
+    // the DSIR pipeline replayed: unigram+bigram features hashed with the
+    // 6-hex polynomial, add-0.5-smoothed target/raw bucket distributions
+    // (sums CAST to BIGINT — DuckDB integer sums are HUGEINT), per-doc
+    // likelihood-ratio sums rounded 4dp, Gumbel keys from the q77 52-bit
+    // md5 uniform rounded 4dp pre-addition
+    "q118_dsir_select" -> {
+      val poly6 = (1 to 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${BigInt(16).pow(6 - i)}")
+        .mkString("(", " + ", ")")
+      val poly13 = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH tok AS (
+         |  SELECT doc_id, doc_id % 10 = 0 AS is_target,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |uni AS (SELECT doc_id, is_target, unnest(ts) AS feat FROM tok),
+         |bi AS (SELECT doc_id, is_target, ts[g] || ' ' || ts[g + 1] AS feat
+         |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS g) u
+         |  WHERE len(ts) > 1),
+         |feats AS (SELECT doc_id, is_target,
+         |    CAST($poly6 % 1024 AS INT) AS bucket
+         |  FROM (SELECT doc_id, is_target, md5('dsir:' || feat) AS hx
+         |        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) z0) z),
+         |perdoc AS (SELECT doc_id, is_target, bucket,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM feats GROUP BY 1, 2, 3),
+         |stats AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN is_target THEN 0 ELSE c END) AS BIGINT) AS cr
+         |  FROM perdoc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+         |    CAST(sum(cr) AS BIGINT) AS tr FROM stats),
+         |rated AS (SELECT bucket,
+         |    ln(((ct + 0.5) / (tt + 512.0)) / ((cr + 0.5) / (tr + 512.0)))
+         |      AS lr
+         |  FROM stats, tot),
+         |scored AS (SELECT p.doc_id, round(sum(p.c * r.lr), 4) AS logw
+         |  FROM perdoc p JOIN rated r USING (bucket)
+         |  WHERE NOT p.is_target GROUP BY 1),
+         |keyed AS (SELECT doc_id, logw,
+         |    logw + round(-ln(-ln(
+         |      CAST($poly13 * 2 + 1 AS DOUBLE) / 9007199254740992.0)), 4)
+         |      AS key
+         |  FROM (SELECT doc_id, logw, md5(CAST(doc_id AS VARCHAR)) AS h
+         |        FROM scored) s),
+         |top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 100)
+         |SELECT doc_id, logw, key,
+         |  CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS INT)
+         |    AS rank
+         |FROM top""".stripMargin
     },
 
     // the histogram disc-quantile cuts restated: cumulative counts over

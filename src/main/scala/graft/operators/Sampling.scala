@@ -233,6 +233,77 @@ object Sampling {
       .select(col(idCol), col("weight"), col("es_key"), col("rank"))
   }
 
+  /** DSIR importance resampling (Xie et al. '23, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by how much more likely its hashed n-gram features are under a
+    * TARGET distribution than under the raw-corpus distribution, then draw
+    * a Gumbel top-k — the published recipe for "select web data that
+    * looks like the curated set", and the principled upgrade of the
+    * quality-threshold filters (q21/q104): a ratio of two corpus-fitted
+    * models, not a fixed heuristic.
+    *
+    *   logw(d) = Σ_b c_d(b) · ln( p̂_t(b) / p̂_r(b) ),
+    *   p̂(b) = (c(b) + α) / (T + α·B)   (add-α smoothing, B buckets)
+    *
+    * selected by `key = logw + Gumbel(md5(id))` descending — Gumbel
+    * noise from the [[weightedSampleK]] 52-bit md5 uniform
+    * (`g = −ln(−ln u)`), so the draw is engine-portable and
+    * replay-stable. logw is rounded to 4 dp after its bucket sum (per-term
+    * ln ulps drift ~1e-13 at worst) and g to 4 dp before the addition, so
+    * the sort key is the identical double in any engine; rank breaks ties
+    * on the id.
+    *
+    * Features are word unigrams AND bigrams hashed to `nBuckets` via the
+    * 6-hex md5 polynomial idiom — the (doc, bucket) aggregation is
+    * map-side combinable and the two distribution relations are
+    * B-bounded, so the stats ride into the scoring join as a broadcast;
+    * the corpus is scanned once for stats (target rows are a subset of
+    * the same scan) and once for scoring, both scan-stage until their
+    * bounded aggs. TakeOrdered top-k — no global sort. */
+  def dsirResample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      k: Int,
+      nBuckets: Int = 1024,
+      alpha: Double = 0.5): DataFrame = {
+    require(k >= 1 && nBuckets >= 2, "need k >= 1, nBuckets >= 2")
+    val ts = TextAnalysis.tokens(lower(col(textCol)))
+    val feats = df
+      .select(col(idCol), isTarget.as("is_target"), ts.as("ts"))
+      .select(col(idCol), col("is_target"),
+        explode(concat(col("ts"),
+          TextAnalysis.bigramStrings(col("ts")))).as("feat"))
+      .select(col(idCol), col("is_target"),
+        (conv(substring(md5(concat(lit("dsir:"), col("feat"))), 1, 6), 16, 10)
+          .cast("long") % nBuckets).cast("int").as("bucket"))
+    val perDoc = feats.groupBy(col(idCol), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy(col("bucket")).agg(
+      sum(when(col("is_target"), col("c")).otherwise(lit(0L))).as("ct"),
+      sum(when(col("is_target"), lit(0L)).otherwise(col("c"))).as("cr"))
+    val totals = stats.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val rated = stats.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        log(((col("ct") + lit(alpha)) / (col("tt") + lit(alpha * nBuckets))) /
+          ((col("cr") + lit(alpha)) / (col("tr") + lit(alpha * nBuckets))))
+          .as("lr"))
+    val scored = perDoc.filter(!col("is_target"))
+      .join(broadcast(rated), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("c") * col("lr")), 4).as("logw"))
+    val v = conv(substring(sampleKey(col(idCol)), 1, 13), 16, 10).cast("long")
+    val u = (v * lit(2L) + lit(1L)).cast("double") / lit(9007199254740992.0)
+    val keyed = scored.withColumn("key",
+      col("logw") + round(-log(-log(u)), 4))
+    val top = keyed.orderBy(col("key").desc, col(idCol).asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("logw"), col("key"), col("rank"))
+  }
+
   /** Deterministic per-epoch corpus shuffle for training runs: every
     * (epoch, doc) gets a content-independent pseudo-random order key
     * (`md5(epoch:id)`), a shard from the key's first hex digit (uniform

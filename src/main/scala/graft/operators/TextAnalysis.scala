@@ -554,6 +554,14 @@ object TextAnalysis {
     transform(slice(ts, lit(1), size(ts) - 1),
       (t, i) => struct(t.as("w1"), element_at(ts, i + 2).as("w2")))
 
+  /** [[bigramPairs]] rendered as "w1 w2" strings, safe on short arrays
+    * (< 2 tokens → empty array — `slice` with a negative length throws). */
+  private[operators] def bigramStrings(ts: Column): Column =
+    when(size(ts) >= 2,
+      transform(slice(ts, lit(1), size(ts) - 1),
+        (t, i) => concat_ws(" ", t, element_at(ts, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
   /** Corpus-trained add-k-smoothed bigram language-model score per document
     * — the CCNet/Wenzek '19 style perplexity quality filter: train token
     * bigram statistics on the corpus itself, then score each document by

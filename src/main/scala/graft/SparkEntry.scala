@@ -24,16 +24,16 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** The events table as a real file stream (ns-long timestamps normalized
-    * to µs, matching [[Tables.load]]). Shared by every streaming query. */
+  /** The events table as a real file stream, `ts` normalized to a µs
+    * TimestampType from whatever physical layout the fixture carries
+    * (ns-longs or TIMESTAMP_NTZ — see [[Tables.normalizeEventTs]]).
+    * Shared by every streaming query. */
   private def eventFileStream(s: SparkSession, dir: String): DataFrame = {
     val raw = s.readStream
       .schema(s.read.parquet(s"$dir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    Tables.normalizeEventTs(raw)
   }
 
   private def rmTree(dir: String): Unit = {

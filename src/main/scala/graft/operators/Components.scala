@@ -220,6 +220,34 @@ object Components {
       dstCol: String,
       damping: Double = 0.85,
       iters: Int = 10): DataFrame = {
+    val pr = pageRankScores(edges, srcCol, dstCol, damping, iters)
+    // Global crawl-priority rank WITHOUT the un-partitioned window that
+    // would funnel the whole host universe through one task: range
+    // partition + per-partition index (Windows.globalRowNumber), then a
+    // guarded narrowing cast — the host universe fits int today and the
+    // rank schema is pinned by the oracle, but if it ever doesn't, fail
+    // loudly instead of wrapping.
+    Windows.globalRowNumber(
+      pr.select(col("node"), round(col("pr"), 8).as("pr")),
+      Seq(col("pr").desc, col("node").asc), "rank_long")
+      .withColumn("rank",
+        when(col("rank_long") <= Int.MaxValue, col("rank_long").cast("int"))
+          .otherwise(raise_error(
+            lit("pageRank: rank exceeds Int.MaxValue; widen the rank column"))))
+      .drop("rank_long")
+  }
+
+  /** The power-iteration score stage of [[pageRank]], exposed so the final
+    * iteration's plan stays lazily inspectable (the rank stage above is
+    * RDD-backed and opaque to `.explain`); PlanSpec pins the iteration
+    * shape here.
+    */
+  def pageRankScores(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      damping: Double = 0.85,
+      iters: Int = 10): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -254,9 +282,6 @@ object Components {
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
               col("dang") / col("n")), 12).as("pr"))
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(round(col("pr"), 8).desc, col("node").asc)
-    pr.select(col("node"), round(col("pr"), 8).as("pr"))
-      .withColumn("rank", row_number().over(w))
+    pr
   }
 }

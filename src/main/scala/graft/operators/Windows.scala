@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Window-shaped operators: ranked top-k per group (the distributed,
   * order-enforced form of the reference's top-5-tags pivot, SURVEY §2.6 W1)
@@ -52,44 +52,43 @@ object Windows {
     * through one task (a single-partition Exchange + Sort: the plan shape
     * that turns a 10^8-node ranking into one straggler).
     *
-    * Shape: range-partition on the order (each partition holds a
-    * contiguous slice of the global order, partitions stay parallel),
-    * sort within partitions, then `rank = partition offset + local
-    * row_number`. The offsets come from per-partition counts — at most
-    * `spark.sql.shuffle.partitions` rows, bounded by cluster CONFIG, not
-    * by data — so the driver-side cumulative sum is a bounded collect by
-    * construction (the codebook-read-back discipline). The local
-    * row_number windows are partitioned by partition id and run in
-    * parallel; the offset table rides back as a broadcast join.
+    * Shape: ONE shuffle — range-partition on the order (each partition
+    * holds a contiguous slice of the global order, partitions stay
+    * parallel), sort within partitions, `localCheckpoint` to pin the
+    * layout, then `zipWithIndex` over the checkpointed partitions:
+    * a per-partition count job (collects at most one long per partition —
+    * bounded by cluster CONFIG, not by data) followed by a narrow map
+    * that adds each partition's cumulative offset to its local index.
+    * No second Exchange, no window sort: the data is already in global
+    * order, so ranking is embarrassingly parallel arithmetic.
+    *
+    * The rank column is a LONG: a global row number is exactly the
+    * quantity that outgrows Int at the scales this helper exists for
+    * (>2^31 rows), so no narrowing cast hides in here — callers that
+    * need an int for schema compatibility must guard the cast
+    * themselves (see [[graft.operators.Components.pageRank]]).
     *
     * `orderCols` must form a TOTAL order (callers pass tiebreakers);
     * under a total order the result is deterministic regardless of where
-    * the range boundaries fall. The intermediate `localCheckpoint` pins
-    * partition ids so the count pass and the rank pass see the same
-    * layout (and cuts the caller's lineage, which for iterative callers
-    * like PageRank is already the house rule).
+    * the range boundaries fall. No working columns are added, so caller
+    * schemas can never collide with helper internals; only `rankCol`
+    * must be fresh.
     */
   def globalRowNumber(
       df: DataFrame,
       orderCols: Seq[Column],
       rankCol: String): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"rank column '$rankCol' already exists in ${df.columns.mkString(",")}")
+    val spark = df.sparkSession
     val ranged = df
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .withColumn("_gpid", spark_partition_id())
       .localCheckpoint()
-    val counts = ranged.groupBy(col("_gpid")).agg(count(lit(1)).as("_cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
-    val spark = df.sparkSession
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsets.toSeq.map(Row.fromTuple), 1),
-      StructType(Seq(StructField("_gpid", IntegerType, nullable = false),
-        StructField("_off", LongType, nullable = false))))
-    val w = Window.partitionBy(col("_gpid")).orderBy(orderCols: _*)
-    ranged.join(broadcast(offDf), Seq("_gpid"))
-      .withColumn(rankCol, (col("_off") + row_number().over(w)).cast("int"))
-      .drop("_gpid", "_off")
+    val ranked = ranged.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(ranked,
+      StructType(ranged.schema :+ StructField(rankCol, LongType, nullable = false)))
   }
 }

@@ -170,11 +170,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q116: PageRank iterations are hash joins + map-side partial sums") {
     // each power-iteration round is an edge⋈rank equi-join plus a
     // dst-keyed sum; the only nested-loop joins allowed are the 1-row
-    // scalar broadcasts (N, dangling mass, max-host prune)
-    val p = plan("q116_host_pagerank")
+    // scalar broadcasts (N, dangling mass). Pinned on the score stage,
+    // whose final iteration stays lazy — the lane's rank stage is
+    // RDD-backed and hides upstream plans (see the q116 rank test).
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+      .toDF("s", "d")
+    val p = graft.operators.Components.pageRankScores(edges, "s", "d")
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(p.contains("partial_sum"), "contrib sum must combine map-side")
     assert(!p.contains("ScalaUDF"), "iteration must stay expression-only")
+  }
+
+  test("q116: final rank has no un-partitioned window, no single-partition exchange") {
+    // Window.orderBy with no partitionBy would funnel the whole host
+    // universe through ONE task; the rank must come from the range
+    // partition + per-partition index path (RDD-backed scan in the plan)
+    val p = plan("q116_host_pagerank")
+    assert(!p.contains("Window"), s"un-partitioned window crept back:\n${p.take(800)}")
+    assert(!p.contains("SinglePartition"), p.take(800))
+    assert(p.contains("ExistingRDD"), "rank stage must be the zipWithIndex path")
   }
 
   test("q105: URL canonicalization is scan-stage only — zero shuffles, no UDF") {

@@ -37,7 +37,9 @@ QUERIES = (
     "q57_repetition_profile,q64_bm25_rank,q67_vocab_topk,"
     "q61_stream_interval_join,q71_streaming_sliding,q35_streaming_tumbling,"
     "q51_contamination,q109_paragraph_dedup,q110_cluster_reps,"
-    "q111_span_excision"
+    "q111_span_excision,"
+    "q113_tfidf_keywords,q114_kn_score,q115_cms_counts,"
+    "q116_host_pagerank,q117_hll_distinct,q118_dsir_select"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -48,6 +50,9 @@ TABLE = {
     "q51_contamination": "documents",
     "q109_paragraph_dedup": "documents", "q110_cluster_reps": "documents",
     "q111_span_excision": "documents",
+    "q113_tfidf_keywords": "documents", "q114_kn_score": "documents",
+    "q115_cms_counts": "documents", "q116_host_pagerank": "documents",
+    "q117_hll_distinct": "documents", "q118_dsir_select": "documents",
     "q32_cosine_neardup": "embeddings", "q65_semdedup": "embeddings",
     "q35_streaming_tumbling": "events", "q61_stream_interval_join": "events",
     "q71_streaming_sliding": "events",

@@ -1089,6 +1089,66 @@ object SparkEntry {
       operators.Sampling.dsirResample(T(s, dir, "documents"),
         "doc_id", "text", col("doc_id") % 10 === 0, 100)),
 
+    // Scale-safe grouped quantiles: q43's percentile() buffers every group
+    // value in aggregation state (OOM at scale); this lane reads the same
+    // quantiles off a 256-bin histogram — bounded state, deterministic
+    // interpolation the oracle replays exactly (worst error (hi-lo)/256).
+    "q119_histogram_quantiles" -> ((s, dir) => {
+      val qd = operators.Quantiles.histogramQuantiles(
+        T(s, dir, "orders"), "o_orderstatus", "o_totalprice", Seq(0.5, 0.9), 256)
+      qd.groupBy(col("o_orderstatus"))
+        .agg(round(max(when(col("q") === 0.5, col("est"))), 3).as("p50_est"),
+          round(max(when(col("q") === 0.9, col("est"))), 3).as("p90_est"),
+          max(col("n")).as("n"))
+    }),
+
+    // End-to-end crawl-scrub COMPOSITION: HTML strip → per-LINE unicode
+    // cleanup → C4 line+page rules → cross-doc paragraph dedup, chained in
+    // the order a production pipeline runs them. Each stage is gated solo
+    // (q107/q103/q108/q109); this lane gates their interplay — the
+    // ordering bugs the solo oracles cannot see (page-level whitespace
+    // collapse before the line split destroys line structure; the C4
+    // punct test needs post-strip trimmed lines; dedup must see only C4
+    // survivors). The %7 syndicated line dedups across docs, %17/%19
+    // pages die on the lorem/brace page rules, odd pages keep 3 lines.
+    "q120_crawl_pipeline" -> ((s, dir) => {
+      functions.GraftFunctions.register(s)
+      val words = split(col("text"), " ")
+      def ws(a: Int, n: Int) = array_join(slice(words, a, n), " ")
+      val lines = array(
+        concat(lit("<p id=\"a\">"), ws(1, 8), lit(".</p>")),
+        lit("<p>Enable JavaScript to view comments.</p>"),
+        concat(lit("<p>Syndicated update number "),
+          (col("doc_id") % 7).cast("string"),
+          lit(" from our partner network.</p>")),
+        concat(lit("<p>"), ws(4, 8),
+          when(col("doc_id") % 2 === 0, lit("!")).otherwise(lit("")),
+          lit("</p>")),
+        lit("<p>(c) 2026 Example Corp</p>"),
+        concat(lit("<p>"), ws(2, 6), lit(" &amp; more?</p>")))
+      val extra = when(col("doc_id") % 17 === 0,
+          lit("\n<p>Lorem ipsum dolor sit amet.</p>"))
+        .when(col("doc_id") % 19 === 0, lit("\n<p>function() { return 1; }</p>"))
+        .otherwise(lit(""))
+      val page = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><style>p { color: red }</style></head>\n<body>\n"),
+        array_join(lines, "\n"), extra, lit("\n</body></html>"))
+      val stripped = operators.Scrub.stripHtml(page)
+      // cleanup PER LINE (page-level \s+ collapse would erase the \n
+      // structure C4 needs), empties dropped
+      val normLines = filter(
+        transform(split(stripped, "\n"), l => operators.Scrub.normalizeText(l)),
+        l => l =!= "")
+      val cleanPage = array_join(normLines, "\n")
+      val kept = operators.Scrub.c4KeptLines(cleanPage)
+      val keepPage = operators.Scrub.c4PageKeep(cleanPage, kept)
+      val survivors = T(s, dir, "documents")
+        .select(col("doc_id"), array_join(kept, "\n").as("page"), keepPage.as("k"))
+        .filter(col("k")).drop("k")
+      operators.Dedup.paragraphDedup(survivors, "doc_id", "page", "\n")
+    }),
+
     // Semantic decontamination: the eval set (vec_id < 20) leaked into the
     // corpus verbatim — embedding cosine >= 0.95 flags it where n-gram
     // overlap (q51/q79) would need exact text. Bench side broadcast,
@@ -2926,6 +2986,109 @@ object SparkEntry {
          |    AS rank
          |FROM top""".stripMargin
     },
+
+    // equi-width histogram quantiles replayed literally: the same two-pass
+    // bounds -> 256-bin counts -> cumulative pick with in-bin linear
+    // interpolation; every op is IEEE add/sub/mul/div + floor/ceil, so the
+    // doubles agree bit-for-bit before the 3dp round
+    "q119_histogram_quantiles" ->
+      """WITH o AS (SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders),
+        |rng AS (SELECT g, min(v) AS lo, max(v) AS hi,
+        |    CAST(count(*) AS BIGINT) AS n FROM o GROUP BY g),
+        |b AS (SELECT o.g AS g,
+        |    CASE WHEN r.hi = r.lo THEN 0
+        |         ELSE LEAST(255, CAST(floor((o.v - r.lo)
+        |           / ((r.hi - r.lo) / 256.0)) AS INT)) END AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM o JOIN rng r USING (g) GROUP BY 1, 2),
+        |cum AS (SELECT g, bin, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY bin) - c AS BIGINT)
+        |      AS cum_before
+        |  FROM b),
+        |qs AS (SELECT 0.5 AS q UNION ALL SELECT 0.9),
+        |tg AS (SELECT g, lo, hi, n, q, ceil(q * n) AS t FROM rng, qs),
+        |pick AS (SELECT tg.g AS g, tg.q AS q,
+        |    CASE WHEN tg.hi = tg.lo THEN tg.lo
+        |         ELSE tg.lo + (tg.hi - tg.lo) / 256.0
+        |           * (cum.bin + (tg.t - cum.cum_before) / cum.c) END AS est,
+        |    tg.n AS n
+        |  FROM cum JOIN tg ON cum.g = tg.g
+        |  WHERE cum.cum >= tg.t AND cum.cum_before < tg.t)
+        |SELECT g AS o_orderstatus,
+        |  round(max(CASE WHEN q = 0.5 THEN est END), 3) AS p50_est,
+        |  round(max(CASE WHEN q = 0.9 THEN est END), 3) AS p90_est,
+        |  max(n) AS n
+        |FROM pick GROUP BY 1""".stripMargin,
+
+    // the full scrub chain replayed: q107's strip stack over this lane's
+    // page synthesis, the q103 cleanup applied per LINE, the q108 C4
+    // rules, then the q109 keep-first dedup over the survivors only
+    "q120_crawl_pipeline" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pg AS (SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 < 2;'
+        |    || '</script><style>p { color: red }</style></head>' || chr(10)
+        |    || '<body>' || chr(10)
+        |    || array_to_string(
+        |      ['<p id="a">' || array_to_string(ws[1:8], ' ') || '.</p>',
+        |       '<p>Enable JavaScript to view comments.</p>',
+        |       '<p>Syndicated update number ' || CAST(doc_id % 7 AS VARCHAR)
+        |         || ' from our partner network.</p>',
+        |       '<p>' || array_to_string(ws[4:11], ' ')
+        |         || (CASE WHEN doc_id % 2 = 0 THEN '!' ELSE '' END) || '</p>',
+        |       '<p>(c) 2026 Example Corp</p>',
+        |       '<p>' || array_to_string(ws[2:7], ' ') || ' &amp; more?</p>'],
+        |      chr(10))
+        |    || (CASE WHEN doc_id % 17 = 0
+        |          THEN chr(10) || '<p>Lorem ipsum dolor sit amet.</p>'
+        |        WHEN doc_id % 19 = 0
+        |          THEN chr(10) || '<p>function() { return 1; }</p>'
+        |        ELSE '' END)
+        |    || chr(10) || '</body></html>' AS page
+        |  FROM w),
+        |st AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(page,
+        |            '(?is)<script([ \t\r\n][^>]*)?>.*?</script>', ' ', 'g'),
+        |          '(?is)<style([ \t\r\n][^>]*)?>.*?</style>', ' ', 'g'),
+        |        '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS stripped
+        |  FROM pg),
+        |cl AS (SELECT doc_id, array_to_string(list_filter(
+        |      list_transform(string_split(stripped, chr(10)), l ->
+        |        trim(regexp_replace(regexp_replace(nfc_normalize(l),
+        |          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |          '\s+', ' ', 'g'))),
+        |      l -> l <> ''), chr(10)) AS clean_page
+        |  FROM st),
+        |k AS (SELECT doc_id, clean_page,
+        |    list_filter(string_split(clean_page, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"'']\r?$')
+        |      AND len(string_split_regex(trim(l), ' +')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM cl),
+        |surv AS (SELECT doc_id, array_to_string(kept, chr(10)) AS page
+        |  FROM k
+        |  WHERE NOT contains(lower(clean_page), 'lorem ipsum')
+        |    AND NOT contains(clean_page, '{') AND len(kept) >= 3),
+        |x AS (SELECT doc_id, unnest(string_split(page, chr(10))) AS para,
+        |    unnest(generate_series(1, len(string_split(page, chr(10))))) AS pos
+        |  FROM surv),
+        |rk AS (SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos)
+        |      AS rn FROM x),
+        |kk AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(para, chr(10) ORDER BY pos) AS cleaned
+        |  FROM rk WHERE rn = 1 GROUP BY doc_id),
+        |n AS (SELECT doc_id, count(*) AS n_paras FROM x GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_paras, coalesce(kk.n_kept, 0) AS n_kept,
+        |  coalesce(kk.cleaned, '') AS cleaned
+        |FROM n LEFT JOIN kk USING (doc_id)""".stripMargin,
 
     // the histogram disc-quantile cuts restated: cumulative counts over
     // distinct token-count values, cut k = min value reaching k/3 of the

@@ -492,6 +492,31 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** One deterministic small JPEG: seeded pseudo-random RGB pixels through
+    * the JDK's ImageIO JPEG writer. Lossy, but deterministic for a fixed
+    * seed + JDK: the decode path (dims exact, histogram over the decoded
+    * pixels) is stable within a round, which is all the rows-only golden
+    * pin needs. Exists so the JPEG branch of the ImageIO reader is
+    * actually exercised — PNG-only fixtures leave the most common crawl
+    * image format untested. */
+  private[graft] def syntheticJpeg(seed: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(seed)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
   /** One deterministic WAV: seeded pseudo-random 16-bit PCM, encoded with
     * the JDK's WAVE writer. */
   private[graft] def syntheticWav(seed: Int, sampleRate: Int, channels: Int,
@@ -673,7 +698,16 @@ object Multimodal {
   /** Deterministic synthetic media table for tests/bench: images are real
     * PNGs; videos are MJPEG-style concatenations of 6 PNG frames (so the
     * image decoder reads their first frame and the frame sampler finds real
-    * frame boundaries). */
+    * frame boundaries).
+    *
+    * Deliberately NO JPEG here: the qb39/qb40 golden pins over this table
+    * are re-derived by an independent pure-Python PNG decoder
+    * (`tools/rederive_media.py`), and JPEG pixel output is not
+    * bit-standardized across decoders (IDCT precision varies), so a JPEG
+    * histogram pin could never be independently reproduced. The JPEG
+    * reader branch is gated instead in MultimodalSpec over
+    * [[syntheticJpeg]] payloads, where the asserted facts (SOI marker,
+    * exact dimensions, decode success) ARE decoder-independent. */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     (0 until n).map { i =>

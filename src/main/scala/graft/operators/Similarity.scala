@@ -607,6 +607,15 @@ object Similarity {
     require(targetCellSize >= 1, "targetCellSize must be >= 1")
     // overflow-safe ceil division (n + c - 1 wraps near Long.MaxValue)
     val k = n / targetCellSize + (if (n % targetCellSize > 0) 1L else 0L)
+    if (k > 65536L)
+      // clamped k re-linearizes cell population (~n/65536 per cell), so the
+      // within-cell pair stage degrades toward quadratic — warn loudly
+      // instead of silently eating the blow-up past ~4M embeddings
+      System.err.println(
+        s"[similarity] autoCentroids clamped: n=$n wants k=$k > 65536; " +
+          "cell population now grows with the corpus and the within-cell " +
+          "pair join degrades toward quadratic. Supply nCentroids with a " +
+          "hierarchical/IVF assignment instead.")
     math.min(65536L, math.max(1L, k)).toInt
   }
 

@@ -45,6 +45,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("JPEG payloads decode through the ImageIO JPEG reader branch") {
+    // JPEG stays OUT of syntheticMedia (its golden pins are re-derived by
+    // an independent Python PNG decoder; JPEG pixel output is not
+    // bit-standardized across decoders) — so the JPEG branch is gated
+    // here on the facts that ARE decoder-independent: SOI marker, decode
+    // success, exact dimensions.
+    import spark.implicits._
+    val media = (0 until 12).map { i =>
+      val w = 8 + (i % 24)
+      val h = 8 + ((i * 7) % 24)
+      (i.toLong, "image", "image/jpeg", Multimodal.syntheticJpeg(i, w, h))
+    }.toDF("media_id", "kind", "mime", "content")
+    media.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("content")
+      // JPEG SOI marker, not a PNG signature in disguise
+      assert((bytes(0) & 0xff) === 0xff && (bytes(1) & 0xff) === 0xd8)
+    }
+    val decoded = Multimodal.decodeImages(media).collect()
+    assert(decoded.length === 12)
+    assert(decoded.forall(!_.getAs[Boolean]("decode_error")))
+    decoded.foreach { r =>
+      val i = r.getAs[Long]("media_id").toInt
+      assert(r.getAs[Int]("width") === 8 + (i % 24))
+      assert(r.getAs[Int]("height") === 8 + ((i * 7) % 24))
+    }
+  }
+
   test("sampled frames are themselves decodable PNG images") {
     val media = Multimodal.syntheticMedia(spark, 4).filter($"kind" === "video")
     val frames = Multimodal.explodeFrames(media, 3).collect()

@@ -1175,4 +1175,34 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getInt(2)))
     assert(none.toSet === Set((1L, true, 1), (2L, true, 1), (3L, true, 1)))
   }
+
+  test("histogramQuantiles: error bounded by bin width, exact on constant groups") {
+    import spark.implicits._
+    // two groups: a spread-out one (error bound applies) and a constant one
+    val vals = (1 to 1000).map(i => ("a", i * 3.7)) ++ (1 to 50).map(_ => ("k", 42.0))
+    val df = vals.toDF("g", "v").repartition(5)
+    val got = operators.Quantiles
+      .histogramQuantiles(df, "g", "v", Seq(0.5, 0.9), 256)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // group a: exact rank-ceil quantiles are element ceil(q*1000)
+    val exactA50 = 500 * 3.7
+    val exactA90 = 900 * 3.7
+    val binW = (1000 * 3.7 - 1 * 3.7) / 256
+    assert(math.abs(got(("a", 0.5))._1 - exactA50) <= binW, s"p50 ${got(("a", 0.5))}")
+    assert(math.abs(got(("a", 0.9))._1 - exactA90) <= binW, s"p90 ${got(("a", 0.9))}")
+    assert(got(("a", 0.5))._2 === 1000L)
+    // constant group: hi == lo short-circuits to the exact value
+    assert(got(("k", 0.5)) === ((42.0, 50L)))
+    assert(got(("k", 0.9)) === ((42.0, 50L)))
+  }
+
+  test("histogramQuantiles: aggregation state is bins-bounded, not group-sized") {
+    import spark.implicits._
+    // q=1.0 must return the group max exactly (last bin, interpolates to hi)
+    val df = (1 to 512).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val top = operators.Quantiles
+      .histogramQuantiles(df, "g", "v", Seq(1.0), 512)
+      .collect().head.getDouble(2)
+    assert(math.abs(top - 512.0) < 1e-9)
+  }
 }

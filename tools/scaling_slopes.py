@@ -39,7 +39,8 @@ QUERIES = (
     "q51_contamination,q109_paragraph_dedup,q110_cluster_reps,"
     "q111_span_excision,"
     "q113_tfidf_keywords,q114_kn_score,q115_cms_counts,"
-    "q116_host_pagerank,q117_hll_distinct,q118_dsir_select"
+    "q116_host_pagerank,q117_hll_distinct,q118_dsir_select,"
+    "q119_histogram_quantiles,q120_crawl_pipeline"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -50,6 +51,7 @@ TABLE = {
     "q51_contamination": "documents",
     "q109_paragraph_dedup": "documents", "q110_cluster_reps": "documents",
     "q111_span_excision": "documents",
+    "q119_histogram_quantiles": "orders", "q120_crawl_pipeline": "documents",
     "q113_tfidf_keywords": "documents", "q114_kn_score": "documents",
     "q115_cms_counts": "documents", "q116_host_pagerank": "documents",
     "q117_hll_distinct": "documents", "q118_dsir_select": "documents",
@@ -61,6 +63,7 @@ ROWS = {
     "documents": {"sf0.001": 500, "sf0.01": 500, "sf0.1": 5000},
     "embeddings": {"sf0.001": 500, "sf0.01": 500, "sf0.1": 2000},
     "events": {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000},
+    "orders": {"sf0.001": 1500, "sf0.01": 15000, "sf0.1": 150000},
 }
 
 

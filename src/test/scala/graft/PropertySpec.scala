@@ -345,4 +345,33 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("histogramQuantiles: estimate within one bin width of the exact quantile") {
+    // arbitrary grouped doubles (mixed magnitudes, duplicates, constant
+    // groups) -> for every (group, q) the histogram estimate must sit
+    // within (hi - lo)/bins of the exact rank-ceil(q*n) order statistic,
+    // and exactly ON it when the group is constant
+    val gen = Gen.listOfN(60, for {
+      g <- Gen.choose(0, 3)
+      v <- Gen.oneOf(Gen.choose(-1e6, 1e6), Gen.const(7.25),
+        Gen.choose(-1.0, 1.0))
+    } yield (s"g$g", v))
+    val data = samples(gen, 8).flatten
+    val bins = 64
+    val df = data.toDF("g", "v").repartition(5)
+    val got = graft.operators.Quantiles
+      .histogramQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.9, 1.0), bins)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byG = data.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (((g, q), est) <- got) {
+      val vs = byG(g)
+      val exact = vs(math.max(0, math.ceil(q * vs.length).toInt - 1))
+      val width = (vs.last - vs.head) / bins
+      assert(math.abs(est - exact) <= width + 1e-9,
+        s"group $g q=$q est=$est exact=$exact width=$width n=${vs.length}")
+    }
+    // every (group, quantile) combination must be present exactly once
+    assert(got.size === byG.size * 4)
+  }
 }

@@ -64,4 +64,29 @@ class InfoboxSpec extends AnyFunSuite with SparkSpec {
     assert(flatten("""{"not":"array"}""") === null)
     assert(flatten("""not json at all""") === null)
   }
+
+  test("doGenCode compiles: results identical with codegen fallback disabled") {
+    // Janino silently falls back to the interpreted path if generated code
+    // fails to compile; with fallback OFF a doGenCode bug becomes a hard
+    // error instead of a hidden slow path. Run through a real projection
+    // (wholestage pipeline), nulls and malformed rows included.
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    withSQLConf(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.fallback" -> "false") {
+      val rows = Seq(
+        """[{"key":"a","value":"1"},{"key":"b","value":[{"v":"x"},"y"]}]""",
+        """[{"key":" ","value":"dropped"}]""",
+        "not json", null)
+        .toDF("j")
+        .select(GraftFunctions.infobox_to_map($"j").as("m"))
+        .collect()
+      assert(rows.length === 4)
+      assert(rows(0).getMap[String, String](0).toMap ===
+        Map("a" -> "1", "b" -> "x, y"))
+      assert(rows(1).getMap[String, String](0).toMap === Map.empty)
+      assert(rows(2).isNullAt(0) && rows(3).isNullAt(0))
+    }
+  }
 }

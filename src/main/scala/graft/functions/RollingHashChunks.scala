@@ -4,8 +4,8 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,20 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * collide — join chunk fingerprints to find partially-overlapping
   * documents at corpus scale (one explode + one hash-shuffle, same shape as
   * the shingle pipeline).
+  *
+  * `doGenCode` emits a direct static call into [[RollingHashChunks.chunks]]
+  * (no `CodegenFallback`): the chunker itself is a JVM loop either way, but
+  * the generated stage keeps its operands in locals instead of re-packing an
+  * `InternalRow` per tuple for the interpreted path.
   */
 case class RollingHashChunks(child: Expression, window: Int, maskBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(window > 0 && maskBits > 0 && maskBits < 32)
-
-  private val mask: Long = (1L << maskBits) - 1
-  private val B: Long = 257L
-  // B^window mod 2^64 for the rolling subtraction
-  private val bPow: Long = {
-    var p = 1L
-    (0 until window).foreach(_ => p *= B)
-    p
-  }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -45,8 +41,30 @@ case class RollingHashChunks(child: Expression, window: Int, maskBits: Int)
 
   override def prettyName: String = "rolling_chunks"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHashChunks.chunks(input.asInstanceOf[UTF8String], window, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHashChunks.chunks($c, $window, $maskBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHashChunks {
+  private val B: Long = 257L
+
+  /** The full chunking pass, callable from both the interpreted path and
+    * generated code (static method → plain `invokestatic`). Never null:
+    * empty input yields an empty array. */
+  def chunks(input: UTF8String, window: Int, maskBits: Int): ArrayData = {
+    val mask: Long = (1L << maskBits) - 1
+    // B^window mod 2^64 for the rolling subtraction
+    var bPow = 1L
+    var w = 0
+    while (w < window) { bPow *= B; w += 1 }
+    val bytes = input.getBytes
     val md = MessageDigest.getInstance("MD5")
     val chunks = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var start = 0
@@ -68,7 +86,4 @@ case class RollingHashChunks(child: Expression, window: Int, maskBits: Int)
     }
     new GenericArrayData(chunks.toArray[Any])
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

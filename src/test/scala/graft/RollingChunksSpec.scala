@@ -136,4 +136,21 @@ class RollingChunksSpec extends AnyFunSuite with SparkSpec {
       assert(grown.take(base.length - 1) === base.dropRight(1))
     }
   }
+
+  test("doGenCode compiles: results identical with codegen fallback disabled") {
+    // with fallback OFF a generated-code compile error fails hard instead
+    // of silently dropping to the interpreted path
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    withSQLConf(
+      "spark.sql.codegen.wholeStage" -> "true",
+      "spark.sql.codegen.fallback" -> "false") {
+      val texts = samples(textGen, 25)
+      val got = texts.toDF("t")
+        .select(graft.functions.GraftFunctions.rolling_chunks($"t", 8, 3).as("c"))
+        .collect().map(_.getSeq[String](0).toList)
+      val exp = texts.map(t => ReferenceChunker.chunks(t, 8, 3).map(_.fp).toList)
+      assert(got.toList === exp.toList)
+    }
+  }
 }

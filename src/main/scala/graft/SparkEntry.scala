@@ -1531,6 +1531,15 @@ object SparkEntry {
           .filter(col("kind") === "video"), 4)
     }),
 
+    // Multimodal: deterministic nearest-neighbor resize to 16×12 (the
+    // thumbnail / model-input-prep stage) — integer source indexing so the
+    // post-resize histogram is replayable by the pure-Python rederive.
+    "qb44_media_resize" -> ((s, _) => {
+      operators.Multimodal.resizeImages(
+        operators.Multimodal.syntheticMedia(s, 200), 16, 12)
+        .withColumn("histogram", to_json(col("histogram")))
+    }),
+
     // Multimodal: real WAV/PCM decode batch stage (pure-JDK javax.sound),
     // corrupt rows isolated. rms array → JSON string for the rows-only
     // compare (same contract as qb39's histogram).

@@ -12,6 +12,10 @@ case class DecodedMedia(media_id: Long, width: Int, height: Int,
     histogram: Seq[Double], decode_error: Boolean)
 
 /** Top-level for the same Janino-serializer reason as [[DecodedMedia]]. */
+case class ResizedMedia(media_id: Long, src_width: Int, src_height: Int,
+    width: Int, height: Int, histogram: Seq[Double], decode_error: Boolean)
+
+/** Top-level for the same Janino-serializer reason as [[DecodedMedia]]. */
 case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
     duration_ms: Long, rms: Seq[Double], decode_error: Boolean)
 
@@ -267,6 +271,66 @@ object Multimodal {
           } catch {
             case _: Exception =>
               DecodedMedia(id, -1, -1, Seq.empty, decode_error = true)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic nearest-neighbor downsample of one decoded image:
+    * `src = (dst * srcDim) / outDim` in INTEGER arithmetic (floor), so the
+    * selected source pixel is bit-reproducible across JVMs and replayable
+    * by the pure-Python re-derivation — deliberately NOT Graphics2D
+    * bilinear, whose float rendering path is not specified to the ulp.
+    * Returns the SOURCE dims + the resized image's 8-bin luminance
+    * histogram (the post-resize feature).
+    */
+  def resizeImage(content: Array[Byte], outW: Int, outH: Int)
+      : (Int, Int, Array[Double]) = {
+    require(outW > 0 && outH > 0)
+    if (content == null || content.length == 0)
+      throw new IllegalArgumentException("corrupt media payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null)
+      throw new IllegalArgumentException("unrecognized image format")
+    val (srcW, srcH) = (img.getWidth, img.getHeight)
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * srcH / outH).toInt
+      var x = 0
+      while (x < outW) {
+        out.setRGB(x, y, img.getRGB((x.toLong * srcW / outW).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val (_, _, hist) = lumHistogram(out)
+    (srcW, srcH, hist)
+  }
+
+  /** Resize/normalize batch stage — the thumbnailing / model-input-prep
+    * step of a multimodal ingest pipeline, same per-partition batch shape
+    * and corrupt-row isolation as [[decodeImages]]. Emits source dims,
+    * target dims, and the RESIZED image's luminance histogram (the
+    * post-resize feature, so the stage's output gates the resample
+    * arithmetic, not just the decode). */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          try {
+            val (srcW, srcH, hist) = resizeImage(bytes, outW, outH)
+            ResizedMedia(id, srcW, srcH, outW, outH, hist.toSeq,
+              decode_error = false)
+          } catch {
+            case _: Exception =>
+              ResizedMedia(id, -1, -1, -1, -1, Seq.empty, decode_error = true)
           }
         }
       }

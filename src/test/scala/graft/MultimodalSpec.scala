@@ -72,6 +72,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nearest-neighbor resize selects exactly src=(dst*srcDim)/outDim pixels") {
+    // pixel-exact gate: re-implement the index arithmetic here and compare
+    // the stage's histogram against a histogram computed directly from the
+    // selected source pixels — any drift in the resample math fails
+    val media = Multimodal.syntheticMedia(spark, 12)
+    val got = Multimodal.resizeImages(media, 16, 12).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    media.collect().foreach { m =>
+      val id = m.getAs[Long]("media_id")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.getAs[Array[Byte]]("content")))
+      val counts = new Array[Long](8)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val rgb = img.getRGB((x.toLong * img.getWidth / 16).toInt,
+          (y.toLong * img.getHeight / 12).toInt)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        counts(lum >> 5) += 1
+      }
+      val r = got(id)
+      assert(!r.getAs[Boolean]("decode_error"))
+      assert(r.getAs[Int]("src_width") === img.getWidth)
+      assert(r.getAs[Int]("src_height") === img.getHeight)
+      assert(r.getAs[Int]("width") === 16 && r.getAs[Int]("height") === 12)
+      assert(r.getAs[Seq[Double]]("histogram") ===
+        counts.map(_.toDouble / (16 * 12)).toSeq)
+    }
+    // corrupt payload isolates, never fails the stage
+    import spark.implicits._
+    val bad = Seq((99L, Array.fill(32)(7.toByte))).toDF("media_id", "content")
+    val badOut = Multimodal.resizeImages(bad, 16, 12).collect()
+    assert(badOut.length === 1 && badOut.head.getAs[Boolean]("decode_error"))
+  }
+
   test("sampled frames are themselves decodable PNG images") {
     val media = Multimodal.syntheticMedia(spark, 4).filter($"kind" === "video")
     val frames = Multimodal.explodeFrames(media, 3).collect()

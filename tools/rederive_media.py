@@ -52,6 +52,7 @@ PINS = {
     "qb41_audio_decode": "299509c402eb2079b07dc148486fa166",
     "qb42_gif_frames": "cad4d5403e4c7c38d9c87607504e2363",
     "qb43_audio_frames": "9db61daff551800547618bd7e6bc6ca1",
+    "qb44_media_resize": "b96dda5cd25a90120f06ce2e782535d8",
 }
 
 SEP = "\x01"
@@ -373,6 +374,34 @@ def qb39(rows):
     return lines
 
 
+def qb44(rows):
+    """resizeImages(syntheticMedia(200), 16, 12): nearest-neighbor resample
+    with integer source indexing src=(dst*srcDim)//outDim, then the 8-bin
+    luminance histogram over the RESIZED pixels. Columns sorted:
+    decode_error, height, histogram, media_id, src_height, src_width,
+    width."""
+    OW, OH = 16, 12
+    lines = []
+    for media_id, _kind, _mime, content in rows:
+        try:
+            w, h, rgb = png_decode_first(content)
+            counts = [0] * 8
+            for y in range(OH):
+                row = rgb[(y * h) // OH]
+                for x in range(OW):
+                    sx = (x * w) // OW
+                    r, g, b = row[3 * sx], row[3 * sx + 1], row[3 * sx + 2]
+                    lum = (r * 299 + g * 587 + b * 114) // 1000
+                    counts[lum >> 5] += 1
+            hist = [c / (OW * OH) for c in counts]
+            rec = ("false", str(OH), jarr(hist), str(media_id), str(h),
+                   str(w), str(OW))
+        except Exception:
+            rec = ("true", "-1", "[]", str(media_id), "-1", "-1", "-1")
+        lines.append(SEP.join(rec))
+    return lines
+
+
 def qb40(rows):
     """explodeFrames(videos, 4): PNG-signature scan, 4 evenly spaced whole
     frames, raw bytes. Columns sorted: frame_bytes(hex), frame_no, media_id."""
@@ -508,6 +537,7 @@ def main() -> int:
         "qb41_audio_decode": qb41(audio),
         "qb42_gif_frames": qb42(gif),
         "qb43_audio_frames": qb43(audio),
+        "qb44_media_resize": qb44(media),
     }
     bad = 0
     for name, lines in lanes.items():
@@ -517,7 +547,7 @@ def main() -> int:
               f"md5 {got}" + ("" if ok else f" != pinned {PINS[name]}"))
         bad += 0 if ok else 1
     if bad == 0:
-        print("[media] all five pins re-derived independently")
+        print("[media] all six pins re-derived independently")
     return 1 if bad else 0
 
 

@@ -183,6 +183,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalaUDF"), "iteration must stay expression-only")
   }
 
+  test("q119: histogram binning combines map-side; bounds ride broadcasts") {
+    // the only data-sized shuffle may carry (group, bin) partial counts —
+    // pre-combined map-side to <= bins rows per group per task; the bounds
+    // and rank targets join back as broadcasts, never a shuffle join
+    val p = plan("q119_histogram_quantiles")
+    assert(p.contains("partial_count"), "bin counts must combine map-side")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), "bounds/targets must broadcast")
+    assert(!p.contains("ScalaUDF"), "binning must stay expression-only")
+  }
+
   test("q116: final rank has no un-partitioned window, no single-partition exchange") {
     // Window.orderBy with no partitionBy would funnel the whole host
     // universe through ONE task; the rank must come from the range

@@ -1149,6 +1149,26 @@ object SparkEntry {
       operators.Dedup.paragraphDedup(survivors, "doc_id", "page", "\n")
     }),
 
+    // q73's dynamic [p05, p95] outlier trim on the SCALE path: thresholds
+    // from the 256-bin histogram (bounded state) instead of the exact
+    // percentile whose single aggregation buffer holds the whole corpus.
+    // Band edges differ from q73's by at most one bin width; both lanes
+    // stay gated — q73 pins the exact semantics, this one the scale form.
+    "q121_length_band_hist" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val qd = operators.Quantiles.globalHistogramQuantiles(
+        docs, "n_chars", Seq(0.05, 0.95), 256)
+      val thr = qd.agg(
+        round(max(when(col("q") === 0.05, col("est"))), 3).as("lo"),
+        round(max(when(col("q") === 0.95, col("est"))), 3).as("hi"))
+      docs.crossJoin(broadcast(thr))
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+
     // Semantic decontamination: the eval set (vec_id < 20) leaked into the
     // corpus verbatim — embedding cosine >= 0.95 flags it where n-gram
     // overlap (q51/q79) would need exact text. Bench side broadcast,
@@ -3098,6 +3118,39 @@ object SparkEntry {
         |SELECT n.doc_id, n.n_paras, coalesce(kk.n_kept, 0) AS n_kept,
         |  coalesce(kk.cleaned, '') AS cleaned
         |FROM n LEFT JOIN kk USING (doc_id)""".stripMargin,
+
+    // the q119 single-group histogram restated over n_chars, then the
+    // same band filter + per-lang rollup as q73
+    "q121_length_band_hist" ->
+      """WITH o AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |rng AS (SELECT min(v) AS lo0, max(v) AS hi0,
+        |    CAST(count(*) AS BIGINT) AS n FROM o),
+        |b AS (SELECT
+        |    CASE WHEN r.hi0 = r.lo0 THEN 0
+        |         ELSE LEAST(255, CAST(floor((o.v - r.lo0)
+        |           / ((r.hi0 - r.lo0) / 256.0)) AS INT)) END AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM o, rng r GROUP BY 1),
+        |cum AS (SELECT bin, c,
+        |    CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (ORDER BY bin) - c AS BIGINT) AS cum_before
+        |  FROM b),
+        |qs AS (SELECT 0.05 AS q UNION ALL SELECT 0.95),
+        |tg AS (SELECT lo0, hi0, n, q, ceil(q * n) AS t FROM rng, qs),
+        |pick AS (SELECT tg.q AS q,
+        |    CASE WHEN tg.hi0 = tg.lo0 THEN tg.lo0
+        |         ELSE tg.lo0 + (tg.hi0 - tg.lo0) / 256.0
+        |           * (cum.bin + (tg.t - cum.cum_before) / cum.c) END AS est
+        |  FROM cum, tg WHERE cum.cum >= tg.t AND cum.cum_before < tg.t),
+        |thr AS (SELECT
+        |    round(max(CASE WHEN q = 0.05 THEN est END), 3) AS lo,
+        |    round(max(CASE WHEN q = 0.95 THEN est END), 3) AS hi
+        |  FROM pick)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents, thr
+        |WHERE n_chars >= lo AND n_chars <= hi
+        |GROUP BY lang""".stripMargin,
 
     // the histogram disc-quantile cuts restated: cumulative counts over
     // distinct token-count values, cut k = min value reaching k/3 of the

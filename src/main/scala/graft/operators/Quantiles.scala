@@ -39,6 +39,21 @@ object Quantiles {
     * `ceil(q·n)` (the inverse-CDF convention). Groups where every value is
     * identical (`hi == lo`) return that value exactly.
     */
+  /** Ungrouped form: quantiles of `valueCol` over the whole relation —
+    * the scale path for global threshold derivations (outlier bands,
+    * length trims) where an exact `percentile()` would buffer EVERY value
+    * of the corpus in ONE aggregation buffer. Output: one row per
+    * quantile, columns `q`, `est`, `n`. */
+  def globalHistogramQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      quantiles: Seq[Double],
+      bins: Int = 256): DataFrame = {
+    val g = Iterator.iterate("_g")(_ + "_").dropWhile(df.columns.contains).next()
+    histogramQuantiles(df.withColumn(g, lit(1)), g, valueCol, quantiles, bins)
+      .drop(g)
+  }
+
   def histogramQuantiles(
       df: DataFrame,
       groupCol: String,

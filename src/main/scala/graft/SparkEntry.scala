@@ -1149,6 +1149,16 @@ object SparkEntry {
       operators.Dedup.paragraphDedup(survivors, "doc_id", "page", "\n")
     }),
 
+    // Corpus distribution drift between two source slices (src0-src9 as P
+    // vs src10-src19 as Q): per-term KL contribution over the smoothed
+    // union-vocab unigram distributions, top-50 by |contrib| with the
+    // rounded-magnitude + term-tiebreak determinism contract — the
+    // crawl-snapshot / train-split shift check.
+    "q122_distribution_drift" -> ((s, dir) =>
+      operators.TextAnalysis.distributionDrift(
+        T(s, dir, "documents"), "text",
+        regexp_extract(col("source"), "^src(\\d+)$", 1).cast("int") < 10, 50)),
+
     // q73's dynamic [p05, p95] outlier trim on the SCALE path: thresholds
     // from the 256-bin histogram (bounded state) instead of the exact
     // percentile whose single aggregation buffer holds the whole corpus.
@@ -3118,6 +3128,34 @@ object SparkEntry {
         |SELECT n.doc_id, n.n_paras, coalesce(kk.n_kept, 0) AS n_kept,
         |  coalesce(kk.cleaned, '') AS cleaned
         |FROM n LEFT JOIN kk USING (doc_id)""".stripMargin,
+
+    // the same smoothed union-vocab KL summands; ranked on the 6dp-rounded
+    // magnitude with term tiebreak so ln ulp drift cannot flip the set
+    "q122_distribution_drift" ->
+      """WITH t AS (
+        |  SELECT CAST(regexp_extract(source, '^src(\d+)$', 1) AS INT) < 10
+        |      AS in_p,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term,
+        |    CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN in_p THEN 0 ELSE 1 END) AS BIGINT) AS cq
+        |  FROM t WHERE term <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+        |    CAST(sum(cq) AS BIGINT) AS nq,
+        |    CAST(count(*) AS BIGINT) AS v FROM c),
+        |s AS (SELECT term,
+        |    (cp + 0.5) / (np + 0.5 * v) AS p,
+        |    (cq + 0.5) / (nq + 0.5 * v) AS q
+        |  FROM c, tot),
+        |sc AS (SELECT term, round(p, 6) AS p, round(q, 6) AS q,
+        |    round(p * ln(p / q), 6) AS contrib,
+        |    round(abs(p * ln(p / q)), 6) AS mag
+        |  FROM s),
+        |top AS (SELECT * FROM sc ORDER BY mag DESC, term ASC LIMIT 50)
+        |SELECT term, p, q, contrib,
+        |  CAST(row_number() OVER (ORDER BY mag DESC, term ASC) AS INT) AS rank
+        |FROM top""".stripMargin,
 
     // the q119 single-group histogram restated over n_chars, then the
     // same band filter + per-lang rollup as q73

@@ -612,6 +612,61 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Corpus distribution drift: per-term KL contribution between two
+    * corpus slices — the shift check a production pipeline runs between
+    * crawl snapshots, train/validation splits, or source mixes before a
+    * silent distribution change poisons a training run.
+    *
+    * Unigram distributions P (where `sideExpr` is true) and Q (false) over
+    * the UNION vocabulary with add-`addK` smoothing (so a term absent from
+    * one side contributes finitely); emitted per term:
+    * `contrib = p · ln(p/q)` — the summand of KL(P‖Q), positive where the
+    * term is over-represented in P. Top-`k` by |contrib| with the q64
+    * determinism contract: ranked on the 6dp-ROUNDED magnitude with the
+    * term as tiebreak, so 1–2 ulp `ln` drift between engines can never
+    * flip the emitted set or order.
+    *
+    * Scale shape: token explode → one (term, side) count shuffle
+    * (map-side combinable) → vocab-bounded pivot; the two totals ride as a
+    * 1-row broadcast; top-k is a TakeOrdered over the vocab-bounded
+    * contribution relation — the corpus is scanned once and never
+    * re-shuffled.
+    *
+    * Output: `term`, `p`, `q`, `contrib` (all rounded 6dp), `rank` (1..k).
+    */
+  def distributionDrift(
+      df: DataFrame,
+      textCol: String,
+      sideExpr: Column,
+      k: Int = 50,
+      addK: Double = 0.5): DataFrame = {
+    require(k >= 1 && addK > 0)
+    val terms = df
+      .select(sideExpr.as("in_p"), explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val counts = terms.groupBy(col("term"))
+      .agg(sum(when(col("in_p"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("in_p"), 0L).otherwise(1L)).as("cq"))
+    val totals = counts.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+      count(lit(1)).as("v"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .select(col("term"),
+        ((col("cp") + lit(addK)) / (col("np") + lit(addK) * col("v"))).as("p"),
+        ((col("cq") + lit(addK)) / (col("nq") + lit(addK) * col("v"))).as("q"))
+      .select(col("term"), col("p"), col("q"),
+        (col("p") * log(col("p") / col("q"))).as("contrib"))
+    val ranked = scored
+      .select(col("term"), round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round(col("contrib"), 6).as("contrib"),
+        round(abs(col("contrib")), 6).as("mag"))
+      .orderBy(col("mag").desc, col("term").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mag").desc, col("term").asc)
+    // row_number over the k-row limit output: bounded input, no scale risk
+    ranked.withColumn("rank", row_number().over(w)).drop("mag")
+  }
+
   /** TF-IDF keyword extraction: the top-`k` most characteristic terms per
     * document by `tf · ln(N/df)` — the corpus-exploration / auto-tagging
     * counterpart to [[bm25Scores]] (which ranks documents against a GIVEN

@@ -1205,4 +1205,33 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getDouble(2)
     assert(math.abs(top - 512.0) < 1e-9)
   }
+
+  test("distributionDrift matches hand-computed smoothed KL summands") {
+    import spark.implicits._
+    // P side: "a a b", Q side: "a c c c" -> vocab {a,b,c}, np=3, nq=4
+    val df = Seq((true, "a a b"), (false, "a c c c")).toDF("side", "text")
+    val got = operators.TextAnalysis
+      .distributionDrift(df, "text", col("side"), 10)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (np, nq, v, k) = (3.0, 4.0, 3.0, 0.5)
+    def pq(cp: Double, cq: Double) =
+      ((cp + k) / (np + k * v), (cq + k) / (nq + k * v))
+    for ((term, cp, cq) <- Seq(("a", 2.0, 1.0), ("b", 1.0, 0.0), ("c", 0.0, 3.0))) {
+      val (p, q) = pq(cp, cq)
+      val (gp, gq, gc, _) = got(term)
+      assert(gp === r6(p) && gq === r6(q), s"$term p/q")
+      assert(gc === r6(p * math.log(p / q)), s"$term contrib")
+    }
+    // rank follows |contrib| desc with term tiebreak, 1-based dense
+    val byRank = got.toSeq.sortBy(_._2._4).map(_._1)
+    val expOrder = got.toSeq
+      .sortBy { case (t, (p, q, c, _)) => (-math.abs(r6(p * math.log(p / q))), t) }
+      .map(_._1)
+    assert(byRank === expOrder)
+    assert(got.values.map(_._4).toSeq.sorted === Seq(1, 2, 3))
+  }
 }

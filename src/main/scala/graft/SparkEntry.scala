@@ -3032,7 +3032,7 @@ object SparkEntry {
     // doubles agree bit-for-bit before the 3dp round
     "q119_histogram_quantiles" ->
       """WITH o AS (SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS v
-        |  FROM orders),
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
         |rng AS (SELECT g, min(v) AS lo, max(v) AS hi,
         |    CAST(count(*) AS BIGINT) AS n FROM o GROUP BY g),
         |b AS (SELECT o.g AS g,
@@ -3133,7 +3133,7 @@ object SparkEntry {
     // magnitude with term tiebreak so ln ulp drift cannot flip the set
     "q122_distribution_drift" ->
       """WITH t AS (
-        |  SELECT CAST(regexp_extract(source, '^src(\d+)$', 1) AS INT) < 10
+        |  SELECT TRY_CAST(regexp_extract(source, '^src(\d+)$', 1) AS INT) < 10
         |      AS in_p,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
         |  FROM documents),
@@ -3160,7 +3160,8 @@ object SparkEntry {
     // the q119 single-group histogram restated over n_chars, then the
     // same band filter + per-lang rollup as q73
     "q121_length_band_hist" ->
-      """WITH o AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents),
+      """WITH o AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
         |rng AS (SELECT min(v) AS lo0, max(v) AS hi0,
         |    CAST(count(*) AS BIGINT) AS n FROM o),
         |b AS (SELECT
@@ -3740,15 +3741,16 @@ object SparkEntry {
     "q48_topk_agg" -> bruteForceTopKSql,
 
     // AUTO-DERIVED plane count: p = bit-length(ceil(count/64) - 1) — the
-    // same integer arithmetic as Similarity.autoPlanes, computed in SQL.
-    // hyperplanes() fills plane-major from one seeded stream, so the p
-    // derived planes are a PREFIX of the inlined 24-plane max set — the
-    // bucket is substr(full bit string, 1, p) at any corpus size.
+    // same integer arithmetic as Similarity.autoPlanesTwoLevel, computed in
+    // SQL. hyperplanes() fills plane-major from one seeded stream, so the p
+    // derived planes are a PREFIX of the inlined 48-plane max set (the
+    // two-level 2×24 ceiling) — the bucket is substr(full bit string, 1, p)
+    // at any corpus size.
     "q32_cosine_neardup" -> {
-      val planes = Similarity.hyperplanes(24, 64)
+      val planes = Similarity.hyperplanes(48, 64)
       s"""WITH e AS (SELECT vec_id AS id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |pp AS (SELECT CAST(LEAST(24, GREATEST(1,
+         |pp AS (SELECT CAST(LEAST(48, GREATEST(1,
          |    CASE WHEN q <= 1 THEN 1
          |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
          |  FROM (SELECT (count(*) + 63) // 64 AS q FROM e)),

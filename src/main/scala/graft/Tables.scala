@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampNTZType}
 
 /** Loaders for the synthetic star-schema corpus (TESTDATA.md).
   *
@@ -39,6 +39,12 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+    // ISO-formatted string ts (a generator emitting strings instead of a
+    // parquet timestamp type): session tz is pinned UTC, so the cast is
+    // value-preserving and deterministic
+    case StringType       => df.withColumn("ts", col("ts").cast("timestamp"))
+    // INT96 (legacy parquet) and TIMESTAMP(MICROS/MILLIS) adjusted-to-UTC
+    // already surface as TimestampType — passthrough
     case _                => df
   }
 

@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   * Two full scans beat one sort: at corpus scale the alternative exact
   * plan is a per-group sort of every value. Both passes are scan +
   * one bounded shuffle.
+  *
+  * Cardinality assumption: the bounds and rank-target relations carry one
+  * row per GROUP, and both ride as broadcasts — so "bounded by config"
+  * holds only while groupCol cardinality stays broadcast-sized (≲10M
+  * groups). For a high-cardinality group key, drop the `broadcast` hints
+  * at the two join sites and let AQE pick a shuffle join: still one row
+  * per group, just exchanged instead of replicated.
   */
 object Quantiles {
 
@@ -66,7 +73,11 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // null semantics match percentile(): null values neither count toward n
+    // nor occupy a bin (an unfiltered null would floor() to a null bin that
+    // sorts FIRST under the ascending cum window, shifting every estimate)
     val o = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
     val rng = o.groupBy("g")
       .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
     val step = (col("hi") - col("lo")) / lit(bins.toDouble)

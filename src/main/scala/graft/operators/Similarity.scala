@@ -346,6 +346,60 @@ object Similarity {
       .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
   }
 
+  /** Two-level quantization (the FAISS IVF-residual nesting shape, as in
+    * [[ivfPqTopK]]'s coarse-cell × shared-codebook split): coarse argmax
+    * cell over `coarse`, then a SECOND argmax of the RESIDUAL
+    * (v − coarseCentroid) over `fine` — one fine quantizer SHARED across
+    * all coarse cells, trained once on residuals, so no per-cell training
+    * collect ever reaches the driver. Composite cell =
+    * coarse·kFine + fine, a LONG (the whole point is exceeding
+    * [[MaxFlatCells]], so the product can pass Int range).
+    *
+    * Scale shape: both centroid relations ride as broadcasts; the only
+    * shuffle beyond [[assignCells]]'s own is the per-id fine argmax
+    * reduction — map-side combinable, one surviving row per id. Null/empty
+    * vectors (and the all-NULL sims they produce) land in fine cell 0 via
+    * the −2 sentinel, matching [[assignCellsViaJoin]]. */
+  private[graft] def assignCellsTwoLevel(
+      c: DataFrame,
+      coarse: Array[(Int, Seq[Double])],
+      fine: Array[(Int, Seq[Double])],
+      kFine: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val centDf = coarse.toSeq.toDF("cell", "__cv")
+    val fineDf = fine.toSeq.toDF("__fc", "__fcv")
+    assignCells(c, coarse)
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("id"), col("cell").as("__c1"), col("v"),
+        zip_with(col("v"), col("__cv"), (a, b) => a - b).as("__rv"))
+      .crossJoin(broadcast(fineDf))
+      .select(col("id"), col("__c1"), col("v"), col("__fc"),
+        coalesce(cosine(col("__rv"), col("__fcv")), lit(-2.0)).as("__fs"))
+      .groupBy(col("id"))
+      .agg(first(col("__c1")).as("__c1"), first(col("v")).as("v"),
+        min_by(col("__fc"),
+          struct((-col("__fs")).as("s"), col("__fc"))).as("__c2"))
+      .select(col("id"), col("v"),
+        (col("__c1").cast("long") * kFine + col("__c2").cast("long"))
+          .as("cell"))
+  }
+
+  /** Residuals (v − assignedCentroid) for fine-quantizer TRAINING — the
+    * relation [[kmeansCentroids]] samples from; lazily recomputed by
+    * [[assignCellsTwoLevel]] at assignment time (both are scan-stage). */
+  private def residuals(
+      c: DataFrame,
+      coarse: Array[(Int, Seq[Double])]): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val centDf = coarse.toSeq.toDF("cell", "__cv")
+    assignCells(c, coarse)
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("id"),
+        zip_with(col("v"), col("__cv"), (a, b) => a - b).as("rv"))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -598,25 +652,65 @@ object Similarity {
   // log2/ceil float formula can disagree by 1 ulp across libms exactly at
   // the power-of-two boundaries).
 
-  /** Auto quantizer size: k = ceil(n / targetCellSize), clamped to
-    * [1, 65536]. The upper clamp bounds the literal-expression assignment
-    * ([[assignCells]] materializes one sim column per centroid) and the
-    * codebook broadcast; past it, supply `nCentroids` explicitly and use a
-    * hierarchical / IVF-style assignment. */
-  def autoCentroids(n: Long, targetCellSize: Int): Int = {
+  /** Flat-assignment ceiling for ONE quantizer level: bounds the centroid
+    * broadcast (~32 MB of 64-dim doubles) and the per-id argmax reduction
+    * width. Past it [[semDeDup]] nests two levels (coarse × residual-fine),
+    * pushing the combined bound to MaxFlatCells² ≈ 4.3B cells — corpus
+    * sizes past ~275B embeddings at targetCellSize 64 before any clamp
+    * re-linearizes cell population. */
+  private[graft] val MaxFlatCells = 65536
+
+  /** Desired TOTAL cell count, unclamped: ceil(n / targetCellSize) —
+    * overflow-safe ceil division (n + c − 1 would wrap near Long.MaxValue). */
+  private[graft] def desiredCells(n: Long, targetCellSize: Int): Long = {
     require(targetCellSize >= 1, "targetCellSize must be >= 1")
-    // overflow-safe ceil division (n + c - 1 wraps near Long.MaxValue)
-    val k = n / targetCellSize + (if (n % targetCellSize > 0) 1L else 0L)
-    if (k > 65536L)
+    n / targetCellSize + (if (n % targetCellSize > 0) 1L else 0L)
+  }
+
+  /** Auto quantizer size: k = ceil(n / targetCellSize), clamped to
+    * [1, [[MaxFlatCells]]]. The upper clamp bounds the single-level
+    * assignment; [[semDeDup]] no longer hits it (it nests two levels past
+    * the clamp) — the warn is for DIRECT callers who wire this k into a
+    * one-level [[assignCells]]. */
+  def autoCentroids(n: Long, targetCellSize: Int): Int = {
+    val k = desiredCells(n, targetCellSize)
+    if (k > MaxFlatCells)
       // clamped k re-linearizes cell population (~n/65536 per cell), so the
       // within-cell pair stage degrades toward quadratic — warn loudly
       // instead of silently eating the blow-up past ~4M embeddings
       System.err.println(
-        s"[similarity] autoCentroids clamped: n=$n wants k=$k > 65536; " +
+        s"[similarity] autoCentroids clamped: n=$n wants k=$k > $MaxFlatCells; " +
           "cell population now grows with the corpus and the within-cell " +
-          "pair join degrades toward quadratic. Supply nCentroids with a " +
-          "hierarchical/IVF assignment instead.")
-    math.min(65536L, math.max(1L, k)).toInt
+          "pair join degrades toward quadratic. Use semDeDup's built-in " +
+          "two-level path (it splits coarse × residual-fine automatically) " +
+          "or nest quantizerLevels yourself.")
+    math.min(MaxFlatCells.toLong, math.max(1L, k)).toInt
+  }
+
+  /** Split a desired total cell count into a balanced two-level
+    * (kCoarse, kFine) with kCoarse·kFine ≥ `want` and both levels ≤
+    * `maxFlat` — the integer ceil-sqrt split, biased so the COARSE level
+    * takes the remainder (it is the one trained on raw vectors, where
+    * resolution buys the most). kFine == 1 means one level suffices.
+    * Warns only past the COMBINED bound maxFlat² (then clamps — the old
+    * single-level pathology, now ~2^32 cells away instead of 2^16). */
+  private[graft] def quantizerLevels(want: Long, maxFlat: Int = MaxFlatCells): (Int, Int) = {
+    require(maxFlat >= 1, "maxFlat must be >= 1")
+    if (want <= maxFlat) (math.max(1L, want).toInt, 1)
+    else {
+      // integer ceil-sqrt: float sqrt as a hint, then correct by stepping —
+      // immune to the 1-ulp boundary a bare .toLong would ride
+      var s = math.max(1L, math.sqrt(want.toDouble).toLong - 2)
+      while (s * s < want) s += 1
+      val kc = math.min(maxFlat.toLong, s)
+      val kfWant = desiredCells(want, kc.toInt)
+      if (kfWant > maxFlat)
+        System.err.println(
+          s"[similarity] quantizerLevels clamped: want=$want cells exceeds " +
+            s"the two-level bound $maxFlat² = ${maxFlat.toLong * maxFlat}; " +
+            "cell population now grows with the corpus again.")
+      (kc.toInt, math.min(maxFlat.toLong, kfWant).toInt)
+    }
   }
 
   /** Auto training-sample size for an auto-derived k: 4 points per
@@ -624,16 +718,42 @@ object Similarity {
     * (bounds the one driver-side collect at ~8 MB for 64-dim vectors). */
   def autoSampleSize(k: Int): Int = math.min(16384, math.max(64, 4 * k))
 
+  /** Per-level SRP plane budget (2^24 ≈ 16M buckets); two levels stack to
+    * 48 bits of bucket key before any clamp re-linearizes. */
+  private[graft] val MaxAutoPlanes = 24
+
   /** Auto SRP plane count: the smallest p with 2^p buckets ≥
     * n / targetBucketSize (integer bit-length, no float log2), clamped to
     * [1, 24]. Holds the expected bucket size constant as the corpus grows,
     * which keeps the within-bucket all-pairs stage linear overall. */
   def autoPlanes(n: Long, targetBucketSize: Int): Int = {
     require(targetBucketSize >= 1, "targetBucketSize must be >= 1")
-    // overflow-safe ceil division (n + c - 1 wraps near Long.MaxValue)
-    val q = n / targetBucketSize + (if (n % targetBucketSize > 0) 1L else 0L)
+    val q = desiredCells(n, targetBucketSize)
     val p = if (q <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
-    math.min(24, math.max(1, p))
+    math.min(MaxAutoPlanes, math.max(1, p))
+  }
+
+  /** Two-level [[autoPlanes]]: SRP planes are already hierarchical — the
+    * seeded stream makes any p-plane set a PREFIX of a larger one, so the
+    * "fine level" is simply the next `maxPerLevel` planes of the same
+    * stream concatenated onto the coarse bucket string. This derivation
+    * therefore returns ONE total p clamped to [1, 2·maxPerLevel], same
+    * integer bit-length arithmetic as [[autoPlanes]], and warns only past
+    * the combined bound (2^48 buckets at the default — ~1.8e16 vectors at
+    * targetBucketSize 64 before bucket population re-linearizes). */
+  private[graft] def autoPlanesTwoLevel(
+      n: Long,
+      targetBucketSize: Int,
+      maxPerLevel: Int = MaxAutoPlanes): Int = {
+    require(maxPerLevel >= 1, "maxPerLevel must be >= 1")
+    val q = desiredCells(n, targetBucketSize)
+    val p = if (q <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    val bound = 2 * maxPerLevel
+    if (p > bound)
+      System.err.println(
+        s"[similarity] autoPlanesTwoLevel clamped: n=$n wants p=$p > " +
+          s"$bound planes; bucket population now grows with the corpus.")
+    math.min(bound, math.max(1, p))
   }
 
   // ---- ANN index build/serve split -------------------------------------
@@ -829,11 +949,18 @@ object Similarity {
     * equi-join on the cell key, never an all-pairs product, and its cost is
     * bounded by the largest cluster. `nCentroids <= 0` (the default) derives
     * the quantizer from the corpus: k = ceil(count / targetCellSize)
-    * ([[autoCentroids]], one extra count job) — cell population stays
+    * ([[desiredCells]], one extra count job) — cell population stays
     * ~targetCellSize as the corpus grows, so the within-cell quadratic
-    * stays a constant factor instead of n²/k. `assigned` is
-    * localCheckpointed: it feeds three subtrees (both join sides + the
-    * final tag) and would otherwise evaluate three times.
+    * stays a constant factor instead of n²/k. Past `maxFlatCells` desired
+    * cells (~4M embeddings at the defaults) the assignment NESTS two
+    * levels ([[assignCellsTwoLevel]]): coarse kmeans cells × a shared
+    * residual-fine quantizer, ceil-sqrt-balanced ([[quantizerLevels]]) —
+    * cell population stays ~targetCellSize out to maxFlatCells² ≈ 4.3B
+    * cells, and `cell` widens to LONG on that path (the composite exceeds
+    * Int range; the single-level path keeps INT, which the q65 oracle
+    * pins). `assigned` is localCheckpointed: it feeds three subtrees
+    * (both join sides + the final tag) and would otherwise evaluate three
+    * times.
     *
     * Returns (id, cell, kept: 1|0); survivors are `kept = 1`.
     */
@@ -843,14 +970,30 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       nCentroids: Int = 0,
-      targetCellSize: Int = 64): DataFrame = {
+      targetCellSize: Int = 64,
+      maxFlatCells: Int = MaxFlatCells): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val k =
-      if (nCentroids > 0) nCentroids
-      else autoCentroids(corpus.count(), targetCellSize)
-    val centroids =
-      kmeansCentroids(corpus, idCol, vecCol, k, autoSampleSize(k))
-    val assigned = assignCells(c, centroids).localCheckpoint()
+    val want: Long =
+      if (nCentroids > 0) nCentroids.toLong
+      else desiredCells(corpus.count(), targetCellSize)
+    val assignedPlan =
+      if (want <= maxFlatCells) {
+        val k = math.max(1L, want).toInt
+        val centroids =
+          kmeansCentroids(corpus, idCol, vecCol, k, autoSampleSize(k))
+        assignCells(c, centroids)
+      } else {
+        val (kc, kf) = quantizerLevels(want, maxFlatCells)
+        val coarse =
+          kmeansCentroids(corpus, idCol, vecCol, kc, autoSampleSize(kc))
+        // the fine quantizer trains ONCE on residuals, shared across every
+        // coarse cell — no per-cell sample ever reaches the driver
+        val fine =
+          kmeansCentroids(residuals(c, coarse), "id", "rv", kf,
+            autoSampleSize(kf))
+        assignCellsTwoLevel(c, coarse, fine, kf)
+      }
+    val assigned = assignedPlan.localCheckpoint()
     val l = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val r = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
     val dropped = l.join(r, Seq("cell"))
@@ -869,12 +1012,17 @@ object Similarity {
     *
     * `nPlanes <= 0` (the default) derives the plane count from the corpus:
     * the smallest p with 2^p buckets ≥ count / targetBucketSize
-    * ([[autoPlanes]], one extra count job) — expected bucket population
-    * stays ~targetBucketSize as the corpus grows, keeping the
+    * ([[autoPlanesTwoLevel]], one extra count job) — expected bucket
+    * population stays ~targetBucketSize as the corpus grows, keeping the
     * within-bucket all-pairs stage linear overall instead of n²/2^p at a
     * fixed p. Because [[hyperplanes]] fills plane-major from one seeded
     * stream, the p derived planes are a PREFIX of any larger plane set —
     * an oracle can inline the max plane set and truncate the bit string.
+    * SRP's two-level form IS that prefix property: past
+    * `maxPlanesPerLevel` the derivation keeps appending planes from the
+    * same stream (a "fine" suffix on the "coarse" bucket string) up to
+    * 2·maxPlanesPerLevel — 48 bits of bucket key at the default before
+    * the warn-and-clamp.
     */
   def embeddingNearDupPairs(
       corpus: DataFrame,
@@ -884,10 +1032,12 @@ object Similarity {
       nPlanes: Int = 0,
       dim: Int = 64,
       seed: Long = 42L,
-      targetBucketSize: Int = 64): DataFrame = {
+      targetBucketSize: Int = 64,
+      maxPlanesPerLevel: Int = MaxAutoPlanes): DataFrame = {
     val p =
       if (nPlanes > 0) nPlanes
-      else autoPlanes(corpus.count(), targetBucketSize)
+      else autoPlanesTwoLevel(corpus.count(), targetBucketSize,
+        maxPlanesPerLevel)
     val planes = hyperplanes(p, dim, seed)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", srpBucket(col("v"), planes))

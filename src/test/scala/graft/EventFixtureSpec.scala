@@ -49,6 +49,40 @@ class EventFixtureSpec extends AnyFunSuite with SparkSpec {
     counts.queryExecution.assertAnalyzed()
   }
 
+  test("normalizeEventTs drift matrix: all four physical layouts converge") {
+    import spark.implicits._
+    // The generator has already shipped two layouts (nanos-as-long through
+    // r9, NTZ-micros from r10). Enumerate the plausible next ones too —
+    // int96 (legacy parquet) and ISO strings — and require every layout to
+    // normalize to the SAME µs TimestampType instants.
+    val micros = Seq(1735689600000000L, 1735689600123456L, 1735693200000000L)
+    def check(df: org.apache.spark.sql.DataFrame, layout: String): Unit = {
+      val n = Tables.normalizeEventTs(df)
+      assert(n.schema("ts").dataType == TimestampType, s"$layout type")
+      val got = n.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === micros, s"$layout values")
+    }
+    // 1. nanos-as-long (what nanosAsLong=true surfaces for TIMESTAMP(NANOS))
+    check(micros.map(_ * 1000L).toDF("ts"), "nanos-long")
+    // 2. TIMESTAMP_NTZ (timestamp[us] isAdjustedToUTC=false)
+    check(micros.toDF("m")
+      .select(timestamp_micros(col("m")).cast("timestamp_ntz").as("ts")),
+      "ntz-micros")
+    // 3. int96: write with the legacy physical type, read back
+    val p96 = java.nio.file.Files.createTempDirectory("graft_int96").toString
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      micros.toDF("m").select(timestamp_micros(col("m")).as("ts"))
+        .write.mode("overwrite").parquet(p96)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    check(spark.read.parquet(p96), "int96")
+    // 4. ISO strings (a generator emitting text timestamps)
+    check(micros.toDF("m")
+      .select(date_format(timestamp_micros(col("m")),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts")), "iso-string")
+  }
+
   test("gated event-time lanes run end-to-end on the real fixture") {
     // q35 (watermarked streaming tumbling) and q62 (unix_micros funnel) were
     // the first two lanes to die in round 10 — drive them exactly as the

@@ -86,6 +86,32 @@ class JdbcLoadSpec extends AnyFunSuite with SparkSpec {
       ddl.contains("name_cn VARCHAR(500)"))
   }
 
+  test("mysqlWriteOptions DDL parses for real and drives a live JDBC write") {
+    val opts = JdbcLoad.mysqlWriteOptions(varcharCols = Map("name" -> 64))
+    // pinned expected strings — exactly what a MySQL 8.x server would see
+    assert(opts === Map(
+      "characterEncoding" -> "UTF-8",
+      "connectionCollation" -> "utf8mb4_unicode_ci",
+      "createTableOptions" ->
+        "ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci",
+      "batchsize" -> "1000",
+      "createTableColumnTypes" -> "name VARCHAR(64)"))
+    // the column-types string must be valid Spark column DDL — parsing it
+    // is the FIRST thing .option("createTableColumnTypes", …) does at write
+    val parsed = org.apache.spark.sql.types.StructType
+      .fromDDL(opts("createTableColumnTypes"))
+    assert(parsed.fieldNames.toSeq === Seq("name"))
+    // and the portable subset drives a real write end-to-end (Derby wire;
+    // the MySQL-syntax createTableOptions and connection charset params are
+    // the documented drop-when-not-MySQL keys)
+    val portable = opts -- Seq("createTableOptions", "characterEncoding",
+      "connectionCollation")
+    val df = Seq((1L, "Elden Ring 🗡️")).toDF("id", "name")
+    JdbcLoad.writeOverwrite(df, url, "mysql_opts_portable", options = portable)
+    val back = JdbcLoad.readTable(spark, url, "mysql_opts_portable").head()
+    assert(back.getAs[String]("name") === "Elden Ring 🗡️")
+  }
+
   test("incremental sync: initial load, then insert/update/delete merge") {
     val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "bal")

@@ -475,6 +475,93 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(autoP.toSeq === explicitP.toSeq)
   }
 
+  test("quantizerLevels: balanced ceil-sqrt split, one level while it fits") {
+    // one level while want fits the flat bound
+    assert(Similarity.quantizerLevels(100, 65536) === ((100, 1)))
+    assert(Similarity.quantizerLevels(65536, 65536) === ((65536, 1)))
+    assert(Similarity.quantizerLevels(0, 65536) === ((1, 1)))
+    // just past the clamp: 257 × 256 = 65792 >= 65537, both levels flat
+    assert(Similarity.quantizerLevels(65537, 65536) === ((257, 256)))
+    // the spec-forced low clamp the two-level e2e test uses
+    assert(Similarity.quantizerLevels(15, 4) === ((4, 4)))
+    // product covers want whenever within the combined bound
+    for (w <- Seq(65537L, 100000L, 1000000L, 65536L * 65536L)) {
+      val (kc, kf) = Similarity.quantizerLevels(w, 65536)
+      assert(kc.toLong * kf >= w, s"want=$w got ($kc, $kf)")
+      assert(kc <= 65536 && kf <= 65536)
+    }
+    // past the combined bound: clamps to (maxFlat, maxFlat)
+    assert(Similarity.quantizerLevels(65536L * 65536L + 1, 65536) ===
+      ((65536, 65536)))
+  }
+
+  test("autoPlanesTwoLevel: equals autoPlanes below 24, extends to 48, clamps past") {
+    for (n <- Seq(1L, 64L, 500L, 4096L, 4097L, 1L << 29))
+      assert(Similarity.autoPlanesTwoLevel(n, 64) ===
+        Similarity.autoPlanes(n, 64), s"n=$n")
+    // q = 2^30 needs 30 planes — past the one-level 24, within two-level 48
+    assert(Similarity.autoPlanes(64L << 30, 64) === 24)
+    assert(Similarity.autoPlanesTwoLevel(64L << 30, 64) === 30)
+    assert(Similarity.autoPlanesTwoLevel(Long.MaxValue, 64) === 48) // clamp
+  }
+
+  test("semDeDup two-level path (forced-low clamp): exact-dup semantics, LONG cell") {
+    import spark.implicits._
+    // 40 distinct deterministic directions + exact duplicates of 10 of
+    // them; identical vectors share the coarse cell AND the residual fine
+    // cell by construction (same expressions), so min-id-survivor
+    // semantics must survive the nesting. Seeded fixture: the spec
+    // self-validates that no DISTINCT pair reaches the 0.99 threshold.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(40)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    for {
+      i <- base.indices; j <- base.indices if i < j
+      ci = base(i).map(_.toDouble); cj = base(j).map(_.toDouble)
+    } {
+      val cos = ci.zip(cj).map { case (a, b) => a * b }.sum /
+        (math.sqrt(ci.map(x => x * x).sum) * math.sqrt(cj.map(x => x * x).sum))
+      assert(cos < 0.99, s"fixture broke: base $i ~ $j at $cos")
+    }
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 10).map(i => ((100 + i).toLong, base(i * 3))) // dups of 0,3,6,…
+    val e = rows.toSeq.toDF("vec_id", "embedding")
+    // want = ceil(50/8) = 7 > maxFlatCells=4 → two-level (kc=3? no: ceil
+    // sqrt 7 = 3, kf = ceil(7/3) = 3) — quantizerLevels(7,4) = (3,3)
+    val out = Similarity.semDeDup(e, "vec_id", "embedding", 0.99,
+      targetCellSize = 8, maxFlatCells = 4)
+    assert(out.schema("cell").dataType ===
+      org.apache.spark.sql.types.LongType, "composite cell must widen to long")
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // every duplicate (id 100+) drops; every original (the min id) survives
+    for (i <- 0 until 10) assert(got((100 + i).toLong) === 0, s"dup ${100 + i}")
+    for (i <- 0 until 40) assert(got(i.toLong) === 1, s"original $i")
+    // the composite key actually uses BOTH levels: some cell >= kFine
+    val cells = out.select("cell").distinct().collect().map(_.getLong(0))
+    assert(cells.exists(_ >= 3), s"no coarse split in ${cells.toSeq.sorted}")
+  }
+
+  test("embeddingNearDupPairs two-level plane budget: dup pairs survive the wider key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(20)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      Seq((20L, base(0)), (21L, base(5))) // exact duplicates
+    val e = rows.toSeq.toDF("vec_id", "embedding")
+    // n=22, targetBucketSize=1 → q=22 → p wants 5; maxPlanesPerLevel=2
+    // clamps the two-level total at 4 — the nested path, active at toy n
+    val out = Similarity.embeddingNearDupPairs(e, "vec_id", "embedding",
+      0.999, targetBucketSize = 1, maxPlanesPerLevel = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors collide at ANY plane count (same bit string) —
+    // the only pairs at cos >= 0.999 in this fixture are the two dups
+    assert(out === Set((0L, 20L), (5L, 21L)))
+    // and the auto path equals the explicitly-sized run at the same p
+    val explicit = Similarity.embeddingNearDupPairs(e, "vec_id", "embedding",
+      0.999, nPlanes = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === explicit)
+  }
+
   test("pq codes: identical vectors share codes; self-query ranks its dup first") {
     val base = Array.tabulate(8)(i => i.toFloat / 8f)
     val e = Seq(
@@ -1194,6 +1281,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     // constant group: hi == lo short-circuits to the exact value
     assert(got(("k", 0.5)) === ((42.0, 50L)))
     assert(got(("k", 0.9)) === ((42.0, 50L)))
+  }
+
+  test("histogramQuantiles: nulls neither count toward n nor shift bins (percentile() semantics)") {
+    import spark.implicits._
+    // 100 real values 1..100 plus 40 nulls — percentile() ignores nulls, so
+    // p50 must target rank ceil(0.5*100)=50, not ceil(0.5*140)=70, and no
+    // null bin may inflate the cumulative counts
+    val df = ((1 to 100).map(i => ("a", Some(i.toDouble))) ++
+      (1 to 40).map(_ => ("a", Option.empty[Double]))).toDF("g", "v")
+    val got = operators.Quantiles
+      .histogramQuantiles(df, "g", "v", Seq(0.5, 1.0), 256)
+      .collect().map(r => r.getDouble(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got(0.5)._2 === 100L, "n must exclude nulls")
+    val binW = (100.0 - 1.0) / 256
+    assert(math.abs(got(0.5)._1 - 50.0) <= binW, s"p50 ${got(0.5)}")
+    assert(math.abs(got(1.0)._1 - 100.0) < 1e-9, "q=1 is the non-null max")
+    // an all-null group vanishes (no spurious rows), matching percentile()
+    val g2 = (1 to 5).map(_ => ("z", Option.empty[Double])).toDF("g", "v")
+    assert(operators.Quantiles
+      .histogramQuantiles(g2, "g", "v", Seq(0.5), 16).count() === 0L)
   }
 
   test("histogramQuantiles: aggregation state is bins-bounded, not group-sized") {

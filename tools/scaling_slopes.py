@@ -40,7 +40,8 @@ QUERIES = (
     "q111_span_excision,"
     "q113_tfidf_keywords,q114_kn_score,q115_cms_counts,"
     "q116_host_pagerank,q117_hll_distinct,q118_dsir_select,"
-    "q119_histogram_quantiles,q120_crawl_pipeline"
+    "q119_histogram_quantiles,q120_crawl_pipeline,"
+    "q121_length_band_hist,q122_distribution_drift,qb44_media_resize"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -55,6 +56,11 @@ TABLE = {
     "q113_tfidf_keywords": "documents", "q114_kn_score": "documents",
     "q115_cms_counts": "documents", "q116_host_pagerank": "documents",
     "q117_hll_distinct": "documents", "q118_dsir_select": "documents",
+    "q121_length_band_hist": "documents",
+    "q122_distribution_drift": "documents",
+    # qb44 reads a FIXED-SIZE synthetic media batch (200 rows at every sf):
+    # its gate is time INVARIANCE across sf, not a slope
+    "qb44_media_resize": "fixed",
     "q32_cosine_neardup": "embeddings", "q65_semdedup": "embeddings",
     "q35_streaming_tumbling": "events", "q61_stream_interval_join": "events",
     "q71_streaming_sliding": "events",
@@ -64,6 +70,7 @@ ROWS = {
     "embeddings": {"sf0.001": 500, "sf0.01": 500, "sf0.1": 2000},
     "events": {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000},
     "orders": {"sf0.001": 1500, "sf0.01": 15000, "sf0.1": 150000},
+    "fixed": {"sf0.001": 200, "sf0.01": 200, "sf0.1": 200},
 }
 
 
@@ -96,6 +103,14 @@ def main() -> int:
             bad += 1
             continue
         xdata = ROWS[tbl]["sf0.1"] / ROWS[tbl]["sf0.01"]
+        if xdata == 1:
+            # input does not grow with sf: the gate is time invariance
+            ratio = c / b
+            ok = ratio <= 1.5
+            bad += 0 if ok else 1
+            print(f"{q:28s} {tbl:11s} {a:8.2f} {b:8.2f} {c:8.2f} {'flat':>6s}  "
+                  f"{'OK' if ok else 'FAIL (t ratio > 1.5 on fixed input)'}")
+            continue
         slope = math.log(c / b) / math.log(xdata)
         limit = 1.2
         ok = slope <= limit

@@ -1159,6 +1159,24 @@ object SparkEntry {
         T(s, dir, "documents"), "text",
         regexp_extract(col("source"), "^src(\\d+)$", 1).cast("int") < 10, 50)),
 
+    // Cluster resolution on the SCALE path: connected components over
+    // LSH-VERIFIED near-dup edges — candidates from minhash band
+    // collisions, exact Jaccard verify on candidates ONLY, then the same
+    // alternating-stars components as q63. q63's exact inverted-index
+    // edge join costs Σ df² over shingles, which the round-12
+    // fourth-decade sweep measured bending to exponent ~0.9 under fixed-
+    // vocab shingle densification; this lane is the composition that
+    // holds at corpus scale (candidate volume rides band-collision
+    // density, not df²). Both stay gated: q63 pins the exact reporting
+    // semantics, this one the deployment form.
+    "q123_lsh_dedup_clusters" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupPairs(
+        docs, "doc_id", "text", 3, 8, 2, 0.3)
+      Components.dedupClusters(docs.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+    }),
+
     // q73's dynamic [p05, p95] outlier trim on the SCALE path: thresholds
     // from the 256-bin histogram (bounded state) instead of the exact
     // percentile whose single aggregation buffer holds the whole corpus.
@@ -3468,6 +3486,46 @@ object SparkEntry {
          |SELECT d.doc_id,
          |  least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
          |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin,
+
+    // q28's band-candidate CTEs + exact Jaccard verify on candidates only
+    // (minhashNearDupPairs), then q63's transitive-closure components —
+    // the LSH-edge cluster composition replayed end-to-end
+    "q123_lsh_dedup_clusters" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
+        .mkString("\nUNION ALL ")
+      s"""${shingleCte.replace("WITH toks", "WITH RECURSIVE toks")},
+         |sig AS ($minhashSigSelect),
+         |banded AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band, key)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |  WHERE CAST(i.n_inter AS DOUBLE)
+         |    / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.3),
+         |eb AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS node, dst AS r FROM eb
+         |  UNION
+         |  SELECT re.node, e.dst FROM reach re JOIN eb e ON re.r = e.src
+         |  WHERE e.dst <> re.node),
+         |comp AS (SELECT node, min(r) AS mn FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
+         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin
+    },
 
     // q63's transitive-closure CTE chain, then q21's quality expression
     // and the per-cluster argmax restated as a row_number ordered by

@@ -550,9 +550,24 @@ object Dedup {
     }.reduce(_ + _)
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (≤ 3 for the
-    * default banding). Pigeonhole blocking: the 64 bits split into 4 bands of
-    * 16 bits (4 hex chars); any pair within Hamming ≤ 3 shares at least one
-    * untouched band, so joining per-band is exact, not approximate.
+    * default banding). TWO-LEVEL pigeonhole blocking (nested Manku '07
+    * block-permutation): the 64 bits split into 4 bands of 16 bits (4 hex
+    * chars); any pair within Hamming ≤ 3 shares at least one untouched
+    * band. Within that clean band's COMPLEMENT (the other 48 bits, still
+    * carrying all ≤ 3 errors), the same argument gives a clean 12-bit
+    * sub-block of its 4 — so every qualifying pair matches at least one of
+    * the 16 composite (band, sub-block) 28-bit keys, and the join stays
+    * EXACT, not approximate.
+    *
+    * Why two levels: candidate volume per bucket is Σ bucket², and a
+    * 16-bit key's buckets grow linearly with the corpus wherever the
+    * fingerprint distribution concentrates (similar docs share band
+    * values; the round-12 fourth-decade sweep measured the one-level join
+    * at exponent 1.85 — quadratic — on a 50k-doc corpus whose near-uniform
+    * token mix concentrates simhash bits). The extra 12 matched bits
+    * multiply coincidental collisions down by the sub-block's entropy
+    * while keys per doc only grow 4 → 16; output is bit-identical (the
+    * q30 oracle is unchanged), only the candidate set shrinks.
     */
   def simhashNearDupPairs(
       df: DataFrame,
@@ -568,10 +583,19 @@ object Dedup {
     // tradeoff as the MinHash checkpoint in minhashLshPairs; the relation
     // is one 16-char string per doc, tiny at any scale.
     val sig = simhash(df, idCol, textCol).localCheckpoint(eager = true)
+    // rest(b) = the 12 hex chars outside band b, order-preserved; the
+    // composite key is band(4 chars) ++ sub-block(3 chars of rest(b))
+    def rest(bnd: Int): Column =
+      if (bnd == 0) substring(col("simhash"), 5, 12)
+      else if (bnd == 3) substring(col("simhash"), 1, 12)
+      else concat(substring(col("simhash"), 1, bnd * 4),
+        substring(col("simhash"), bnd * 4 + 5, 12 - bnd * 4))
+    val keys = for { bnd <- 0 until 4; sub <- 0 until 4 } yield
+      struct(lit(bnd * 4 + sub).as("band"),
+        concat(substring(col("simhash"), bnd * 4 + 1, 4),
+          substring(rest(bnd), sub * 3 + 1, 3)).as("key"))
     val banded = sig.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(bnd =>
-        struct(lit(bnd).as("band"),
-          substring(col("simhash"), bnd * 4 + 1, 4).as("key"))): _*)).as("bk"))
+      explode(array(keys: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"),
         col("bk.key").as("key"))
     val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),

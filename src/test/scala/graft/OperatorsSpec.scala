@@ -112,6 +112,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.length === 1 && pairs(0).getAs[Int]("hamming") === 0)
   }
 
+  test("two-level pigeonhole blocking is exact: equals brute-force Hamming<=3 pairs") {
+    // the nested (band, sub-block) 28-bit keys must find EXACTLY the pairs
+    // an exhaustive O(n²) scan finds — blocking prunes candidates, never
+    // results. Real corpus slice so band values actually collide.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+    val a = sig.select($"doc_id".as("id_a"), $"simhash".as("sh_a"))
+    val b = sig.select($"doc_id".as("id_b"), $"simhash".as("sh_b"))
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        Dedup.simhashHamming($"sh_a", $"sh_b").as("hamming"))
+      .filter($"hamming" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture must exercise at least one real pair")
+  }
+
   test("simhash64 expression is bit-identical to the composed formulation") {
     // real corpus slice: CJK, punctuation, repeated tokens, short docs
     val docs = spark.read

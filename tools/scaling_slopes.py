@@ -41,7 +41,8 @@ QUERIES = (
     "q113_tfidf_keywords,q114_kn_score,q115_cms_counts,"
     "q116_host_pagerank,q117_hll_distinct,q118_dsir_select,"
     "q119_histogram_quantiles,q120_crawl_pipeline,"
-    "q121_length_band_hist,q122_distribution_drift,qb44_media_resize"
+    "q121_length_band_hist,q122_distribution_drift,qb44_media_resize,"
+    "q123_lsh_dedup_clusters"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -58,6 +59,7 @@ TABLE = {
     "q117_hll_distinct": "documents", "q118_dsir_select": "documents",
     "q121_length_band_hist": "documents",
     "q122_distribution_drift": "documents",
+    "q123_lsh_dedup_clusters": "documents",
     # qb44 reads a FIXED-SIZE synthetic media batch (200 rows at every sf):
     # its gate is time INVARIANCE across sf, not a slope
     "qb44_media_resize": "fixed",

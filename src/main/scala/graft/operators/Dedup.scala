@@ -610,6 +610,50 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** SimHash near-dup pairs via Manku '07 COMBINATION blocking — the
+    * documented dial past [[simhashNearDupPairs]]'s nested pigeonhole when
+    * fingerprint concentration keeps densifying buckets. The 16 hex chars
+    * split into 6 blocks (3,3,3,3,2,2 chars = 12/12/12/12/8/8 bits); a pair
+    * within Hamming ≤ 3 leaves at least 6−3 = 3 blocks untouched, so it
+    * matches the concatenated key of at least one of the C(6,3) = 20 block
+    * triples — EXACT, same guarantee as the pigeonhole schemes, more keys
+    * (20 vs 16 per doc) buying more matched bits per key (28–36, mean 32,
+    * vs a flat 28). Output is bit-identical to [[simhashNearDupPairs]]
+    * (OperatorsSpec proves both equal brute-force O(n²) Hamming). */
+  def simhashNearDupPairsCombinatorial(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "C(6,3) combination blocking is exact only for maxDist <= 3")
+    val sig = simhash(df, idCol, textCol).localCheckpoint(eager = true)
+    // hex-char (start, length) of the 6 blocks, 1-based for substring
+    val blocks = Seq((1, 3), (4, 3), (7, 3), (10, 3), (13, 2), (15, 2))
+    val triples = for {
+      i <- 0 until 6; j <- i + 1 until 6; k <- j + 1 until 6
+    } yield (i, j, k)
+    val keys = triples.zipWithIndex.map { case ((i, j, k), t) =>
+      struct(lit(t).as("band"),
+        concat(Seq(i, j, k).map { b =>
+          substring(col("simhash"), blocks(b)._1, blocks(b)._2)
+        }: _*).as("key"))
+    }
+    val banded = sig.select(col(idCol), col("simhash"),
+      explode(array(keys: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("key"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        simhashHamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Exact repeated-span EXCISION (the Lee et al. '21 "Deduplicating
     * Training Data" family): instead of detecting duplicate documents,
     * rewrite each document by cutting out every span of `w` consecutive

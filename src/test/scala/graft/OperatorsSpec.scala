@@ -131,6 +131,10 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded === brute)
     assert(brute.nonEmpty, "fixture must exercise at least one real pair")
+    // the C(6,3) combination-blocking dial must find the same exact set
+    val combo = Dedup.simhashNearDupPairsCombinatorial(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(combo === brute)
   }
 
   test("simhash64 expression is bit-identical to the composed formulation") {

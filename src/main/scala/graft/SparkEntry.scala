@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Components, Dedup, Packing, Sampling, Scrub, Similarity, SnapshotMerge, TextAnalysis, Windows}
+import graft.operators.{AsofJoin, Components, Dedup, Layout, Packing, Sampling, Scrub, Similarity, SnapshotMerge, TextAnalysis, Windows}
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per implemented
   * operator family from SURVEY §2 plus the training-data-pipeline extensions,
@@ -1181,6 +1181,20 @@ object SparkEntry {
         docs, "doc_id", "text", 3, 8, 2, 0.3)
       Components.dedupClusters(docs.select(col("doc_id")), "doc_id",
         pairs, "id_a", "id_b")
+    }),
+
+    // Multi-dimensional layout: Morton z-key over (l_partkey, l_suppkey).
+    // The key IS the operator's semantic content — Layout.zorderWrite is
+    // key + repartitionByRange + parquet write, and its physical payoff
+    // (row-group pruning in BOTH dimensions from one clustering) is
+    // measured end-to-end in LayoutSpec against an unclustered copy.
+    "q124_zorder_key" -> ((s, dir) => {
+      Layout.zorderKey(
+        T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
     }),
 
     // q73's dynamic [p05, p95] outlier trim on the SCALE path: thresholds
@@ -3531,6 +3545,34 @@ object SparkEntry {
          |SELECT d.doc_id,
          |  least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
          |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin
+    },
+
+    // Replays zorderKey's exact integer pipeline: global bounds, the
+    // bit-truncation quantizer (shift = bitLength(range) - 8 via
+    // length(bin(...)) — DuckDB's bin() is exact at any magnitude, no
+    // double log2), then the 8-bit Morton interleave term by term.
+    "q124_zorder_key" -> {
+      val terms = (0 until 8).map(b =>
+        s"((((qx >> $b) & 1) << ${2 * b + 1}) | (((qy >> $b) & 1) << ${2 * b}))")
+        .mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT CAST(min(l_partkey) AS BIGINT) AS xlo,
+         |         CAST(max(l_partkey) AS BIGINT) AS xhi,
+         |         CAST(min(l_suppkey) AS BIGINT) AS ylo,
+         |         CAST(max(l_suppkey) AS BIGINT) AS yhi
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT xlo, ylo,
+         |    greatest(0, CAST(length(bin(xhi - xlo)) AS INT) - 8) AS sx,
+         |    greatest(0, CAST(length(bin(yhi - ylo)) AS INT) - 8) AS sy
+         |  FROM b),
+         |q AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    (CAST(l_partkey AS BIGINT) - xlo) >> sx AS qx,
+         |    (CAST(l_suppkey AS BIGINT) - ylo) >> sy AS qy
+         |  FROM lineitem, s)
+         |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zkey
+         |FROM q""".stripMargin
     },
 
     // q63's transitive-closure CTE chain, then q21's quality expression

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** Z-order layout: key algebra, degenerate inputs, and the physical
+  * payoff — a conjunctive box predicate must prune row groups in BOTH
+  * dimensions against a z-clustered copy where an unclustered copy of the
+  * same rows reads everything. */
+class LayoutSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def withDirs[A](n: Int)(body: Seq[Path] => A): A = {
+    val dirs = (1 to n).map(_ => Files.createTempDirectory("graft_layout"))
+    try body(dirs)
+    finally dirs.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("interleaveBits places x at odd, y at even bit positions") {
+    // x=5 (101), y=3 (011), 3 bits:
+    //   b0: x→bit1, y→bit0; b1: y→bit2; b2: x→bit5  ⇒ 100111 = 39
+    val row = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.interleaveBits(col("x"), col("y"), 3).as("z"))
+      .head()
+    assert(row.getLong(0) === 39L)
+  }
+
+  test("zorderKey: nulls get null keys, constant dimension degrades sanely") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 7L), (2L, 7L), (null, 7L)).toDF("x", "y")
+    val keyed = Layout.zorderKey(df, "x", "y", 8).collect()
+    assert(keyed.count(_.isNullAt(2)) === 1)
+    // y is constant ⇒ its quantized value is 0 everywhere ⇒ zkey is just
+    // x's bits spread to odd positions: x-lo = 0 and 1 ⇒ keys 0 and 2
+    val keys = keyed.filter(!_.isNullAt(2)).map(_.getLong(2)).sorted
+    assert(keys.toSeq === Seq(0L, 2L))
+  }
+
+  test("z-ordered layout prunes a 2-D box in both dimensions; unclustered reads all") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val total = li.count()
+    withDirs(2) { case Seq(zdir, udir) =>
+      Layout.zorderWrite(li, "l_partkey", "l_suppkey", zdir.toString,
+        numFiles = 16, bits = 8)
+      // same rows, same file count, no clustering: the control layout
+      li.repartition(16).write.mode("overwrite").parquet(udir.toString)
+
+      def boxScanRows(path: String): (Long, Array[String]) = {
+        val f = spark.read.parquet(path)
+          .filter(col("l_partkey").between(100, 349) &&
+            col("l_suppkey").between(10, 21))
+        val rows = f.collect().map(_.toString).sorted
+        val scan = f.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s
+        }.head
+        assert(scan.metadata("PushedFilters").contains("l_partkey"),
+          s"box filter not pushed: ${scan.metadata("PushedFilters")}")
+        (scan.metrics("numOutputRows").value, rows)
+      }
+      val (zRows, zRes) = boxScanRows(zdir.toString)
+      val (uRows, uRes) = boxScanRows(udir.toString)
+      assert(zRes.sameElements(uRes), "layouts must return identical rows")
+      assert(zRes.nonEmpty, "box must select something")
+      assert(uRows === total, "unclustered control must read every row")
+      info(s"box scan read $zRows rows z-ordered vs $uRows unclustered")
+      assert(zRows * 2 < uRows,
+        s"z-order should skip most row groups: read $zRows of $uRows")
+    }
+  }
+}

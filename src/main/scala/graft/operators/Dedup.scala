@@ -423,6 +423,41 @@ object Dedup {
         round(col("n_match") / lit(numHashes.toDouble), 6))
   }
 
+  /** The (bands, rowsPerBand) plan an LSH run should use for a target
+    * Jaccard threshold — the DIAL for band-key densification (the
+    * fourth-decade sweep measured q28's candidate volume bending to
+    * exponent 0.86 as fixed-vocab minhash values concentrate; deeper
+    * bands cube collision probability for dissimilar pairs while the
+    * band count recovers recall for similar ones).
+    *
+    * Standard S-curve sizing (Leskovec/Rajaraman/Ullman ch. 3, Broder
+    * '97): a pair with Jaccard s collides with probability
+    * 1 − (1 − s^r)^b. For each band depth r, the minimal band count
+    * holding recall at the threshold is b = ⌈ln(1−recall)/ln(1−t^r)⌉;
+    * among depths whose signature b·r fits `maxHashes`, pick the one
+    * minimizing collision probability for a CLEARLY dissimilar pair
+    * (s = t/2) — i.e. the fewest false candidates the exact verify
+    * stage must drain. Pure driver-side arithmetic, no data touched.
+    *
+    * @return (bands, rowsPerBand, recallAtT, fpAtHalfT)
+    */
+  def lshPlan(
+      threshold: Double,
+      targetRecall: Double = 0.9,
+      maxHashes: Int = 128): (Int, Int, Double, Double) = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    require(targetRecall > 0 && targetRecall < 1, "recall in (0,1)")
+    def collide(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val plans = for {
+      r <- 1 to maxHashes
+      b = math.ceil(
+        math.log1p(-targetRecall) / math.log1p(-math.pow(threshold, r))).toInt
+      if b >= 1 && b.toLong * r <= maxHashes // Long: huge ceil()s wrap Int
+    } yield (b, r, collide(threshold, b, r), collide(threshold / 2, b, r))
+    plans.minBy(_._4)
+  }
+
   /** LSH candidate pairs from MinHash signatures: `numHashes` rows split into
     * bands of `rowsPerBand`; docs sharing any full band collide. Probability
     * a pair with Jaccard s collides: 1 − (1 − s^r)^b.

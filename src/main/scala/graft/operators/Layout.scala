@@ -27,64 +27,88 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Bit-interleave two already-quantized `bits`-bit non-negative columns
-    * into a Morton z-value: x's bit b lands at position 2b+1, y's at 2b.
+  /** Bit-interleave `d` already-quantized `bits`-bit non-negative columns
+    * into a Morton z-value: bit `b` of dimension `i` lands at position
+    * `b*d + (d-1-i)` — earlier columns take more significant positions
+    * within each bit group, so sort locality favors the leading columns
+    * exactly like a plain multi-column sort does, one bit at a time.
     * Literal shift amounts — the whole chain stays inside whole-stage
-    * codegen. `bits` ≤ 31 keeps the result within a signed long. */
-  def interleaveBits(qx: Column, qy: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, "interleave needs 1..31 bits per dimension")
-    (0 until bits).map { b =>
-      shiftleft(shiftright(qx, b).bitwiseAND(lit(1L)), 2 * b + 1)
-        .bitwiseOR(shiftleft(shiftright(qy, b).bitwiseAND(lit(1L)), 2 * b))
+    * codegen. `bits * d` ≤ 62 keeps the result within a signed long. */
+  def interleaveBitsN(qs: Seq[Column], bits: Int): Column = {
+    val d = qs.size
+    require(d >= 1, "need at least one dimension")
+    require(bits >= 1 && bits * d <= 62,
+      s"bits*dims must fit a signed long: $bits*$d")
+    (0 until bits).flatMap { b =>
+      qs.zipWithIndex.map { case (q, i) =>
+        shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * d + (d - 1 - i))
+      }
     }.reduce(_.bitwiseOR(_))
   }
+
+  /** 2-D special case: x's bit b at position 2b+1, y's at 2b. */
+  def interleaveBits(qx: Column, qy: Column, bits: Int): Column =
+    interleaveBitsN(Seq(qx, qy), bits)
 
   /** Exact bit length of a non-negative long (0 → 0 bits, mirroring the
     * oracle's `length(bin(x))` = 1 only through the shared max(0, …-bits)
     * clamp, where both yield shift 0). */
   private def bitLength(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
 
-  /** Add a `zkey` Morton code over two integral columns. Bounds are
+  /** Add a `zkey` Morton code over `d` integral columns. Bounds are
     * computed once (1-row aggregate to the driver) so the per-row
-    * expression is all-literal shifts; rows where either column is null
-    * get a null zkey (they sort last and cluster together — the layout
-    * equivalent of a null partition). */
+    * expression is all-literal shifts; rows where any column is null get
+    * a null zkey (they sort last and cluster together — the layout
+    * equivalent of a null partition). An all-null dimension degrades to a
+    * null key for every row. */
+  def zorderKeyN(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    if (cols.indices.exists(i => b.isNullAt(2 * i)))
+      return df.withColumn("zkey", lit(null).cast("long"))
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (b.getLong(2 * i), b.getLong(2 * i + 1))
+      val s = math.max(0, bitLength(hi - lo) - bits)
+      shiftright(col(c).cast("long") - lit(lo), s)
+    }
+    df.withColumn("zkey", interleaveBitsN(qs, bits))
+  }
+
+  /** 2-D convenience over [[zorderKeyN]]. */
   def zorderKey(
       df: DataFrame,
       xCol: String,
       yCol: String,
-      bits: Int = 16): DataFrame = {
-    val b = df.agg(
-      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
-      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
-    if (b.isNullAt(0) || b.isNullAt(2)) // all-null dimension: degenerate layout
-      return df.withColumn("zkey", lit(null).cast("long"))
-    val (xlo, xhi, ylo, yhi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    val sx = math.max(0, bitLength(xhi - xlo) - bits)
-    val sy = math.max(0, bitLength(yhi - ylo) - bits)
-    val qx = shiftright(col(xCol).cast("long") - lit(xlo), sx)
-    val qy = shiftright(col(yCol).cast("long") - lit(ylo), sy)
-    df.withColumn("zkey", interleaveBits(qx, qy, bits))
-  }
+      bits: Int = 16): DataFrame = zorderKeyN(df, Seq(xCol, yCol), bits)
 
-  /** Write `df` parquet clustered by the z-order of (xCol, yCol):
+  /** Write `df` parquet clustered by the z-order of `cols`:
     * range-partition into `numFiles` z-ranges, sort within each, drop the
     * key (it is derivable; persisting it would change the schema
-    * contract). Each output file then spans a bounded rectangle of
-    * (x, y), so box predicates on EITHER OR BOTH columns prune row groups
-    * via ordinary parquet stats — LayoutSpec measures the scan-row
-    * reduction against an unclustered copy of the same rows. */
+    * contract). Each output file then spans a bounded hyper-rectangle of
+    * the clustered columns, so box predicates on ANY subset of them prune
+    * row groups via ordinary parquet stats — LayoutSpec measures the
+    * scan-row reduction against an unclustered copy of the same rows. */
+  def zorderWriteN(
+      df: DataFrame,
+      cols: Seq[String],
+      path: String,
+      numFiles: Int,
+      bits: Int): Unit = {
+    zorderKeyN(df, cols, bits)
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop("zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** 2-D convenience over [[zorderWriteN]]. */
   def zorderWrite(
       df: DataFrame,
       xCol: String,
       yCol: String,
       path: String,
       numFiles: Int,
-      bits: Int = 16): Unit = {
-    zorderKey(df, xCol, yCol, bits)
-      .repartitionByRange(numFiles, col("zkey"))
-      .sortWithinPartitions("zkey")
-      .drop("zkey")
-      .write.mode(SaveMode.Overwrite).parquet(path)
-  }
+      bits: Int = 16): Unit =
+    zorderWriteN(df, Seq(xCol, yCol), path, numFiles, bits)
 }

@@ -34,6 +34,35 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(row.getLong(0) === 39L)
   }
 
+  test("interleaveBitsN roundtrips: z-value decodes back to the input tuple") {
+    // independent Scala decoder: bit b of dim i sits at position b*d+(d-1-i)
+    def decode(z: Long, d: Int, bits: Int): Seq[Long] =
+      (0 until d).map { i =>
+        (0 until bits).map { b =>
+          ((z >> (b * d + (d - 1 - i))) & 1L) << b
+        }.reduce(_ | _)
+      }
+    val rnd = new scala.util.Random(42)
+    val d = 3; val bits = 7
+    val tuples = Seq.fill(200)(
+      (rnd.nextInt(1 << bits).toLong, rnd.nextInt(1 << bits).toLong,
+        rnd.nextInt(1 << bits).toLong))
+    val got = tuples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.interleaveBitsN(
+          Seq(col("a"), col("b"), col("c")), bits).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(decode(r.getLong(3), d, bits) ===
+        Seq(r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    // the 2-D form is the N-dim form at d=2
+    val two = Seq((5L, 3L)).toDF("x", "y").select(
+      Layout.interleaveBits(col("x"), col("y"), 3).as("a"),
+      Layout.interleaveBitsN(Seq(col("x"), col("y")), 3).as("b")).head()
+    assert(two.getLong(0) === two.getLong(1))
+  }
+
   test("zorderKey: nulls get null keys, constant dimension degrades sanely") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
       (1L, 7L), (2L, 7L), (null, 7L)).toDF("x", "y")

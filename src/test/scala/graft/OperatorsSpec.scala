@@ -101,6 +101,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(near.toSet.subsetOf(Set((1L, 3L), (1L, 2L), (2L, 3L))))
   }
 
+  test("lshPlan sizes (bands, rows) from the S-curve; deeper threshold, deeper bands") {
+    // pinned against an independent Python computation of the same
+    // closed forms (b = ceil(ln(1-rec)/ln(1-t^r)), fp at s = t/2)
+    val p03 = Dedup.lshPlan(0.3, 0.9, 128)
+    assert((p03._1, p03._2) === (25, 2))
+    val p05 = Dedup.lshPlan(0.5, 0.9, 128)
+    assert((p05._1, p05._2) === (18, 3))
+    val p08 = Dedup.lshPlan(0.8, 0.9, 128)
+    assert((p08._1, p08._2) === (13, 8))
+    assert(Dedup.lshPlan(0.8, 0.99, 256)._1 === 26)
+    for (p <- Seq(p03, p05, p08)) {
+      assert(p._3 >= 0.9, s"recall at threshold must hold: $p")
+      assert(p._1 * p._2 <= 128, s"signature must fit: $p")
+      assert(p._4 < p._3, s"fp at t/2 below recall at t: $p")
+    }
+    // the plan is valid input for the executor: bands tile the signature
+    assert((p03._1 * p03._2) % p03._2 === 0)
+  }
+
   test("simhash: identical docs collide, near-dups land close") {
     val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
       .toDF("doc_id", "text")

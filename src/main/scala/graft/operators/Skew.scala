@@ -146,6 +146,24 @@ object Skew {
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
 
+  /** Confs that let Catalyst's RUNTIME bloom-filter injection fire at
+    * local test scale. The mechanism (InjectRuntimeFilter): a selective
+    * predicate on one side of a shuffle equi-join plants a
+    * `bloom_filter_might_contain` probe — built from the filtered side's
+    * join keys — onto the OTHER side's scan, discarding non-joining fact
+    * rows BEFORE they are shuffled. At 100 TB that is the difference
+    * between shuffling the whole fact table and shuffling only the slice
+    * that can match a filtered dimension. Production defaults already
+    * enable it (creation side ≤ 10 MB plan size, application side ≥ 10 GB
+    * scanned — the scale where the filter pays for itself); the demo only
+    * drops the application-side floor so a fixture-sized fact qualifies,
+    * and disables broadcast so the shuffle the filter protects actually
+    * exists. */
+  val runtimeFilterDemoConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+
   object Bucketing {
 
     /** Persist `df` bucketed (and sorted) on `key` into the session

@@ -104,6 +104,32 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("selective dim filter injects a runtime bloom filter into the fact side") {
+    withSQLConf(Skew.runtimeFilterDemoConfs: _*) {
+      val dir = "/root/testdata/sf0.01"
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val n = j.count()
+      assert(n > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the fact scan:\n${plan.take(1500)}")
+      // and it sits BELOW the fact side's exchange — pruning pre-shuffle
+      val shuffleIdx = plan.indexOf("Exchange hashpartitioning(l_orderkey")
+      val probeIdx = plan.indexOf("might_contain")
+      assert(shuffleIdx >= 0 && probeIdx > shuffleIdx,
+        "the probe must filter rows before they are shuffled")
+      // the filter prunes candidates, never results: same count without it
+      withSQLConf("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        assert(li.join(ord, col("l_orderkey") === col("o_orderkey")).count() === n)
+      }
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = "/root/testdata/sf0.001"
     Skew.Bucketing.writeBucketed(

@@ -525,6 +525,24 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** [[minhashNearDupPairs]] with the (bands, rowsPerBand) plan derived
+    * from the threshold by [[lshPlan]] instead of hand-picked — the shape
+    * a deployment uses: state the Jaccard threshold and recall target,
+    * let the S-curve pick the signature. Every emitted pair is still
+    * exactly verified (`jaccard ≥ threshold`); the plan only controls
+    * which candidates the verify stage sees, i.e. recall and cost. */
+  def minhashNearDupPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      targetRecall: Double = 0.9,
+      maxHashes: Int = 64): DataFrame = {
+    val (bands, rows, _, _) = lshPlan(threshold, targetRecall, maxHashes)
+    minhashNearDupPairs(df, idCol, textCol, n, bands * rows, rows, threshold)
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   private val HexDigits = "0123456789abcdef"

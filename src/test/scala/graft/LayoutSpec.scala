@@ -74,6 +74,18 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(keys.toSeq === Seq(0L, 2L))
   }
 
+  test("zorderKey handles negative bounds: shift against lo, not zero") {
+    // lo = -4: values rebase to [0, 8); bits=3 needs no truncation, so the
+    // key is the exact interleave of (x+4, y+4)
+    val df = Seq((-4L, 3L), (3L, -4L), (0L, 0L)).toDF("x", "y")
+    val keys = Layout.zorderKey(df, "x", "y", 3)
+      .orderBy("x").collect().map(_.getLong(2))
+    // (-4,3)→(0,7): y bits to even slots = 010101 = 21
+    // (0,0)→(4,4): x bit2→pos5=32, y bit2→pos4=16 ⇒ 48
+    // (3,-4)→(7,0): x=111 at odd slots = 101010 = 42
+    assert(keys.toSeq === Seq(21L, 48L, 42L))
+  }
+
   test("z-ordered layout prunes a 2-D box in both dimensions; unclustered reads all") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")

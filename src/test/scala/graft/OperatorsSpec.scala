@@ -120,6 +120,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert((p03._1 * p03._2) % p03._2 === 0)
   }
 
+  test("minhashNearDupPairsAuto: planned signature, every pair exactly verified") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val pairs = Dedup.minhashNearDupPairsAuto(
+      docs, "doc_id", "text", 3, 0.5, 0.9, 64).collect()
+    assert(pairs.nonEmpty, "fixture has near-dup families at t=0.5")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+    // recall check against exact all-pairs at the same threshold: the
+    // planned signature must hold the configured 0.9 target on this corpus
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).collect()
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    val recall = got.count(want.contains).toDouble / want.size
+    assert(recall >= 0.9, s"planned LSH recall $recall below target")
+  }
+
   test("simhash: identical docs collide, near-dups land close") {
     val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
       .toDF("doc_id", "text")

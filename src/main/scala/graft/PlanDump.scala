@@ -27,7 +27,8 @@ object PlanDump {
       "q104_bigram_lm", "q105_url_canonicalize", "q106_semantic_decontam",
       "q107_html_strip", "q108_c4_line_filter", "q109_paragraph_dedup",
       "q110_cluster_reps", "q111_span_excision", "q112_curriculum_order",
-      "q113_tfidf_keywords", "q119_histogram_quantiles", "q120_crawl_pipeline")
+      "q113_tfidf_keywords", "q119_histogram_quantiles", "q120_crawl_pipeline",
+      "q124_zorder_key")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")
@@ -57,6 +58,32 @@ object PlanDump {
         sb.append("\n## aqe_skew_join_demo (zipfian 2M-row fact × 200-row dim, EXECUTED final plan)\n\n")
         sb.append(s"confs: ${Skew.skewDemoConfs.map { case (k, v) => s"$k=$v" }.mkString(", ")}\n\n")
         sb.append(s"```\n${df.queryExecution.executedPlan}\n```\n")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    // Runtime bloom-filter evidence: InjectRuntimeFilter fires at
+    // optimization time — capture the plan of a selective dim ⋈ fact join
+    // with the demo confs (production thresholds except the
+    // application-side floor). Look for might_contain(...) UNDER the fact
+    // side's Exchange: non-joining rows die before the shuffle.
+    locally {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.Skew
+      val saved = Skew.runtimeFilterDemoConfs.map { case (k, _) =>
+        k -> spark.conf.getOption(k) }
+      Skew.runtimeFilterDemoConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val li = Tables.load(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_extendedprice")
+        val ord = Tables.load(spark, sfDir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        sb.append("\n## runtime_bloom_filter_demo (selective orders filter planted on the lineitem scan)\n\n")
+        sb.append(s"confs: ${Skew.runtimeFilterDemoConfs.map { case (k, v) => s"$k=$v" }.mkString(", ")}\n\n")
+        sb.append(s"```\n${j.queryExecution.executedPlan}\n```\n")
       } finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)

@@ -111,4 +111,46 @@ object Layout {
       numFiles: Int,
       bits: Int = 16): Unit =
     zorderWriteN(df, Seq(xCol, yCol), path, numFiles, bits)
+
+  /** Per-FILE column range statistics for a written table — the lakehouse
+    * manifest / metadata-table pattern (Delta stats, Iceberg manifests,
+    * Hudi's metadata table). One narrow scan groups min/max per
+    * `input_file_name`; the result is LAYOUT-sized (one row per file),
+    * not data-sized, so it persists as a tiny side table. At 100 TB this
+    * moves pruning from read time to PLANNING time: a box query consults
+    * the stats table and never even opens the footers of files it can
+    * exclude — row-group skipping still applies inside the survivors.
+    * Pairs with [[zorderWriteN]], which is what makes per-file ranges
+    * tight in every clustered column at once. */
+  def fileStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .select((col(cols.head) +: cols.tail.map(col)) :+
+        input_file_name().as("file"): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read only the files whose stats rectangle intersects every
+    * `(col, lo, hi)` bound of a box predicate, using a previously
+    * collected [[fileStats]] table. Returns the kept files' FULL rows —
+    * the caller still applies the predicate (stats pruning is a superset
+    * filter, exactly like parquet row-group skipping). The collected file
+    * list is layout-sized, the same planning-time footprint as the file
+    * listing every reader already does. */
+  def readPruned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      stats: DataFrame,
+      box: Seq[(String, Long, Long)]): DataFrame = {
+    val keep = box.foldLeft(stats) { case (df, (c, lo, hi)) =>
+      df.filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
+    }.select("file").collect().map(_.getString(0))
+    if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(keep: _*)
+  }
 }

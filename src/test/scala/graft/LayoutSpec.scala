@@ -86,6 +86,34 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(keys.toSeq === Seq(21L, 48L, 42L))
   }
 
+  test("fileStats + readPruned: planning-time file pruning over the z-order layout") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    withDirs(1) { case Seq(zdir) =>
+      Layout.zorderWrite(li, "l_partkey", "l_suppkey", zdir.toString,
+        numFiles = 16, bits = 8)
+      val stats = Layout.fileStats(spark, zdir.toString,
+        Seq("l_partkey", "l_suppkey"))
+      assert(stats.count() === 16) // one row per file: layout-sized
+      val box = Seq(("l_partkey", 100L, 349L), ("l_suppkey", 10L, 21L))
+      val pruned = Layout.readPruned(spark, zdir.toString, stats, box)
+      val allFiles = spark.read.parquet(zdir.toString).inputFiles.length
+      assert(pruned.inputFiles.length < allFiles / 2,
+        s"planning-time pruning should drop most files: " +
+          s"${pruned.inputFiles.length} of $allFiles")
+      // superset-then-filter equals the full scan: pruning never drops hits
+      val p = col("l_partkey").between(100, 349) &&
+        col("l_suppkey").between(10, 21)
+      val got = pruned.filter(p).collect().map(_.toString).sorted
+      val want = spark.read.parquet(zdir.toString).filter(p)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(want) && got.nonEmpty)
+      // an impossible box prunes everything without erroring
+      assert(Layout.readPruned(spark, zdir.toString, stats,
+        Seq(("l_partkey", -10L, -1L))).count() === 0)
+    }
+  }
+
   test("z-ordered layout prunes a 2-D box in both dimensions; unclustered reads all") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")

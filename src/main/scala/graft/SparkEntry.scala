@@ -1183,6 +1183,27 @@ object SparkEntry {
         pairs, "id_a", "id_b")
     }),
 
+    // q94's streaming ingest upgraded from exact to NEAR-dup rejection:
+    // micro-batches LSH-probed (foreachBatch) against the static minhash
+    // signature index, only unmatched docs appended. Batch-split
+    // invariant (delta vs index only), so the oracle replays the whole
+    // delta in one pass; the multi-batch split itself is gated in
+    // StreamingSpec.
+    "q125_stream_neardup_ingest" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val indexSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", 3, 8)
+      val docStream = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= 250)
+      val out = scratchDir("graft_q125")
+      graft.streaming.EventStreams.nearDupFilteredIngest(
+        docStream, indexSigs, "doc_id", "text", 3, 8, 2,
+        minMatchFraction = 0.5, out).awaitTermination()
+      s.read.parquet(out).select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // Multi-dimensional layout: Morton z-key over (l_partkey, l_suppkey).
     // The key IS the operator's semantic content — Layout.zorderWrite is
     // key + repartitionByRange + parquet write, and its physical payoff
@@ -3545,6 +3566,36 @@ object SparkEntry {
          |SELECT d.doc_id,
          |  least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
          |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin
+    },
+
+    // q97's band/verify CTE chain, inverted: the surviving corpus is the
+    // delta minus every delta_id with a verified index match. One-pass
+    // replay is sound because the stream compares delta vs static index
+    // only (batch-split invariant).
+    "q125_stream_neardup_ingest" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM ")
+      val dbands = bands.map(_ + "dsig").mkString("\nUNION ALL ")
+      val ibands = bands.map(_ + "isig").mkString("\nUNION ALL ")
+      val nMatch = (0 until 8)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$shingleCte,
+         |sig AS ($minhashSigSelect),
+         |dsig AS (SELECT * FROM sig WHERE doc_id >= 250),
+         |isig AS (SELECT * FROM sig WHERE doc_id < 250),
+         |dband AS ($dbands),
+         |iband AS ($ibands),
+         |cand AS (SELECT DISTINCT d.doc_id AS delta_id, i.doc_id AS index_id
+         |  FROM dband d JOIN iband i USING (band, key)),
+         |matched AS (SELECT DISTINCT c.delta_id
+         |  FROM cand c JOIN dsig a ON a.doc_id = c.delta_id
+         |  JOIN isig b ON b.doc_id = c.index_id
+         |  WHERE CAST($nMatch AS BIGINT) >= 4)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d
+         |WHERE d.doc_id >= 250
+         |  AND d.doc_id NOT IN (SELECT delta_id FROM matched)""".stripMargin
     },
 
     // Replays zorderKey's exact integer pipeline: global bounds, the

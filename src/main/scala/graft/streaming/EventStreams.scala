@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.SnapshotMerge
+import graft.operators.{Dedup, SnapshotMerge}
 
 /** Structured Streaming shapes (SURVEY §2.9): the reference's batch CDC
   * merge re-hosted as a `foreachBatch` incremental sync, plus event-time
@@ -275,6 +275,51 @@ object EventStreams {
     val suspects = withFp.filter(probe)
       .join(indexFps.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
     provablyNew.unionByName(suspects).drop("__fp")
+  }
+
+  /** Streaming NEAR-dup-filtered corpus ingestion: each micro-batch is
+    * LSH-probed against a STATIC historical minhash signature index
+    * ([[graft.operators.Dedup.incrementalMinhashPairs]] — band-key
+    * equi-join bounds the candidates, integer signature-agreement
+    * verify), and only documents with no index match land in the corpus.
+    * The probe needs per-document signature aggregation (shingle explode
+    * → groupBy), which append-mode streaming cannot host without a
+    * watermark — so it runs inside `foreachBatch`, where each micro-batch
+    * is a plain DataFrame: the standard pattern for batch-relational
+    * logic on a stream (same shape as [[incrementalSync]]).
+    *
+    * The result is BATCH-SPLIT INVARIANT: every delta row is compared
+    * against the static index only, never against other delta rows, so
+    * any micro-batch partitioning yields the same corpus — the property
+    * that lets q125's DuckDB oracle replay the whole delta in one pass
+    * (and StreamingSpec checks across a multi-batch split). At 100 TB
+    * the signature index is the persisted k-hash relation (no historical
+    * text needed), and per batch only band-colliding candidates reach
+    * the integer verify. */
+  def nearDupFilteredIngest(
+      stream: DataFrame,
+      indexSigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      minMatchFraction: Double,
+      targetPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-neardup-ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val matched = Dedup.incrementalMinhashPairs(batch, indexSigs,
+            idCol, textCol, n, numHashes, rowsPerBand, minMatchFraction)
+          .select(col("delta_id").as(idCol)).distinct()
+        batch.join(matched, Seq(idCol), "left_anti")
+          .write.mode("append").parquet(targetPath)
+        ()
+      }
+      .start()
   }
 
   /** I1–I2 as a streaming job: watch `sourceDir` for JSON snapshot drops

@@ -166,6 +166,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq(1L, 4L))
   }
 
+  test("nearDupFilteredIngest: per-batch LSH probe, batch-split invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val indexSigs = graft.operators.Dedup.minhashSignatures(
+      docs.filter($"doc_id" < 250), "doc_id", "text", 3, 8)
+      .localCheckpoint(eager = true)
+    val delta = docs.filter($"doc_id" >= 250).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // the one-shot reference: whole delta probed in a single pass
+    val oneShot = {
+      val matched = graft.operators.Dedup.incrementalMinhashPairs(
+        docs.filter($"doc_id" >= 250), indexSigs,
+        "doc_id", "text", 3, 8, 2, minMatchFraction = 0.5)
+        .select($"delta_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      delta.map(_._1).filterNot(matched)
+    }
+    assert(oneShot.length < delta.length, "fixture must reject something")
+    val target = Files.createTempDirectory("graft-neardup-t").toString + "/c"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupFilteredIngest(
+      mem.toDF().toDF("doc_id", "text"), indexSigs,
+      "doc_id", "text", 3, 8, 2, minMatchFraction = 0.5, target,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // three uneven batches: the probe is delta-vs-index only, so the
+    // split must not change the surviving corpus
+    delta.grouped(100).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.read.parquet(target)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === oneShot.toSeq)
+  }
+
   test("stateful sessionization emits closed sessions via state timeouts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]

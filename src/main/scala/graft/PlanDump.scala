@@ -27,8 +27,8 @@ object PlanDump {
       "q104_bigram_lm", "q105_url_canonicalize", "q106_semantic_decontam",
       "q107_html_strip", "q108_c4_line_filter", "q109_paragraph_dedup",
       "q110_cluster_reps", "q111_span_excision", "q112_curriculum_order",
-      "q113_tfidf_keywords", "q119_histogram_quantiles", "q120_crawl_pipeline",
-      "q124_zorder_key")
+      "q113_tfidf_keywords", "q118_dsir_select", "q119_histogram_quantiles",
+      "q120_crawl_pipeline", "q123_lsh_dedup_clusters", "q124_zorder_key")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

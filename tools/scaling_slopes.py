@@ -42,7 +42,7 @@ QUERIES = (
     "q116_host_pagerank,q117_hll_distinct,q118_dsir_select,"
     "q119_histogram_quantiles,q120_crawl_pipeline,"
     "q121_length_band_hist,q122_distribution_drift,qb44_media_resize,"
-    "q123_lsh_dedup_clusters"
+    "q123_lsh_dedup_clusters,q125_stream_neardup_ingest"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -60,6 +60,7 @@ TABLE = {
     "q121_length_band_hist": "documents",
     "q122_distribution_drift": "documents",
     "q123_lsh_dedup_clusters": "documents",
+    "q125_stream_neardup_ingest": "documents",
     # qb44 reads a FIXED-SIZE synthetic media batch (200 rows at every sf):
     # its gate is time INVARIANCE across sf, not a slope
     "qb44_media_resize": "fixed",

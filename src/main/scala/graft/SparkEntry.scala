@@ -1087,6 +1087,15 @@ object SparkEntry {
       operators.TextAnalysis.hllBigramCardinality(
         T(s, dir, "documents"), "source", "text")),
 
+    // KMV theta sketch: distinct-bigram overlap between two corpus
+    // slices estimated from two 256-row sketches — union, Jaccard, and
+    // intersection cardinality WITHOUT joining the corpora (the question
+    // "how much does crawl A overlap crawl B" at 100 TB). Same md5-prefix
+    // 52-bit hash as q117, so the oracle replays every value exactly.
+    "q126_kmv_overlap" -> ((s, dir) =>
+      operators.TextAnalysis.kmvBigramOverlap(
+        T(s, dir, "documents"), "source", "text", "src0", "src1", 256)),
+
     // DSIR importance resampling (Xie et al. '23): select the 100 raw
     // documents whose hashed n-gram features look most like the target
     // slice (doc_id % 10 = 0 plays the curated set), via a
@@ -3030,6 +3039,49 @@ object SparkEntry {
          |    AS exact_distinct FROM bg GROUP BY 1)
          |SELECT source, exact_distinct, hll_est
          |FROM exact JOIN est USING (source)""".stripMargin
+    },
+
+    // KMV replay: same bigram universe and 13-hex-poly 52-bit hash as
+    // q117, per-slice k-min via row_number, then the (k-1)·2^52/u_k
+    // estimator with the numerator embedded as the same double-exact
+    // product expression the Scala side computes.
+    "q126_kmv_overlap" -> {
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      // one Scala-computed double on both sides (DuckDB would read the
+      // inline product as DECIMAL and overflow)
+      val numer = 255.0 * 4503599627370496.0
+      val estU = s"CASE WHEN n < 256 THEN CAST(n AS DOUBLE) " +
+        s"ELSE CAST('$numer' AS DOUBLE) / CAST(u_k AS DOUBLE) END"
+      s"""WITH tok AS (
+         |  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |bg AS (
+         |  SELECT source, ts[g] || ' ' || ts[g + 1] AS term
+         |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS g) u
+         |  WHERE len(ts) > 1),
+         |vv AS (SELECT DISTINCT source, $poly AS v
+         |  FROM (SELECT source, md5(term) AS h FROM bg) z),
+         |ka AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn
+         |  FROM vv WHERE source = 'src0') WHERE rn <= 256),
+         |kb AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn
+         |  FROM vv WHERE source = 'src1') WHERE rn <= 256),
+         |mg AS (SELECT DISTINCT v
+         |  FROM (SELECT v FROM ka UNION ALL SELECT v FROM kb)),
+         |kk AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn
+         |  FROM mg) WHERE rn <= 256),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n, max(v) AS u_k,
+         |    CAST(sum(CASE WHEN v IN (SELECT v FROM ka)
+         |                   AND v IN (SELECT v FROM kb)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |  FROM kk)
+         |SELECT n, n_both,
+         |  round($estU, 4) AS est_union,
+         |  round(CAST(n_both AS DOUBLE) / CAST(n AS DOUBLE), 6) AS est_jaccard,
+         |  round((CAST(n_both AS DOUBLE) / CAST(n AS DOUBLE)) * ($estU), 4)
+         |    AS est_inter
+         |FROM ag""".stripMargin
     },
 
     // the DSIR pipeline replayed: unigram+bigram features hashed with the

@@ -898,6 +898,86 @@ object TextAnalysis {
         .otherwise(round(eRaw, 4)).as("hll_est"))
   }
 
+  /** KMV (k-minimum-values) sketch per group — the theta-family member
+    * the HLL cannot be: because the sketch RETAINS its k smallest hash
+    * values instead of collapsing them into register maxima, two groups'
+    * sketches support SET-OPERATION estimates (union, Jaccard,
+    * intersection cardinality) without ever joining the corpora
+    * (Bar-Yossef et al. '02; Beyer et al. '07's unbiased (k−1)/u_k
+    * estimator — the Apache DataSketches theta shape). Hash = the q117
+    * pattern: first 13 hex chars of md5 as a uniform 52-bit integer, so
+    * an engine-independent oracle replays it digit-exactly.
+    *
+    * Output: (group, v, rn) — the k smallest DISTINCT hash values per
+    * group, ranked. Shape at 100 TB: distinct + per-group window is one
+    * shuffle keyed on the group (map-side partial distinct first); the
+    * sketch leaving each group is k rows regardless of corpus size, and
+    * shard sketches merge by re-running the same k-min selection over
+    * k·shards rows — an order statistic, so the merge is associative
+    * (property-tested in OperatorsSpec). */
+  def kmvSketch(df: DataFrame, groupCol: String, termCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 16, "k below 16 estimates nothing")
+    val v = conv(substring(md5(col(termCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("v"))
+    df.select(col(groupCol), v.as("v")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Union / Jaccard / intersection estimates from two KMV sketches
+    * (k-row relations — the corpora themselves are never touched).
+    * kth smallest of the merged distinct values u_k gives
+    * |A∪B| ≈ (k−1)·2^52/u_k, EXACT when the merged set has fewer than k
+    * values (both sides fully captured); Jaccard = fraction of the union
+    * k-min present in BOTH sketches; intersection = J·|A∪B|. Every input
+    * is sketch-sized, so the single-partition window is bounded by 2k. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    // one double literal computed HERE (same for the oracle): (k-1)·2^52
+    val numer = (k - 1).toDouble * 4503599627370496.0
+    val merged = a.select(col("v")).union(b.select(col("v"))).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val kmin = merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .join(a.select(col("v"), lit(1).as("ina")), Seq("v"), "left_outer")
+      .join(b.select(col("v"), lit(1).as("inb")), Seq("v"), "left_outer")
+    val agg = kmin.agg(
+      count(lit(1)).as("n"),
+      max(col("v")).as("u_k"),
+      sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+        .as("n_both"))
+    val estUnion = when(col("n") < k, col("n").cast("double"))
+      .otherwise(lit(numer) / col("u_k").cast("double"))
+    agg.select(
+      col("n"), col("n_both"),
+      round(estUnion, 4).as("est_union"),
+      round(col("n_both").cast("double") / col("n").cast("double"), 6)
+        .as("est_jaccard"),
+      round((col("n_both").cast("double") / col("n").cast("double")) *
+        estUnion, 4).as("est_inter"))
+  }
+
+  /** KMV demonstration gate: distinct-bigram overlap between two corpus
+    * slices (same term universe as q117's HLL), estimated entirely from
+    * the two k-row sketches. The question it answers at 100 TB — "how
+    * much does crawl A overlap crawl B?" — would otherwise cost a
+    * distinct-join of both corpora. */
+  def kmvBigramOverlap(df: DataFrame, groupCol: String, textCol: String,
+      groupA: String, groupB: String, k: Int = 256): DataFrame = {
+    val terms = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol), tokens(lower(col(textCol))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col(groupCol), explode(bigramPairs(col("ts"))).as("pp"))
+      .select(col(groupCol),
+        concat_ws(" ", col("pp.w1"), col("pp.w2")).as("term"))
+    val sk = kmvSketch(terms, groupCol, "term", k).localCheckpoint(eager = true)
+    kmvOverlap(sk.filter(col(groupCol) === groupA),
+      sk.filter(col(groupCol) === groupB), k)
+  }
+
   /** HLL demonstration gate: per-group distinct-BIGRAM cardinality, the
     * [[hllDistinct]] estimate side by side with the exact countDistinct
     * (which exists only to exhibit the ~1.04/√m error — the production

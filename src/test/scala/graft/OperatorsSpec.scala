@@ -120,6 +120,42 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert((p03._1 * p03._2) % p03._2 === 0)
   }
 
+  test("KMV sketch: estimates near exact overlap; shard merge = k-min of sketches") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    // independent bigram derivation (adjacent-pair transform, not the
+    // operator's own helper)
+    val terms = docs.filter($"source".isin("src0", "src1"))
+      .select($"source",
+        explode(expr("transform(sequence(1, greatest(size(split(trim(lower(text)), '\\\\s+')) - 1, 0)), " +
+          "i -> concat(split(trim(lower(text)), '\\\\s+')[i-1], ' ', split(trim(lower(text)), '\\\\s+')[i]))"))
+          .as("term"))
+    val setA = terms.filter($"source" === "src0")
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    val setB = terms.filter($"source" === "src1")
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    val exactUnion = (setA ++ setB).size.toDouble
+    val exactInter = (setA & setB).size.toDouble
+    val est = TextAnalysis.kmvBigramOverlap(
+      docs, "source", "text", "src0", "src1", 256).head()
+    val (eu, ej, ei) = (est.getAs[Double]("est_union"),
+      est.getAs[Double]("est_jaccard"), est.getAs[Double]("est_inter"))
+    assert(math.abs(eu - exactUnion) / exactUnion < 0.2,
+      s"union est $eu vs exact $exactUnion")
+    assert(math.abs(ei - exactInter) / exactInter < 0.25,
+      s"inter est $ei vs exact $exactInter")
+    assert(math.abs(ej - exactInter / exactUnion) < 0.15)
+    // merge associativity: the sketch of the combined slice equals the
+    // k-min of the two shard sketches' values
+    val sk = TextAnalysis.kmvSketch(terms, "source", "term", 64)
+      .localCheckpoint(eager = true)
+    val mergedShards = sk.select($"v").distinct()
+      .orderBy($"v").limit(64).collect().map(_.getLong(0)).toSeq
+    val combined = TextAnalysis.kmvSketch(
+      terms.withColumn("source", lit("all")), "source", "term", 64)
+      .select($"v").orderBy($"v").collect().map(_.getLong(0)).toSeq
+    assert(mergedShards === combined)
+  }
+
   test("minhashNearDupPairsAuto: planned signature, every pair exactly verified") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

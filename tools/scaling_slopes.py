@@ -42,7 +42,7 @@ QUERIES = (
     "q116_host_pagerank,q117_hll_distinct,q118_dsir_select,"
     "q119_histogram_quantiles,q120_crawl_pipeline,"
     "q121_length_band_hist,q122_distribution_drift,qb44_media_resize,"
-    "q123_lsh_dedup_clusters,q125_stream_neardup_ingest"
+    "q123_lsh_dedup_clusters,q125_stream_neardup_ingest,q126_kmv_overlap"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -61,6 +61,7 @@ TABLE = {
     "q122_distribution_drift": "documents",
     "q123_lsh_dedup_clusters": "documents",
     "q125_stream_neardup_ingest": "documents",
+    "q126_kmv_overlap": "documents",
     # qb44 reads a FIXED-SIZE synthetic media batch (200 rows at every sf):
     # its gate is time INVARIANCE across sf, not a slope
     "qb44_media_resize": "fixed",

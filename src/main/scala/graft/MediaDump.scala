@@ -29,6 +29,8 @@ object MediaDump {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/audio")
     operators.Multimodal.syntheticGifMedia(spark, 90)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/gif")
+    operators.Multimodal.syntheticNearDupMedia(spark, 100)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/neardup")
     spark.stop()
   }
 }

@@ -1638,6 +1638,16 @@ object SparkEntry {
         .withColumn("histogram", to_json(col("histogram")))
     }),
 
+    // Multimodal member of the dedup family: dHash perceptual
+    // fingerprints through the same exact C(6,3) Hamming blocking as
+    // q30. Fixture = 100 noise PNGs + a patched re-encode of each;
+    // the pair set (each original ↔ its edited copy) is deterministic
+    // and re-derived from the dumped bytes by rederive_media.py.
+    "qb45_image_neardup" -> ((s, _) => {
+      operators.Multimodal.imageNearDupPairs(
+        operators.Multimodal.syntheticNearDupMedia(s, 100), 3)
+    }),
+
     // Multimodal: real WAV/PCM decode batch stage (pure-JDK javax.sound),
     // corrupt rows isolated. rms array → JSON string for the rows-only
     // compare (same contract as qb39's histogram).

@@ -677,9 +677,25 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      maxDist: Int = 3): DataFrame =
+    hammingNearDupPairsFromSig(simhash(df, idCol, textCol), idCol,
+      "simhash", maxDist)
+
+  /** The C(6,3) combination-blocking pair join over ANY 64-bit
+    * fingerprint column (16 lowercase hex chars) — the engine behind
+    * [[simhashNearDupPairsCombinatorial]], exposed so other 64-bit
+    * perceptual hashes reuse the exact-blocking machinery (e.g. image
+    * dHash in [[Multimodal.imageNearDupPairs]]). Same exactness argument:
+    * ≤ 3 errors across 6 blocks leave ≥ 3 clean blocks → some clean
+    * triple key matches. */
+  def hammingNearDupPairsFromSig(
+      sigDf: DataFrame,
+      idCol: String,
+      hashCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "C(6,3) combination blocking is exact only for maxDist <= 3")
-    val sig = simhash(df, idCol, textCol).localCheckpoint(eager = true)
+    val sig = sigDf.select(col(idCol), col(hashCol).as("simhash"))
+      .localCheckpoint(eager = true)
     // hex-char (start, length) of the 6 blocks, 1-based for substring
     val blocks = Seq((1, 3), (4, 3), (7, 3), (10, 3), (13, 2), (15, 2))
     val triples = for {

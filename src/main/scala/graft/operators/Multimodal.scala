@@ -27,6 +27,9 @@ case class DecodedFrame(media_id: Long, frame_no: Int, n_frames: Int,
 case class AudioFeatureFrame(media_id: Long, frame_no: Int, n_frames: Int,
     start_ms: Long, rms: Double, band_amp: Seq[Double], decode_error: Boolean)
 
+/** Top-level for the same Janino-serializer reason as [[DecodedMedia]]. */
+case class HashedMedia(media_id: Long, dhash: String, decode_error: Boolean)
+
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
   * payloads as opaque `binary` columns plus typed metadata, with
   * decode/feature steps shaped for batch execution.
@@ -337,6 +340,77 @@ object Multimodal {
       .toDF()
   }
 
+  /** 64-bit difference hash (dHash) of one image — the perceptual
+    * fingerprint that survives re-encoding and small edits: sample the
+    * decoded image to a 9×8 LUMINANCE grid (same integer floor sampling
+    * as [[resizeImage]], same integer Rec.601 luminance as the
+    * histograms — both already re-derived by the pure-Python oracle),
+    * then bit (y*8+x) = 1 iff lum(x+1, y) > lum(x, y), emitted MSB-first
+    * as 16 lowercase hex chars — the exact signature format
+    * [[graft.operators.Dedup.hammingNearDupPairsFromSig]] blocks on. */
+  def dHash(content: Array[Byte]): String = {
+    if (content == null || content.length == 0)
+      throw new IllegalArgumentException("corrupt media payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null)
+      throw new IllegalArgumentException("unrecognized image format")
+    val (srcW, srcH) = (img.getWidth, img.getHeight)
+    val lum = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * srcH / 8).toInt
+      var x = 0
+      while (x < 9) {
+        val rgb = img.getRGB((x.toLong * srcW / 9).toInt, sy)
+        lum(y)(x) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        h = (h << 1) | (if (lum(y)(x + 1) > lum(y)(x)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    f"$h%016x"
+  }
+
+  /** dHash batch stage — same per-partition shape and corrupt-row
+    * isolation as [[decodeImages]]. */
+  def dHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          try HashedMedia(id, dHash(bytes), decode_error = false)
+          catch {
+            case _: Exception => HashedMedia(id, "", decode_error = true)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Image near-dup pairs: dHash fingerprints through the EXACT C(6,3)
+    * combination-blocking Hamming join the text SimHash lane uses
+    * ([[graft.operators.Dedup.hammingNearDupPairsFromSig]]) — the
+    * multimodal member of the dedup family. Finds re-encoded and
+    * slightly-edited copies; corrupt payloads are isolated (dropped from
+    * the pair join, visible in [[dHashes]]'s `decode_error`). */
+  def imageNearDupPairs(media: DataFrame, maxDist: Int = 3): DataFrame =
+    Dedup.hammingNearDupPairsFromSig(
+      dHashes(media).filter(!col("decode_error")), "media_id", "dhash",
+      maxDist)
+
   /** Real pure-JDK WAV decode via `javax.sound.sampled` (the WAVE/PCM
     * reader ships with the JDK): header-accurate sample rate and channel
     * count, duration from the frame count, and a per-channel RMS computed
@@ -563,6 +637,46 @@ object Multimodal {
     * pin needs. Exists so the JPEG branch of the ImageIO reader is
     * actually exercised — PNG-only fixtures leave the most common crawl
     * image format untested. */
+  /** [[syntheticPng]] with a 2×2 patch at the image center overwritten —
+    * the deterministic "slightly edited copy" for the near-dup fixture.
+    * The patch moves at most a couple of the 9×8 dHash sample points, so
+    * the copy's fingerprint lands within a few bits of the original. */
+  private[graft] def syntheticPngPatched(seed: Int, w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(syntheticPng(seed, w, h)))
+    var dy = 0
+    while (dy < 2) {
+      var dx = 0
+      while (dx < 2) {
+        img.setRGB(math.min(w / 2 + dx, w - 1), math.min(h / 2 + dy, h - 1),
+          0x808080)
+        dx += 1
+      }
+      dy += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Near-dup image fixture: `n` seeded-noise PNGs plus, for each, a
+    * patched re-encode at id+10000 ([[syntheticPngPatched]]). Random
+    * 64-bit fingerprints collide within Hamming ≤ 3 with probability
+    * ~2^-46 per pair, so the expected pair set is exactly the
+    * (i, i+10000) copies — every number deterministic, golden-pinnable,
+    * and re-derived by the pure-Python oracle from the dumped bytes. */
+  def syntheticNearDupMedia(spark: org.apache.spark.sql.SparkSession,
+      n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).flatMap { i =>
+      val w = 16 + (i % 16)
+      val h = 12 + ((i * 7) % 16)
+      Seq(
+        (i.toLong, "image", "image/png", syntheticPng(i, w, h)),
+        (i.toLong + 10000L, "image", "image/png", syntheticPngPatched(i, w, h)))
+    }.toDF("media_id", "kind", "mime", "content")
+  }
+
   private[graft] def syntheticJpeg(seed: Int, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

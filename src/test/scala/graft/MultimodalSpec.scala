@@ -334,4 +334,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(groups.count() === 5)
     assert(groups.filter($"count" === 2).count() === 2)
   }
+
+  test("dHash: re-encode invariant, edit tolerant, corrupt isolated") {
+    // byte-level re-encode (different PNG bytes, same pixels) → SAME hash:
+    // the property contentFingerprint lacks and dHash exists for
+    val png = Multimodal.syntheticPng(7, 20, 16)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val out = new java.io.ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val p = w.getDefaultWriteParam
+    w.setOutput(javax.imageio.ImageIO.createImageOutputStream(out))
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    assert(Multimodal.dHash(png) === Multimodal.dHash(out.toByteArray))
+    assert(Multimodal.dHash(png).matches("[0-9a-f]{16}"))
+    // the near-dup join finds each patched copy and nothing else, and a
+    // corrupt payload drops from the join instead of failing it
+    val media = Multimodal.syntheticNearDupMedia(spark, 20)
+      .union(Seq((77777L, "image", "image/png", Array[Byte](1, 2, 3)))
+        .toDF("media_id", "kind", "mime", "content"))
+    val pairs = Multimodal.imageNearDupPairs(media, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.length === 20)
+    assert(pairs.toSeq === (0 until 20).map(i => (i.toLong, i + 10000L)))
+  }
 }

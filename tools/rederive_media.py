@@ -53,6 +53,7 @@ PINS = {
     "qb42_gif_frames": "cad4d5403e4c7c38d9c87607504e2363",
     "qb43_audio_frames": "9db61daff551800547618bd7e6bc6ca1",
     "qb44_media_resize": "b96dda5cd25a90120f06ce2e782535d8",
+    "qb45_image_neardup": "a69dce4d831193f8c1276695ea704693",
 }
 
 SEP = "\x01"
@@ -515,6 +516,44 @@ def qb43(rows, window_ms=20, freqs=(440.0, 1000.0, 2500.0)):
     return lines
 
 
+def dhash_png(data: bytes) -> int:
+    """64-bit dHash: 9x8 integer-floor luminance sample, bit = right>left,
+    MSB-first row-major -- Multimodal.dHash's exact arithmetic."""
+    w, h, rows = png_decode_first(data)
+    lum = [[0] * 9 for _ in range(8)]
+    for y in range(8):
+        row = rows[y * h // 8]
+        for x in range(9):
+            sx = x * w // 9
+            r, g, b = row[3 * sx], row[3 * sx + 1], row[3 * sx + 2]
+            lum[y][x] = (r * 299 + g * 587 + b * 114) // 1000
+    v = 0
+    for y in range(8):
+        for x in range(8):
+            v = (v << 1) | (1 if lum[y][x + 1] > lum[y][x] else 0)
+    return v
+
+
+def qb45(rows):
+    """imageNearDupPairs(syntheticNearDupMedia(100), 3): dHash every image,
+    then BRUTE-FORCE all-pairs Hamming <= 3 -- independent of the Scala
+    side's combination blocking, so this re-derivation also re-proves the
+    blocking's exactness on this fixture. Columns sorted:
+    hamming, id_a, id_b."""
+    sigs = [(media_id, dhash_png(bytes(content)))
+            for media_id, kind, mime, content in rows]
+    lines = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (ia, va), (ib, vb) = sigs[i], sigs[j]
+            if ia > ib:
+                (ia, va), (ib, vb) = (ib, vb), (ia, va)
+            d = bin(va ^ vb).count("1")
+            if d <= 3:
+                lines.append(SEP.join((str(d), str(ia), str(ib))))
+    return lines
+
+
 def main() -> int:
     def load(sub):
         return duckdb.sql(
@@ -524,6 +563,7 @@ def main() -> int:
 
     try:
         media = load("media")
+        neardup = load("neardup")
         audio = load("audio")
         gif = load("gif")
     except Exception as e:
@@ -538,6 +578,7 @@ def main() -> int:
         "qb42_gif_frames": qb42(gif),
         "qb43_audio_frames": qb43(audio),
         "qb44_media_resize": qb44(media),
+        "qb45_image_neardup": qb45(neardup),
     }
     bad = 0
     for name, lines in lanes.items():
@@ -547,7 +588,7 @@ def main() -> int:
               f"md5 {got}" + ("" if ok else f" != pinned {PINS[name]}"))
         bad += 0 if ok else 1
     if bad == 0:
-        print("[media] all six pins re-derived independently")
+        print("[media] all seven pins re-derived independently")
     return 1 if bad else 0
 
 

@@ -824,6 +824,26 @@ object SparkEntry {
       TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
     }),
 
+    // WordPiece-style subword vocabulary: frequency-seeded candidates +
+    // 3 rounds of longest-match re-estimation and pruning (the float-free
+    // hard-EM variant of Kudo '18; q98's BPE trainer is the merge-based
+    // sibling). Artifact = the vocabulary a tokenizer ships.
+    "q128_wordpiece_vocab" -> ((s, dir) =>
+      TextAnalysis.wordpieceTrain(T(s, dir, "documents"), "text",
+        seedSize = 200, vocabSize = 60, maxPieceLen = 4, rounds = 3)),
+
+    // WordPiece apply: train (bounded vocab collect), then longest-match
+    // encode the corpus — segmentation computed once per DISTINCT word,
+    // corpus applied via broadcast join (q101's contract: n_tokens + the
+    // encoded symbol stream).
+    "q129_wordpiece_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pieces = TextAnalysis.wordpieceTrain(docs, "text",
+          seedSize = 200, vocabSize = 60, maxPieceLen = 4, rounds = 3)
+        .select(col("piece")).collect().map(_.getString(0)).toSeq
+      TextAnalysis.wordpieceEncode(docs, "doc_id", "text", pieces, 4)
+    }),
+
     // Deterministic leak-proof train/val/test split: md5-threshold CASE at
     // scan stage; membership is a pure function of doc_id, so reruns and
     // corpus growth never move a document across splits.
@@ -1095,6 +1115,12 @@ object SparkEntry {
     "q126_kmv_overlap" -> ((s, dir) =>
       operators.TextAnalysis.kmvBigramOverlap(
         T(s, dir, "documents"), "source", "text", "src0", "src1", 256)),
+
+    // Soft dedup: every document kept, weighted 1/n_copies of its exact-
+    // duplicate group — the "downweight, don't drop" alternative to q12
+    // for training-mix construction. One fingerprint hash-shuffle.
+    "q127_dup_weights" -> ((s, dir) =>
+      operators.Dedup.duplicateWeights(T(s, dir, "documents"), "doc_id", "text")),
 
     // DSIR importance resampling (Xie et al. '23): select the 100 raw
     // documents whose hashed n-gram features look most like the target
@@ -1976,6 +2002,65 @@ object SparkEntry {
        |    regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
        |  FROM wf),
        |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  /** WordPiece trainer replay for q128/q129: seed substring counts, then
+    * per-round recursive-CTE longest-match segmentation of the distinct
+    * words against the prior vocabulary, recount, prune to the same
+    * integer-exact linear budget schedule. Every operation is
+    * integer/string-exact (the operator is deliberately float-free), so
+    * the replay matches bit-for-bit. */
+  private def wordpieceCtes(seedSize: Int, vocabSize: Int, maxPieceLen: Int,
+      rounds: Int): String = {
+    val pretok = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+    def bestLen(vocabCte: String): String = {
+      val multi = (maxPieceLen to 2 by -1).map(l =>
+        s"CASE WHEN pos + ${l - 1} <= length(w) AND substr(w, CAST(pos AS INT), $l) " +
+          s"IN (SELECT piece FROM $vocabCte) THEN $l END")
+      val one = s"CASE WHEN substr(w, CAST(pos AS INT), 1) " +
+        s"IN (SELECT piece FROM $vocabCte) THEN 1 END"
+      (multi :+ one).mkString("coalesce(greatest(", ", ", "), 1)")
+    }
+    def segCte(name: String, vocabCte: String): String =
+      s"""$name AS MATERIALIZED (
+         |  WITH RECURSIVE s AS (
+         |    SELECT w, wcnt, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM wpwf
+         |    UNION ALL
+         |    SELECT w, wcnt, pos + bl,
+         |      list_append(pieces, substr(w, CAST(pos AS INT), CAST(bl AS INT)))
+         |    FROM (SELECT w, wcnt, pos, pieces, ${bestLen(vocabCte)} AS bl
+         |          FROM s WHERE pos <= length(w)) z)
+         |  SELECT w, wcnt, pieces FROM s WHERE pos > length(w))""".stripMargin
+    def cntCte(name: String, seg: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n
+         |  FROM (SELECT wcnt, unnest(pieces) AS piece FROM $seg) z GROUP BY 1)""".stripMargin
+    def vocabCte(name: String, cnt: String, k: Int): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece FROM $cnt WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece FROM (SELECT piece FROM $cnt WHERE length(piece) > 1
+         |                     ORDER BY n DESC, piece ASC LIMIT $k) z)""".stripMargin
+    val head = Seq(
+      s"""wpwords AS (SELECT unnest(regexp_extract_all(text, '$pretok')) AS w
+         |  FROM documents)""".stripMargin,
+      """wpwf AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM wpwords GROUP BY w)""".stripMargin,
+      s"""wpsubs AS (
+         |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         |    CAST(sum(wcnt) AS BIGINT) AS n
+         |  FROM wpwf, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) ui,
+         |       LATERAL (SELECT unnest(range(1, $maxPieceLen + 1)) AS l) ul
+         |  WHERE i + l - 1 <= length(w) GROUP BY 1)""".stripMargin,
+      vocabCte("wpv0", "wpsubs", seedSize))
+    val roundCtes = (1 to rounds).flatMap { r =>
+      val k = vocabSize + (seedSize - vocabSize) * (rounds - r) / rounds
+      Seq(segCte(s"wpseg$r", s"wpv${r - 1}"),
+        cntCte(s"wpc$r", s"wpseg$r"),
+        vocabCte(s"wpv$r", s"wpc$r", k))
+    }
+    val fin = Seq(segCte("wpsegF", s"wpv$rounds"), cntCte("wpcF", "wpsegF"))
+    (head ++ roundCtes ++ fin).mkString(",\n")
   }
 
   /** Exact brute-force cosine top-k — shared by q31 (window-rank form) and
@@ -3092,6 +3177,41 @@ object SparkEntry {
          |  round((CAST(n_both AS DOUBLE) / CAST(n AS DOUBLE)) * ($estU), 4)
          |    AS est_inter
          |FROM ag""".stripMargin
+    },
+
+    // soft-dedup weights: same normalized-md5 fingerprint as q12; the
+    // 1.0/n division is exactly-rounded IEEE on both engines
+    "q127_dup_weights" ->
+      """SELECT doc_id,
+        |  count(*) OVER w AS n_copies,
+        |  1.0::DOUBLE / count(*) OVER w AS weight
+        |FROM documents
+        |WINDOW w AS (
+        |  PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))""".stripMargin,
+
+    // full WordPiece training replay: recursive-CTE longest-match
+    // segmentation per round, same integer budget schedule; float-free
+    // so the match is exact
+    "q128_wordpiece_vocab" -> {
+      s"""WITH ${wordpieceCtes(200, 60, 4, 3)}
+         |SELECT v.piece, coalesce(c.n, 0) AS n,
+         |  CAST(row_number() OVER (ORDER BY coalesce(c.n, 0) DESC, v.piece ASC)
+         |    AS INT) AS rank
+         |FROM wpv3 v LEFT JOIN wpcF c USING (piece)""".stripMargin
+    },
+
+    // encode replay: per-doc word positions LATERAL-unnested, joined to
+    // the final segmentation relation, reassembled in word order
+    "q129_wordpiece_encode" -> {
+      s"""WITH ${wordpieceCtes(200, 60, 4, 3)},
+         |dw AS (SELECT doc_id, g AS pos, ws[CAST(g AS INT)] AS w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]') AS ws
+         |        FROM documents) t,
+         |       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS g) u)
+         |SELECT doc_id, CAST(sum(len(s.pieces)) AS INT) AS n_tokens,
+         |  array_to_string(flatten(list(s.pieces ORDER BY dw.pos)), ' ') AS encoded
+         |FROM dw JOIN wpsegF s USING (w) GROUP BY doc_id""".stripMargin
     },
 
     // the DSIR pipeline replayed: unigram+bigram features hashed with the

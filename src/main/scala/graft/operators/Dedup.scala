@@ -38,6 +38,26 @@ object Dedup {
     df.join(keep, idCol)
   }
 
+  /** Soft dedup: keep every row but weight it by 1/n_copies of its exact-
+    * duplicate group, so each distinct text carries total weight 1 into
+    * downstream sampling / loss weighting. The "don't drop, downweight"
+    * alternative to [[exact]] — repeated boilerplate stops dominating the
+    * training mix without discarding the (possibly differently-sourced)
+    * duplicate rows themselves.
+    *
+    * Shape at 100 TB: a single hash-shuffle on the fingerprint (an
+    * unbounded-frame window count — no sort-order dependence, no join
+    * back, no second corpus pass). The weight is an exactly-rounded IEEE
+    * division of two small integers-as-doubles, so it is bit-identical
+    * across engines.
+    */
+  def duplicateWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextAnalysis.fingerprint(col(textCol)))
+    df.select(col(idCol), count(lit(1)).over(w).as("n_copies"),
+      (lit(1.0) / count(lit(1)).over(w)).as("weight"))
+  }
+
   /** Incremental exact dedup: clean a NEW delta shard (today's crawl)
     * against an existing corpus INDEX of fingerprints, plus within-delta
     * dedup — the production shape where the historical corpus must never

@@ -354,6 +354,139 @@ object TextAnalysis {
   }
 
 
+  /** Greedy longest-match segmentation of one word against a vocabulary
+    * (WordPiece inference, Devlin et al. '19 / the MaxMatch algorithm): at
+    * each position take the longest vocabulary piece (≤ maxPieceLen) that
+    * prefixes the remainder; single characters fall through even when
+    * absent from the map, so segmentation is total. A pure higher-order
+    * `aggregate` fold — at most length(w) steps, each trying piece
+    * lengths descending via `filter` + `element_at(_, 1)`.
+    *
+    * Deliberately float-free: longest-match is decided by integer
+    * lengths and map membership only, so the segmentation (and every
+    * count derived from it in [[wordpieceTrain]]) is bit-identical in any
+    * engine — the same portability argument as the md5-based minhash.
+    * Intended for VOCAB-BOUNDED relations (distinct words), not raw
+    * corpus rows: the interpreted fold is the same cost class as
+    * [[bpeTrain]]'s mergeSyms.
+    */
+  private[operators] def longestMatchSegment(
+      w: Column, vocab: Column, maxPieceLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(1).as("pos"), array().cast("array<string>").as("pieces")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val rem = length(w) - pos + lit(1)
+        val lens = sequence(least(lit(maxPieceLen), rem), lit(1), lit(-1))
+        val best = coalesce(
+          try_element_at(
+            filter(lens, l => element_at(vocab, w.substr(pos, l)).isNotNull),
+            lit(1)),
+          lit(1))
+        when(pos > length(w), acc).otherwise(
+          struct((pos + best).as("pos"),
+            concat(acc.getField("pieces"),
+              array(w.substr(pos, best))).as("pieces")))
+      },
+      acc => acc.getField("pieces"))
+
+  /** WordPiece-style subword vocabulary trainer: frequency-seeded
+    * candidates + iterative longest-match re-estimation and pruning (the
+    * unigram-LM training loop of Kudo '18 with the E-step hardened to
+    * MaxMatch segmentation — trading the likelihood objective for a
+    * float-free, engine-portable one; the BPE trainer in [[bpeTrain]] is
+    * the merge-based alternative).
+    *
+    *  1. word-frequency table (the ONE corpus pass, map-side combinable);
+    *  2. seed: every substring of every distinct word up to `maxPieceLen`
+    *     chars, weighted by word frequency; keep the `seedSize` most
+    *     frequent multi-char substrings plus ALL single characters (so
+    *     segmentation always totals);
+    *  3. `rounds` iterations: segment each DISTINCT word by longest
+    *     match, re-count pieces weighted by word frequency, prune the
+    *     multi-char vocabulary to a linearly shrinking budget ending at
+    *     `vocabSize` (ties broken count-desc then piece-asc — total and
+    *     deterministic);
+    *  4. return the final vocabulary with its end-state segmentation
+    *     counts (unused survivors carry n=0) and a total-order rank.
+    *
+    * Shape at 100 TB: the corpus is touched once; every EM round runs on
+    * the vocab-bounded distinct-word relation (Heaps'-law bounded, the
+    * same two-level aggregation as [[bpeTrain]]), and the only driver
+    * materializations are the pruned piece lists — ≤ seedSize rows by
+    * construction — which re-enter each round's plan as a literal map.
+    */
+  def wordpieceTrain(df: DataFrame, textCol: String, seedSize: Int,
+      vocabSize: Int, maxPieceLen: Int, rounds: Int): DataFrame = {
+    require(seedSize >= vocabSize && vocabSize >= 1 && rounds >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf = df.select(explode(preTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .localCheckpoint()
+    // bounded collect: ≤ k multi-char pieces + the character alphabet
+    def keepTop(counts: DataFrame, k: Int): Seq[String] = {
+      val chars = counts.filter(length(col("piece")) === 1)
+      val multi = counts.filter(length(col("piece")) > 1)
+        .orderBy(col("n").desc, col("piece").asc).limit(k)
+      chars.select("piece").unionAll(multi.select("piece"))
+        .collect().map(_.getString(0)).toSeq.distinct.sorted
+    }
+    def segCounts(vocab: Seq[String]): DataFrame = {
+      val vmap = typedLit(vocab.map(_ -> 1).toMap)
+      wf.select(col("wcnt"),
+        explode(longestMatchSegment(col("w"), vmap, maxPieceLen)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wcnt")).as("n"))
+    }
+    val subs = wf.select(col("wcnt"),
+      explode(flatten(transform(sequence(lit(1), length(col("w"))), i =>
+        transform(sequence(i, least(length(col("w")), i + lit(maxPieceLen - 1))),
+          j => col("w").substr(i, j - i + 1))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("n"))
+    var vocab = keepTop(subs, seedSize)
+    for (r <- 1 to rounds) {
+      // integer-exact linear budget schedule seedSize → vocabSize
+      val k = vocabSize + (seedSize - vocabSize) * (rounds - r) / rounds
+      vocab = keepTop(segCounts(vocab), k)
+    }
+    val fin = vocab.toDF("piece")
+    fin.join(segCounts(vocab), Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("piece").asc)))
+  }
+
+  /** Encode the corpus with a trained WordPiece vocabulary
+    * ([[wordpieceTrain]]'s `piece` column): the tokenizer-apply step.
+    * Returns (idCol, n_tokens, encoded) — [[bpeEncode]]'s contract.
+    *
+    * Shape at 100 TB: segmentation is a pure function of the WORD, so it
+    * is computed once per DISTINCT word (the vocab-bounded relation) and
+    * the corpus apply is a broadcast join on the word — the corpus itself
+    * is never shuffled on a data key; the one wide stage is the per-doc
+    * reassembly groupBy. Word order is restored by `sort_array` over
+    * (pos, pieces) structs, so the output is independent of partitioning.
+    */
+  def wordpieceEncode(df: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[String], maxPieceLen: Int): DataFrame = {
+    val vmap = typedLit(pieces.map(_ -> 1).toMap)
+    val seg = df.select(explode(preTokens(col(textCol))).as("w")).distinct()
+      .select(col("w"),
+        longestMatchSegment(col("w"), vmap, maxPieceLen).as("pieces"))
+    df.select(col(idCol),
+        posexplode_outer(preTokens(col(textCol))).as(Seq("pos", "w")))
+      .join(broadcast(seg), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("pieces")))).as("sp"))
+      .select(col(idCol), flatten(transform(col("sp"),
+        s => coalesce(s.getField("pieces"),
+          array().cast("array<string>")))).as("toks"))
+      .select(col(idCol), size(col("toks")).as("n_tokens"),
+        concat_ws(" ", col("toks")).as("encoded"))
+  }
+
   /** Kneser–Ney continuation counts: for each word, the number of DISTINCT
     * predecessors it follows (the KN lower-order numerator — "how many
     * contexts license this word"), plus its raw bigram occurrence count;

@@ -486,6 +486,49 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(long.take(4).toSeq === short.toSeq)
   }
 
+  test("wordpieceTrain/Encode: hand-computed vocab, fallback chars, budget") {
+    // words: abcd ×3, ab, cd, xy. Seed (multi budget 4): ab(4), cd(4),
+    // abc(3), bc(3) + all chars — xy(1) misses the budget. Round 1
+    // (budget → vocabSize=2): segment [abc d][ab][cd][x y] → multi kept
+    // = abc(3), ab(1 — 1-1 tie vs cd, lex asc); chars kept = only those
+    // APPEARING as pieces = {d, x, y}. Final segmentation falls back to
+    // the single char for c (membership never blocks the length-1
+    // fallback), so c's count lands outside the vocab and is dropped by
+    // the artifact join.
+    val d = Seq((1L, "abcd abcd ab cd"), (2L, "abcd xy")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.wordpieceTrain(d, "text",
+        seedSize = 4, vocabSize = 2, maxPieceLen = 3, rounds = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._3)
+    assert(vocab.toSeq === Seq(("d", 4L, 1), ("abc", 3L, 2), ("ab", 1L, 3),
+      ("x", 1L, 4), ("y", 1L, 5)))
+    val enc = TextAnalysis.wordpieceEncode(d, "doc_id", "text",
+        vocab.map(_._1).toSeq, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(enc.toSeq === Seq(
+      (1L, 7, "abc d abc d ab c d"),
+      (2L, 4, "abc d x y")))
+  }
+
+  test("wordpieceEncode: longest match wins over greedy shorter pieces") {
+    // vocab has both "ab" and "abc": MaxMatch must take "abc" at pos 1
+    // of "abcd", never "ab" + "cd"
+    val d = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val enc = TextAnalysis.wordpieceEncode(d, "doc_id", "text",
+      Seq("ab", "abc", "cd", "d"), 3).collect()
+    assert(enc.head.getString(2) === "abc d")
+  }
+
+  test("duplicateWeights: 1/n_copies per exact-duplicate group") {
+    // "A  b" and "a b" normalize to the same fingerprint → weight 0.5
+    val d = Seq((1L, "A  b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val got = Dedup.duplicateWeights(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 1L, 1.0)))
+  }
+
   test("semDeDup keeps the min id of each near-identical group") {
     val e = Seq(
       (10L, Array(1.0f, 0.0f, 0.0f)),

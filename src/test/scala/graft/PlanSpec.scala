@@ -285,6 +285,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), "stats scalar must broadcast")
   }
 
+  test("q129: wordpiece encode applies segmentation via broadcast, corpus never sort-merges") {
+    // segmentation is computed on the vocab-bounded distinct-word relation
+    // and must reach the corpus as a BroadcastHashJoin; the only wide
+    // stage on the corpus side is the per-doc reassembly groupBy
+    val p = plan("q129_wordpiece_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge on the word key")
+  }
+
+  test("q127: soft-dedup weights are one fingerprint shuffle, no join-back") {
+    // the window form must not re-join the corpus against its own groups:
+    // a single hashpartitioning exchange on the fingerprint, zero joins
+    val p = plan("q127_dup_weights")
+    assert(!p.contains("Join"), "no join-back: the window carries n_copies")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") === 1, p.take(800))
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

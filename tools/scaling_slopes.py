@@ -42,7 +42,8 @@ QUERIES = (
     "q116_host_pagerank,q117_hll_distinct,q118_dsir_select,"
     "q119_histogram_quantiles,q120_crawl_pipeline,"
     "q121_length_band_hist,q122_distribution_drift,qb44_media_resize,"
-    "q123_lsh_dedup_clusters,q125_stream_neardup_ingest,q126_kmv_overlap"
+    "q123_lsh_dedup_clusters,q125_stream_neardup_ingest,q126_kmv_overlap,"
+    "q127_dup_weights,q128_wordpiece_vocab,q129_wordpiece_encode"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -62,6 +63,9 @@ TABLE = {
     "q123_lsh_dedup_clusters": "documents",
     "q125_stream_neardup_ingest": "documents",
     "q126_kmv_overlap": "documents",
+    "q127_dup_weights": "documents",
+    "q128_wordpiece_vocab": "documents",
+    "q129_wordpiece_encode": "documents",
     # qb44 reads a FIXED-SIZE synthetic media batch (200 rows at every sf):
     # its gate is time INVARIANCE across sf, not a slope
     "qb44_media_resize": "fixed",

@@ -835,7 +835,9 @@ object SparkEntry {
     // WordPiece apply: train (bounded vocab collect), then longest-match
     // encode the corpus — segmentation computed once per DISTINCT word,
     // corpus applied via broadcast join (q101's contract: n_tokens + the
-    // encoded symbol stream).
+    // encoded symbol stream). Head-to-head at sf1: join form 7.0 s vs
+    // scan-stage fold 20.6 s (the interpreted fold over 22M corpus words
+    // dominates re-segmentation savings), so the join form is the lane.
     "q129_wordpiece_encode" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val pieces = TextAnalysis.wordpieceTrain(docs, "text",

@@ -1118,6 +1118,17 @@ object SparkEntry {
       operators.TextAnalysis.kmvBigramOverlap(
         T(s, dir, "documents"), "source", "text", "src0", "src1", 256)),
 
+    // Per-lang token-budget selection: greedy priority-ordered prefix
+    // until 2500 tokens per language — the concrete-document-set step of
+    // a token-budgeted data recipe. Histogram-band implementation (whole
+    // bins unsorted, one boundary bin sorted per group) proven against
+    // the one-window oracle spec.
+    "q130_token_budget" -> ((s, dir) =>
+      operators.Sampling.tokenBudgetSelect(T(s, dir, "documents"),
+        "lang", "doc_id",
+        round(TextAnalysis.vowelRatio(col("text")), 4),
+        TextAnalysis.tokenCount(col("text")), budget = 2500L)),
+
     // Soft dedup: every document kept, weighted 1/n_copies of its exact-
     // duplicate group — the "downweight, don't drop" alternative to q12
     // for training-mix construction. One fingerprint hash-shuffle.
@@ -3180,6 +3191,20 @@ object SparkEntry {
          |    AS est_inter
          |FROM ag""".stripMargin
     },
+
+    // the budget selection SPEC: one window cumsum in global priority
+    // order — the engine's histogram-band decomposition must reproduce
+    // this exactly (it is an exact reshaping, not an approximation)
+    "q130_token_budget" ->
+      """WITH b AS (SELECT lang, doc_id,
+        |    round(CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS priority,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY priority DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b)
+        |SELECT lang, doc_id, priority, n_tokens FROM c WHERE cum <= 2500""".stripMargin,
 
     // soft-dedup weights: same normalized-md5 fingerprint as q12; the
     // 1.0/n division is exactly-rounded IEEE on both engines

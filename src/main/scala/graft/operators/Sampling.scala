@@ -398,4 +398,66 @@ object Sampling {
         md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
           .as("ord"))
   }
+
+  /** Per-group token-budget selection: within each group, take documents
+    * in priority order (priority desc, id asc — a total order) while the
+    * running token total stays ≤ `budget`. The data-recipe step that
+    * turns "mix 30B tokens of web + 5B of code" into a concrete document
+    * set; the greedy prefix of the priority ordering.
+    *
+    * Semantically IDENTICAL to the one-window spec
+    * `sum(tokens) OVER (PARTITION BY g ORDER BY priority DESC, id) ≤
+    * budget` — which is exactly what the q130 oracle runs — but shaped
+    * so no group is ever fully sorted. The priority domain [lo, hi] is
+    * cut into `bins` buckets (the q112/q119 histogram pattern):
+    *
+    *  1. one corpus pass aggregates (group, bin) token sums — map-side
+    *     combinable, ≤ groups×bins rows;
+    *  2. a window over that BOUNDED relation computes each bin's
+    *     cumulative predecessor total, classifying it WHOLE (fits
+    *     entirely), BOUNDARY (straddles the budget), or DROPPED;
+    *  3. whole-bin documents pass through with NO sort; only the single
+    *     boundary bin per group is window-sorted (width = one bin, tune
+    *     `bins` up to shrink it) for the exact intra-bin prefix.
+    *
+    * The decomposition is exact, not approximate: the bin map is
+    * monotone in priority, so bins-desc-then-intra-bin order IS the
+    * global priority order, and the boundary arithmetic is integer-exact
+    * (token counts are longs). Binning float rounding can only move a
+    * document between the no-sort and sorted PATHS, never change the
+    * selected set. Returns (groupCol, idCol, priority, n_tokens).
+    */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
+      priority: Column, tokens: Column, budget: Long,
+      lo: Double = 0.0, hi: Double = 1.0, bins: Int = 256): DataFrame = {
+    require(bins >= 2 && hi > lo && budget >= 0)
+    val base = df.select(col(groupCol), col(idCol), priority.as("priority"),
+        tokens.cast("long").as("n_tokens"))
+      .withColumn("__bin", least(lit(bins - 1), greatest(lit(0),
+        floor((col("priority") - lit(lo)) / lit(hi - lo) * lit(bins))))
+        .cast("int"))
+    val binAgg = base.groupBy(col(groupCol), col("__bin"))
+      .agg(sum(col("n_tokens")).as("__btok"))
+    val wBins = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val binInfo = binAgg.withColumn("__cumBefore",
+      coalesce(sum(col("__btok")).over(wBins), lit(0L)))
+    val joined = base.join(broadcast(binInfo), Seq(groupCol, "__bin"))
+    val out = Seq(groupCol, idCol, "priority", "n_tokens").map(col)
+    val whole = joined
+      .filter(col("__cumBefore") + col("__btok") <= budget)
+      .select(out: _*)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__bin"))
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val boundary = joined
+      .filter(col("__cumBefore") <= budget &&
+        col("__cumBefore") + col("__btok") > budget)
+      .withColumn("__cumIn", sum(col("n_tokens")).over(wIn))
+      .filter(col("__cumBefore") + col("__cumIn") <= budget)
+      .select(out: _*)
+    whole.unionByName(boundary)
+  }
 }

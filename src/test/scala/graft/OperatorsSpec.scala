@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsofJoin, Dedup, Fusion, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Fusion, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** Unit coverage for the training-data operators. */
 class OperatorsSpec extends AnyFunSuite with SparkSpec {
@@ -527,6 +527,42 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1)
     assert(got.toSeq === Seq((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 1L, 1.0)))
+  }
+
+  test("tokenBudgetSelect: whole/boundary/dropped bins, intra-bin id tiebreak") {
+    // bins=4 over [0,1]: d1,d2 → bin3 (whole), d3 → bin2 (whole),
+    // {d4,d6} → bin1 (boundary: cumBefore=30, 30+7>35), d5 → bin0
+    // (dropped: cumBefore=37>35). Boundary order (p desc, id asc) keeps
+    // d4 (cum 33) and drops d6 (cum 37).
+    val d = Seq((1L, 0.9, 10L), (2L, 0.8, 10L), (3L, 0.6, 10L),
+      (4L, 0.3, 3L), (6L, 0.3, 4L), (5L, 0.1, 10L))
+      .toDF("doc_id", "p", "t").withColumn("g", lit("x"))
+    val got = Sampling.tokenBudgetSelect(d, "g", "doc_id",
+        col("p"), col("t"), budget = 35L, bins = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("tokenBudgetSelect: histogram-band decomposition equals the window spec") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pr = round(TextAnalysis.vowelRatio(col("text")), 4)
+    val tk = TextAnalysis.tokenCount(col("text"))
+    for ((budget, bins) <- Seq((1500L, 7), (2500L, 256), (0L, 2))) {
+      val got = Sampling.tokenBudgetSelect(docs, "lang", "doc_id",
+          pr, tk, budget, bins = bins)
+        .select("lang", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("p").desc, col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val want = docs.select(col("lang"), col("doc_id"), pr.as("p"),
+          tk.cast("long").as("t"))
+        .withColumn("cum", sum(col("t")).over(w))
+        .filter(col("cum") <= budget)
+        .select("lang", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === want, s"budget=$budget bins=$bins")
+    }
   }
 
   test("semDeDup keeps the min id of each near-identical group") {

@@ -303,6 +303,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .count(_ == "Exchange hashpartitioning") === 1, p.take(800))
   }
 
+  test("q130: budget selection joins the bounded bin relation by broadcast") {
+    // the corpus must never sort-merge against the (group, bin) totals —
+    // binInfo is ≤ groups×bins rows and must broadcast; the only sorts
+    // are the bounded bin window and the boundary-bin window
+    val p = plan("q130_token_budget")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "bin totals must broadcast")
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

@@ -43,7 +43,8 @@ QUERIES = (
     "q119_histogram_quantiles,q120_crawl_pipeline,"
     "q121_length_band_hist,q122_distribution_drift,qb44_media_resize,"
     "q123_lsh_dedup_clusters,q125_stream_neardup_ingest,q126_kmv_overlap,"
-    "q127_dup_weights,q128_wordpiece_vocab,q129_wordpiece_encode"
+    "q127_dup_weights,q128_wordpiece_vocab,q129_wordpiece_encode,"
+    "q130_token_budget"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -66,6 +67,7 @@ TABLE = {
     "q127_dup_weights": "documents",
     "q128_wordpiece_vocab": "documents",
     "q129_wordpiece_encode": "documents",
+    "q130_token_budget": "documents",
     # qb44 reads a FIXED-SIZE synthetic media batch (200 rows at every sf):
     # its gate is time INVARIANCE across sf, not a slope
     "qb44_media_resize": "fixed",

@@ -1118,16 +1118,21 @@ object SparkEntry {
       operators.TextAnalysis.kmvBigramOverlap(
         T(s, dir, "documents"), "source", "text", "src0", "src1", 256)),
 
-    // Per-lang token-budget selection: greedy priority-ordered prefix
-    // until 2500 tokens per language — the concrete-document-set step of
-    // a token-budgeted data recipe. Histogram-band implementation (whole
-    // bins unsorted, one boundary bin sorted per group) proven against
-    // the one-window oracle spec.
-    "q130_token_budget" -> ((s, dir) =>
-      operators.Sampling.tokenBudgetSelect(T(s, dir, "documents"),
+    // Per-lang token-budget selection with PER-GROUP budgets (the data-
+    // recipe shape: 2500 tokens of en, 1500 of everything else): greedy
+    // priority-ordered prefix per language. Histogram-band
+    // implementation (whole bins unsorted, one boundary bin sorted per
+    // group, budgets broadcast as a dim) proven against the one-window
+    // oracle spec.
+    "q130_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val budgets = Seq(("en", 2500L), ("de", 1500L), ("es", 1500L),
+        ("fr", 1500L), ("zh", 1500L)).toDF("lang", "budget")
+      operators.Sampling.tokenBudgetSelectPerGroup(T(s, dir, "documents"),
         "lang", "doc_id",
         round(TextAnalysis.vowelRatio(col("text")), 4),
-        TextAnalysis.tokenCount(col("text")), budget = 2500L)),
+        TextAnalysis.tokenCount(col("text")), budgets)
+    }),
 
     // Soft dedup: every document kept, weighted 1/n_copies of its exact-
     // duplicate group — the "downweight, don't drop" alternative to q12
@@ -3193,8 +3198,9 @@ object SparkEntry {
     },
 
     // the budget selection SPEC: one window cumsum in global priority
-    // order — the engine's histogram-band decomposition must reproduce
-    // this exactly (it is an exact reshaping, not an approximation)
+    // order against the per-lang budget — the engine's histogram-band
+    // decomposition must reproduce this exactly (it is an exact
+    // reshaping, not an approximation)
     "q130_token_budget" ->
       """WITH b AS (SELECT lang, doc_id,
         |    round(CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
@@ -3204,7 +3210,8 @@ object SparkEntry {
         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
         |    ORDER BY priority DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM b)
-        |SELECT lang, doc_id, priority, n_tokens FROM c WHERE cum <= 2500""".stripMargin,
+        |SELECT lang, doc_id, priority, n_tokens FROM c
+        |WHERE cum <= (CASE WHEN lang = 'en' THEN 2500 ELSE 1500 END)""".stripMargin,
 
     // soft-dedup weights: same normalized-md5 fingerprint as q12; the
     // 1.0/n division is exactly-rounded IEEE on both engines

@@ -430,7 +430,31 @@ object Sampling {
   def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
       priority: Column, tokens: Column, budget: Long,
       lo: Double = 0.0, hi: Double = 1.0, bins: Int = 256): DataFrame = {
-    require(bins >= 2 && hi > lo && budget >= 0)
+    require(budget >= 0)
+    tokenBudgetCore(df, groupCol, idCol, priority, tokens,
+      bi => bi.withColumn("__budget", lit(budget)), lo, hi, bins)
+  }
+
+  /** Per-group budget variant — the shape of a real data recipe ("30B
+    * tokens of web + 5B of code"): `budgets` is a dim-sized (groupCol,
+    * budget) relation, broadcast into the bin classification. Groups
+    * absent from `budgets` are dropped (inner-join semantics — no budget
+    * means no allocation). Selection within each group is identical to
+    * [[tokenBudgetSelect]] at that group's budget.
+    */
+  def tokenBudgetSelectPerGroup(df: DataFrame, groupCol: String,
+      idCol: String, priority: Column, tokens: Column, budgets: DataFrame,
+      lo: Double = 0.0, hi: Double = 1.0, bins: Int = 256): DataFrame =
+    tokenBudgetCore(df, groupCol, idCol, priority, tokens,
+      bi => bi.join(broadcast(budgets.select(col(groupCol),
+        col("budget").cast("long").as("__budget"))), Seq(groupCol)),
+      lo, hi, bins)
+
+  private def tokenBudgetCore(df: DataFrame, groupCol: String, idCol: String,
+      priority: Column, tokens: Column,
+      withBudget: DataFrame => DataFrame,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo)
     val base = df.select(col(groupCol), col(idCol), priority.as("priority"),
         tokens.cast("long").as("n_tokens"))
       .withColumn("__bin", least(lit(bins - 1), greatest(lit(0),
@@ -441,22 +465,22 @@ object Sampling {
     val wBins = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__bin").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val binInfo = binAgg.withColumn("__cumBefore",
-      coalesce(sum(col("__btok")).over(wBins), lit(0L)))
+    val binInfo = withBudget(binAgg.withColumn("__cumBefore",
+      coalesce(sum(col("__btok")).over(wBins), lit(0L))))
     val joined = base.join(broadcast(binInfo), Seq(groupCol, "__bin"))
     val out = Seq(groupCol, idCol, "priority", "n_tokens").map(col)
     val whole = joined
-      .filter(col("__cumBefore") + col("__btok") <= budget)
+      .filter(col("__cumBefore") + col("__btok") <= col("__budget"))
       .select(out: _*)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol), col("__bin"))
       .orderBy(col("priority").desc, col(idCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val boundary = joined
-      .filter(col("__cumBefore") <= budget &&
-        col("__cumBefore") + col("__btok") > budget)
+      .filter(col("__cumBefore") <= col("__budget") &&
+        col("__cumBefore") + col("__btok") > col("__budget"))
       .withColumn("__cumIn", sum(col("n_tokens")).over(wIn))
-      .filter(col("__cumBefore") + col("__cumIn") <= budget)
+      .filter(col("__cumBefore") + col("__cumIn") <= col("__budget"))
       .select(out: _*)
     whole.unionByName(boundary)
   }

@@ -563,6 +563,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
         .map(r => (r.getString(0), r.getLong(1))).toSet
       assert(got === want, s"budget=$budget bins=$bins")
     }
+    // per-group budgets: equivalence against the per-group window spec;
+    // a lang absent from the budgets dim (zh) must vanish entirely
+    val budgets = Seq(("en", 1500L), ("de", 800L), ("es", 800L),
+      ("fr", 800L)).toDF("lang", "budget")
+    val gotPg = Sampling.tokenBudgetSelectPerGroup(docs, "lang", "doc_id",
+        pr, tk, budgets, bins = 7)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("p").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wantPg = docs.select(col("lang"), col("doc_id"), pr.as("p"),
+        tk.cast("long").as("t"))
+      .withColumn("cum", sum(col("t")).over(w))
+      .join(budgets, Seq("lang"))
+      .filter(col("cum") <= col("budget"))
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotPg === wantPg)
+    assert(!gotPg.exists(_._1 == "zh"), "unbudgeted group must be dropped")
   }
 
   test("semDeDup keeps the min id of each near-identical group") {

@@ -29,7 +29,9 @@ object PlanDump {
       "q110_cluster_reps", "q111_span_excision", "q112_curriculum_order",
       "q113_tfidf_keywords", "q118_dsir_select", "q119_histogram_quantiles",
       "q120_crawl_pipeline", "q123_lsh_dedup_clusters", "q124_zorder_key",
-      "q127_dup_weights", "q129_wordpiece_encode", "q130_token_budget")
+      "q127_dup_weights", "q129_wordpiece_encode", "q130_token_budget",
+      "q131_hard_negatives", "q132_perplexity_bands", "q133_containment_pairs",
+      "q134_embedding_drift")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

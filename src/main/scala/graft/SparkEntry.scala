@@ -1140,6 +1140,42 @@ object SparkEntry {
     "q127_dup_weights" -> ((s, dir) =>
       operators.Dedup.duplicateWeights(T(s, dir, "documents"), "doc_id", "text")),
 
+    // Hard-negative mining (DPR/ANCE): per anchor, the 10 most cosine-
+    // similar vectors with a DIFFERENT label — the contrastive-training
+    // negatives nearest the decision boundary. q31's broadcast map-side
+    // scoring shape; the cross-label predicate prunes before the
+    // WindowGroupLimit top-k so the ranked exchange never carries
+    // same-class rows.
+    "q131_hard_negatives" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.hardNegativeTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", "label", 10)
+    }),
+
+    // CCNet perplexity banding (Wenzek '19): per-language quality bands at
+    // the quartiles of the corpus-trained KN bigram score (q114), with
+    // thresholds off the q119 bounded-state histogram — nothing
+    // corpus-sized is sorted, thresholds broadcast at language cardinality.
+    "q132_perplexity_bands" -> ((s, dir) =>
+      operators.TextAnalysis.perplexityBands(
+        T(s, dir, "documents"), "doc_id", "text", "lang")),
+
+    // Broder containment pairs: asymmetric near-duplication (excerpt fully
+    // embedded in a digest scores Jaccard 0.1 but containment 1.0) —
+    // q26's inverted-index shape, both directed ratios read off the same
+    // (n_inter, sz_a, sz_b) triple the Jaccard plan already carries.
+    "q133_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text", 3, 0.5,
+        maxShingleDocFreq = 100L)),
+
+    // Embedding-space drift: per-label centroid shift between two corpus
+    // slices (even vs odd vec_id plays "snapshot A vs B") — q122's drift
+    // check moved into embedding space, where encoder bumps show up
+    // before vocabularies move. State bounded by labels × dim.
+    "q134_embedding_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(T(s, dir, "embeddings"), "embedding",
+        "label", col("vec_id") % 2 === 0)),
+
     // DSIR importance resampling (Xie et al. '23): select the 100 raw
     // documents whose hashed n-gram features look most like the target
     // slice (doc_id % 10 = 0 plays the curated set), via a
@@ -1691,6 +1727,7 @@ object SparkEntry {
       operators.Multimodal.imageNearDupPairs(
         operators.Multimodal.syntheticNearDupMedia(s, 100), 3)
     }),
+
 
     // Multimodal: real WAV/PCM decode batch stage (pure-JDK javax.sound),
     // corrupt rows isolated. rms array → JSON string for the rows-only
@@ -3212,6 +3249,133 @@ object SparkEntry {
         |  FROM b)
         |SELECT lang, doc_id, priority, n_tokens FROM c
         |WHERE cum <= (CASE WHEN lang = 'en' THEN 2500 ELSE 1500 END)""".stripMargin,
+
+    // q31's brute-force replay plus the cross-label predicate; rank over
+    // (sim desc, id asc) is the same total order
+    "q131_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+         |  FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q_id, vec_id AS id, label AS neg_label,
+         |    ${cosSql("qv", "v")} AS sim
+         |  FROM e, q WHERE vec_id <> q_id AND label <> q_label),
+         |ranked AS (SELECT q_id, id, neg_label, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id ASC) AS rn
+         |  FROM scored)
+         |SELECT q_id, id, neg_label, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
+         |FROM ranked WHERE rn <= 10""".stripMargin,
+
+    // q114's KN scoring CTEs verbatim, then the q119 histogram replayed
+    // with g = lang over the 4dp scores; quartile literals are exact
+    // binary doubles so ceil(q*n) can never drift
+    "q132_perplexity_bands" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS g) u
+        |  WHERE len(ts) > 1),
+        |model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx,
+        |    CAST(count(*) AS BIGINT) AS fanout FROM model GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont
+        |  FROM model GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM model),
+        |sc AS (SELECT b.doc_id,
+        |    round(avg(ln(
+        |      greatest(m.c - 0.75, 0.0) / x.ctx +
+        |      (0.75 * x.fanout / x.ctx) * (n.cont / t.btypes))), 4)
+        |      AS avg_logprob,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams
+        |  FROM bg b JOIN model m USING (w1, w2) JOIN ctx x USING (w1)
+        |    JOIN cont n USING (w2) CROSS JOIN tot t
+        |  GROUP BY 1),
+        |o AS (SELECT d.lang AS g, s.doc_id, s.avg_logprob AS v, s.n_bigrams
+        |  FROM sc s JOIN documents d USING (doc_id)),
+        |rng AS (SELECT g, min(v) AS lo, max(v) AS hi,
+        |    CAST(count(*) AS BIGINT) AS n FROM o GROUP BY g),
+        |bins AS (SELECT o.g AS g,
+        |    CASE WHEN r.hi = r.lo THEN 0
+        |         ELSE LEAST(255, CAST(floor((o.v - r.lo)
+        |           / ((r.hi - r.lo) / 256.0)) AS INT)) END AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM o JOIN rng r USING (g) GROUP BY 1, 2),
+        |cum AS (SELECT g, bin, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY bin) - c AS BIGINT)
+        |      AS cum_before
+        |  FROM bins),
+        |qs AS (SELECT 0.25 AS q UNION ALL SELECT 0.5 UNION ALL SELECT 0.75),
+        |tg AS (SELECT g, lo, hi, n, q, ceil(q * n) AS t FROM rng, qs),
+        |pick AS (SELECT tg.g AS g, tg.q AS q,
+        |    CASE WHEN tg.hi = tg.lo THEN tg.lo
+        |         ELSE tg.lo + (tg.hi - tg.lo) / 256.0
+        |           * (cum.bin + (tg.t - cum.cum_before) / cum.c) END AS est
+        |  FROM cum JOIN tg ON cum.g = tg.g
+        |  WHERE cum.cum >= tg.t AND cum.cum_before < tg.t),
+        |thr AS (SELECT g,
+        |    round(max(CASE WHEN q = 0.25 THEN est END), 6) AS t25,
+        |    round(max(CASE WHEN q = 0.5 THEN est END), 6) AS t50,
+        |    round(max(CASE WHEN q = 0.75 THEN est END), 6) AS t75
+        |  FROM pick GROUP BY 1)
+        |SELECT o.doc_id, o.g AS lang, o.v AS avg_logprob, o.n_bigrams,
+        |  CASE WHEN o.v <= t.t25 THEN 'tail'
+        |       WHEN o.v <= t.t50 THEN 'lower_mid'
+        |       WHEN o.v <= t.t75 THEN 'upper_mid'
+        |       ELSE 'head' END AS band
+        |FROM o JOIN thr t ON o.g = t.g""".stripMargin,
+
+    // q26's capped inverted index verbatim; only the final measure
+    // changes — both directed ratios instead of the symmetric one
+    "q133_containment_pairs" ->
+      s"""$shingleCte,
+         |capped AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |        HAVING count(*) <= 100) ok USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM capped a JOIN capped b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         |  round(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6) AS cont_a,
+         |  round(CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) AS cont_b
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+         |               CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.5""".stripMargin,
+
+    // per-(label, dim) means rounded 6dp FIRST (the q74 contract), then
+    // both distance folds replayed strict left-to-right over dim order —
+    // list_reduce seeds with the first element, Spark's aggregate with
+    // 0.0; 0.0 + x == x exactly, so the folds agree bit-for-bit
+    "q134_embedding_drift" -> {
+      val l2 = "sqrt(list_reduce(list_transform(list_zip(vp, vq), " +
+        "x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, z) -> acc + z))"
+      s"""WITH e AS (SELECT vec_id, label, (vec_id % 2 = 0) AS in_p,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |d AS (SELECT label, in_p, g - 1 AS dim, v[g] AS x
+         |  FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS g) u),
+         |m AS (SELECT label, dim,
+         |    round(avg(CASE WHEN in_p THEN x END), 6) AS mp,
+         |    round(avg(CASE WHEN NOT in_p THEN x END), 6) AS mq,
+         |    CAST(count(*) FILTER (WHERE in_p) AS BIGINT) AS np_,
+         |    CAST(count(*) FILTER (WHERE NOT in_p) AS BIGINT) AS nq_
+         |  FROM d GROUP BY 1, 2),
+         |p AS (SELECT label, max(np_) AS n_p, max(nq_) AS n_q,
+         |    list(mp ORDER BY dim) AS vp, list(mq ORDER BY dim) AS vq
+         |  FROM m WHERE mp IS NOT NULL AND mq IS NOT NULL GROUP BY 1)
+         |SELECT label, n_p, n_q,
+         |  round($l2, 6) AS l2_shift,
+         |  round(${cosSql("vp", "vq")}, 6) AS cos_sim
+         |FROM p""".stripMargin
+    },
 
     // soft-dedup weights: same normalized-md5 fingerprint as q12; the
     // 1.0/n division is exactly-rounded IEEE on both engines

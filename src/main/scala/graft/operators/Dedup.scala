@@ -231,6 +231,63 @@ object Dedup {
         col("sz_b"), col("jaccard"))
   }
 
+  /** All pairs (a < b) whose shingle-set CONTAINMENT
+    * `max(|A∩B|/|A|, |A∩B|/|B|)` meets `threshold` — Broder '97's second
+    * measure, the asymmetric-duplication detector resemblance structurally
+    * misses: a 50-shingle excerpt fully embedded in a 500-shingle digest
+    * has Jaccard 0.1 (invisible below any usable resemblance threshold)
+    * but containment 1.0. Catches quote-and-extend chains, syndicated
+    * excerpts, and doc-inside-rollup duplication at document granularity,
+    * complementing [[exciseRepeatedSpans]]' span-level cut.
+    *
+    * Identical inverted-index shape and cost to [[ngramJaccardPairs]]:
+    * shingles are 64-bit-hashed before any exchange (strings never cross
+    * the wire), `maxShingleDocFreq` caps the k² self-join blowup on hot
+    * shingles, AQE's ReusedExchange shares the explode+distinct subtree
+    * across the join sides, and the pair aggregation is map-side
+    * combinable on (id_a, id_b). Containment needs no extra pass — both
+    * directed ratios derive from the same (n_inter, sz_a, sz_b) triple
+    * the Jaccard plan already carries.
+    *
+    * Output: `id_a`, `id_b`, `n_inter`, `sz_a`, `sz_b`, `cont_a`
+    * (= n_inter/sz_a), `cont_b` (both rounded 6dp). */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDocFreq: Long = 0L): DataFrame = {
+    val hashed = shingleRows(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+    val sh =
+      if (maxShingleDocFreq <= 0) hashed
+      else {
+        val hot = hashed.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > maxShingleDocFreq)
+          .select("shingle")
+        hashed.join(hot, Seq("shingle"), "left_anti")
+      }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("cont_a", col("n_inter").cast("double") / col("sz_a").cast("double"))
+      .withColumn("cont_b", col("n_inter").cast("double") / col("sz_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("sz_a"),
+        col("sz_b"), round(col("cont_a"), 6).as("cont_a"),
+        round(col("cont_b"), 6).as("cont_b"))
+  }
+
   /** Benchmark-contamination detection: documents in `corpus` sharing at
     * least `minOverlap` distinct word n-gram shingles with ANY document in
     * `bench` (the held-out eval set), with the shared-shingle count. The

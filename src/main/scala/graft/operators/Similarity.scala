@@ -181,6 +181,96 @@ object Similarity {
         round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training (DPR, Karpukhin '20;
+    * ANCE, Xiong '21): for each anchor vector, the `k` most cosine-similar
+    * corpus vectors carrying a DIFFERENT label — the negatives nearest the
+    * decision boundary, where uniformly-random in-batch negatives stop
+    * contributing gradient signal. Reference scope: the reference pipeline
+    * stops at ingestion; this is extension surface for the
+    * training-data-curation tier.
+    *
+    * Scale shape = [[bruteForceTopK]]: the anchor set broadcasts, scoring
+    * is map-side at scan stage (the corpus never shuffles for scoring),
+    * and the cross-label predicate prunes same-class rows BEFORE the
+    * per-anchor top-k window — so the ranked exchange carries only
+    * cross-label candidates and Spark's Partial/Final `WindowGroupLimit`
+    * caps it at k·|anchors| rows per map task. Swap in the
+    * [[TopKAggregator]] form past broadcast-sized anchor sets.
+    *
+    * Output: `q_id`, `id`, `neg_label`, `rank` (1..k, sim desc / id asc —
+    * the q31 determinism contract), `sim` (rounded 6dp). */
+  def hardNegativeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      col(labelCol).as("neg_label"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"),
+      col(labelCol).as("q_label"))
+    val scored = c.join(broadcast(q),
+        col("id") =!= col("q_id") && col("neg_label") =!= col("q_label"))
+      .select(col("q_id"), col("id"), col("neg_label"),
+        cosine(col("qv"), col("v")).as("sim"))
+    Windows.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("sim").desc, col("id").asc), k, "rank")
+      .select(col("q_id"), col("id"), col("neg_label"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-space distribution drift: per-label centroid shift between
+    * two corpus slices — the EMBEDDING analog of
+    * [[TextAnalysis.distributionDrift]]'s token-KL check, for the
+    * monitoring question token statistics can't answer ("the words look
+    * the same, does the model see the same thing?"): encoder version
+    * bumps, silent preprocessing changes, and modality drift all move
+    * centroids before they move vocabularies.
+    *
+    * Per label (present on BOTH sides of `sideExpr`): side-P and side-Q
+    * member counts, the L2 distance between the two side centroids, and
+    * their cosine. Determinism contract: per-(label, dim) means are
+    * rounded to 6dp FIRST (absorbing avg() summation-order ulps — the q74
+    * contract), then both distance folds run strict left-to-right over
+    * the dim-sorted mean vectors (the [[dot]] contract, = DuckDB
+    * `list_reduce`), so any replaying engine reproduces the exact
+    * doubles.
+    *
+    * Scale shape: one narrow posexplode (corpus × dim rows, no strings),
+    * one map-side-combinable (label, dim) aggregation — state bounded by
+    * labels × dim — then a labels-sized collect_list bounded by the dim
+    * CONFIG, never by data. Nothing corpus-sized is sorted or joined.
+    *
+    * Output: labelCol, `n_p`, `n_q`, `l2_shift`, `cos_sim` (rounded 6dp). */
+  def embeddingDrift(
+      df: DataFrame,
+      vecCol: String,
+      labelCol: String,
+      sideExpr: Column): DataFrame = {
+    val dims = df.select(col(labelCol).as("label"), sideExpr.as("in_p"),
+      posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+    val means = dims.groupBy(col("label"), col("dim"))
+      .agg(
+        round(avg(when(col("in_p"), col("x"))), 6).as("mp"),
+        round(avg(when(!col("in_p"), col("x"))), 6).as("mq"),
+        sum(when(col("in_p"), 1L).otherwise(0L)).as("np_"),
+        sum(when(!col("in_p"), 1L).otherwise(0L)).as("nq_"))
+      .filter(col("mp").isNotNull && col("mq").isNotNull)
+    val packed = means.groupBy(col("label"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("dim"), col("mp")))),
+          s => s.getField("mp")).as("vp"),
+        transform(sort_array(collect_list(struct(col("dim"), col("mq")))),
+          s => s.getField("mq")).as("vq"),
+        max(col("np_")).as("n_p"), max(col("nq_")).as("n_q"))
+    packed.select(col("label").as(labelCol), col("n_p"), col("n_q"),
+      round(sqrt(aggregate(zip_with(col("vp"), col("vq"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z)), 6)
+        .as("l2_shift"),
+      round(cosine(col("vp"), col("vq")), 6).as("cos_sim"))
+  }
+
   // ---- deterministic sampled k-means (IVF training) ---------------------
   // Driver-side scalar mirrors of the column expressions above. The fold
   // order (first element as seed, then strict left-to-right) is chosen to

@@ -933,6 +933,55 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** CCNet-style perplexity banding (Wenzek '19 §4.3): score every
+    * document with the corpus-trained interpolated-KN bigram LM
+    * ([[knBigramScore]]), then split each LANGUAGE at the quartiles of its
+    * own score distribution into quality bands `head` (most natural) →
+    * `upper_mid` → `lower_mid` → `tail` — the partition CCNet publishes so
+    * downstream training picks how deep into the perplexity tail to eat.
+    * Banding is per-language because absolute LM scores aren't comparable
+    * across languages (vocabulary size and bigram entropy differ); a
+    * global cut would label whole low-resource languages "tail".
+    *
+    * Quartile thresholds come off [[Quantiles.histogramQuantiles]]'
+    * 256-bin histogram — per-language aggregation state bounded by CONFIG,
+    * where the exact alternative (`percentile()` / per-language ntile
+    * sort) buffers or sorts every score of the largest language in one
+    * place, the q43-vs-q119 trade already documented there. 0.25/0.5/0.75
+    * are exact binary doubles, so `ceil(q·n)` rank targets can never
+    * drift by an ulp between engines; band assignment compares the
+    * 4dp-rounded score against 6dp-rounded thresholds — both sides
+    * identical IEEE values in any replaying engine. Docs with fewer than
+    * two tokens carry no score and drop out, mirroring [[knBigramScore]].
+    *
+    * Scale shape: two corpus scans for the LM statistics (both shuffles
+    * vocab-bounded, see [[knBigramScore]]), one score relation reused for
+    * histogram build and band assignment, thresholds ride as a
+    * language-cardinality broadcast. Nothing corpus-sized is ever sorted.
+    *
+    * Output: idCol, langCol, `avg_logprob`, `n_bigrams`, `band`. */
+  def perplexityBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val scored = knBigramScore(df, idCol, textCol, discount)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    val qd = Quantiles.histogramQuantiles(
+      scored, langCol, "avg_logprob", Seq(0.25, 0.5, 0.75), 256)
+    val thr = qd.groupBy(col(langCol)).agg(
+      round(max(when(col("q") === 0.25, col("est"))), 6).as("t25"),
+      round(max(when(col("q") === 0.5, col("est"))), 6).as("t50"),
+      round(max(when(col("q") === 0.75, col("est"))), 6).as("t75"))
+    scored.join(broadcast(thr), Seq(langCol))
+      .select(col(idCol), col(langCol), col("avg_logprob"), col("n_bigrams"),
+        when(col("avg_logprob") <= col("t25"), "tail")
+          .when(col("avg_logprob") <= col("t50"), "lower_mid")
+          .when(col("avg_logprob") <= col("t75"), "upper_mid")
+          .otherwise("head").as("band"))
+  }
+
   /** Count-Min sketch over the token stream (Cormode & Muthukrishnan '05):
     * `depth` independent md5-derived hash rows of `width` counters; every
     * counter is the sum of the true counts of the terms landing in its

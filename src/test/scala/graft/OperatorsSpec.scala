@@ -1538,4 +1538,112 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(byRank === expOrder)
     assert(got.values.map(_._4).toSeq.sorted === Seq(1, 2, 3))
   }
+
+  test("hardNegativeTopK: cross-label only, equals brute force on the cross-label slice") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val anchors = vecs.filter($"vec_id" < 3)
+    val got = Similarity.hardNegativeTopK(vecs, anchors, "vec_id",
+      "embedding", "label", 5).collect()
+    // every emitted negative carries a label different from its anchor's
+    val labelOf = vecs.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      val (qid, id, negLabel) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(negLabel === labelOf(id))
+      assert(negLabel !== labelOf(qid), s"same-label negative for anchor $qid")
+    }
+    // per anchor: exactly k rows, ranks 1..k, sim non-increasing
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length === 5)
+      val byRank = rows.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq === (1 to 5))
+      val sims = byRank.map(_.getDouble(4)).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+    // equals bruteForceTopK run over the pre-filtered cross-label corpus
+    for (a <- 0L until 3L) {
+      val corpus = vecs.filter($"label" =!= labelOf(a).toInt)
+      val exp = Similarity.bruteForceTopK(corpus.unionByName(anchors.filter($"vec_id" === a)),
+        anchors.filter($"vec_id" === a), "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val g = got.filter(_.getLong(0) == a)
+        .map(r => (r.getLong(1), r.getInt(3), r.getDouble(4))).toSet
+      assert(g === exp, s"anchor $a")
+    }
+  }
+
+  test("containmentPairs: embedded excerpt scores 1.0 where Jaccard stays sub-threshold") {
+    import spark.implicits._
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, body), (2L, excerpt), (3L, "entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.9)
+      .collect()
+    assert(pairs.length === 1)
+    val p = pairs.head
+    assert((p.getLong(0), p.getLong(1)) === ((1L, 2L)))
+    // excerpt: 8 tokens -> 6 distinct 3-gram shingles, all inside body
+    assert(p.getLong(2) === 6L && p.getLong(4) === 6L)
+    assert(p.getDouble(6) === 1.0) // cont_b: excerpt fully contained
+    // the same pair is invisible to Jaccard at any usable threshold
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.3).collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("perplexityBands: per-language quartile split, short docs drop, bands partition") {
+    import spark.implicits._
+    // 16 scored docs in lang 'x' (distinct score ladder via word repetition),
+    // plus a 1-token doc that must drop (no bigrams), plus a second language
+    // whose banding is independent of x's thresholds
+    val xDocs = (1L to 16L).map { i =>
+      val common = "alpha beta " * 4
+      val rare = (1L to i).map(j => s"rare${i}_$j").mkString(" ")
+      (i, common + rare, "x")
+    }
+    val extra = Seq((100L, "solo", "x"), (200L, "gamma delta gamma delta", "y"),
+      (201L, "gamma delta noise word salad", "y"))
+    val df = (xDocs ++ extra).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.perplexityBands(df, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getString(4)))).toMap
+    assert(!got.contains(100L), "1-token doc must carry no score")
+    assert(got.keySet.size === 18)
+    // bands partition each language and respect score order: every doc in a
+    // better band scores >= every doc in a worse band (within one language)
+    val order = Map("tail" -> 0, "lower_mid" -> 1, "upper_mid" -> 2, "head" -> 3)
+    for (lang <- Seq("x", "y")) {
+      val rows = got.values.filter(_._1 == lang).toSeq
+      assert(rows.map(_._3).toSet.subsetOf(order.keySet))
+      for (a <- rows; b <- rows if order(a._3) > order(b._3))
+        assert(a._2 >= b._2, s"$lang: ${a._3}(${a._2}) vs ${b._3}(${b._2})")
+    }
+    // x's 16 distinct-ish scores spread across all four bands
+    assert(got.values.filter(_._1 == "x").map(_._3).toSet === order.keySet)
+  }
+
+  test("embeddingDrift: hand-computed centroid shift; one-sided labels drop") {
+    import spark.implicits._
+    // label 0: P = {(1,0), (0,1)} -> centroid (0.5, 0.5); Q = {(1,1)}.
+    // l2 = sqrt(0.25 + 0.25); cos = 1.0 (same direction).
+    // label 1 exists only on the P side -> must drop.
+    val df = Seq(
+      (0L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0), (1L, Array(1f, 1f), 0),
+      (4L, Array(1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingDrift(df, "embedding", "label",
+      col("vec_id") % 2 === 0).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set(0))
+    val (np, nq, l2, cos) = got(0)
+    assert(np === 2L && nq === 1L)
+    assert(l2 === BigDecimal(math.sqrt(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(cos === 1.0)
+  }
 }

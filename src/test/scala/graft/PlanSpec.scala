@@ -312,6 +312,57 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), "bin totals must broadcast")
   }
 
+  test("q131: anchors broadcast, cross-label prune sits below the WindowGroupLimit") {
+    // the corpus side must never shuffle for scoring: anchors ride a
+    // broadcast (the non-equi label predicate makes this a broadcast
+    // nested-loop against the k-row anchor set — the intended brute-force
+    // shape, same as q31), and the per-anchor top-k must be a
+    // Partial+Final WindowGroupLimit so the ranked exchange carries at
+    // most k·anchors rows per task
+    val p = plan("q131_hard_negatives")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(p.contains("WindowGroupLimit"), "top-k must group-limit map-side")
+    assert(p.contains("Partial") && p.contains("Final"),
+      "expected map-side partial + reduce-side final group limits")
+  }
+
+  test("q132: band thresholds ride broadcasts; KN joins stay hash, no UDF") {
+    // q114's scoring shape must survive the composition: model/ctx/cont
+    // joins hash (the only nested-loop is the 1-row btypes scalar), the
+    // histogram bin counts combine map-side, and the per-language
+    // threshold relation joins back as a broadcast — the corpus is never
+    // sort-merged against anything language-sized
+    val p = plan("q132_perplexity_bands")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "model/bin counts must combine map-side")
+    assert(p.contains("BroadcastHashJoin"), "thresholds must broadcast")
+    assert(!p.contains("ScalaUDF"), "scoring must stay expression-only")
+  }
+
+  test("q133: containment rides q26's inverted index — equi-join, map-side pair counts") {
+    // the shingle self-join must be an equi-join on the hashed shingle
+    // key (never a cartesian), the (id_a, id_b) intersection count must
+    // pre-combine map-side, and shingle STRINGS must not cross the wire —
+    // only xxhash64 fingerprints appear in the exchanges
+    val p = plan("q133_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("partial_count"), "pair counts must combine map-side")
+    assert(p.contains("xxhash64"), "shingles must be hashed before exchange")
+  }
+
+  test("q134: drift means combine map-side; no joins, no UDF, no corpus sort") {
+    // the whole lane is two aggregations — (label, dim) means with
+    // map-side partials, then a labels-sized pack bounded by dim config;
+    // any Join or SortMergeJoin in this plan is a regression
+    val p = plan("q134_embedding_drift")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "dim means must combine map-side")
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("ScalaUDF"), "folds must stay expression-only")
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

@@ -44,7 +44,8 @@ QUERIES = (
     "q121_length_band_hist,q122_distribution_drift,qb44_media_resize,"
     "q123_lsh_dedup_clusters,q125_stream_neardup_ingest,q126_kmv_overlap,"
     "q127_dup_weights,q128_wordpiece_vocab,q129_wordpiece_encode,"
-    "q130_token_budget"
+    "q130_token_budget,q131_hard_negatives,q132_perplexity_bands,"
+    "q133_containment_pairs,q134_embedding_drift"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -68,6 +69,10 @@ TABLE = {
     "q128_wordpiece_vocab": "documents",
     "q129_wordpiece_encode": "documents",
     "q130_token_budget": "documents",
+    "q131_hard_negatives": "embeddings",
+    "q132_perplexity_bands": "documents",
+    "q133_containment_pairs": "documents",
+    "q134_embedding_drift": "embeddings",
     # qb44 reads a FIXED-SIZE synthetic media batch (200 rows at every sf):
     # its gate is time INVARIANCE across sf, not a slope
     "qb44_media_resize": "fixed",

@@ -31,6 +31,8 @@ object MediaDump {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/gif")
     operators.Multimodal.syntheticNearDupMedia(spark, 100)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/neardup")
+    operators.Multimodal.syntheticNearDupAudio(spark, 72)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/audio_neardup")
     spark.stop()
   }
 }

@@ -1728,6 +1728,17 @@ object SparkEntry {
         operators.Multimodal.syntheticNearDupMedia(s, 100), 3)
     }),
 
+    // Multimodal: audio near-dup via the 64-bit time×frequency
+    // sign-of-delta fingerprint (Haitsma–Kalker family; dHash's grid
+    // carried to 9 time spans × 8 Goertzel bands) through the same exact
+    // C(6,3) Hamming join as qb45/q30 — catches re-leveled/re-encoded
+    // copies; corrupt payloads isolated out of the pair join.
+    "qb46_audio_neardup" -> ((s, _) => {
+      operators.Multimodal.audioNearDupPairs(
+        operators.Multimodal.syntheticNearDupAudio(s, 72),
+        operators.Multimodal.audioDHashBands, 3)
+    }),
+
 
     // Multimodal: real WAV/PCM decode batch stage (pure-JDK javax.sound),
     // corrupt rows isolated. rms array → JSON string for the rows-only

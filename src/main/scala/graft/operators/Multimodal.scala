@@ -30,6 +30,8 @@ case class AudioFeatureFrame(media_id: Long, frame_no: Int, n_frames: Int,
 /** Top-level for the same Janino-serializer reason as [[DecodedMedia]]. */
 case class HashedMedia(media_id: Long, dhash: String, decode_error: Boolean)
 
+case class HashedAudio(media_id: Long, ahash: String, decode_error: Boolean)
+
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
   * payloads as opaque `binary` columns plus typed metadata, with
   * decode/feature steps shaped for batch execution.
@@ -411,6 +413,130 @@ object Multimodal {
       dHashes(media).filter(!col("decode_error")), "media_id", "dhash",
       maxDist)
 
+  /** 64-bit audio fingerprint — [[dHash]]'s grid idea carried to the
+    * time×frequency plane (the Haitsma–Kalker '02 robust-hash family,
+    * band-energy-vs-frame-reference variant): the clip's samples split
+    * into 8 EQUAL time spans (integer-floor boundaries, so any clip
+    * length maps onto the same grid), each span measured at 8 Goertzel
+    * bands (`freqsHz`); bit = the band's amplitude exceeds ITS OWN SPAN'S
+    * mean band amplitude, MSB-first row-major over (span, band). The
+    * within-span reference makes every comparison wide-margin (a span's
+    * spectral peaks sit far above its mean; off-peak leakage far below)
+    * and the hash invariant to uniform re-leveling — volume normalization
+    * and re-encode gain scale a span's bands AND its mean together,
+    * flipping no comparison — where the sign-of-DELTA variant's
+    * leakage-vs-leakage comparisons measurably flip under 16-bit PCM
+    * re-quantization. Empty spans (clips shorter than 8 frames)
+    * contribute zero amplitude (bits 0). Same StrictMath-seeded
+    * recurrence and strict evaluation order as [[wavFeatureFrames]] —
+    * bit-replayable off the payload bytes with no JVM. Throws on
+    * null/unparseable/non-16-bit payloads — callers isolate. */
+  def audioDHash(content: Array[Byte], freqsHz: Seq[Double]): String = {
+    if (content == null || content.length == 0 || freqsHz.size != 8)
+      throw new IllegalArgumentException("corrupt media payload")
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(content))
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        throw new IllegalArgumentException(
+          s"unsupported WAV encoding: ${fmt.getEncoding}/${fmt.getSampleSizeInBits}-bit")
+      val rate = fmt.getSampleRate.toInt
+      val nCh = fmt.getChannels
+      val bytes = ais.readAllBytes()
+      val nFrames = bytes.length / (2 * nCh)
+      if (nFrames == 0) throw new IllegalArgumentException("empty audio stream")
+      val coeffs = freqsHz.map(f =>
+        2.0 * StrictMath.cos(2.0 * math.Pi * f / rate)).toArray
+      val amp = Array.ofDim[Double](8, 8)
+      var w = 0
+      while (w < 8) {
+        val from = (w.toLong * nFrames / 8).toInt
+        val to = ((w + 1).toLong * nFrames / 8).toInt
+        val n = to - from
+        if (n > 0) {
+          val s1 = new Array[Double](8)
+          val s2 = new Array[Double](8)
+          var i = from
+          while (i < to) {
+            var acc = 0.0
+            var c = 0
+            while (c < nCh) {
+              val o = (i * nCh + c) * 2
+              val s =
+                if (fmt.isBigEndian) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+                else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+              acc += s
+              c += 1
+            }
+            val x = acc / nCh / 32768.0
+            var k = 0
+            while (k < 8) {
+              val s0 = x + coeffs(k) * s1(k) - s2(k)
+              s2(k) = s1(k)
+              s1(k) = s0
+              k += 1
+            }
+            i += 1
+          }
+          var k = 0
+          while (k < 8) {
+            val p = s1(k) * s1(k) + s2(k) * s2(k) - coeffs(k) * s1(k) * s2(k)
+            amp(w)(k) = math.sqrt(math.max(p, 0.0)) * 2.0 / n
+            k += 1
+          }
+        }
+        w += 1
+      }
+      var h = 0L
+      w = 0
+      while (w < 8) {
+        // strict left-to-right mean — replayable order
+        var mean = 0.0
+        var k = 0
+        while (k < 8) { mean += amp(w)(k); k += 1 }
+        mean /= 8.0
+        k = 0
+        while (k < 8) {
+          h = (h << 1) | (if (amp(w)(k) > mean) 1L else 0L)
+          k += 1
+        }
+        w += 1
+      }
+      f"$h%016x"
+    } finally ais.close()
+  }
+
+  /** Audio fingerprint batch stage — same per-partition shape and
+    * corrupt-row isolation as [[dHashes]]. */
+  def audioDHashes(media: DataFrame, freqsHz: Seq[Double]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try HashedAudio(id, audioDHash(bytes, freqsHz), decode_error = false)
+          catch {
+            case _: Exception => HashedAudio(id, "", decode_error = true)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Audio near-dup pairs: [[audioDHash]] fingerprints through the same
+    * EXACT C(6,3) combination-blocking Hamming join as the image and text
+    * lanes ([[Dedup.hammingNearDupPairsFromSig]]) — the audio member of
+    * the dedup family. Finds re-leveled and re-encoded copies; corrupt
+    * payloads are isolated out of the pair join. */
+  def audioNearDupPairs(media: DataFrame, freqsHz: Seq[Double],
+      maxDist: Int = 3): DataFrame =
+    Dedup.hammingNearDupPairsFromSig(
+      audioDHashes(media, freqsHz).filter(!col("decode_error")), "media_id",
+      "ahash", maxDist)
+
   /** Real pure-JDK WAV decode via `javax.sound.sampled` (the WAVE/PCM
     * reader ships with the JDK): header-accurate sample rate and channel
     * count, duration from the frame count, and a per-channel RMS computed
@@ -745,6 +871,69 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  /** The 8 Goertzel bands of the audio fingerprint lane (rate-8000
+    * fixture: all under the 4 kHz Nyquist, ≥ 300 Hz apart so off-band
+    * leakage stays well below any tone amplitude). */
+  val audioDHashBands: Seq[Double] =
+    Seq(400.0, 700.0, 1000.0, 1400.0, 1900.0, 2500.0, 3100.0, 3700.0)
+
+  /** One deterministic tone-SCHEDULE WAV: 8 consecutive spans (matching
+    * [[audioDHash]]'s 8-span grid), each a mono pure sine at a seeded
+    * pick from `bands`, with per-span amplitudes drawn WITHOUT replacement
+    * from 0.20..0.55 step 0.05 — a span's tone band sits ~4× above the
+    * span's mean band amplitude and leakage far below it, so every
+    * fingerprint bit has a wide margin. `gain` re-levels the whole clip
+    * (the volume-normalized duplicate: a span's bands and its mean scale
+    * together, so the hash is unchanged). */
+  private[graft] def syntheticScheduleWav(seed: Int, bands: IndexedSeq[Double],
+      sampleRate: Int, spanFrames: Int, gain: Double): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val freqs = Array.fill(8)(bands(rnd.nextInt(bands.length)))
+    val amps = rnd.shuffle((0 until 8).toVector).map(j => 0.20 + 0.05 * j)
+    val nFrames = 8 * spanFrames
+    val pcm = new Array[Byte](nFrames * 2)
+    var f = 0
+    while (f < nFrames) {
+      val w = f / spanFrames
+      val s = (gain * amps(w) * StrictMath.sin(
+        2.0 * math.Pi * freqs(w) * (f - w * spanFrames) / sampleRate)
+        * 32767.0).toInt
+      pcm(f * 2) = (s & 0xff).toByte // little-endian mono
+      pcm(f * 2 + 1) = ((s >> 8) & 0xff).toByte
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Near-dup audio fixture: seeded tone-schedule WAVs plus, for each, a
+    * re-leveled copy at id+10000 (gain 0.8 — the volume-normalization
+    * duplicate [[audioDHash]] is invariant to); every 9th base id is a
+    * corrupt non-RIFF payload exercising the isolation path (and gets no
+    * variant). Deterministic, golden-pinnable, re-derived by the
+    * pure-Python oracle from the dumped bytes. */
+  def syntheticNearDupAudio(spark: org.apache.spark.sql.SparkSession,
+      n: Int): DataFrame = {
+    import spark.implicits._
+    val bands = audioDHashBands.toIndexedSeq
+    (0 until n).flatMap { i =>
+      if (i % 9 == 8)
+        Seq((i.toLong, "audio", "application/octet-stream",
+          Array.fill(64 + i)((i * 31).toByte)))
+      else Seq(
+        (i.toLong, "audio", "audio/wav",
+          syntheticScheduleWav(i, bands, 8000, 1000, 1.0)),
+        (i.toLong + 10000L, "audio", "audio/wav",
+          syntheticScheduleWav(i, bands, 8000, 1000, 0.8)))
+    }.toDF("media_id", "kind", "mime", "content")
   }
 
   /** Deterministic synthetic audio table: real WAVs with varying rates /

@@ -357,4 +357,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.length === 20)
     assert(pairs.toSeq === (0 until 20).map(i => (i.toLong, i + 10000L)))
   }
+
+  test("audioDHash: re-level invariant, one dominant band per span, corrupt isolated") {
+    val bands = Multimodal.audioDHashBands.toIndexedSeq
+    // uniform re-leveling (volume normalization) must not move the hash:
+    // a span's bands and its mean scale together
+    val base = Multimodal.syntheticScheduleWav(3, bands, 8000, 1000, 1.0)
+    val releveled = Multimodal.syntheticScheduleWav(3, bands, 8000, 1000, 0.8)
+    val h = Multimodal.audioDHash(base, bands)
+    assert(h === Multimodal.audioDHash(releveled, bands))
+    assert(h.matches("[0-9a-f]{16}"))
+    // tone schedules put exactly ONE band above each span's mean → 8 set
+    // bits, one per span
+    assert(java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(h, 16)) === 8)
+    // distinct schedules disagree well past the near-dup threshold
+    val other = Multimodal.audioDHash(
+      Multimodal.syntheticScheduleWav(4, bands, 8000, 1000, 1.0), bands)
+    val dist = java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(h, 16) ^
+        java.lang.Long.parseUnsignedLong(other, 16))
+    assert(dist > 3, s"distinct schedules too close: hamming $dist")
+    // the near-dup join finds every planted re-leveled copy and nothing
+    // else; corrupt payloads drop from the join instead of failing it
+    val pairs = Multimodal.audioNearDupPairs(
+      Multimodal.syntheticNearDupAudio(spark, 18), bands, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val expected = (0 until 18).filter(_ % 9 != 8)
+      .map(i => (i.toLong, i + 10000L, 0))
+    assert(pairs.toSeq === expected)
+  }
 }

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Independent re-derivation for the qb39-qb43 media golden pins.
+"""Independent re-derivation for the qb39-qb46 media golden pins.
 
 GoldenSpec's md5 pins for the media lanes were generated from the Scala
 implementation (JDK ImageIO / javax.sound decode), which makes them a
@@ -54,6 +54,7 @@ PINS = {
     "qb43_audio_frames": "9db61daff551800547618bd7e6bc6ca1",
     "qb44_media_resize": "b96dda5cd25a90120f06ce2e782535d8",
     "qb45_image_neardup": "a69dce4d831193f8c1276695ea704693",
+    "qb46_audio_neardup": "0735e37f553398c4dcd791ba409abd7e",
 }
 
 SEP = "\x01"
@@ -554,6 +555,75 @@ def qb45(rows):
     return lines
 
 
+AUDIO_BANDS = (400.0, 700.0, 1000.0, 1400.0, 1900.0, 2500.0, 3100.0, 3700.0)
+
+
+def audio_dhash(data: bytes) -> int:
+    """64-bit audio fingerprint: 8 equal time spans x 8 Goertzel bands,
+    bit = band amplitude > the span's mean band amplitude, MSB-first
+    row-major -- Multimodal.audioDHash's exact arithmetic (same strict
+    left-to-right recurrence and mean fold)."""
+    rate, nch, pcm = wav_samples(data)
+    nframes = len(pcm) // (2 * nch)
+    if nframes == 0:
+        raise ValueError("empty audio stream")
+    coeffs = [2.0 * math.cos(2.0 * math.pi * f / rate) for f in AUDIO_BANDS]
+    h = 0
+    for w in range(8):
+        lo = w * nframes // 8
+        hi = (w + 1) * nframes // 8
+        n = hi - lo
+        amps = [0.0] * 8
+        if n > 0:
+            s1 = [0.0] * 8
+            s2 = [0.0] * 8
+            for i in range(lo, hi):
+                acc = 0.0
+                for c in range(nch):
+                    acc += s16(pcm, i * nch + c)
+                x = acc / nch / 32768.0
+                for k, coeff in enumerate(coeffs):
+                    s0 = x + coeff * s1[k] - s2[k]
+                    s2[k] = s1[k]
+                    s1[k] = s0
+            amps = [
+                math.sqrt(max(s1[k] * s1[k] + s2[k] * s2[k]
+                              - coeffs[k] * s1[k] * s2[k], 0.0)) * 2.0 / n
+                for k in range(8)
+            ]
+        mean = 0.0
+        for k in range(8):
+            mean += amps[k]
+        mean /= 8.0
+        for k in range(8):
+            h = (h << 1) | (1 if amps[k] > mean else 0)
+    return h
+
+
+def qb46(rows):
+    """audioNearDupPairs(syntheticNearDupAudio(72), bands, 3): fingerprint
+    every decodable WAV, then BRUTE-FORCE all-pairs Hamming <= 3 --
+    independent of the Scala side's combination blocking (re-proving its
+    exactness on this fixture); corrupt payloads are skipped, mirroring
+    the decode_error isolation. Columns sorted: hamming, id_a, id_b."""
+    sigs = []
+    for media_id, _kind, _mime, content in rows:
+        try:
+            sigs.append((media_id, audio_dhash(bytes(content))))
+        except Exception:
+            pass
+    lines = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            (ia, va), (ib, vb) = sigs[i], sigs[j]
+            if ia > ib:
+                (ia, va), (ib, vb) = (ib, vb), (ia, va)
+            d = bin(va ^ vb).count("1")
+            if d <= 3:
+                lines.append(SEP.join((str(d), str(ia), str(ib))))
+    return lines
+
+
 def main() -> int:
     def load(sub):
         return duckdb.sql(
@@ -565,6 +635,7 @@ def main() -> int:
         media = load("media")
         neardup = load("neardup")
         audio = load("audio")
+        audio_neardup = load("audio_neardup")
         gif = load("gif")
     except Exception as e:
         print(f"[media] fixture dump missing under {DUMP} ({e}); run\n"
@@ -579,6 +650,7 @@ def main() -> int:
         "qb43_audio_frames": qb43(audio),
         "qb44_media_resize": qb44(media),
         "qb45_image_neardup": qb45(neardup),
+        "qb46_audio_neardup": qb46(audio_neardup),
     }
     bad = 0
     for name, lines in lanes.items():
@@ -588,7 +660,7 @@ def main() -> int:
               f"md5 {got}" + ("" if ok else f" != pinned {PINS[name]}"))
         bad += 0 if ok else 1
     if bad == 0:
-        print("[media] all seven pins re-derived independently")
+        print("[media] all eight pins re-derived independently")
     return 1 if bad else 0
 
 

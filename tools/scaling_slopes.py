@@ -45,7 +45,7 @@ QUERIES = (
     "q123_lsh_dedup_clusters,q125_stream_neardup_ingest,q126_kmv_overlap,"
     "q127_dup_weights,q128_wordpiece_vocab,q129_wordpiece_encode,"
     "q130_token_budget,q131_hard_negatives,q132_perplexity_bands,"
-    "q133_containment_pairs,q134_embedding_drift"
+    "q133_containment_pairs,q134_embedding_drift,qb46_audio_neardup"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -73,9 +73,10 @@ TABLE = {
     "q132_perplexity_bands": "documents",
     "q133_containment_pairs": "documents",
     "q134_embedding_drift": "embeddings",
-    # qb44 reads a FIXED-SIZE synthetic media batch (200 rows at every sf):
-    # its gate is time INVARIANCE across sf, not a slope
+    # qb44/qb46 read FIXED-SIZE synthetic media batches (200 images / 72
+    # audio clips at every sf): their gate is time INVARIANCE, not a slope
     "qb44_media_resize": "fixed",
+    "qb46_audio_neardup": "fixed",
     "q32_cosine_neardup": "embeddings", "q65_semdedup": "embeddings",
     "q35_streaming_tumbling": "events", "q61_stream_interval_join": "events",
     "q71_streaming_sliding": "events",

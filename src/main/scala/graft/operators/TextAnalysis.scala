@@ -966,8 +966,14 @@ object TextAnalysis {
       textCol: String,
       langCol: String,
       discount: Double = 0.75): DataFrame = {
+    // the scored relation feeds THREE consumers (histogram bounds,
+    // histogram bins, final band join); without the checkpoint each one
+    // re-derives the whole KN scoring pipeline — six corpus scans in the
+    // physical plan instead of two. One narrow row per doc, so the
+    // materialization is corpus-cardinality but thin.
     val scored = knBigramScore(df, idCol, textCol, discount)
       .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .localCheckpoint(eager = true)
     val qd = Quantiles.histogramQuantiles(
       scored, langCol, "avg_logprob", Seq(0.25, 0.5, 0.75), 256)
     val thr = qd.groupBy(col(langCol)).agg(

@@ -327,11 +327,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q132: band thresholds ride broadcasts; KN joins stay hash, no UDF") {
-    // q114's scoring shape must survive the composition: model/ctx/cont
-    // joins hash (the only nested-loop is the 1-row btypes scalar), the
-    // histogram bin counts combine map-side, and the per-language
-    // threshold relation joins back as a broadcast — the corpus is never
-    // sort-merged against anything language-sized
+    // the scored relation is localCheckpoint'd (one KN pass feeds all
+    // three consumers — without it the plan re-derived the whole scoring
+    // pipeline six times); the KN stage's own shape is pinned by the q114
+    // test. Downstream of the checkpoint: histogram bin counts combine
+    // map-side and the per-language threshold relation joins back as a
+    // broadcast — the corpus is never sort-merged against anything
+    // language-sized
     val p = plan("q132_perplexity_bands")
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(p.contains("partial_count") || p.contains("partial_sum"),

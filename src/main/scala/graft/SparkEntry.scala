@@ -90,6 +90,29 @@ object SparkEntry {
     s.read.parquet(outDir)
   }
 
+  /** Run a streaming aggregation to completion in COMPLETE output mode
+    * (memory sink, AvailableNow) and return the final table. Only for
+    * results whose size is bounded by CONFIG, never by data — the memory
+    * sink holds the whole result on the driver, which is exactly the
+    * sketch contract (d×w counters regardless of stream length). */
+  private def streamToMemoryComplete(s: SparkSession, df: DataFrame): DataFrame = {
+    val name = "graft_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(shuffleKey)
+    if (saved.toInt > 8) s.conf.set(shuffleKey, "8")
+    try {
+      val query = df.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally s.conf.set(shuffleKey, saved)
+    rmTree(ckDir)
+    s.table(name)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q07_nation_revenue")(spark, "/root/testdata/sf0.001")
@@ -1176,6 +1199,34 @@ object SparkEntry {
       Similarity.embeddingDrift(T(s, dir, "embeddings"), "embedding",
         "label", col("vec_id") % 2 === 0)),
 
+    // The q115 Count-Min sketch maintained OVER A STREAM — and the point
+    // is what does NOT change: `TextAnalysis.cmsSketch` runs verbatim as
+    // the streaming maintainer, because the sketch's merge IS its
+    // aggregation (elementwise sum, the property q115 property-tests).
+    // State and result are both d×w counters regardless of stream length
+    // (no watermark needed — the groupBy key space is config-bounded),
+    // which is why COMPLETE mode + a driver-side memory sink is the
+    // correct deployment shape, not a compromise. Term stream = event
+    // type × user shard (a synthetic high-cardinality key); the oracle
+    // replays the md5 buckets over the same batch relation.
+    "q136_stream_cms" -> ((s, dir) => {
+      val terms = eventFileStream(s, dir)
+        .select(concat(col("event_type"), lit("#"),
+          pmod(col("user_id"), lit(97)).cast("string")).as("term"))
+      streamToMemoryComplete(s,
+        operators.TextAnalysis.cmsSketch(terms, "term", 4, 256))
+    }),
+
+    // q133's containment on the PREFIX-FILTERED scale path (Bayardo '07):
+    // candidates from each doc's rarest-(sz − ⌈t·sz⌉ + 1) shingles joined
+    // against the full index — pigeonhole-exact, so the output matches
+    // q133 bit-for-bit (same oracle SQL; equality property-tested). The
+    // minhash-LSH candidate route (q123's dial) cannot serve containment:
+    // band collisions ride resemblance, and these pairs sit at J ≈ 0.1.
+    "q135_containment_prefix" -> ((s, dir) =>
+      Dedup.containmentPairsPrefix(T(s, dir, "documents"), "doc_id", "text",
+        3, 0.5, maxShingleDocFreq = 100L)),
+
     // DSIR importance resampling (Xie et al. '23): select the 100 raw
     // documents whose hashed n-gram features look most like the target
     // slice (doc_id % 10 = 0 plays the curated set), via a
@@ -2131,6 +2182,28 @@ object SparkEntry {
 
   /** Exact brute-force cosine top-k — shared by q31 (window-rank form) and
     * q48 (bounded-shuffle TopKAggregator form): same output contract. */
+  /** Shared by q133 (exact inverted index) and q135 (prefix-filtered
+    * scale path) — the two operators are proven output-identical, so one
+    * oracle gates both. */
+  private lazy val containmentSql: String =
+    s"""$shingleCte,
+       |capped AS (
+       |  SELECT sh.doc_id, sh.shingle FROM sh
+       |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+       |        HAVING count(*) <= 100) ok USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM capped a JOIN capped b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       |  round(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6) AS cont_a,
+       |  round(CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) AS cont_b
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+       |               CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.5""".stripMargin
+
   private val bruteForceTopKSql: String =
     s"""WITH e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -3341,25 +3414,31 @@ object SparkEntry {
         |FROM o JOIN thr t ON o.g = t.g""".stripMargin,
 
     // q26's capped inverted index verbatim; only the final measure
-    // changes — both directed ratios instead of the symmetric one
-    "q133_containment_pairs" ->
-      s"""$shingleCte,
-         |capped AS (
-         |  SELECT sh.doc_id, sh.shingle FROM sh
-         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
-         |        HAVING count(*) <= 100) ok USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM capped a JOIN capped b USING (shingle)
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
-         |  round(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6) AS cont_a,
-         |  round(CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) AS cont_b
-         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
-         |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE),
-         |               CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.5""".stripMargin,
+    // changes — both directed ratios instead of the symmetric one.
+    // q135 is the prefix-filtered scale path with bit-identical output,
+    // so it shares this oracle (the q31/q48 precedent).
+    "q133_containment_pairs" -> containmentSql,
+    "q135_containment_prefix" -> containmentSql,
+
+    // the streaming sketch replayed as a BATCH over the same relation —
+    // streaming-vs-batch equivalence is exactly what the lane gates
+    // (mergeable state ⇒ the final stream table equals the one-shot
+    // aggregation); q115's strpos-polynomial md5 bucket decode
+    "q136_stream_cms" -> {
+      val poly = (1 to 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${BigInt(16).pow(6 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH toks AS (
+         |  SELECT event_type || '#' || CAST(user_id % 97 AS VARCHAR) AS term
+         |  FROM events),
+         |js AS (SELECT CAST(unnest(range(1, 5)) AS INT) AS j),
+         |hashed AS (SELECT j,
+         |    md5('cms' || CAST(j AS VARCHAR) || ':' || term) AS hx
+         |  FROM toks, js)
+         |SELECT j, CAST($poly % 256 AS INT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM hashed GROUP BY 1, 2""".stripMargin
+    },
 
     // per-(label, dim) means rounded 6dp FIRST (the q74 contract), then
     // both distance folds replayed strict left-to-right over dim order —

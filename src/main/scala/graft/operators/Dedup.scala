@@ -288,6 +288,89 @@ object Dedup {
         round(col("cont_b"), 6).as("cont_b"))
   }
 
+  /** [[containmentPairs]] on the PREFIX-FILTERED scale path (Bayardo '07;
+    * Chaudhuri's SSJoin family) — the adversarial-density dial for
+    * CONTAINMENT, where the q123 minhash-LSH candidate route is
+    * structurally unavailable: band collision probability rides
+    * RESEMBLANCE (J^r), and the asymmetric pairs this operator exists for
+    * sit at J ≈ 0.1 where bands essentially never fire.
+    *
+    * Pigeonhole exactness: if max(cont) ≥ t then wlog |A∩B| ≥ ⌈t·|A|⌉,
+    * so the intersection cannot avoid A's (|A| − ⌈t·|A|⌉ + 1) globally
+    * RAREST shingles (rank by (df, shingle-hash) — a total order) — the
+    * candidate join PREFIX(probe) ⋈ FULL(index) provably loses no
+    * qualifying pair, and the q123-style exact verify on candidates only
+    * restores [[containmentPairs]]' output bit-for-bit
+    * (equality property-tested across random corpora and thresholds).
+    *
+    * Scale shape: on Zipf-shaped real corpora the prefix keeps only RARE
+    * shingles (hot shingles rank last and fall out of every prefix), so
+    * candidate volume collapses where the exact inverted index pays
+    * Σ df² — the fixture's uniform 31-token vocabulary is the documented
+    * worst case (every shingle equally hot; the prefix only saves the
+    * (1−t) factor). The per-doc rarity rank sorts one document's
+    * shingles at a time (window width = doc shingle count, never the
+    * corpus). */
+  def containmentPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDocFreq: Long = 0L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val hashed = shingleRows(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+    val capped =
+      if (maxShingleDocFreq <= 0) hashed
+      else {
+        val hot = hashed.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > maxShingleDocFreq)
+          .select("shingle")
+        hashed.join(hot, Seq("shingle"), "left_anti")
+      }
+    // sh feeds five consumers (df rank, prefix, full probe, sizes, verify)
+    val sh = capped.localCheckpoint(eager = true)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df_"), col("shingle"))
+    // the pigeonhole needs prefix ≥ sz − ⌈t·sz⌉ + 1, but FLOAT ceil can
+    // overshoot the true ceiling by one when t·sz rounds a hair above an
+    // integer (0.4·5 → 2.0000000000000004 → ceil 3), which would shrink
+    // the prefix below the bound and silently drop exact-boundary pairs.
+    // One extra row of slack makes the prefix a guaranteed superset at
+    // the cost of at most one additional candidate shingle per doc.
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rnk", row_number().over(w))
+      .join(sizes, Seq(idCol))
+      .filter(col("rnk") <= col("sz") - ceil(col("sz") * lit(threshold)) + 2)
+      .select(col(idCol), col("shingle"))
+    val cand = prefix.select(col(idCol).as("id_p"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_f"), col("shingle")), Seq("shingle"))
+      .filter(col("id_p") =!= col("id_f"))
+      .select(least(col("id_p"), col("id_f")).as("id_a"),
+        greatest(col("id_p"), col("id_f")).as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("cont_a", col("n_inter").cast("double") / col("sz_a").cast("double"))
+      .withColumn("cont_b", col("n_inter").cast("double") / col("sz_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("sz_a"),
+        col("sz_b"), round(col("cont_a"), 6).as("cont_a"),
+        round(col("cont_b"), 6).as("cont_b"))
+  }
+
   /** Benchmark-contamination detection: documents in `corpus` sharing at
     * least `minOverlap` distinct word n-gram shingles with ANY document in
     * `bench` (the held-out eval set), with the shared-shingle count. The

@@ -32,7 +32,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "qb37_bangumi_quality", "qb38_bangumi_source", // rederive_goldens.py
       "qb39_media_decode", "qb40_media_frames", "qb41_audio_decode",
       "qb42_gif_frames", "qb43_audio_frames",
-      "qb44_media_resize", "qb45_image_neardup") // rederive_media.py
+      "qb44_media_resize", "qb45_image_neardup",
+      "qb46_audio_neardup") // rederive_media.py
     val ungated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(ungated === goldenLanes,
       s"queries outside the oracle gate and the documented golden set: " +

@@ -1595,6 +1595,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("containmentPairsPrefix equals the exact inverted index across random corpora") {
+    import spark.implicits._
+    // the prefix filter is a candidate-recall optimization; output must be
+    // BIT-identical to the exact operator at every threshold — including
+    // t·sz exactly integral (t = 0.4, even sizes), where a float-ceil
+    // overshoot without the slack row silently drops boundary pairs
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    for (trial <- 0 until 3; t <- Seq(0.4, 0.5, 0.8); cap <- Seq(0L, 8L)) {
+      val docs = (0 until 30).map { i =>
+        val len = 4 + rnd.nextInt(20)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val exact = Dedup.containmentPairs(docs, "doc_id", "text", 2, t, cap)
+        .collect()
+      val pref = Dedup.containmentPairsPrefix(docs, "doc_id", "text", 2, t, cap)
+        .collect()
+      assert(key(pref) === key(exact), s"trial $trial t=$t cap=$cap")
+      if (t == 0.4 && cap == 0L)
+        assert(exact.nonEmpty, s"trial $trial: degenerate fixture, nothing compared")
+    }
+  }
+
   test("perplexityBands: per-language quartile split, short docs drop, bands partition") {
     import spark.implicits._
     // 16 scored docs in lang 'x' (distinct score ladder via word repetition),

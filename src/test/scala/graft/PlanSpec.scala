@@ -354,6 +354,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("xxhash64"), "shingles must be hashed before exchange")
   }
 
+  test("q135: prefix candidates equi-join hashed shingles; rarity rank sorts per doc") {
+    // the candidate stage must be an equi-join on the hashed shingle key
+    // (never cartesian/nested-loop), the rarity rank must be a
+    // doc-partitioned window (sort width = one doc's shingles, not the
+    // corpus), and pair counts must pre-combine map-side
+    val p = plan("q135_containment_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("partial_count"), "pair counts must combine map-side")
+    assert(p.contains("Window"), "rarity rank must be a windowed row_number")
+  }
+
   test("q134: drift means combine map-side; no joins, no UDF, no corpus sort") {
     // the whole lane is two aggregations — (label, dim) means with
     // map-side partials, then a labels-sized pack bounded by dim config;

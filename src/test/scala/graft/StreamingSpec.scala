@@ -293,4 +293,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(dirs.contains("_spark_metadata"), "file-sink commit log missing")
     assert(dirs.filterNot(_.startsWith("_")).toSeq === Seq("lang=en", "lang=zh"))
   }
+
+  test("streaming CMS across micro-batches equals the one-shot batch sketch") {
+    // the q136 claim isolated: TextAnalysis.cmsSketch runs UNCHANGED as a
+    // streaming maintainer because sketch merge IS the aggregation — so
+    // the final complete-mode table after N micro-batches must be
+    // bit-identical to the batch sketch over the concatenated stream,
+    // regardless of how the data was split into batches
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = graft.operators.TextAnalysis
+      .cmsSketch(mem.toDF().toDF("term"), "term", 3, 16)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream_out").start()
+    val b1 = Seq("alpha", "beta", "alpha", "gamma")
+    val b2 = Seq("beta", "beta", "delta")
+    val b3 = Seq("alpha", "epsilon", "zeta", "alpha")
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b3: _*); q.processAllAvailable()
+    val streamed = spark.table("cms_stream_out").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = graft.operators.TextAnalysis
+      .cmsSketch((b1 ++ b2 ++ b3).toDF("term"), "term", 3, 16)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    // row-sum invariant per hash row: every term lands in exactly one
+    // bucket per row, so each row's counters sum to the stream length
+    val n = (b1 ++ b2 ++ b3).size.toLong
+    for (j <- 1 to 3)
+      assert(streamed.collect { case ((`j`, _), c) => c }.sum === n)
+  }
 }

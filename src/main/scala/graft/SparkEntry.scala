@@ -1217,6 +1217,15 @@ object SparkEntry {
         operators.TextAnalysis.cmsSketch(terms, "term", 4, 256))
     }),
 
+    // Corpus datasheet: the one-row snapshot health report (size, token
+    // volume, language spread, exact-dup rate) a pipeline publishes with
+    // every release — three map-side-combinable aggs off one scan, 1-row
+    // broadcasts after; the distinct-fingerprint exchange is the only
+    // data-sized shuffle.
+    "q137_corpus_datasheet" -> ((s, dir) =>
+      operators.TextAnalysis.corpusDatasheet(
+        T(s, dir, "documents"), "text", "lang")),
+
     // q133's containment on the PREFIX-FILTERED scale path (Bayardo '07):
     // candidates from each doc's rarest-(sz − ⌈t·sz⌉ + 1) shingles joined
     // against the full index — pigeonhole-exact, so the output matches
@@ -3419,6 +3428,27 @@ object SparkEntry {
     // so it shares this oracle (the q31/q48 precedent).
     "q133_containment_pairs" -> containmentSql,
     "q135_containment_prefix" -> containmentSql,
+
+    // one row; the fingerprint is q12/q127's normalized md5; top_lang
+    // tie-breaks lexicographic-min among max-count holders
+    "q137_corpus_datasheet" ->
+      """WITH b AS (SELECT text AS t, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tok,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    round(avg(CAST(n_tok AS DOUBLE)), 4) AS avg_tokens FROM b),
+        |langs AS (SELECT lang, count(*) AS c FROM b GROUP BY 1),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM langs),
+        |tl AS (SELECT min(lang) AS top_lang FROM langs
+        |  WHERE c = (SELECT max(c) FROM langs)),
+        |dd AS (SELECT CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct FROM b)
+        |SELECT s.n_docs, s.n_tokens, s.avg_tokens, nl.n_langs, tl.top_lang,
+        |  round(1.0::DOUBLE - CAST(dd.n_distinct AS DOUBLE)
+        |    / CAST(s.n_docs AS DOUBLE), 4) AS dup_rate
+        |FROM stats s, nl, tl, dd""".stripMargin,
 
     // the streaming sketch replayed as a BATCH over the same relation —
     // streaming-vs-batch equivalence is exactly what the lane gates

@@ -988,6 +988,50 @@ object TextAnalysis {
           .otherwise("head").as("band"))
   }
 
+  /** Corpus datasheet: the one-row health report a pipeline publishes with
+    * every snapshot (the "datasheet for datasets" summary, Gebru '21 §3.2
+    * in spirit) — size, token volume, language spread, and exact-duplicate
+    * rate, each a number a reviewer compares across snapshots before
+    * training eats the data.
+    *
+    * Columns: `n_docs`, `n_tokens`, `avg_tokens` (4dp), `n_langs`,
+    * `top_lang` (most docs; LEXICOGRAPHIC tiebreak so the emitted value is
+    * a total-order pick, never hash-partitioning-dependent), `dup_rate`
+    * (4dp, 1 − distinct [[fingerprint]]s / docs — the q12/q127 normalized
+    * fingerprint, so "duplicate" means ws/case-insensitive exact).
+    *
+    * Scale shape: one corpus scan feeding three map-side-combinable
+    * aggregations (global count/sum, per-lang counts at language
+    * cardinality, distinct fingerprints — the only data-sized exchange,
+    * hash-keyed and pre-combined); the three 1-row results cross-join as
+    * broadcasts. Nothing is sorted, nothing driver-sized beyond one row. */
+  def corpusDatasheet(
+      df: DataFrame,
+      textCol: String,
+      langCol: String): DataFrame = {
+    val base = df.select(col(textCol).as("t"), col(langCol).as("lang"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col("t"))).as("n_tokens"),
+      round(avg(tokenCount(col("t"))), 4).as("avg_tokens"))
+    val langs = base.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    // a max(struct(c, lang)) would tie-break toward the LARGER lang;
+    // two language-cardinality aggs pick (max count, then MIN lang) —
+    // the lexicographic-min contract
+    val topCount = langs.agg(max(col("c")).as("top_c"))
+    val topLang = langs.join(broadcast(topCount), col("c") === col("top_c"))
+      .agg(min(col("lang")).as("top_lang"))
+    val nLangs = langs.agg(count(lit(1)).as("n_langs"))
+    val dups = base.select(TextAnalysis.fingerprint(col("t")).as("fp"))
+      .agg(countDistinct(col("fp")).as("n_distinct"))
+    stats.crossJoin(broadcast(nLangs)).crossJoin(broadcast(topLang))
+      .crossJoin(broadcast(dups))
+      .select(col("n_docs"), col("n_tokens"), col("avg_tokens"),
+        col("n_langs"), col("top_lang"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_docs").cast("double"), 4).as("dup_rate"))
+  }
+
   /** Count-Min sketch over the token stream (Cormode & Muthukrishnan '05):
     * `depth` independent md5-derived hash rows of `width` counters; every
     * counter is the sum of the true counts of the terms landing in its

@@ -1652,6 +1652,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.filter(_._1 == "x").map(_._3).toSet === order.keySet)
   }
 
+  test("corpusDatasheet: hand-computed one-row report, lexicographic top-lang tie") {
+    import spark.implicits._
+    // 5 docs: one ws/case duplicate pair (1, 2); langs en×2, de×2, fr×1 —
+    // en/de tie on count, the report must pick the lexicographic min "de"
+    val df = Seq(
+      (1L, "Alpha  beta", "en"), (2L, "alpha beta", "de"),
+      (3L, "gamma delta epsilon", "en"), (4L, "zeta", "de"),
+      (5L, "eta theta", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.corpusDatasheet(df, "text", "lang").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") === 5L)
+    assert(row.getAs[Long]("n_tokens") === (2 + 2 + 3 + 1 + 2).toLong)
+    assert(row.getAs[Double]("avg_tokens") === 2.0)
+    assert(row.getAs[Long]("n_langs") === 3L)
+    assert(row.getAs[String]("top_lang") === "de")
+    assert(row.getAs[Double]("dup_rate") === 0.2) // 4 distinct fingerprints / 5
+  }
+
   test("embeddingDrift: hand-computed centroid shift; one-sided labels drop") {
     import spark.implicits._
     // label 0: P = {(1,0), (0,1)} -> centroid (0.5, 0.5); Q = {(1,1)}.

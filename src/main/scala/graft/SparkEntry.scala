@@ -1217,6 +1217,43 @@ object SparkEntry {
         operators.TextAnalysis.cmsSketch(terms, "term", 4, 256))
     }),
 
+    // Split-leakage audit + the fix, one lane: under a naive per-document
+    // hash split a near-dup pair straddles train/test with prob 1 − Σp²
+    // (~34% at 80/10/10) — silent eval contamination. Row 1 measures that
+    // leakage on q63's near-dup edge set; row 2 re-splits keyed on the
+    // connected-component cluster id (Sampling.clusterAwareSplit) and
+    // must read leaked_pairs = 0 by construction. Singletons keep their
+    // naive assignment (component = own id), so the policies differ only
+    // where leakage exists.
+    "q138_split_leakage" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3,
+        maxShingleDocFreq = 100L).select("id_a", "id_b")
+        .localCheckpoint(eager = true)
+      val clusters = Components.dedupClusters(docs.select(col("doc_id")),
+        "doc_id", pairs, "id_a", "id_b")
+      def audit(assigned: org.apache.spark.sql.DataFrame, strategy: String) = {
+        val a = assigned.select(col("doc_id"), col("split"))
+          .localCheckpoint(eager = true)
+        val leaked = pairs
+          .join(a.select(col("doc_id").as("id_a"), col("split").as("s_a")), "id_a")
+          .join(a.select(col("doc_id").as("id_b"), col("split").as("s_b")), "id_b")
+          .agg(coalesce(sum(when(col("s_a") =!= col("s_b"), 1L).otherwise(0L)),
+            lit(0L)).as("leaked_pairs"))
+        a.agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+          .crossJoin(broadcast(leaked))
+          .select(lit(strategy).as("strategy"), col("leaked_pairs"),
+            col("n_train"), col("n_val"), col("n_test"))
+      }
+      audit(Sampling.hashSplit(docs, "doc_id", splits), "naive")
+        .unionByName(audit(Sampling.clusterAwareSplit(docs, "doc_id",
+          clusters, "doc_id", "component", splits), "cluster"))
+    }),
+
     // Corpus datasheet: the one-row snapshot health report (size, token
     // volume, language spread, exact-dup rate) a pipeline publishes with
     // every release — three map-side-combinable aggs off one scan, 1-row
@@ -3428,6 +3465,72 @@ object SparkEntry {
     // so it shares this oracle (the q31/q48 precedent).
     "q133_containment_pairs" -> containmentSql,
     "q135_containment_prefix" -> containmentSql,
+
+    // q63's pair + transitive-closure CTEs, q89's split thresholds, then
+    // both leakage counts; the cluster row's leaked MUST be 0
+    "q138_split_leakage" -> {
+      val t80 = operators.Sampling.fractionThreshold(0.8)
+      val t90 = operators.Sampling.fractionThreshold(0.9)
+      def splitCase(key: String) =
+        s"""CASE WHEN md5(CAST($key AS VARCHAR)) < '$t80' THEN 'train'
+           |     WHEN md5(CAST($key AS VARCHAR)) < '$t90' THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""${shingleCte.replace("WITH toks", "WITH RECURSIVE toks")},
+         |capped AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |        HAVING count(*) <= 100) ok USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM capped a JOIN capped b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.3),
+         |eb AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS node, dst AS r FROM eb
+         |  UNION
+         |  SELECT re.node, e.dst FROM reach re JOIN eb e ON re.r = e.src
+         |  WHERE e.dst <> re.node),
+         |comp AS (SELECT node, min(r) AS mn FROM reach GROUP BY node),
+         |allc AS (SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |naive AS (SELECT doc_id, ${splitCase("doc_id")} AS split
+         |  FROM documents),
+         |aware AS (SELECT doc_id, ${splitCase("component")} AS split
+         |  FROM allc),
+         |np AS (SELECT CAST(coalesce(sum(
+         |    CASE WHEN x.split <> y.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS leaked
+         |  FROM pairs p JOIN naive x ON x.doc_id = p.id_a
+         |  JOIN naive y ON y.doc_id = p.id_b),
+         |ap AS (SELECT CAST(coalesce(sum(
+         |    CASE WHEN x.split <> y.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS leaked
+         |  FROM pairs p JOIN aware x ON x.doc_id = p.id_a
+         |  JOIN aware y ON y.doc_id = p.id_b),
+         |nc AS (SELECT
+         |    CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+         |    CAST(count(*) FILTER (WHERE split = 'val') AS BIGINT) AS n_val,
+         |    CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS n_test
+         |  FROM naive),
+         |ac AS (SELECT
+         |    CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+         |    CAST(count(*) FILTER (WHERE split = 'val') AS BIGINT) AS n_val,
+         |    CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS n_test
+         |  FROM aware)
+         |SELECT 'naive' AS strategy, np.leaked AS leaked_pairs,
+         |  nc.n_train, nc.n_val, nc.n_test FROM np, nc
+         |UNION ALL
+         |SELECT 'cluster', ap.leaked, ac.n_train, ac.n_val, ac.n_test
+         |FROM ap, ac""".stripMargin
+    },
 
     // one row; the fingerprint is q12/q127's normalized md5; top_lang
     // tie-breaks lexicographic-min among max-count holders

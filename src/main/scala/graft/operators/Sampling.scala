@@ -91,13 +91,21 @@ object Sampling {
     * train docs into test on every rerun). Fractions must sum to 1.
     */
   def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame =
+    hashSplitByKey(df, col(idCol), splits)
+
+  /** [[hashSplit]] generalized to an arbitrary key expression — the
+    * mechanism behind [[clusterAwareSplit]] (key = the near-dup cluster
+    * id) and any other "split by unit-of-leakage" policy (by URL host,
+    * by conversation id, by source document of derived chunks). */
+  def hashSplitByKey(df: DataFrame, keyExpr: Column,
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty, "need at least one split")
     require(splits.forall(_._2 >= 0.0), "split fractions must be >= 0")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-    val key = sampleKey(col(idCol))
+    val key = sampleKey(keyExpr)
     // build the when-chain inside-out so the FIRST split's condition is
     // outermost; the last split is the unconditional fallback
     val assign = splits.init.zip(cum.init).reverse
@@ -105,6 +113,40 @@ object Sampling {
         when(key < lit(fractionThreshold(c)), lit(name)).otherwise(acc)
       }
     df.withColumn("split", assign)
+  }
+
+  /** Near-dup-leak-proof train/val/test split: assign by the document's
+    * NEAR-DUP CLUSTER id instead of its own id, so a cluster can never
+    * straddle a split boundary. [[hashSplit]]'s per-document key silently
+    * leaks evaluation data: with any split vector (p₁..pₖ) a near-dup
+    * pair straddles with probability 1 − Σpᵢ² (~34% at 80/10/10) — the
+    * model then trains on a near-copy of its test document and the eval
+    * is contaminated without any text crossing splits verbatim. Keying on
+    * the cluster representative (the connected-component label over the
+    * near-dup pair graph; singletons are their own cluster, so their
+    * assignment is IDENTICAL to [[hashSplit]]'s — the policies differ
+    * only where leakage exists) makes straddling structurally impossible.
+    *
+    * Scale shape: one equi-join of the corpus against the (id, component)
+    * relation (already produced by the dedup pipeline — this operator
+    * adds no pair computation), then the same zero-shuffle scan-stage
+    * when-chain as [[hashSplit]]. Split sizes drift from the nominal
+    * fractions by cluster-size variance; the caller's datasheet (q137)
+    * is where that drift gets reviewed.
+    *
+    * `clusters`: (clusterIdCol, compCol) — one row per document, as
+    * [[Components.dedupClusters]] emits. */
+  def clusterAwareSplit(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      clusterIdCol: String,
+      compCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val comp = clusters.select(col(clusterIdCol).as(idCol),
+      col(compCol).as("__comp"))
+    hashSplitByKey(df.join(comp, Seq(idCol)), col("__comp"), splits)
+      .drop("__comp")
   }
 
   /** Deterministic Bernoulli sample with a per-stratum rate: keeps rows

@@ -1652,6 +1652,42 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.filter(_._1 == "x").map(_._3).toSet === order.keySet)
   }
 
+  test("clusterAwareSplit: no straddling pairs; singletons keep the naive assignment") {
+    import spark.implicits._
+    // 30 base docs + 10 near-dup copies (token appended) → real pair edges
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val base = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(10))(vocab(rnd.nextInt(10))).mkString(" "))
+    }
+    val copies = (0 until 10).map(i => (100L + i, base(i)._2 + " tail"))
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val splits = Seq(("train", 0.6), ("val", 0.2), ("test", 0.2))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b")
+    assert(pairs.count() >= 10, "fixture must produce near-dup edges")
+    val clusters = operators.Components.dedupClusters(
+      docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+    val aware = Sampling.clusterAwareSplit(docs, "doc_id", clusters,
+      "doc_id", "component", splits)
+    val naive = Sampling.hashSplit(docs, "doc_id", splits)
+    // every document assigned exactly once
+    assert(aware.count() === docs.count())
+    // zero near-dup pairs straddle a split boundary
+    val s = aware.select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.collect().foreach { r =>
+      assert(s(r.getLong(0)) === s(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) straddles splits")
+    }
+    // docs in no pair (singleton clusters) get hashSplit's exact assignment
+    val paired = pairs.collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val n = naive.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("split")).toMap
+    (s.keySet -- paired).foreach(id => assert(s(id) === n(id), s"singleton $id moved"))
+  }
+
   test("corpusDatasheet: hand-computed one-row report, lexicographic top-lang tie") {
     import spark.implicits._
     // 5 docs: one ws/case duplicate pair (1, 2); langs en×2, de×2, fr×1 —

@@ -1652,6 +1652,46 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.filter(_._1 == "x").map(_._3).toSet === order.keySet)
   }
 
+  test("QualityFilter: learns a separable teacher, refit is bit-identical, scorer agrees") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 120 docs: long docs (30-40 tokens) vs short (5-9) — teacher = long
+    val docs = (0 until 120).map { i =>
+      val n = if (i % 2 == 0) 30 + rnd.nextInt(11) else 5 + rnd.nextInt(5)
+      (i.toLong, Seq.fill(n)(Seq("alpha", "beta", "gam", "delta", "ee")(rnd.nextInt(5)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val label = length(col("text")) >= 80
+    val m1 = operators.QualityFilter.fit(docs, "doc_id", "text", label)
+    val m2 = operators.QualityFilter.fit(docs, "doc_id", "text", label)
+    assert(m1 === m2, "refit on the same corpus must be bit-identical")
+    // the scorer must agree with the training-side confusion counts
+    val scored = operators.QualityFilter.score(m1, docs, "text")
+    val agree = scored.withColumn("y", label.cast("int"))
+      .filter(col("q_pred") === col("y")).count()
+    assert(agree >= 108, s"separable teacher should reach >= 90% ($agree/120)")
+    val rep = operators.QualityFilter.trainReport(spark, docs, "doc_id", "text", label)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rep(("confusion", "tp")) + rep(("confusion", "tn")) === agree.toDouble)
+    assert(rep(("metric", "accuracy")) >= 0.9)
+  }
+
+  test("QualityFilter: constant corpus hits the sd=0 guard without NaN") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, "same text here every time"))
+      .toDF("doc_id", "text")
+    val m = operators.QualityFilter.fit(docs, "doc_id", "text",
+      length(col("text")) >= 10, rounds = 3)
+    assert(m.sd.forall(_ == 1.0), "zero-variance features must fall back to sd=1")
+    assert((m.bias +: m.weights).forall(v => !v.isNaN && !v.isInfinite))
+    // all labels are 1; three rounds of lr=0.5 from zero walk the bias
+    // toward 1 — and every prediction is already correct at 0.5
+    val rep = operators.QualityFilter.trainReport(spark, docs, "doc_id", "text",
+      length(col("text")) >= 10, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rep(("metric", "accuracy")) === 1.0)
+  }
+
   test("clusterAwareSplit: no straddling pairs; singletons keep the naive assignment") {
     import spark.implicits._
     // 30 base docs + 10 near-dup copies (token appended) → real pair edges

@@ -377,6 +377,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalaUDF"), "folds must stay expression-only")
   }
 
+  test("q139: deployed quality scorer is scan-stage — zero exchanges, no UDF") {
+    // the model rides as literals; scoring a corpus must be one narrow
+    // pass (project over the scan), or the filter is not deployable at
+    // 100 TB. Any Exchange or ScalaUDF here is a regression.
+    val docs = Tables.load(spark, dir, "documents")
+    val model = operators.QualityFilter.Model(1000L,
+      Seq(0.5, 0.29, 0.45, 0.5), Seq(0.25, 0.01, 0.02, 0.16), 0.36,
+      Seq(0.22, 0.12, -0.002, -0.08))
+    val p = operators.QualityFilter.score(model, docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"scorer must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("ScalaUDF"), "scorer must stay expression-only")
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

@@ -1268,6 +1268,19 @@ object SparkEntry {
         rounds = 12, lr = 0.5)
     }),
 
+    // Calibration + threshold sweep of the q139 filter: margins banded
+    // into deciles; per band the observed positive rate and cumulative-
+    // from-top precision/recall — the numbers that pick the filtering
+    // threshold before a 100 TB run. One corpus scan into a ≤10-row
+    // relation; window + total run on that bounded relation only.
+    "q140_filter_calibration" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val label = (length(col("text")) >= 300) &&
+        (operators.TextAnalysis.vowelRatio(col("text")) >= lit(0.28))
+      val model = operators.QualityFilter.fit(docs, "doc_id", "text", label)
+      operators.QualityFilter.calibration(docs, "doc_id", "text", label, model)
+    }),
+
     // Corpus datasheet: the one-row snapshot health report (size, token
     // volume, language spread, exact-dup rate) a pipeline publishes with
     // every release — three map-side-combinable aggs off one scan, 1-row
@@ -2276,6 +2289,77 @@ object SparkEntry {
        |  FROM scored)
        |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
        |FROM ranked WHERE rn <= 10""".stripMargin
+
+  /** Decimal-grid snap spelled as the explicit IEEE chain — NOT round():
+    * see QualityFilter's class doc (engines' round() disagrees on exact
+    * decimal halves that lr * 6dp-gradients produce systematically).
+    */
+  private def sqlSnap(x: String, p: Int): String =
+    s"floor(($x)*1e$p + 0.5)/1e$p"
+
+  /** Shared oracle prefix for q139/q140: bit-replay of QualityFilter
+    * training — signals, 6dp-snapped scaler, 10dp z-scores, then 12
+    * unrolled MATERIALIZED GD rounds (q116's CTE pattern — inlining
+    * would re-expand 2^12 scans), ending at `mf(y, mm)`: every
+    * document's final margin against its teacher label.
+    */
+  private lazy val qualityTrainCte: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    def sn6(x: String) = sqlSnap(x, 6)
+    def sn10(x: String) = sqlSnap(x, 10)
+    def sn12(x: String) = sqlSnap(x, 12)
+    val vr = "CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)" +
+      " / CAST(greatest(length(text), 1) AS DOUBLE)"
+    val gdRounds = (1 to 12).map { r =>
+      s"""g$r AS (SELECT ${sn6("sum((t.mm - t.y)/t.n)")} AS g0,
+         |    ${sn6("sum((t.mm - t.y)*t.z1/t.n)")} AS g1,
+         |    ${sn6("sum((t.mm - t.y)*t.z2/t.n)")} AS g2,
+         |    ${sn6("sum((t.mm - t.y)*t.z3/t.n)")} AS g3,
+         |    ${sn6("sum((t.mm - t.y)*t.z4/t.n)")} AS g4
+         |  FROM (SELECT z.y, z.z1, z.z2, z.z3, z.z4, nn.n,
+         |      w.wb + w.w1*z.z1 + w.w2*z.z2 + w.w3*z.z3 + w.w4*z.z4 AS mm
+         |    FROM z, w${r - 1} w, nn) t),
+         |w$r AS MATERIALIZED (SELECT ${sn6("w.wb - 0.5*g.g0")} AS wb,
+         |  ${sn6("w.w1 - 0.5*g.g1")} AS w1, ${sn6("w.w2 - 0.5*g.g2")} AS w2,
+         |  ${sn6("w.w3 - 0.5*g.g3")} AS w3, ${sn6("w.w4 - 0.5*g.g4")} AS w4
+         |  FROM w${r - 1} w, g$r g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) >= 300 AND $vr >= 0.28
+       |      THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(len($toks) AS DOUBLE)/100.0 AS f1,
+       |    $vr AS f2,
+       |    CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE)
+       |      / greatest(CAST(len($toks) AS DOUBLE), 1.0) / 10.0 AS f3,
+       |    CAST(len(list_distinct($toks)) AS DOUBLE)
+       |      / greatest(CAST(len($toks) AS DOUBLE), 1.0) AS f4
+       |  FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sig),
+       |mu AS MATERIALIZED (SELECT
+       |  ${sn6("sum(f1/nn.n)")} AS m1, ${sn6("sum(f2/nn.n)")} AS m2,
+       |  ${sn6("sum(f3/nn.n)")} AS m3, ${sn6("sum(f4/nn.n)")} AS m4
+       |  FROM sig, nn),
+       |sdr AS MATERIALIZED (SELECT
+       |  ${sn6(s"sqrt(${sn12("sum((f1-m1)*(f1-m1)/nn.n)")})")} AS s1,
+       |  ${sn6(s"sqrt(${sn12("sum((f2-m2)*(f2-m2)/nn.n)")})")} AS s2,
+       |  ${sn6(s"sqrt(${sn12("sum((f3-m3)*(f3-m3)/nn.n)")})")} AS s3,
+       |  ${sn6(s"sqrt(${sn12("sum((f4-m4)*(f4-m4)/nn.n)")})")} AS s4
+       |  FROM sig, nn, mu),
+       |sd AS (SELECT CASE WHEN s1 = 0 THEN 1.0 ELSE s1 END AS s1,
+       |  CASE WHEN s2 = 0 THEN 1.0 ELSE s2 END AS s2,
+       |  CASE WHEN s3 = 0 THEN 1.0 ELSE s3 END AS s3,
+       |  CASE WHEN s4 = 0 THEN 1.0 ELSE s4 END AS s4 FROM sdr),
+       |z AS MATERIALIZED (SELECT doc_id, y,
+       |  ${sn10("(f1-m1)/s1")} AS z1, ${sn10("(f2-m2)/s2")} AS z2,
+       |  ${sn10("(f3-m3)/s3")} AS z3, ${sn10("(f4-m4)/s4")} AS z4
+       |  FROM sig, mu, sd),
+       |w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
+       |$gdRounds,
+       |mf AS (SELECT z.y,
+       |  w.wb + w.w1*z.z1 + w.w2*z.z2 + w.w3*z.z3 + w.w4*z.z4 AS mm
+       |  FROM z, w12 w)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3550,66 +3634,8 @@ object SparkEntry {
     // rounds (q116's CTE pattern — inlining would re-expand 2^12 scans);
     // every sum's terms pre-divided by n and every derived scalar rounded
     // exactly as the Spark side rounds
-    "q139_quality_classifier" -> {
-      val toks = "regexp_split_to_array(trim(text), '\\s+')"
-      // decimal-grid snap as an explicit IEEE chain — NOT round(): see
-      // QualityFilter's class doc (engines' round() disagrees on exact
-      // 7-digit halves that lr * 6dp-gradient produces systematically).
-      // Scala-side helpers interpolate "floor((x)*1e6 + 0.5)/1e6" etc.
-      def sn6(x: String) = s"floor(($x)*1e6 + 0.5)/1e6"
-      def sn10(x: String) = s"floor(($x)*1e10 + 0.5)/1e10"
-      def sn12(x: String) = s"floor(($x)*1e12 + 0.5)/1e12"
-      val vr = "CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)" +
-        " / CAST(greatest(length(text), 1) AS DOUBLE)"
-      val gdRounds = (1 to 12).map { r =>
-        s"""g$r AS (SELECT ${sn6("sum((t.mm - t.y)/t.n)")} AS g0,
-           |    ${sn6("sum((t.mm - t.y)*t.z1/t.n)")} AS g1,
-           |    ${sn6("sum((t.mm - t.y)*t.z2/t.n)")} AS g2,
-           |    ${sn6("sum((t.mm - t.y)*t.z3/t.n)")} AS g3,
-           |    ${sn6("sum((t.mm - t.y)*t.z4/t.n)")} AS g4
-           |  FROM (SELECT z.y, z.z1, z.z2, z.z3, z.z4, nn.n,
-           |      w.wb + w.w1*z.z1 + w.w2*z.z2 + w.w3*z.z3 + w.w4*z.z4 AS mm
-           |    FROM z, w${r - 1} w, nn) t),
-           |w$r AS MATERIALIZED (SELECT ${sn6("w.wb - 0.5*g.g0")} AS wb,
-           |  ${sn6("w.w1 - 0.5*g.g1")} AS w1, ${sn6("w.w2 - 0.5*g.g2")} AS w2,
-           |  ${sn6("w.w3 - 0.5*g.g3")} AS w3, ${sn6("w.w4 - 0.5*g.g4")} AS w4
-           |  FROM w${r - 1} w, g$r g)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH sig AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CASE WHEN length(text) >= 300 AND $vr >= 0.28
-         |      THEN 1.0 ELSE 0.0 END AS y,
-         |    CAST(len($toks) AS DOUBLE)/100.0 AS f1,
-         |    $vr AS f2,
-         |    CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE)
-         |      / greatest(CAST(len($toks) AS DOUBLE), 1.0) / 10.0 AS f3,
-         |    CAST(len(list_distinct($toks)) AS DOUBLE)
-         |      / greatest(CAST(len($toks) AS DOUBLE), 1.0) AS f4
-         |  FROM documents),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sig),
-         |mu AS MATERIALIZED (SELECT
-         |  ${sn6("sum(f1/nn.n)")} AS m1, ${sn6("sum(f2/nn.n)")} AS m2,
-         |  ${sn6("sum(f3/nn.n)")} AS m3, ${sn6("sum(f4/nn.n)")} AS m4
-         |  FROM sig, nn),
-         |sdr AS MATERIALIZED (SELECT
-         |  ${sn6(s"sqrt(${sn12("sum((f1-m1)*(f1-m1)/nn.n)")})")} AS s1,
-         |  ${sn6(s"sqrt(${sn12("sum((f2-m2)*(f2-m2)/nn.n)")})")} AS s2,
-         |  ${sn6(s"sqrt(${sn12("sum((f3-m3)*(f3-m3)/nn.n)")})")} AS s3,
-         |  ${sn6(s"sqrt(${sn12("sum((f4-m4)*(f4-m4)/nn.n)")})")} AS s4
-         |  FROM sig, nn, mu),
-         |sd AS (SELECT CASE WHEN s1 = 0 THEN 1.0 ELSE s1 END AS s1,
-         |  CASE WHEN s2 = 0 THEN 1.0 ELSE s2 END AS s2,
-         |  CASE WHEN s3 = 0 THEN 1.0 ELSE s3 END AS s3,
-         |  CASE WHEN s4 = 0 THEN 1.0 ELSE s4 END AS s4 FROM sdr),
-         |z AS MATERIALIZED (SELECT doc_id, y,
-         |  ${sn10("(f1-m1)/s1")} AS z1, ${sn10("(f2-m2)/s2")} AS z2,
-         |  ${sn10("(f3-m3)/s3")} AS z3, ${sn10("(f4-m4)/s4")} AS z4
-         |  FROM sig, mu, sd),
-         |w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
-         |$gdRounds,
-         |mf AS (SELECT z.y,
-         |  w.wb + w.w1*z.z1 + w.w2*z.z2 + w.w3*z.z3 + w.w4*z.z4 AS mm
-         |  FROM z, w12 w),
+    "q139_quality_classifier" ->
+      s"""$qualityTrainCte,
          |conf AS (SELECT
          |  CAST(sum(CASE WHEN mm >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
          |  CAST(sum(CASE WHEN mm >= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
@@ -3634,8 +3660,30 @@ object SparkEntry {
          |UNION ALL SELECT 'confusion', 'fn', CAST(fn AS DOUBLE) FROM conf
          |UNION ALL SELECT 'confusion', 'tn', CAST(tn AS DOUBLE) FROM conf
          |UNION ALL SELECT 'metric', 'accuracy',
-         |  ${sn6("CAST(tp + tn AS DOUBLE)/nn.n")} FROM conf, nn""".stripMargin
-    },
+         |  ${sqlSnap("CAST(tp + tn AS DOUBLE)/nn.n", 6)} FROM conf, nn""".stripMargin,
+
+    // same trained margins, banded: per-decile calibration (pos rate vs
+    // band) and the cumulative-from-top threshold sweep — every value a
+    // ratio of exact integer counts over bit-deterministic margins, so
+    // no snapping is needed anywhere in this tail
+    "q140_filter_calibration" ->
+      s"""$qualityTrainCte,
+         |bands AS (SELECT
+         |    CAST(least(9, greatest(0, floor(mm*10))) AS INT) AS band,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM mf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS pos FROM bands)
+         |SELECT band, n, n_pos,
+         |  CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE) AS pos_rate,
+         |  CAST(sum(n_pos) OVER wdesc AS DOUBLE)
+         |    / CAST(sum(n) OVER wdesc AS DOUBLE) AS precision_at,
+         |  CASE WHEN tot.pos = 0 THEN NULL
+         |    ELSE CAST(sum(n_pos) OVER wdesc AS DOUBLE) / tot.pos END
+         |    AS recall_at
+         |FROM bands, tot
+         |WINDOW wdesc AS (ORDER BY band DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // one row; the fingerprint is q12/q127's normalized md5; top_lang
     // tie-breaks lexicographic-min among max-count holders

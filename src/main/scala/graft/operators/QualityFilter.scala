@@ -178,6 +178,44 @@ object QualityFilter {
       .withColumn(predCol, (col(scoreCol) >= 0.5).cast("int"))
   }
 
+  /** Calibration + threshold sweep of a fitted model against the teacher:
+    * margins banded into deciles (clamped to [0, 0.9]), then per band the
+    * observed positive rate (calibration: does score ≈ probability?) and
+    * the cumulative-from-the-top precision/recall (threshold sweep: what
+    * does thresholding at band/10 buy?) — the numbers that pick a filter
+    * threshold for a target precision before a 100 TB filtering run.
+    *
+    * Scale shape: one corpus scan into a ≤10-row band relation; the
+    * ordered window and the total-positives cross join run on that
+    * band-bounded relation, never the corpus (the unpartitioned window is
+    * deliberate and safe: its input is ≤ 10 rows by construction). Every
+    * output is a ratio of exact integer counts — no rounding needed
+    * anywhere, so cross-engine equality is unconditional given the
+    * bit-deterministic margins.
+    */
+  def calibration(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, model: Model): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = zFrame(signals(docs, idCol, textCol, label), model.mu, model.sd)
+      .withColumn("m", margin(model.bias, model.weights))
+    val bands = scored
+      .groupBy(least(lit(9L), greatest(lit(0L), floor(col("m") * 10)))
+        .cast("int").as("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"))
+    val tot = bands.agg(sum(col("n_pos")).cast("double").as("pos"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands.crossJoin(broadcast(tot))
+      .select(col("band"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        (sum(col("n_pos")).over(w).cast("double") /
+          sum(col("n")).over(w).cast("double")).as("precision_at"),
+        when(col("pos") === 0.0, lit(null).cast("double"))
+          .otherwise(sum(col("n_pos")).over(w).cast("double") / col("pos"))
+          .as("recall_at"))
+  }
+
   /** Train + evaluate, emitting the full artifact as a tagged relation:
     * ('weight', name, w), ('scaler_mu'/'scaler_sd', name, v),
     * ('confusion', tp|fp|fn|tn, count), ('metric', accuracy, v) — the

@@ -1676,6 +1676,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(rep(("metric", "accuracy")) >= 0.9)
   }
 
+  test("QualityFilter.calibration: bands partition the corpus; recall walks to 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 150).map { i =>
+      val n = 5 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(Seq("alpha", "beta", "gam", "delta", "ee")(rnd.nextInt(5)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val label = length(col("text")) >= 80
+    val m = operators.QualityFilter.fit(docs, "doc_id", "text", label)
+    val cal = operators.QualityFilter.calibration(docs, "doc_id", "text", label, m)
+      .orderBy(col("band").desc).collect()
+    assert(cal.map(_.getAs[Long]("n")).sum === 150L, "bands must partition the corpus")
+    val recalls = cal.map(_.getAs[Double]("recall_at"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"cumulative recall must be monotone: ${recalls.mkString(", ")}")
+    assert(math.abs(recalls.last - 1.0) < 1e-12, "bottom threshold recalls everything")
+    cal.foreach { r =>
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+      val pr = r.getAs[Double]("pos_rate")
+      assert(pr >= 0.0 && pr <= 1.0)
+    }
+  }
+
   test("QualityFilter: constant corpus hits the sd=0 guard without NaN") {
     import spark.implicits._
     val docs = (0 until 20).map(i => (i.toLong, "same text here every time"))

@@ -1281,6 +1281,20 @@ object SparkEntry {
       operators.QualityFilter.calibration(docs, "doc_id", "text", label, model)
     }),
 
+    // Horvitz-Thompson corpus estimation from the per-stratum hash
+    // sample: price the full pass from a sample, with 1/rate weights
+    // making per-lang totals unbiased under unequal rates. Dyadic rates
+    // (1/2, 1/4, 1/8) make every HT weight an exact power of two —
+    // order-independent sums, no snap firewall needed. Exact side joined
+    // on only to exhibit the estimator error (q115's design).
+    "q141_sample_estimate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Sampling.htEstimate(docs, "lang", "doc_id",
+        Seq("tokens" -> operators.TextAnalysis.tokenCount(col("text")),
+          "chars" -> col("n_chars")),
+        Map("en" -> 0.5, "zh" -> 0.25), 0.125)
+    }),
+
     // Corpus datasheet: the one-row snapshot health report (size, token
     // volume, language spread, exact-dup rate) a pipeline publishes with
     // every release — three map-side-combinable aggs off one scan, 1-row
@@ -3684,6 +3698,41 @@ object SparkEntry {
          |FROM bands, tot
          |WINDOW wdesc AS (ORDER BY band DESC
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // q55's md5-threshold sample, then HT-weighted per-stratum sums; the
+    // dyadic 1/rate weights are exact powers of two, so every weighted
+    // sum is exact integer arithmetic in disguise (order-independent)
+    "q141_sample_estimate" -> {
+      val tEn = operators.Sampling.fractionThreshold(0.5)
+      val tZh = operators.Sampling.fractionThreshold(0.25)
+      val tDef = operators.Sampling.fractionThreshold(0.125)
+      s"""WITH sel AS (SELECT lang,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS toks,
+         |    n_chars,
+         |    CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.25
+         |      ELSE 0.125 END AS rate
+         |  FROM documents
+         |  WHERE md5(CAST(doc_id AS VARCHAR)) <
+         |    (CASE WHEN lang = 'en' THEN '$tEn'
+         |          WHEN lang = 'zh' THEN '$tZh'
+         |          ELSE '$tDef' END)),
+         |est AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+         |    sum(1.0/rate) AS est_docs,
+         |    sum(CAST(toks AS DOUBLE)/rate) AS est_tokens,
+         |    sum(CAST(n_chars AS DOUBLE)/rate) AS est_chars
+         |  FROM sel GROUP BY 1),
+         |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS exact_docs,
+         |    CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+         |      AS BIGINT)) AS BIGINT) AS exact_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS exact_chars
+         |  FROM documents GROUP BY 1)
+         |SELECT ex.lang, coalesce(est.n_sampled, 0) AS n_sampled,
+         |  coalesce(est.est_docs, 0.0) AS est_docs, ex.exact_docs,
+         |  coalesce(est.est_tokens, 0.0) AS est_tokens, ex.exact_tokens,
+         |  coalesce(est.est_chars, 0.0) AS est_chars, ex.exact_chars
+         |FROM ex LEFT JOIN est USING (lang)""".stripMargin
+    },
 
     // one row; the fingerprint is q12/q127's normalized md5; top_lang
     // tie-breaks lexicographic-min among max-count holders

@@ -526,4 +526,66 @@ object Sampling {
       .select(out: _*)
     whole.unionByName(boundary)
   }
+
+  /** Horvitz–Thompson corpus estimation from a per-stratum hash sample —
+    * the "know the corpus before you pay for the full pass" operator: a
+    * 100 TB pipeline prices a filtering/tokenization run from a 0.1 %
+    * sample, and HT weighting (each sampled row counts 1/rate) makes the
+    * per-stratum totals unbiased even when strata are sampled at
+    * different rates (tail languages oversampled, the q90 recipe shape).
+    *
+    * Estimates ride the SAME deterministic md5-threshold sample as
+    * [[stratifiedByFraction]] (q52/q55's gate): rerun-stable, scan-stage,
+    * zero shuffle before the stratum-sized aggregate. The exact side is
+    * joined on ONLY to exhibit the estimator error (q115's design — a
+    * production run computes the sample side alone).
+    *
+    * Determinism contract: rates must be DYADIC (0.5, 0.25, 0.125 ...) so
+    * every HT weight 1/rate is an exact power of two — the weighted sums
+    * are then exact integer arithmetic in disguise, order-independent
+    * with no snapping needed. (Arbitrary rates would reintroduce the
+    * sum-order drift that QualityFilter's floor-snap firewall exists
+    * for.) Strata with an empty sample estimate 0 — visible next to
+    * their nonzero exact column, which is the honest answer a sample
+    * gives.
+    *
+    * `values`: (name, LONG-valued column) pairs; each emits
+    * `est_<name>` (= Σ value/rate over the sample) and `exact_<name>`.
+    */
+  def htEstimate(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      values: Seq[(String, Column)],
+      fractions: Map[String, Double],
+      defaultFraction: Double): DataFrame = {
+    def dyadic(f: Double) = f > 0 && {
+      val b = java.lang.Double.doubleToLongBits(f)
+      (b & ((1L << 52) - 1)) == 0L // power of two: zero mantissa
+    }
+    require((fractions.values.toSeq :+ defaultFraction).forall(dyadic),
+      "htEstimate rates must be powers of two — see the determinism contract")
+    val rate = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
+    val sampled = stratifiedByFraction(df, strataCol, idCol, fractions,
+      defaultFraction).withColumn("__rate", rate)
+    val est = sampled.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(lit(1.0) / col("__rate")).as("est_docs") +:
+        values.map { case (n, c) =>
+          sum(c.cast("long").cast("double") / col("__rate")).as(s"est_$n")
+        }: _*)
+    val exactAggs = count(lit(1)).as("exact_docs") +:
+      values.map { case (n, c) => sum(c.cast("long")).as(s"exact_$n") }
+    val exact = df.groupBy(col(strataCol))
+      .agg(exactAggs.head, exactAggs.tail: _*)
+    exact.join(est, Seq(strataCol), "left")
+      .select(col(strataCol) +: coalesce(col("n_sampled"), lit(0L)).as("n_sampled") +:
+        coalesce(col("est_docs"), lit(0.0)).as("est_docs") +: col("exact_docs") +:
+        values.flatMap { case (n, _) =>
+          Seq(coalesce(col(s"est_$n"), lit(0.0)).as(s"est_$n"), col(s"exact_$n"))
+        }: _*)
+  }
 }

@@ -1652,6 +1652,48 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.filter(_._1 == "x").map(_._3).toSet === order.keySet)
   }
 
+  test("htEstimate: HT weights are exact (shard-additive), tolerant, dyadic-gated") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val docs = (0 until 600).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      (i.toLong, lang, Seq.fill(5 + rnd.nextInt(20))("tok").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val vals = Seq("tokens" -> operators.TextAnalysis.tokenCount(col("text")))
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    def est(df: org.apache.spark.sql.DataFrame) =
+      Sampling.htEstimate(df, "lang", "doc_id", vals, rates, 0.125)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    val full = est(docs)
+    // estimator lands near exact at these rates/sizes (hash ~ uniform)
+    full.foreach { case (lang, (estD, exD, estT, exT)) =>
+      assert(math.abs(estD - exD) / exD <= 0.45, s"$lang docs: $estD vs $exD")
+      assert(math.abs(estT - exT) / exT <= 0.45, s"$lang tokens: $estT vs $exT")
+    }
+    // dyadic weights make the weighted sums EXACT integer arithmetic:
+    // estimates from two disjoint shards add to the full-corpus estimate
+    // bit-for-bit (the map-side-combinability proof)
+    val a = est(docs.filter(col("doc_id") < 300))
+    val b = est(docs.filter(col("doc_id") >= 300))
+    full.keys.foreach { lang =>
+      assert(a(lang)._1 + b(lang)._1 === full(lang)._1, s"$lang doc est not additive")
+      assert(a(lang)._3 + b(lang)._3 === full(lang)._3, s"$lang token est not additive")
+    }
+    // non-dyadic rate violates the determinism contract
+    intercept[IllegalArgumentException] {
+      Sampling.htEstimate(docs, "lang", "doc_id", vals, Map("en" -> 0.3), 0.125)
+    }
+    // a stratum whose sample is empty estimates 0 next to its exact count
+    val tiny = Seq((1L, "xx", "a b c")).toDF("doc_id", "lang", "text")
+    val zeroRate = Sampling.htEstimate(tiny, "lang", "doc_id", vals,
+      Map.empty, 0.0078125).collect()
+    if (zeroRate.head.getLong(1) == 0L) {
+      assert(zeroRate.head.getDouble(2) === 0.0)
+      assert(zeroRate.head.getLong(3) === 1L)
+    }
+  }
+
   test("QualityFilter: learns a separable teacher, refit is bit-identical, scorer agrees") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

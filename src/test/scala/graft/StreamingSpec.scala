@@ -325,4 +325,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     for (j <- 1 to 3)
       assert(streamed.collect { case ((`j`, _), c) => c }.sum === n)
   }
+
+  test("trained quality filter deploys on a stream unchanged (stateless scorer)") {
+    // QualityFilter.score is a stateless scan-stage projection, so the
+    // SAME call works on a streaming relation in append mode with no
+    // watermark and no state store — and any micro-batch split yields
+    // bit-identical scores to the one-shot batch pass (margins are a
+    // deterministic scalar fold; no corpus-level state is touched at
+    // scoring time). This is the deployment path: train offline (q139),
+    // ship 5 doubles, filter the ingest stream.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(5 + (i % 30))("tok").mkString(" "))
+    }
+    val batchDf = docs.toDF("doc_id", "text")
+    val model = operators.QualityFilter.fit(batchDf, "doc_id", "text",
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) >= 60)
+    val mem = MemoryStream[(Long, String)]
+    val q = operators.QualityFilter.score(model,
+        mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qf_stream_out").start()
+    mem.addData(docs.take(25): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(25): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("qf_stream_out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("q_score"), r.getAs[Int]("q_pred"))).toMap
+    q.stop()
+    val batch = operators.QualityFilter.score(model, batchDf, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("q_score"), r.getAs[Int]("q_pred"))).toMap
+    assert(streamed === batch, "stream scores must equal the batch pass bit-for-bit")
+  }
 }

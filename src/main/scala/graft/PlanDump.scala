@@ -31,7 +31,9 @@ object PlanDump {
       "q120_crawl_pipeline", "q123_lsh_dedup_clusters", "q124_zorder_key",
       "q127_dup_weights", "q129_wordpiece_encode", "q130_token_budget",
       "q131_hard_negatives", "q132_perplexity_bands", "q133_containment_pairs",
-      "q134_embedding_drift", "q135_containment_prefix")
+      "q134_embedding_drift", "q135_containment_prefix",
+      "q137_corpus_datasheet", "q140_filter_calibration",
+      "q141_sample_estimate")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

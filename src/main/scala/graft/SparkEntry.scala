@@ -1281,6 +1281,29 @@ object SparkEntry {
       operators.QualityFilter.calibration(docs, "doc_id", "text", label, model)
     }),
 
+    // Tokenizer fertility audit: subwords-per-word by language under the
+    // q128 WordPiece vocab — the multilingual-equity number (a lang with
+    // fertility 2x pays 2x the context budget per word; you find this
+    // out BEFORE committing a vocab, not after pretraining). Encode is
+    // the broadcast-vocab fold; the audit is one map-side-combinable agg.
+    "q142_tokenizer_fertility" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pieces = TextAnalysis.wordpieceTrain(docs, "text",
+          seedSize = 200, vocabSize = 60, maxPieceLen = 4, rounds = 3)
+        .select(col("piece")).collect().map(_.getString(0)).toSeq
+      val enc = TextAnalysis.wordpieceEncode(docs, "doc_id", "text", pieces, 4)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_sub"))
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_words"))
+        .join(enc, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_sub")).as("n_subtokens"),
+          (sum(col("n_sub")).cast("double") /
+            sum(col("n_words")).cast("double")).as("fertility"))
+    }),
+
     // Horvitz-Thompson corpus estimation from the per-stratum hash
     // sample: price the full pass from a sample, with 1/rate weights
     // making per-lang totals unbiased under unequal rates. Dyadic rates
@@ -3698,6 +3721,26 @@ object SparkEntry {
          |FROM bands, tot
          |WINDOW wdesc AS (ORDER BY band DESC
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // q129's encode replay (same trained vocab CTEs), aggregated per
+    // lang; fertility is a ratio of exact integer sums
+    "q142_tokenizer_fertility" -> {
+      s"""WITH ${wordpieceCtes(200, 60, 4, 3)},
+         |dw AS (SELECT doc_id, g AS pos, ws[CAST(g AS INT)] AS w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]') AS ws
+         |        FROM documents) t,
+         |       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS g) u),
+         |pd AS (SELECT doc_id, CAST(sum(len(s.pieces)) AS BIGINT) AS n_sub,
+         |    CAST(count(*) AS BIGINT) AS n_words
+         |  FROM dw JOIN wpsegF s USING (w) GROUP BY doc_id)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(pd.n_sub) AS BIGINT) AS n_subtokens,
+         |  CAST(sum(pd.n_sub) AS DOUBLE)/CAST(sum(pd.n_words) AS DOUBLE)
+         |    AS fertility
+         |FROM documents d JOIN pd USING (doc_id) GROUP BY 1""".stripMargin
+    },
 
     // q55's md5-threshold sample, then HT-weighted per-stratum sums; the
     // dyadic 1/rate weights are exact powers of two, so every weighted

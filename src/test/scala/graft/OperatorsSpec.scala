@@ -1652,6 +1652,36 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.filter(_._1 == "x").map(_._3).toSet === order.keySet)
   }
 
+  test("tokenizer fertility: fragmenting language pays more subwords per word") {
+    import spark.implicits._
+    // lang "aa": 2-char words (whole vocab pieces after training);
+    // lang "bb": 8-char words that must fragment under maxPieceLen=4
+    val docs = ((0 until 20).map(i => (i.toLong, "aa", "ab cd ab cd ab")) ++
+      (0 until 20).map(i => (100L + i, "bb", "abcdefgh abcdefgh"))).toDF(
+      "doc_id", "lang", "text")
+    val pieces = TextAnalysis.wordpieceTrain(docs, "text",
+        seedSize = 100, vocabSize = 30, maxPieceLen = 4, rounds = 2)
+      .select(col("piece")).collect().map(_.getString(0)).toSeq
+    val enc = TextAnalysis.wordpieceEncode(docs, "doc_id", "text", pieces, 4)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_sub"))
+    val fert = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_words"))
+      .join(enc, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("w"), sum(col("n_sub")).as("s"),
+        (sum(col("n_sub")).cast("double") / sum(col("n_words")).cast("double"))
+          .as("fertility"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(fert("aa")._1 === 100L, "aa word count") // 20 docs x 5 words
+    assert(fert("bb")._1 === 40L, "bb word count")  // 20 docs x 2 words
+    // 8-char words need >= 2 pieces under maxPieceLen 4; 2-char words in
+    // a 30-piece vocab trained on them segment whole
+    assert(fert("bb")._3 > fert("aa")._3,
+      s"fragmenting lang must have higher fertility: $fert")
+    assert(fert("aa")._3 === fert("aa")._2.toDouble / fert("aa")._1.toDouble)
+  }
+
   test("htEstimate: HT weights are exact (shard-additive), tolerant, dyadic-gated") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)

@@ -1281,6 +1281,18 @@ object SparkEntry {
       operators.QualityFilter.calibration(docs, "doc_id", "text", label, model)
     }),
 
+    // Release-delta datasheet: id-free content diff between two corpus
+    // releases (re-crawls re-assign ids, so the diff keys on normalized
+    // fingerprints) — kept/added/removed content + content Jaccard. The
+    // two releases here are deterministic fixture slices (doc_id % 3 / %
+    // 5 survivors) standing in for successive crawl snapshots.
+    "q143_release_delta" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      operators.TextAnalysis.releaseDelta(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 5 =!= 0), "text")
+    }),
+
     // Tokenizer fertility audit: subwords-per-word by language under the
     // q128 WordPiece vocab — the multilingual-equity number (a lang with
     // fertility 2x pays 2x the context budget per word; you find this
@@ -3721,6 +3733,32 @@ object SparkEntry {
          |FROM bands, tot
          |WINDOW wdesc AS (ORDER BY band DESC
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // fingerprint sets of the two release slices; added/removed are
+    // arithmetic over distinct-set counts (only the kept semi-join runs)
+    "q143_release_delta" ->
+      """WITH o AS (SELECT DISTINCT
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |nw AS (SELECT DISTINCT
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |co AS (SELECT CAST(count(*) AS BIGINT) AS docs_old FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |cn AS (SELECT CAST(count(*) AS BIGINT) AS docs_new FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |fo AS (SELECT CAST(count(*) AS BIGINT) AS fps_old FROM o),
+        |fn2 AS (SELECT CAST(count(*) AS BIGINT) AS fps_new FROM nw),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS fps_kept FROM o
+        |  WHERE fp IN (SELECT fp FROM nw))
+        |SELECT co.docs_old, cn.docs_new, fo.fps_old, fn2.fps_new,
+        |  k.fps_kept, fn2.fps_new - k.fps_kept AS fps_added,
+        |  fo.fps_old - k.fps_kept AS fps_removed,
+        |  CASE WHEN fo.fps_old + fn2.fps_new - k.fps_kept = 0 THEN NULL
+        |    ELSE CAST(k.fps_kept AS DOUBLE)
+        |      / CAST(fo.fps_old + fn2.fps_new - k.fps_kept AS DOUBLE) END
+        |    AS content_jaccard
+        |FROM co, cn, fo, fn2, k""".stripMargin,
 
     // q129's encode replay (same trained vocab CTEs), aggregated per
     // lang; fertility is a ratio of exact integer sums

@@ -1032,6 +1032,49 @@ object TextAnalysis {
           col("n_docs").cast("double"), 4).as("dup_rate"))
   }
 
+  /** Release-delta datasheet: what changed between two corpus releases,
+    * CONTENT-aware — the snapshot-diff shape (reference I1,
+    * `data_loading_to_mysql_database.py`'s id-keyed merge) lifted to
+    * fingerprint keys, because re-crawled corpora re-assign ids and
+    * re-serialize whitespace: two releases are compared by their
+    * ws/case-normalized text fingerprints (q12/q137's [[fingerprint]]),
+    * so "added" means genuinely new CONTENT, not a new row id.
+    *
+    * One row out: raw doc counts, distinct-fingerprint counts, kept /
+    * added / removed fingerprints, and the content Jaccard between
+    * releases (NULL when both are empty). Only ONE join runs — the kept
+    * semi-join on fp — because over distinct sets |added| = |new| −
+    * |kept| and |removed| = |old| − |kept| are arithmetic.
+    *
+    * Scale shape: two scans; the only data-sized exchanges are the two
+    * fingerprint distincts and the fp-keyed semi-join, all carrying
+    * 32-char fingerprints, never text; every result is a 1-row broadcast
+    * cross-join (the q137 assembly).
+    */
+  def releaseDelta(oldDf: DataFrame, newDf: DataFrame,
+      textCol: String): DataFrame = {
+    def fps(df: DataFrame) =
+      df.select(fingerprint(col(textCol)).as("fp")).distinct()
+    val o = fps(oldDf)
+    val n = fps(newDf)
+    val docsOld = oldDf.agg(count(lit(1)).as("docs_old"))
+    val docsNew = newDf.agg(count(lit(1)).as("docs_new"))
+    val fo = o.agg(count(lit(1)).as("fps_old"))
+    val fn = n.agg(count(lit(1)).as("fps_new"))
+    val kept = o.join(n, Seq("fp"), "left_semi")
+      .agg(count(lit(1)).as("fps_kept"))
+    val union = col("fps_old") + col("fps_new") - col("fps_kept")
+    docsOld.crossJoin(broadcast(docsNew)).crossJoin(broadcast(fo))
+      .crossJoin(broadcast(fn)).crossJoin(broadcast(kept))
+      .select(col("docs_old"), col("docs_new"), col("fps_old"),
+        col("fps_new"), col("fps_kept"),
+        (col("fps_new") - col("fps_kept")).as("fps_added"),
+        (col("fps_old") - col("fps_kept")).as("fps_removed"),
+        when(union === 0L, lit(null).cast("double"))
+          .otherwise(col("fps_kept").cast("double") / union.cast("double"))
+          .as("content_jaccard"))
+  }
+
   /** Count-Min sketch over the token stream (Cormode & Muthukrishnan '05):
     * `depth` independent md5-derived hash rows of `width` counters; every
     * counter is the sum of the true counts of the terms landing in its

@@ -1652,6 +1652,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.filter(_._1 == "x").map(_._3).toSet === order.keySet)
   }
 
+  test("releaseDelta: hand-computed content diff; fingerprints see through ws/case/ids") {
+    import spark.implicits._
+    // old: A, B, C + a ws/case near-copy of A (same fingerprint) -> 3 fps
+    // new: B, C (re-id'd), D -> 3 fps; kept {B,C}, added {D}, removed {A}
+    val oldR = Seq((1L, "alpha doc one"), (2L, "beta doc two"),
+      (3L, "gamma doc three"), (4L, "  ALPHA   doc  one ")).toDF("doc_id", "text")
+    val newR = Seq((900L, "beta doc two"), (901L, "gamma doc three"),
+      (902L, "delta doc four")).toDF("doc_id", "text")
+    val r = TextAnalysis.releaseDelta(oldR, newR, "text").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 3L)), "raw doc counts")
+    assert((r.getLong(2), r.getLong(3)) === ((3L, 3L)), "distinct fps")
+    assert(r.getLong(4) === 2L, "kept")
+    assert(r.getLong(5) === 1L, "added")
+    assert(r.getLong(6) === 1L, "removed")
+    assert(r.getDouble(7) === 0.5, "jaccard = 2 / (3 + 3 - 2)")
+    // both releases empty -> NULL jaccard, all counts zero
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = TextAnalysis.releaseDelta(empty, empty, "text").collect().head
+    assert((0 to 6).forall(i => e.getLong(i) === 0L))
+    assert(e.isNullAt(7), "empty-vs-empty must be NULL, not NaN")
+  }
+
   test("tokenizer fertility: fragmenting language pays more subwords per word") {
     import spark.implicits._
     // lang "aa": 2-char words (whole vocab pieces after training);

@@ -1281,6 +1281,22 @@ object SparkEntry {
       operators.QualityFilter.calibration(docs, "doc_id", "text", label, model)
     }),
 
+    // The round's pieces composed into the actual corpus-construction
+    // step: select the HIGHEST-QUALITY documents per language within a
+    // token budget — q139's trained margin as the priority feeding
+    // q130's exact histogram-band budget machinery. Margins are
+    // bit-deterministic, so the oracle replays training then runs the
+    // one-window budget spec.
+    "q144_quality_budget" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val label = (length(col("text")) >= 300) &&
+        (operators.TextAnalysis.vowelRatio(col("text")) >= lit(0.28))
+      val model = operators.QualityFilter.fit(docs, "doc_id", "text", label)
+      val scored = operators.QualityFilter.score(model, docs, "text")
+      Sampling.tokenBudgetSelect(scored, "lang", "doc_id", col("q_score"),
+        TextAnalysis.tokenCount(col("text")), 2000L, lo = -1.0, hi = 2.0)
+    }),
+
     // Release-delta datasheet: id-free content diff between two corpus
     // releases (re-crawls re-assign ids, so the diff keys on normalized
     // fingerprints) — kept/added/removed content + content Jaccard. The
@@ -3733,6 +3749,24 @@ object SparkEntry {
          |FROM bands, tot
          |WINDOW wdesc AS (ORDER BY band DESC
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // training replay (shared CTE), margins as priority, then the q130
+    // one-window budget spec — the window IS the semantics the histogram
+    // decomposition is property-tested equivalent to
+    "q144_quality_budget" ->
+      s"""$qualityTrainCte,
+         |sc AS (SELECT z.doc_id,
+         |  w.wb + w.w1*z.z1 + w.w2*z.z2 + w.w3*z.z3 + w.w4*z.z4 AS priority
+         |  FROM z, w12 w),
+         |bb AS (SELECT d.lang, d.doc_id, sc.priority,
+         |    CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+         |cc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+         |    ORDER BY priority DESC, doc_id ASC ROWS UNBOUNDED PRECEDING)
+         |    AS cum FROM bb)
+         |SELECT lang, doc_id, priority, n_tokens FROM cc
+         |WHERE cum <= 2000""".stripMargin,
 
     // fingerprint sets of the two release slices; added/removed are
     // arithmetic over distinct-set counts (only the kept semi-join runs)

@@ -1652,6 +1652,36 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.filter(_._1 == "x").map(_._3).toSet === order.keySet)
   }
 
+  test("quality-budget composition: per-lang budget respected and selection maximal") {
+    // the q144 shape on the sf0.001 fixture: per lang, the selected
+    // prefix fits the budget AND the next-priority unselected doc would
+    // not (greedy maximality of the (priority desc, id) order)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val label = (length(col("text")) >= 300) &&
+      (TextAnalysis.vowelRatio(col("text")) >= lit(0.28))
+    val model = operators.QualityFilter.fit(docs, "doc_id", "text", label)
+    val scored = operators.QualityFilter.score(model, docs, "text")
+      .select(col("lang"), col("doc_id"), col("q_score"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val sel = Sampling.tokenBudgetSelect(
+        operators.QualityFilter.score(model, docs, "text"), "lang", "doc_id",
+        col("q_score"), TextAnalysis.tokenCount(col("text")), 2000L,
+        lo = -1.0, hi = 2.0)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("doc_id"))
+    val byLang = sel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val all = scored.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    byLang.foreach { case (lang, ids) =>
+      val ordered = all.filter(_._1 == lang).sortBy(t => (-t._3, t._2))
+      val used = ordered.filter(t => ids(t._2)).map(_._4).sum
+      assert(used <= 2000L, s"$lang over budget: $used")
+      // maximality: the selected set IS the longest fitting prefix
+      val prefix = ordered.scanLeft(0L)(_ + _._4).tail
+        .zip(ordered).takeWhile(_._1 <= 2000L).map(_._2._2).toSet
+      assert(ids === prefix, s"$lang selection is not the greedy prefix")
+    }
+  }
+
   test("releaseDelta: hand-computed content diff; fingerprints see through ws/case/ids") {
     import spark.implicits._
     // old: A, B, C + a ws/case near-copy of A (same fingerprint) -> 3 fps

@@ -1281,6 +1281,28 @@ object SparkEntry {
       operators.QualityFilter.calibration(docs, "doc_id", "text", label, model)
     }),
 
+    // N-gram diversity datasheet: distinct-n / total-n for n = 1..3 —
+    // the corpus-QA diversity number (template spam and dedup failures
+    // show up as collapsing distinct-2/3 ratios before any doc-level
+    // metric moves). Exact reporting form; at 100 TB the distinct counts
+    // are the vocabulary-sized exchange q117 (HLL) / q126 (KMV) replace
+    // with bounded sketches — this lane is their exact ground truth.
+    "q145_ngram_diversity" -> ((s, dir) => {
+      val base = T(s, dir, "documents")
+        .select(TextAnalysis.tokens(lower(col("text"))).as("ts"))
+      (1 to 3).map { n =>
+        base.select(explode(when(size(col("ts")) >= n,
+            transform(sequence(lit(1), size(col("ts")) - lit(n) + lit(1)),
+              i => array_join(slice(col("ts"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+          .agg(count(lit(1)).as("total_ngrams"),
+            countDistinct(col("gram")).as("distinct_ngrams"))
+          .select(lit(n).as("n"), col("total_ngrams"), col("distinct_ngrams"),
+            (col("distinct_ngrams").cast("double") /
+              col("total_ngrams").cast("double")).as("diversity"))
+      }.reduce(_ unionByName _)
+    }),
+
     // The round's pieces composed into the actual corpus-construction
     // step: select the HIGHEST-QUALITY documents per language within a
     // token budget — q139's trained margin as the priority feeding
@@ -3749,6 +3771,21 @@ object SparkEntry {
          |FROM bands, tot
          |WINDOW wdesc AS (ORDER BY band DESC
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // per-n gram explosion over 1-based slices; ratios of exact counts
+    "q145_ngram_diversity" ->
+      """WITH toks AS (SELECT
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |pos AS (SELECT n, ts, unnest(range(1, len(ts) - n + 2)) AS gpos
+        |  FROM toks CROSS JOIN (VALUES (1),(2),(3)) nn(n)),
+        |g AS (SELECT n, array_to_string(ts[gpos : gpos + n - 1], ' ') AS gram
+        |  FROM pos)
+        |SELECT CAST(n AS INT) AS n, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+        |  CAST(count(DISTINCT gram) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+        |    AS diversity
+        |FROM g GROUP BY n""".stripMargin,
 
     // training replay (shared CTE), margins as priority, then the q130
     // one-window budget spec — the window IS the semantics the histogram

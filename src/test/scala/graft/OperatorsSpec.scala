@@ -1652,6 +1652,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.filter(_._1 == "x").map(_._3).toSet === order.keySet)
   }
 
+  test("ngram diversity: hand-computed distinct-n ratios; short docs drop out per n") {
+    // corpus: "a b a b" (4 tok), "a b" (2 tok), "c" (1 tok)
+    // 1-grams: 7 total {a,b,c}=3 distinct; 2-grams: "a b","b a","a b" + "a b"
+    //   = 4 total {a b, b a}=2 distinct (the 1-tok doc contributes none);
+    // 3-grams: "a b a","b a b" = 2 total 2 distinct (only the 4-tok doc)
+    val q = SparkEntry.queries("q145_ngram_diversity")
+    import spark.implicits._
+    val base = Seq("a b a b", "a b", "c").toDF("text")
+      .select(TextAnalysis.tokens(lower(col("text"))).as("ts"))
+    val out = (1 to 3).map { n =>
+      base.select(explode(when(size(col("ts")) >= n,
+          transform(sequence(lit(1), size(col("ts")) - lit(n) + lit(1)),
+            i => array_join(slice(col("ts"), i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+        .agg(count(lit(1)).as("t"), countDistinct(col("gram")).as("d")).head()
+    }
+    assert((out(0).getLong(0), out(0).getLong(1)) === ((7L, 3L)))
+    assert((out(1).getLong(0), out(1).getLong(1)) === ((4L, 2L)))
+    assert((out(2).getLong(0), out(2).getLong(1)) === ((2L, 2L)))
+  }
+
   test("quality-budget composition: per-lang budget respected and selection maximal") {
     // the q144 shape on the sf0.001 fixture: per lang, the selected
     // prefix fits the budget AND the next-priority unselected doc would

@@ -49,7 +49,7 @@ QUERIES = (
     "q135_containment_prefix,q136_stream_cms,q137_corpus_datasheet,"
     "q138_split_leakage,q139_quality_classifier,q140_filter_calibration,"
     "q141_sample_estimate,q142_tokenizer_fertility,q143_release_delta,"
-    "q144_quality_budget"
+    "q144_quality_budget,q145_ngram_diversity"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -87,6 +87,7 @@ TABLE = {
     "q142_tokenizer_fertility": "documents",
     "q143_release_delta": "documents",
     "q144_quality_budget": "documents",
+    "q145_ngram_diversity": "documents",
     # qb44/qb46 read FIXED-SIZE synthetic media batches (200 images / 72
     # audio clips at every sf): their gate is time INVARIANCE, not a slope
     "qb44_media_resize": "fixed",

@@ -85,8 +85,10 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-    } finally s.conf.set(shuffleKey, saved)
-    rmTree(ckDir)
+    } finally {
+      s.conf.set(shuffleKey, saved)
+      rmTree(ckDir) // in finally: a failed stream must not leak the temp checkpoint
+    }
     s.read.parquet(outDir)
   }
 
@@ -108,8 +110,10 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-    } finally s.conf.set(shuffleKey, saved)
-    rmTree(ckDir)
+    } finally {
+      s.conf.set(shuffleKey, saved)
+      rmTree(ckDir) // in finally: a failed stream must not leak the temp checkpoint
+    }
     s.table(name)
   }
 
@@ -1377,15 +1381,50 @@ object SparkEntry {
       operators.TextAnalysis.corpusDatasheet(
         T(s, dir, "documents"), "text", "lang")),
 
-    // q133's containment on the PREFIX-FILTERED scale path (Bayardo '07):
-    // candidates from each doc's rarest-(sz − ⌈t·sz⌉ + 1) shingles joined
-    // against the full index — pigeonhole-exact, so the output matches
-    // q133 bit-for-bit (same oracle SQL; equality property-tested). The
-    // minhash-LSH candidate route (q123's dial) cannot serve containment:
-    // band collisions ride resemblance, and these pairs sit at J ≈ 0.1.
+    // q133's containment under AUTOMATIC path dispatch: the shingle-df
+    // concentration statistic (E[df²]/E[df]², one tiny agg off the shared
+    // checkpointed shingle relation) routes flat-density corpora to the
+    // exact inverted index and Zipf corpora to the Bayardo '07 prefix
+    // filter — the two proven-output-identical plans, so dispatch can
+    // only change the plan, never the answer (same oracle SQL as q133).
+    // This fixture's uniform 31-token vocabulary measures ≈ 1.3 → exact,
+    // which is precisely why the r12 prefix-only sweep DNF'd at sf1: the
+    // prefix has no rarity to exploit under flat df. A real Heaps/Zipf
+    // corpus measures ≫ 10 → prefix. q146 drives BOTH paths explicitly
+    // and proves them equal under the driver's oracle.
     "q135_containment_prefix" -> ((s, dir) =>
-      Dedup.containmentPairsPrefix(T(s, dir, "documents"), "doc_id", "text",
+      Dedup.containmentPairsAuto(T(s, dir, "documents"), "doc_id", "text",
         3, 0.5, maxShingleDocFreq = 100L)),
+
+    // Dispatch-closure proof lane: run the exact AND the prefix
+    // containment paths, full-outer-join them on the ENTIRE 7-column
+    // output tuple, and report (n_exact, n_prefix, n_both). The oracle
+    // computes the pair count once in DuckDB and predicts all three
+    // equal — green means both engines agree on the pair set AND the
+    // two Spark plans are bit-identical on every column (the doubles
+    // compare exactly: same integer triple → same IEEE division).
+    "q146_containment_dispatch" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val keys = Seq("id_a", "id_b", "n_inter", "sz_a", "sz_b",
+        "cont_a", "cont_b")
+      val e = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5,
+        maxShingleDocFreq = 100L).withColumn("in_e", lit(1L))
+      val p = Dedup.containmentPairsPrefix(docs, "doc_id", "text", 3, 0.5,
+        maxShingleDocFreq = 100L).withColumn("in_p", lit(1L))
+      e.join(p, keys, "full_outer")
+        .agg(coalesce(sum(col("in_e")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("in_p")), lit(0L)).as("n_prefix"),
+          coalesce(sum(col("in_e") * col("in_p")), lit(0L)).as("n_both"))
+    }),
+
+    // The maxShingleDocFreq cap made LOUD: a 1-row audit of exactly what
+    // the cap drops (shingles, posting mass, fully-blinded docs) so a
+    // df-concentrated corpus can't silently lose near-dup recall at the
+    // cliff — cap 3 on this fixture strikes a real tail (max df = 7),
+    // exercising every column against the oracle's arithmetic.
+    "q148_shingle_cap_audit" -> ((s, dir) =>
+      Dedup.shingleCapReport(T(s, dir, "documents"), "doc_id", "text", 3,
+        maxShingleDocFreq = 3L)),
 
     // DSIR importance resampling (Xie et al. '23): select the 100 raw
     // documents whose hashed n-gram features look most like the target
@@ -1940,10 +1979,11 @@ object SparkEntry {
     }),
 
     // Multimodal: audio near-dup via the 64-bit time×frequency
-    // sign-of-delta fingerprint (Haitsma–Kalker family; dHash's grid
-    // carried to 9 time spans × 8 Goertzel bands) through the same exact
-    // C(6,3) Hamming join as qb45/q30 — catches re-leveled/re-encoded
-    // copies; corrupt payloads isolated out of the pair join.
+    // band-vs-span-mean fingerprint (Haitsma–Kalker family; dHash's grid
+    // carried to 8 time spans × 8 Goertzel bands, each bit = band energy
+    // above its span's mean) through the same exact C(6,3) Hamming join
+    // as qb45/q30 — catches re-leveled/re-encoded copies; corrupt
+    // payloads isolated out of the pair join.
     "qb46_audio_neardup" -> ((s, _) => {
       operators.Multimodal.audioNearDupPairs(
         operators.Multimodal.syntheticNearDupAudio(s, 72),
@@ -3651,6 +3691,38 @@ object SparkEntry {
     "q133_containment_pairs" -> containmentSql,
     "q135_containment_prefix" -> containmentSql,
 
+    // the dispatch-closure proof: DuckDB computes the containment pair
+    // count once; the engine's exact-path, prefix-path, and matched-
+    // tuple counts must all equal it
+    "q146_containment_dispatch" ->
+      s"""SELECT c AS n_exact, c AS n_prefix, c AS n_both
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS c
+         |      FROM ($containmentSql) pairs) t""".stripMargin,
+
+    // the cap audit replayed over the same word-3-gram shingle relation:
+    // df per shingle, mass/shingle drop counts at cap 3, and per-doc
+    // kept-shingle counts for the fully-blinded-doc column
+    "q148_shingle_cap_audit" ->
+      s"""$shingleCte,
+         |dfq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df_
+         |  FROM sh GROUP BY 1),
+         |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(count_if(df_ > 3) AS BIGINT) AS n_shingles_dropped,
+         |    CAST(sum(df_) AS BIGINT) AS mass_total,
+         |    CAST(coalesce(sum(CASE WHEN df_ > 3 THEN df_ END), 0) AS BIGINT)
+         |      AS mass_dropped
+         |  FROM dfq),
+         |pd AS (SELECT doc_id, count_if(df_ <= 3) AS n_kept
+         |  FROM sh JOIN dfq USING (shingle) GROUP BY 1),
+         |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count_if(n_kept = 0) AS BIGINT) AS n_docs_fully_dropped
+         |  FROM pd)
+         |SELECT n_shingles, n_shingles_dropped, mass_total, mass_dropped,
+         |  round(CAST(mass_dropped AS DOUBLE) / CAST(mass_total AS DOUBLE), 6)
+         |    AS mass_dropped_frac,
+         |  n_docs, n_docs_fully_dropped
+         |FROM s1, s2""".stripMargin,
+
     // q63's pair + transitive-closure CTEs, q89's split thresholds, then
     // both leakage counts; the cluster row's leaked MUST be 0
     "q138_split_leakage" -> {
@@ -3844,11 +3916,11 @@ object SparkEntry {
          |    CAST(count(*) AS BIGINT) AS n_words
          |  FROM dw JOIN wpsegF s USING (w) GROUP BY doc_id)
          |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(pd.n_words) AS BIGINT) AS n_words,
-         |  CAST(sum(pd.n_sub) AS BIGINT) AS n_subtokens,
-         |  CAST(sum(pd.n_sub) AS DOUBLE)/CAST(sum(pd.n_words) AS DOUBLE)
-         |    AS fertility
-         |FROM documents d JOIN pd USING (doc_id) GROUP BY 1""".stripMargin
+         |  CAST(sum(coalesce(pd.n_words, 0)) AS BIGINT) AS n_words,
+         |  CAST(sum(coalesce(pd.n_sub, 0)) AS BIGINT) AS n_subtokens,
+         |  CAST(sum(coalesce(pd.n_sub, 0)) AS DOUBLE) /
+         |    CAST(sum(coalesce(pd.n_words, 0)) AS DOUBLE) AS fertility
+         |FROM documents d LEFT JOIN pd USING (doc_id) GROUP BY 1""".stripMargin
     },
 
     // q55's md5-threshold sample, then HT-weighted per-stratum sums; the
@@ -3976,17 +4048,24 @@ object SparkEntry {
     },
 
     // encode replay: per-doc word positions LATERAL-unnested, joined to
-    // the final segmentation relation, reassembled in word order
+    // the final segmentation relation, reassembled in word order. LEFT
+    // JOIN back from documents keeps the relation TOTAL: a zero-word doc
+    // (empty/whitespace-only text) emits (doc_id, 0, '') exactly like the
+    // engine's posexplode_outer path, instead of silently dropping out.
     "q129_wordpiece_encode" -> {
       s"""WITH ${wordpieceCtes(200, 60, 4, 3)},
          |dw AS (SELECT doc_id, g AS pos, ws[CAST(g AS INT)] AS w
          |  FROM (SELECT doc_id,
          |          regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]') AS ws
          |        FROM documents) t,
-         |       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS g) u)
-         |SELECT doc_id, CAST(sum(len(s.pieces)) AS INT) AS n_tokens,
-         |  array_to_string(flatten(list(s.pieces ORDER BY dw.pos)), ' ') AS encoded
-         |FROM dw JOIN wpsegF s USING (w) GROUP BY doc_id""".stripMargin
+         |       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS g) u),
+         |enc AS (SELECT doc_id, CAST(sum(len(s.pieces)) AS INT) AS n_tokens,
+         |    array_to_string(flatten(list(s.pieces ORDER BY dw.pos)), ' ')
+         |      AS encoded
+         |  FROM dw JOIN wpsegF s USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(e.n_tokens, 0) AS n_tokens,
+         |  coalesce(e.encoded, '') AS encoded
+         |FROM documents d LEFT JOIN enc e USING (doc_id)""".stripMargin
     },
 
     // the DSIR pipeline replayed: unigram+bigram features hashed with the

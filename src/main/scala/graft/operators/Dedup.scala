@@ -193,6 +193,11 @@ object Dedup {
     * was measured here and LOST at every tested scale: the extra doc-freq
     * join, per-doc rank window, and verify join cost more than the
     * candidate pruning saves once hot shingles are already capped.
+    *
+    * The cap is a recall dial, not free: on a df-concentrated corpus the
+    * whole distribution can drift over it and the join silently loses
+    * pairs. Audit it with [[shingleCapReport]] (same scan, 1-row result)
+    * — alert on `mass_dropped_frac` or any `n_docs_fully_dropped`.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -257,19 +262,40 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxShingleDocFreq: Long = 0L): DataFrame = {
+      maxShingleDocFreq: Long = 0L): DataFrame =
+    containmentFromShingles(
+      cappedShingleHashes(df, idCol, textCol, n, maxShingleDocFreq),
+      idCol, threshold)
+
+  /** The capped 64-bit-hashed distinct (id, shingle) relation both
+    * containment paths (and the dispatcher's df statistic) share:
+    * shingles leave the scan as xxhash64 longs (strings never cross an
+    * exchange), `maxShingleDocFreq` strips corpus-hot shingles. */
+  private def cappedShingleHashes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDocFreq: Long): DataFrame = {
     val hashed = shingleRows(df, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
       .distinct()
-    val sh =
-      if (maxShingleDocFreq <= 0) hashed
-      else {
-        val hot = hashed.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df_"))
-          .filter(col("df_") > maxShingleDocFreq)
-          .select("shingle")
-        hashed.join(hot, Seq("shingle"), "left_anti")
-      }
+    if (maxShingleDocFreq <= 0) hashed
+    else {
+      val hot = hashed.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df_"))
+        .filter(col("df_") > maxShingleDocFreq)
+        .select("shingle")
+      hashed.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** Exact inverted-index containment core over a prepared shingle
+    * relation — see [[containmentPairs]] for the operator contract. */
+  private def containmentFromShingles(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -317,22 +343,21 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxShingleDocFreq: Long = 0L): DataFrame = {
+      maxShingleDocFreq: Long = 0L): DataFrame =
+    containmentPrefixFromShingles(
+      // sh feeds five consumers (df rank, prefix, full probe, sizes,
+      // verify) — checkpoint once instead of recomputing the scan 5×
+      cappedShingleHashes(df, idCol, textCol, n, maxShingleDocFreq)
+        .localCheckpoint(eager = true),
+      idCol, threshold)
+
+  /** Prefix-filtered containment core over a prepared (already
+    * checkpointed) shingle relation — see [[containmentPairsPrefix]]. */
+  private def containmentPrefixFromShingles(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val hashed = shingleRows(df, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
-      .distinct()
-    val capped =
-      if (maxShingleDocFreq <= 0) hashed
-      else {
-        val hot = hashed.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df_"))
-          .filter(col("df_") > maxShingleDocFreq)
-          .select("shingle")
-        hashed.join(hot, Seq("shingle"), "left_anti")
-      }
-    // sh feeds five consumers (df rank, prefix, full probe, sizes, verify)
-    val sh = capped.localCheckpoint(eager = true)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_"))
     val w = org.apache.spark.sql.expressions.Window
@@ -369,6 +394,135 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("sz_a"),
         col("sz_b"), round(col("cont_a"), 6).as("cont_a"),
         round(col("cont_b"), 6).as("cont_b"))
+  }
+
+  /** Shingle document-frequency CONCENTRATION of a prepared (id, shingle)
+    * relation: `E[df²] / E[df]²`, the second-moment ratio over the
+    * distinct-shingle df distribution. Exactly 1.0 when every shingle has
+    * the same df (uniform/flat density); grows without bound as df mass
+    * concentrates into a Zipf head. One map-side-combinable aggregate —
+    * no sort, no quantile sketch — and fully deterministic (integer sums
+    * until the final division), so the dispatch it feeds is replayable.
+    *
+    * This is the inverse-participation-ratio family of skew statistics;
+    * it is also exactly 1 + CV² of the df distribution. */
+  def shingleDfConcentration(sh: DataFrame): Double = {
+    val r = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_"))
+      .agg(sum(col("df_")).as("s1"), sum(col("df_") * col("df_")).as("s2"),
+        count(lit(1)).as("m"))
+      .head()
+    if (r.isNullAt(2) || r.getLong(2) == 0L) 1.0
+    else {
+      val s1 = r.getLong(0).toDouble
+      val s2 = r.getLong(1).toDouble
+      val m = r.getLong(2).toDouble
+      if (s1 == 0.0) 1.0 else (s2 * m) / (s1 * s1)
+    }
+  }
+
+  /** Containment pairs with AUTOMATIC path dispatch — the df-histogram
+    * routing OPERATORS.md's flat-vs-Zipf adjudication describes, in code:
+    * compute [[shingleDfConcentration]] off the shared shingle relation
+    * (one tiny extra aggregate over the vocabulary-sized df frame), then
+    *
+    *   - concentration < `zipfConcentration` (flat density — every
+    *     shingle near-equally hot, the prefix has no rarity to exploit
+    *     and its extra df-rank/candidate-distinct passes only add cost)
+    *     → the exact inverted index ([[containmentPairs]]);
+    *   - concentration ≥ `zipfConcentration` (Zipf head — hot shingles
+    *     carry the Σ df² blowup, while prefixes keep only rare shingles)
+    *     → the Bayardo prefix filter ([[containmentPairsPrefix]]).
+    *
+    * Both paths are proven output-identical (pigeonhole exactness,
+    * property-tested and driver-oracled), so the dispatch can never
+    * change the answer — only the plan. The shingle relation is
+    * checkpointed once and shared by the statistic and whichever path
+    * runs, so dispatch costs one small job, not a second scan.
+    *
+    * Default `zipfConcentration` = 3.0: flat fixtures measure ≈ 1 + 1/μ
+    * (Poisson-ish variance only) and natural-language shingle dfs are
+    * far into the heavy tail (measured ≫ 10); 3 sits in the gap with
+    * margin on both sides. */
+  def containmentPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDocFreq: Long = 0L,
+      zipfConcentration: Double = 3.0): DataFrame = {
+    val sh = cappedShingleHashes(df, idCol, textCol, n, maxShingleDocFreq)
+      .localCheckpoint(eager = true)
+    if (shingleDfConcentration(sh) >= zipfConcentration)
+      containmentPrefixFromShingles(sh, idCol, threshold)
+    else containmentFromShingles(sh, idCol, threshold)
+  }
+
+  /** The path [[containmentPairsAuto]] would take, as a pure decision —
+    * exposed so specs (and capacity planning) can interrogate the
+    * dispatch without running a pair join. */
+  def containmentPathFor(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDocFreq: Long = 0L,
+      zipfConcentration: Double = 3.0): String = {
+    val sh = cappedShingleHashes(df, idCol, textCol, n, maxShingleDocFreq)
+    if (shingleDfConcentration(sh) >= zipfConcentration) "prefix" else "exact"
+  }
+
+  /** One-row AUDIT of what a `maxShingleDocFreq` cap actually drops — the
+    * loud companion to the silent `left_anti` inside the jaccard /
+    * containment / minhash pipelines. On a df-concentrated corpus (fixed
+    * small vocabulary, template spam, boilerplate floods) the whole df
+    * distribution can drift over the cap as the corpus grows, at which
+    * point the near-dup family silently loses recall shingle by shingle;
+    * this report makes that cliff measurable per run:
+    *
+    *   - `n_shingles`, `n_shingles_dropped` — distinct shingles, and how
+    *     many the cap struck;
+    *   - `mass_total`, `mass_dropped`, `mass_dropped_frac` — distinct
+    *     (id, shingle) postings before the cap, the postings removed,
+    *     and their fraction (recall lives in this mass);
+    *   - `n_docs`, `n_docs_fully_dropped` — docs with ≥ 1 shingle, and
+    *     docs whose EVERY shingle was capped away (invisible to the
+    *     pair join: guaranteed false negatives).
+    *
+    * Pipeline posture: alert when `mass_dropped_frac` leaves the few-
+    * percent regime or `n_docs_fully_dropped` > 0 — at that point raise
+    * the cap, shift to the q123 LSH path, or fix the corpus. Cost: the
+    * same shingle scan the pair join does, two map-side-combinable
+    * aggregates, a 1-row result. */
+  def shingleCapReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDocFreq: Long): DataFrame = {
+    require(maxShingleDocFreq > 0, "report is about a positive cap")
+    val sh = shingleRows(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_"))
+    val shingleStats = dfreq.agg(
+      count(lit(1)).as("n_shingles"),
+      count_if(col("df_") > maxShingleDocFreq).as("n_shingles_dropped"),
+      sum(col("df_")).as("mass_total"),
+      coalesce(sum(when(col("df_") > maxShingleDocFreq, col("df_"))), lit(0L))
+        .as("mass_dropped"))
+    val perDoc = sh.join(dfreq, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count_if(col("df_") <= maxShingleDocFreq).as("n_kept"))
+    val docStats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      count_if(col("n_kept") === 0L).as("n_docs_fully_dropped"))
+    shingleStats.crossJoin(broadcast(docStats))
+      .select(col("n_shingles"), col("n_shingles_dropped"),
+        col("mass_total"), col("mass_dropped"),
+        round(col("mass_dropped").cast("double") /
+          col("mass_total").cast("double"), 6).as("mass_dropped_frac"),
+        col("n_docs"), col("n_docs_fully_dropped"))
   }
 
   /** Benchmark-contamination detection: documents in `corpus` sharing at

@@ -145,8 +145,13 @@ object Sampling {
       splits: Seq[(String, Double)]): DataFrame = {
     val comp = clusters.select(col(clusterIdCol).as(idCol),
       col(compCol).as("__comp"))
-    hashSplitByKey(df.join(comp, Seq(idCol)), col("__comp"), splits)
-      .drop("__comp")
+    // LEFT join, not inner: a partial cluster relation must not silently
+    // shrink the corpus (hashSplit assigns every row; so does this).
+    // Unmatched docs fall back to component = own id — exactly the
+    // singleton semantics dedupClusters documents for undeduped docs.
+    val joined = df.join(comp, Seq(idCol), "left_outer")
+      .withColumn("__comp", coalesce(col("__comp"), col(idCol)))
+    hashSplitByKey(joined, col("__comp"), splits).drop("__comp")
   }
 
   /** Deterministic Bernoulli sample with a per-stratum rate: keeps rows
@@ -559,12 +564,16 @@ object Sampling {
       values: Seq[(String, Column)],
       fractions: Map[String, Double],
       defaultFraction: Double): DataFrame = {
-    def dyadic(f: Double) = f > 0 && {
+    // f <= 1 here too: 2.0/4.0 have zero mantissa but are not sampling
+    // rates — reject them at THIS boundary with the HT contract named,
+    // not later inside stratifiedByFraction's generic fraction check
+    def dyadic(f: Double) = f > 0 && f <= 1 && {
       val b = java.lang.Double.doubleToLongBits(f)
       (b & ((1L << 52) - 1)) == 0L // power of two: zero mantissa
     }
     require((fractions.values.toSeq :+ defaultFraction).forall(dyadic),
-      "htEstimate rates must be powers of two — see the determinism contract")
+      "htEstimate rates must be powers of two in (0, 1] — see the " +
+        "determinism contract")
     val rate = fractions.foldLeft(lit(defaultFraction)) {
       case (acc, (stratum, f)) =>
         when(col(strataCol) === stratum, lit(f)).otherwise(acc)

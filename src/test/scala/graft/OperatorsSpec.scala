@@ -520,6 +520,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(enc.head.getString(2) === "abc d")
   }
 
+  test("wordpieceEncode: relation is TOTAL — zero-word docs emit (0, '')") {
+    // empty and whitespace-only texts have zero pre-tokens; the encode
+    // must still emit one row per doc (n_tokens = 0, encoded = ''), the
+    // contract the q129/q142 LEFT-JOIN oracles replay — dropping such
+    // docs would silently shrink every downstream join on doc_id
+    val d = Seq((1L, "ab"), (2L, ""), (3L, "  \t "))
+      .toDF("doc_id", "text")
+    val enc = TextAnalysis.wordpieceEncode(d, "doc_id", "text",
+        Seq("ab"), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(enc.toSeq === Seq((1L, 1, "ab"), (2L, 0, ""), (3L, 0, "")))
+  }
+
   test("duplicateWeights: 1/n_copies per exact-duplicate group") {
     // "A  b" and "a b" normalize to the same fingerprint → weight 0.5
     val d = Seq((1L, "A  b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")

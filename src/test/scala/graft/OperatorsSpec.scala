@@ -1635,6 +1635,52 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("containment dispatch: flat df routes exact, Zipf df routes prefix, output invariant") {
+    import spark.implicits._
+    // FLAT density: identical docs → every shingle df = N exactly →
+    // concentration E[df²]/E[df]² = 1.0 → exact inverted index
+    val flat = (0 until 12).map(i => (i.toLong, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPathFor(flat, "doc_id", "text", 2) === "exact")
+    // ZIPF head: one corpus-hot phrase rides every doc, the rest of each
+    // doc is df=1-unique → second moment dominated by the hot shingle
+    val zipf = (0 until 40).map { i =>
+      (i.toLong, "hot shared phrase " + (0 until 10).map(j => s"u${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Dedup.containmentPathFor(zipf, "doc_id", "text", 3) === "prefix")
+    // dispatch can change the plan, never the answer: auto ≡ exact on both
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    for ((docs, n) <- Seq((flat, 2), (zipf, 3))) {
+      val auto = Dedup.containmentPairsAuto(docs, "doc_id", "text", n, 0.5)
+      val exact = Dedup.containmentPairs(docs, "doc_id", "text", n, 0.5)
+      assert(key(auto.collect()) === key(exact.collect()))
+    }
+  }
+
+  test("shingleCapReport: flat-vocab corpus trips the cap cliff loudly") {
+    import spark.implicits._
+    // the silent-failure scenario the report exists for: every shingle's
+    // df exceeds the cap, so the pair join would see an EMPTY relation —
+    // the report must show 100% mass dropped and every doc fully blinded
+    val d = (0 until 5).map(i => (i.toLong, "a b c d e")).toDF("doc_id", "text")
+    val r = Dedup.shingleCapReport(d, "doc_id", "text", 3, 3L).head()
+    assert(r.getLong(0) === 3L)        // n_shingles: "a b c","b c d","c d e"
+    assert(r.getLong(1) === 3L)        // all dropped (df = 5 > 3)
+    assert(r.getLong(2) === 15L && r.getLong(3) === 15L) // mass total/dropped
+    assert(r.getDouble(4) === 1.0)     // mass_dropped_frac
+    assert(r.getLong(5) === 5L && r.getLong(6) === 5L) // every doc blinded
+    // mixed corpus: one hot shingle over the cap, unique tails under it
+    val mixed = ((0 until 4).map(i => (i.toLong, s"hot pair t${i}a t${i}b")) :+
+      (9L, "totally different words here")).toDF("doc_id", "text")
+    val m = Dedup.shingleCapReport(mixed, "doc_id", "text", 2, 3L).head()
+    // "hot pair" df=4 is the only shingle over cap 3
+    assert(m.getLong(1) === 1L)
+    assert(m.getLong(3) === 4L)
+    assert(m.getLong(6) === 0L)        // tails keep every doc visible
+  }
+
   test("perplexityBands: per-language quartile split, short docs drop, bands partition") {
     import spark.implicits._
     // 16 scored docs in lang 'x' (distinct score ladder via word repetition),

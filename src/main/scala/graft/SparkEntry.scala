@@ -1307,6 +1307,15 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    // q145's scale path (the q123-backs-q63 pattern): the diversity
+    // datasheet with the growing distinct-gram exchange replaced by the
+    // q126 KMV sketch — k rows leave each n's scan instead of the
+    // vocabulary. Exact below k, Beyer '07 estimate above it; the oracle
+    // replays the md5-52-bit order statistic digit-exactly.
+    "q147_ngram_diversity_kmv" -> ((s, dir) =>
+      TextAnalysis.ngramDiversitySketch(T(s, dir, "documents"), "text",
+        maxN = 3, k = 256)),
+
     // The round's pieces composed into the actual corpus-construction
     // step: select the HIGHEST-QUALITY documents per language within a
     // token budget — q139's trained margin as the priority feeding
@@ -1906,8 +1915,11 @@ object SparkEntry {
         .filter(col("n_docs") > 1)
     }),
 
-    // ---- Bangumi fixture pipeline (reference parity; no SQL oracle —
-    // the input is the bundled JSONL corpus, not a parquet table) ----
+    // ---- Bangumi fixture pipeline (reference parity). Oracled: the parse
+    // boundary is exported to a typed parquet by an independent pure-Python
+    // re-derivation (tools/gen_bangumi_parsed.py) and the projections /
+    // summary / quality lanes are replayed in DuckDB SQL over it — see
+    // `bangumiOracle` below. ----
 
     // P2/F1/F6/F7: 21-column raw projection incl. infobox flatten.
     // Array columns are JSON-encoded for the driver's rows-only compare
@@ -2486,6 +2498,135 @@ object SparkEntry {
        |mf AS (SELECT z.y,
        |  w.wb + w.w1*z.z1 + w.w2*z.z2 + w.w3*z.z3 + w.w4*z.z4 AS mm
        |  FROM z, w12 w)""".stripMargin
+  }
+
+  // ---- Bangumi lanes' DuckDB oracle ----
+  // The parse boundary (typed fields + flattened infobox) is exported by
+  // tools/gen_bangumi_parsed.py — an INDEPENDENT pure-Python re-derivation
+  // of the reference's extract (`bangumi_data_ingestion.py:309-323`) and
+  // infobox flatten (`:263-295`) over the same bundled JSONL fixture — to
+  // the committed parquet below. Everything downstream of the parse (the
+  // 21-col raw projection, 27-col analytics projection, category summary
+  // and quality metrics) is replayed HERE in plain SQL, so qb34–qb38 get
+  // real schema+hash oracle gates instead of rows-only + golden pins.
+  // Only the parse itself can't run in DuckDB (Spark from_json + the
+  // custom InfoboxToMap expression), which is exactly the boundary the
+  // exported parquet pins.
+  private val bangumiParsedPath: String =
+    new java.io.File("tools/fixtures/bangumi_parsed.parquet").getAbsolutePath
+
+  private val bangumiOracle: Map[String, String] = {
+    val parsed = s"read_parquet('$bangumiParsedPath')"
+    // F7 wall-clock parse: strip the zone offset textually, then coerce —
+    // byte-identical to BangumiTransforms.parseNaiveTimestamp.
+    def ts(c: String) =
+      s"try_cast(regexp_replace(trim($c), '(Z|z|[+-]\\d{2}:?\\d{2})$$', '') " +
+        "AS TIMESTAMP)"
+    // F3 bilingual infobox lookup (map_extract yields [] when missing).
+    def ibx(keys: String*) =
+      keys.map(k => s"map_extract(infobox, '$k')[1]")
+        .mkString("coalesce(", ", ", ")")
+
+    val rawSql =
+      s"""SELECT
+         |  'graft' AS user_id,
+         |  s_id AS subject_id,
+         |  subject_type,
+         |  collection_type,
+         |  ${ts("created_at_raw")} AS created_at,
+         |  ${ts("updated_at_raw")} AS updated_at,
+         |  ep_status,
+         |  vol_status,
+         |  s_name AS name,
+         |  s_name_cn AS name_cn,
+         |  s_score AS score,
+         |  s_rank AS rank,
+         |  s_collection_total AS collection_total,
+         |  s_eps AS eps,
+         |  s_volumes AS volumes,
+         |  s_date AS date,
+         |  s_type AS type,
+         |  substr(s_short_summary, 1, 500) AS short_summary,
+         |  to_json(list_transform(coalesce(tags, []), t -> t.name)) AS tags,
+         |  CASE WHEN len(coalesce(tags, [])) > 0 THEN to_json(tags) END
+         |    AS tags_raw,
+         |  CASE WHEN infobox IS NOT NULL AND cardinality(infobox) > 0
+         |       THEN to_json(infobox) END AS infobox_raw
+         |FROM $parsed""".stripMargin
+
+    // W1 positional top-5 tag pivot: DuckDB list indexing is 1-based and
+    // null-safe out of range, same null-padding as Spark's get().
+    val tagCols = (1 to 5).map { i =>
+      s"  tags[$i].name AS tag_${i}_name,\n" +
+        s"  tags[$i].count AS tag_${i}_count"
+    }.mkString(",\n")
+
+    val analyticsSql =
+      s"""SELECT
+         |  s_id AS subject_id,
+         |  subject_type,
+         |  collection_type,
+         |  coalesce(nullif(s_name_cn, ''), nullif(s_name, '')) AS name_cn,
+         |  s_score AS score,
+         |  s_rank AS rank,
+         |  s_collection_total AS collection_total,
+         |  ${ts("created_at_raw")} AS created_at,
+         |  ${ts("updated_at_raw")} AS updated_at,
+         |  s_eps AS eps,
+         |  s_date AS air_date,
+         |  ${ibx("导演", "監督")} AS director,
+         |  ${ibx("动画制作", "アニメーション制作")} AS studio,
+         |  ${ibx("国家/地区", "国")} AS country,
+         |  ${ibx("出版社", "発売元")} AS publisher,
+         |  ${ibx("作者", "著者")} AS author,
+         |$tagCols,
+         |  nullif(array_to_string(
+         |    list_filter(list_transform(tags, t -> t.name),
+         |                x -> x IS NOT NULL AND length(x) > 0), ', '), '')
+         |    AS all_tags
+         |FROM $parsed""".stripMargin
+
+    val summarySql =
+      s"""WITH a AS ($analyticsSql)
+         |SELECT
+         |  CASE subject_type WHEN 1 THEN '书籍/Books' WHEN 2 THEN '动画/Anime'
+         |       WHEN 3 THEN '音乐/Music' WHEN 4 THEN '游戏/Games'
+         |       WHEN 6 THEN '三次元/Real' END AS subject_type_label,
+         |  CASE collection_type WHEN 1 THEN '想看/Want' WHEN 2 THEN '看过/Watched'
+         |       WHEN 3 THEN '在看/Watching' WHEN 4 THEN '搁置/On-hold'
+         |       WHEN 5 THEN '抛弃/Dropped' END AS collection_type_label,
+         |  subject_type, collection_type,
+         |  CAST(count(*) AS BIGINT) AS total_items,
+         |  CAST(count(*) AS BIGINT) AS fetched_items,
+         |  round(avg(score), 4) AS avg_score,
+         |  CAST(count_if(rank <= 1000) AS BIGINT) AS top_ranked,
+         |  100.0 AS completion_pct
+         |FROM a GROUP BY 1, 2, 3, 4""".stripMargin
+
+    val qualitySql =
+      s"""WITH r AS ($rawSql)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT subject_id) AS BIGINT) AS n_distinct_ids,
+         |  CAST(count(*) - count(DISTINCT subject_id) AS BIGINT) AS n_dup_rows,
+         |  CAST(count_if(subject_id IS NULL) AS BIGINT) AS n_null_ids,
+         |  CAST(count_if(created_at IS NULL) AS BIGINT) AS n_null_created
+         |FROM r""".stripMargin
+
+    Map(
+      "qb34_bangumi_raw" -> rawSql,
+      "qb35_bangumi_analytics" -> analyticsSql,
+      "qb36_bangumi_summary" -> summarySql,
+      "qb37_bangumi_quality" -> qualitySql,
+      // qb38 runs the DSv2 connector end-to-end over the SAME fixture
+      // corpus, ending in the same analytics projection — the compare
+      // sorts rows, so source partitioning order is immaterial. The
+      // connector only scans the reference's category grid
+      // (`bangumi_data_ingestion.py:44-45`: subject types 1–3 ×
+      // collection types 1–4), hence the grid filter.
+      "qb38_bangumi_source" ->
+        s"""SELECT * FROM ($analyticsSql) a
+           |WHERE subject_type IN (1, 2, 3)
+           |  AND collection_type IN (1, 2, 3, 4)""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3859,6 +4000,41 @@ object SparkEntry {
         |    AS diversity
         |FROM g GROUP BY n""".stripMargin,
 
+    // q145's gram CTEs verbatim; the distinct count is replaced by the
+    // q126 KMV replay (md5 → 52-bit integer → per-n k-min order
+    // statistic → Beyer '07 (k−1)/u_k, exact below k).
+    "q147_ngram_diversity_kmv" -> {
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      // one Scala-computed double on both sides (a DuckDB inline product
+      // would be DECIMAL and overflow): (k−1)·2^52 for k = 256
+      val numer = 255.0 * 4503599627370496.0
+      val estD = s"CASE WHEN a.n_sk < 256 THEN CAST(a.n_sk AS DOUBLE) " +
+        s"ELSE CAST('$numer' AS DOUBLE) / CAST(a.u_k AS DOUBLE) END"
+      s"""WITH toks AS (SELECT
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |pos AS (SELECT n, ts, unnest(range(1, len(ts) - n + 2)) AS gpos
+         |  FROM toks CROSS JOIN (VALUES (1),(2),(3)) nn(n)),
+         |g AS (SELECT n, array_to_string(ts[gpos : gpos + n - 1], ' ') AS gram
+         |  FROM pos),
+         |tot AS (SELECT n, CAST(count(*) AS BIGINT) AS total_ngrams
+         |  FROM g GROUP BY n),
+         |vv AS (SELECT DISTINCT n, $poly AS v
+         |  FROM (SELECT n, md5(gram) AS h FROM g) z),
+         |kk AS (SELECT n, v FROM (SELECT n, v,
+         |    row_number() OVER (PARTITION BY n ORDER BY v) AS rn FROM vv)
+         |  WHERE rn <= 256),
+         |ag AS (SELECT n, CAST(count(*) AS BIGINT) AS n_sk, max(v) AS u_k
+         |  FROM kk GROUP BY n)
+         |SELECT CAST(t.n AS INT) AS n, t.total_ngrams,
+         |  round($estD, 4) AS est_distinct,
+         |  round(($estD) / CAST(t.total_ngrams AS DOUBLE), 6)
+         |    AS est_diversity
+         |FROM tot t JOIN ag a ON t.n = a.n""".stripMargin
+    },
+
     // training replay (shared CTE), margins as priority, then the q130
     // one-window budget spec — the window IS the semantics the histogram
     // decomposition is property-tested equivalent to
@@ -5008,5 +5184,5 @@ object SparkEntry {
          |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
          |FROM ranked WHERE rn <= 10""".stripMargin
     },
-  )
+  ) ++ bangumiOracle
 }

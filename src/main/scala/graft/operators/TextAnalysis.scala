@@ -1299,4 +1299,38 @@ object TextAnalysis {
       .agg(countDistinct(col("term")).as("exact_distinct"))
     exact.join(hllDistinct(terms, groupCol, "term", p), Seq(groupCol))
   }
+
+  /** The n-gram diversity datasheet (q145's exact form) with its one
+    * data-sized exchange — `countDistinct(gram)`, whose key space GROWS
+    * with the corpus (distinct 3-grams ~ corpus tokens; measured fourth-
+    * decade exponent 0.70) — replaced by the [[kmvSketch]]: the shuffle
+    * leaving each n's gram scan is the k-row order statistic instead of
+    * the full distinct-gram relation, so at 100 TB the lane costs three
+    * corpus scans + three k-row reductions, independent of vocabulary.
+    * `total_ngrams` stays exact (a map-side countable sum). Estimates are
+    * the Beyer '07 (k−1)/u_k form, EXACT below k — so small-corpus runs
+    * reproduce q145's distinct counts digit-for-digit, and the DuckDB
+    * oracle replays the md5-52-bit hash arithmetic exactly at any size. */
+  def ngramDiversitySketch(df: DataFrame, textCol: String, maxN: Int = 3,
+      k: Int = 256): DataFrame = {
+    val numer = (k - 1).toDouble * 4503599627370496.0 // (k−1)·2^52
+    val base = df.select(tokens(lower(col(textCol))).as("ts"))
+    (1 to maxN).map { n =>
+      val grams = base.select(explode(when(size(col("ts")) >= n,
+          transform(sequence(lit(1), size(col("ts")) - lit(n) + lit(1)),
+            i => array_join(slice(col("ts"), i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      val total = grams.agg(count(lit(1)).as("total_ngrams"))
+      val est = kmvSketch(grams.withColumn("g", lit(n)), "g", "gram", k)
+        .agg(count(lit(1)).as("n_sk"), max(col("v")).as("u_k"))
+        .select(when(col("n_sk") < k, col("n_sk").cast("double"))
+          .otherwise(lit(numer) / col("u_k").cast("double"))
+          .as("est_d"))
+      total.crossJoin(broadcast(est))
+        .select(lit(n).as("n"), col("total_ngrams"),
+          round(col("est_d"), 4).as("est_distinct"),
+          round(col("est_d") / col("total_ngrams").cast("double"), 6)
+            .as("est_diversity"))
+    }.reduce(_ unionByName _)
+  }
 }

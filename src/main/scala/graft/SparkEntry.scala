@@ -72,22 +72,55 @@ object SparkEntry {
     * deliberately before the first batch is the documented production
     * practice — at real load you size it UP for the same reason. The
     * session value is restored after the bounded run. */
+  /** State-store provider for the bounded streaming lanes. Default is the
+    * HDFS-backed heap store — right for gate-scale state (~40k rows), where
+    * RocksDB's per-batch native-store open/commit is pure overhead
+    * (measured head-to-head in OPERATORS.md §streaming). At 100 TB the
+    * dial flips: state no longer fits executor heaps, and
+    * `SPARK_GRAFT_STATE_STORE=rocksdb` moves every stateful lane onto the
+    * spill-to-disk RocksDB provider (changelog checkpointing on, so per-
+    * batch checkpoint upload is the delta, not the full store) with no
+    * query changes — provider choice is a deploy-time config, pinned into
+    * each checkpoint at first batch. */
+  private val stateStoreConfs: Map[String, String] =
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"),
+        ("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled") -> "true")
+    else Map.empty
+
+  /** Set the streaming session confs (state shards, provider), run the
+    * bounded query, restore. Restore matters: Verify/Bench run every lane
+    * in one session, and a leaked conf would silently re-plan later
+    * non-streaming queries. */
+  private def withStreamSession[T](s: SparkSession)(body: => T): T = {
+    val keys = "spark.sql.shuffle.partitions" :: stateStoreConfs.keys.toList
+    val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
+    if (s.conf.get("spark.sql.shuffle.partitions").toInt > 8)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+    stateStoreConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   private def streamToParquet(s: SparkSession, df: DataFrame): DataFrame = {
     val outDir = scratchDir("graft_stream_out")
     val ckDir = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val saved = s.conf.get(shuffleKey)
-    if (saved.toInt > 8) s.conf.set(shuffleKey, "8")
-    try {
-      val query = df.writeStream.outputMode("append")
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckDir)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    } finally {
-      s.conf.set(shuffleKey, saved)
-      rmTree(ckDir) // in finally: a failed stream must not leak the temp checkpoint
+    withStreamSession(s) {
+      try {
+        val query = df.writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally rmTree(ckDir) // a failed stream must not leak the checkpoint
     }
     s.read.parquet(outDir)
   }
@@ -100,19 +133,15 @@ object SparkEntry {
   private def streamToMemoryComplete(s: SparkSession, df: DataFrame): DataFrame = {
     val name = "graft_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckDir = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val saved = s.conf.get(shuffleKey)
-    if (saved.toInt > 8) s.conf.set(shuffleKey, "8")
-    try {
-      val query = df.writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .option("checkpointLocation", ckDir)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    } finally {
-      s.conf.set(shuffleKey, saved)
-      rmTree(ckDir) // in finally: a failed stream must not leak the temp checkpoint
+    withStreamSession(s) {
+      try {
+        val query = df.writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", ckDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally rmTree(ckDir) // a failed stream must not leak the checkpoint
     }
     s.table(name)
   }

@@ -21,6 +21,10 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmin_values", exprs =>
+        KMinValues(exprs.head, intArg(exprs, 1, 256)).toAggregateExpression(),
+      "built-in")
     // Catalyst ships distributed bloom-filter expressions for its runtime
     // join filters but does not register them for users; exposing them
     // through the registry keeps the public-API-only Column path.
@@ -56,6 +60,11 @@ object GraftFunctions {
   /** Unicode NFC canonical composition (codegen'd; ASCII rows are an
     * allocation-free identity). */
   def nfc_normalize(text: Column): Column = call_function("nfc_normalize", text)
+
+  /** KMV sketch aggregate: the k smallest distinct long values, ascending.
+    * Map-side combinable — ≤ k longs cross the exchange per partition. */
+  def kmin_values(v: Column, k: Int): Column =
+    call_function("kmin_values", v, org.apache.spark.sql.functions.lit(k))
 
   /** Distributed bloom-filter build over xxhash64 values (binary sketch of
     * `numBits` bits; partial sketches OR-merge map-side, so the shuffle

@@ -156,6 +156,65 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(mergedShards === combined)
   }
 
+  test("kmin_values aggregate: k smallest distinct, partial-merge invariant") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // duplicates + shuffled order + many partitions → exercises update
+    // dedup, the saturated fast path, and cross-partition partial merge
+    val vals = (1L to 500L).flatMap(v => Seq(v, v, 1000L - v))
+    val df = scala.util.Random.shuffle(vals).toDF("v").repartition(13)
+    val got = df.selectExpr("kmin_values(v, 16) AS ks")
+      .head().getSeq[Long](0)
+    assert(got === vals.distinct.sorted.take(16))
+    // group keys see independent sketches; empty-input groups never arise
+    // (no rows → no group), and a group smaller than k returns it whole
+    val small = Seq(("a", 7L), ("a", 7L), ("a", 3L), ("b", 9L))
+      .toDF("g", "v").groupBy($"g")
+      .agg(expr("kmin_values(v, 16)").as("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(small("a") === Seq(3L, 7L) && small("b") === Seq(9L))
+  }
+
+  test("ngramDiversitySketch: exact below k, estimate tracks exact above it") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    def exact(n: Int): (Long, Long) = {
+      val grams = docs
+        .select(explode(when(size(TextAnalysis.tokens(lower($"text"))) >= n,
+          transform(
+            sequence(lit(1),
+              size(TextAnalysis.tokens(lower($"text"))) - lit(n) + lit(1)),
+            i => array_join(
+              slice(TextAnalysis.tokens(lower($"text")), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      val r = grams.agg(count(lit(1)), countDistinct($"gram")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // k far above the distinct-gram count → the sketch is the full set
+    // and the Beyer estimator's below-k branch reproduces q145 exactly
+    val big = TextAnalysis.ngramDiversitySketch(docs, "text", 3, k = 100000)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    for (n <- 1 to 3) {
+      val (total, distinct) = exact(n)
+      val (gotTotal, gotDist, gotDiv) = big(n)
+      assert(gotTotal === total)
+      assert(gotDist === distinct.toDouble)
+      assert(math.abs(gotDiv - distinct.toDouble / total) < 1e-6)
+    }
+    // k = 256 (the lane config): bounded sketch, estimate within the
+    // ~1/√k envelope of the exact distinct count for every n
+    val small = TextAnalysis.ngramDiversitySketch(docs, "text", 3, k = 256)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    for (n <- 1 to 3) {
+      val (_, distinct) = exact(n)
+      assert(math.abs(small(n) - distinct) / distinct < 0.2,
+        s"n=$n est ${small(n)} vs exact $distinct")
+    }
+  }
+
   test("minhashNearDupPairsAuto: planned signature, every pair exactly verified") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

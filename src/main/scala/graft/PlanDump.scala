@@ -94,6 +94,26 @@ object PlanDump {
         case (k, None)    => spark.conf.unset(k)
       }
     }
+    // Salting × AQE composition evidence: the static-salt lanes EXECUTED
+    // at the largest oracle scale (sf0.1 — the local sf1 extension only
+    // carries documents/embeddings) under AQE defaults. What the final
+    // plans must show: the salted exchanges come back through
+    // `AQEShuffleRead coalesced` (the salt multiplies partition count;
+    // AQE shrinks it back to the data volume) and NO skew=true split —
+    // the salt already flattened the hot key below the skew threshold,
+    // which is the composition contract: salting handles the skew you
+    // planned for, AQE's skew-join (pinned live in aqe_skew_join_demo
+    // above) remains armed for the skew you didn't.
+    locally {
+      val sfBig = sys.env.getOrElse("SPARK_GRAFT_SF_BIG",
+        "/root/testdata/sf0.1")
+      Seq("q44_salted_agg", "q85_salted_join").foreach { n =>
+        val df = SparkEntry.queries(n)(spark, sfBig)
+        df.collect() // finalize the adaptive plan
+        sb.append(s"\n## $n (EXECUTED final plan, $sfBig, AQE defaults)\n\n")
+        sb.append(s"```\n${df.queryExecution.executedPlan}\n```\n")
+      }
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))
     println(s"[plandump] wrote ${names.size} plans to $out")

@@ -289,6 +289,7 @@ object TextAnalysis {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
+    var sinceCk = 0
     var exhausted = false
     while (r < nMerges && !exhausted) {
       val top = wf.filter(size(col("syms")) >= 2)
@@ -307,7 +308,18 @@ object TextAnalysis {
         merges += ((r + 1, a, b, n))
         wf = wf.select(col("wcnt"),
           mergeSyms(col("syms"), lit(a), lit(b)).as("syms"))
-          .localCheckpoint()
+        // This lane is scheduling-floor-bound, not data-bound (isolated
+        // min-of-2 is ~3.4 s at sf0.001 AND sf0.1): with an eager
+        // checkpoint every round, 20 rounds cost 40 sequential job
+        // round-trips on a vocab-sized relation. Checkpoint every 4th
+        // round instead — the un-checkpointed mergeSyms projections are
+        // narrow and re-fuse into the next round's scan stage, so
+        // lineage (and codegen nesting) stays ≤ 4 deep while half the
+        // per-round jobs disappear. Semantics identical: the greedy
+        // sequential merge order is decided by the TakeOrdered job, not
+        // by where lineage is cut.
+        sinceCk += 1
+        if (sinceCk == 4) { wf = wf.localCheckpoint(); sinceCk = 0 }
         r += 1
       }
     }

@@ -25,11 +25,13 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     // rederive_*.py script. A new query that lands outside oracleSql
     // without joining this list is an ungated query: fail loudly here
     // instead of silently entering the driver's weaker rows-only lane.
+    // qb34–qb38 left this list in round 13: the parse boundary is exported
+    // by tools/gen_bangumi_parsed.py and the projections/summary/quality
+    // lanes replay in DuckDB SQL (SparkEntry.bangumiOracle) — they are now
+    // fully oracle-gated (and still golden-pinned in GoldenSpec).
     val goldenLanes = Set(
       "q39_rolling_chunks",  // rederive_chunks.py
       "q83_deflate_ratio",   // rederive_deflate.py
-      "qb34_bangumi_raw", "qb35_bangumi_analytics", "qb36_bangumi_summary",
-      "qb37_bangumi_quality", "qb38_bangumi_source", // rederive_goldens.py
       "qb39_media_decode", "qb40_media_frames", "qb41_audio_decode",
       "qb42_gif_frames", "qb43_audio_frames",
       "qb44_media_resize", "qb45_image_neardup",

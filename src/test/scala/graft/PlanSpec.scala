@@ -358,12 +358,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the candidate stage must be an equi-join on the hashed shingle key
     // (never cartesian/nested-loop), the rarity rank must be a
     // doc-partitioned window (sort width = one doc's shingles, not the
-    // corpus), and pair counts must pre-combine map-side
-    val p = plan("q135_containment_prefix")
+    // corpus), and pair counts must pre-combine map-side. Since the r13
+    // dispatcher, the q135 LANE routes by df concentration (and picks the
+    // exact path on this flat fixture), so the prefix-path plan contract
+    // is pinned on the operator itself.
+    val docs = Tables.load(spark, dir, "documents")
+    val p = operators.Dedup.containmentPairsPrefix(
+      docs, "doc_id", "text", 3, 0.5, maxShingleDocFreq = 100L)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(800))
     assert(p.contains("partial_count"), "pair counts must combine map-side")
     assert(p.contains("Window"), "rarity rank must be a windowed row_number")
+    // the lane's dispatched plan keeps the same no-cartesian guarantee
+    val lane = plan("q135_containment_prefix")
+    assert(!lane.contains("CartesianProduct") &&
+      !lane.contains("BroadcastNestedLoopJoin"), lane.take(800))
+    assert(lane.contains("partial_count"), "pair counts must combine map-side")
   }
 
   test("q134: drift means combine map-side; no joins, no UDF, no corpus sort") {

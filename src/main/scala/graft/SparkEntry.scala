@@ -1345,6 +1345,17 @@ object SparkEntry {
       TextAnalysis.ngramDiversitySketch(T(s, dir, "documents"), "text",
         maxN = 3, k = 256)),
 
+    // Unbounded-range approximate quantiles: the third member of the
+    // quantile family — q43 exact (buffers groups), q119 histogram
+    // (needs lo/hi up front), q149 needs neither: a deterministic
+    // k-min-hash sample (ONE bounded aggregate + a scan-stage filter)
+    // and a sample-sized positional read-off the oracle replays rank
+    // for rank. k=256 < corpus at the gate scale, so real sampling is
+    // exercised, not the k≥n degenerate case.
+    "q149_sampled_quantiles" -> ((s, dir) =>
+      Sampling.sampledQuantiles(T(s, dir, "documents"), "doc_id",
+        col("n_chars"), Seq(0.01, 0.25, 0.5, 0.75, 0.99), k = 256)),
+
     // The round's pieces composed into the actual corpus-construction
     // step: select the HIGHEST-QUALITY documents per language within a
     // token budget — q139's trained margin as the priority feeding
@@ -4028,6 +4039,29 @@ object SparkEntry {
         |  CAST(count(DISTINCT gram) AS DOUBLE)/CAST(count(*) AS DOUBLE)
         |    AS diversity
         |FROM g GROUP BY n""".stripMargin,
+
+    // the k-min-hash sample replayed rank for rank: same 52-bit md5 keys,
+    // 256th-smallest-distinct threshold, (value, id)-sorted row_number,
+    // ⌊p·(m−1)⌋+1 read-off
+    "q149_sampled_quantiles" -> {
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH h AS (SELECT doc_id, n_chars AS x, $poly AS hv
+         |  FROM (SELECT doc_id, n_chars,
+         |          md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) z),
+         |thr AS (SELECT max(hv) AS thr
+         |  FROM (SELECT DISTINCT hv FROM h ORDER BY hv LIMIT 256) z),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM h),
+         |samp AS (SELECT x, doc_id,
+         |    CAST(row_number() OVER (ORDER BY x, doc_id) AS INT) AS r
+         |  FROM h, thr WHERE h.hv <= thr.thr),
+         |m AS (SELECT CAST(max(r) AS INT) AS n_sample FROM samp),
+         |pr AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS p)
+         |SELECT pr.p, samp.x AS q, m.n_sample, tot.n_total
+         |FROM pr, m, tot, samp
+         |WHERE CAST(floor(pr.p * (m.n_sample - 1)) + 1 AS INT) = samp.r""".stripMargin
+    },
 
     // q145's gram CTEs verbatim; the distinct count is replaced by the
     // q126 KMV replay (md5 → 52-bit integer → per-n k-min order

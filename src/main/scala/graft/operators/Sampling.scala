@@ -597,4 +597,69 @@ object Sampling {
           Seq(coalesce(col(s"est_$n"), lit(0.0)).as(s"est_$n"), col(s"exact_$n"))
         }: _*)
   }
+
+  /** Approximate quantiles from a deterministic k-min-hash sample — the
+    * UNBOUNDED-RANGE member of the quantile family: q43's exact
+    * percentile buffers every group value (OOM at scale), q119's
+    * histogram needs the value range up front; this needs neither. The
+    * md5-52-bit key of `idCol` is a uniform [0, 2^52) draw, so "the rows
+    * whose key is among the k smallest" IS a uniform k-row sample of the
+    * corpus — selected by ONE bounded [[graft.functions.KMinValues]]
+    * aggregate (the kth-smallest key is the inclusion threshold, a 1-row
+    * broadcast) and one scan-stage filter. Rank error is the standard
+    * sampling bound O(n·√(p(1−p)/k)) w.h.p.; k ≥ n degrades to the exact
+    * positional quantile (spec-pinned).
+    *
+    * Deterministic end to end (no rand(), no TreeMap percentile state):
+    * the sample is a pure function of the id set, the read-off rank is
+    * ⌊p·(m−1)⌋+1 over the (value, id)-sorted sample — every step an
+    * engine-portable integer/md5 rule the DuckDB oracle replays exactly.
+    *
+    * Shape at 100 TB: one corpus scan into a k-long aggregate (map-side
+    * combinable, ≤ k longs per partition cross the exchange), one
+    * re-scan filtered to ≤ k + collision rows, then all work is
+    * sample-sized: the single-partition sort window is bounded by k
+    * (CONFIG, not data — the kmvOverlap precedent). Two scans total;
+    * nothing data-sized reaches the driver.
+    *
+    * Output: one row per requested probability —
+    * (p, q, n_sample, n_total). */
+  def sampledQuantiles(
+      df: DataFrame,
+      idCol: String,
+      valueCol: Column,
+      probs: Seq[Double],
+      k: Int = 4096): DataFrame = {
+    require(k >= 64, "k below 64 estimates nothing")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probs must lie in [0, 1]")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hv = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val hashed = df.select(col(idCol).as("__id"), valueCol.as("__x"),
+      hv.as("__hv"))
+    // kth-smallest distinct key = inclusion threshold; n_total rides the
+    // same single-pass aggregate
+    val thr = hashed.agg(
+      try_element_at( // total: an empty corpus yields a null threshold
+        graft.functions.GraftFunctions.kmin_values(col("__hv"), k),
+        lit(-1)).as("__thr"),
+      count(lit(1)).as("n_total"))
+    val sample = hashed.join(broadcast(thr), col("__hv") <= col("__thr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__x"), col("__id"))
+    val ranked = sample
+      .select(col("__x"), col("__id"), col("n_total"),
+        row_number().over(w).as("__r"))
+      .localCheckpoint(eager = true) // sample-sized; read twice below
+    val m = ranked.agg(max(col("__r")).as("m"))
+    import df.sparkSession.implicits._
+    val ps = probs.toDF("p")
+    ps.crossJoin(broadcast(m))
+      .select(col("p"), col("m"),
+        (floor(col("p") * (col("m") - 1)) + 1).cast("int").as("__tr"))
+      .join(ranked, col("__tr") === col("__r"))
+      .select(col("p"), col("__x").as("q"), col("m").as("n_sample"),
+        col("n_total"))
+  }
 }

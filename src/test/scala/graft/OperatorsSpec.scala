@@ -156,6 +156,39 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(mergedShards === combined)
   }
 
+  test("sampledQuantiles: exact when k >= n, rank-bounded when sampling") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"n_chars")
+    val n = docs.count()
+    val exactSorted = docs.orderBy($"n_chars", $"doc_id")
+      .select($"n_chars").collect().map(_.getLong(0))
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    def exactQ(p: Double) =
+      exactSorted(math.floor(p * (exactSorted.length - 1)).toInt)
+    // k >= n: the sample IS the corpus and the read-off is the exact
+    // positional quantile
+    val full = operators.Sampling.sampledQuantiles(docs, "doc_id",
+      $"n_chars", probs, k = 100000)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    for (p <- probs) assert(full(p) === exactQ(p), s"p=$p")
+    // k = 256 over 500 docs: a genuine sample; each estimate must land
+    // within a rank window of ~4 standard errors (n·√(p(1−p)/k))
+    val est = operators.Sampling.sampledQuantiles(docs, "doc_id",
+      $"n_chars", probs, k = 256)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    for (p <- probs) {
+      val tol = math.max(4.0 * n * math.sqrt(p * (1 - p) / 256), 8.0).toInt
+      val lo = exactSorted(math.max(0,
+        math.floor(p * (n - 1)).toInt - tol))
+      val hi = exactSorted(math.min(n.toInt - 1,
+        math.floor(p * (n - 1)).toInt + tol))
+      assert(est(p) >= lo && est(p) <= hi,
+        s"p=$p est ${est(p)} outside rank window [$lo, $hi]")
+    }
+  }
+
   test("kmin_values aggregate: k smallest distinct, partial-merge invariant") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

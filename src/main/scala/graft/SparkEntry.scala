@@ -1456,10 +1456,14 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val keys = Seq("id_a", "id_b", "n_inter", "sz_a", "sz_b",
         "cont_a", "cont_b")
-      val e = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5,
-        maxShingleDocFreq = 100L).withColumn("in_e", lit(1L))
-      val p = Dedup.containmentPairsPrefix(docs, "doc_id", "text", 3, 0.5,
-        maxShingleDocFreq = 100L).withColumn("in_p", lit(1L))
+      // both paths read ONE checkpointed shingle relation — the scan,
+      // the distinct, and the df cap run once, not once per path
+      val sh = Dedup.cappedShingleHashes(docs, "doc_id", "text", 3,
+        maxShingleDocFreq = 100L).localCheckpoint(eager = true)
+      val e = Dedup.containmentFromShingles(sh, "doc_id", 0.5)
+        .withColumn("in_e", lit(1L))
+      val p = Dedup.containmentPrefixFromShingles(sh, "doc_id", 0.5)
+        .withColumn("in_p", lit(1L))
       e.join(p, keys, "full_outer")
         .agg(coalesce(sum(col("in_e")), lit(0L)).as("n_exact"),
           coalesce(sum(col("in_p")), lit(0L)).as("n_prefix"),

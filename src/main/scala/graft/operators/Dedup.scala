@@ -271,7 +271,7 @@ object Dedup {
     * containment paths (and the dispatcher's df statistic) share:
     * shingles leave the scan as xxhash64 longs (strings never cross an
     * exchange), `maxShingleDocFreq` strips corpus-hot shingles. */
-  private def cappedShingleHashes(
+  private[graft] def cappedShingleHashes(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -292,7 +292,7 @@ object Dedup {
 
   /** Exact inverted-index containment core over a prepared shingle
     * relation — see [[containmentPairs]] for the operator contract. */
-  private def containmentFromShingles(
+  private[graft] def containmentFromShingles(
       sh: DataFrame,
       idCol: String,
       threshold: Double): DataFrame = {
@@ -353,7 +353,7 @@ object Dedup {
 
   /** Prefix-filtered containment core over a prepared (already
     * checkpointed) shingle relation — see [[containmentPairsPrefix]]. */
-  private def containmentPrefixFromShingles(
+  private[graft] def containmentPrefixFromShingles(
       sh: DataFrame,
       idCol: String,
       threshold: Double): DataFrame = {

@@ -1356,6 +1356,14 @@ object SparkEntry {
       Sampling.sampledQuantiles(T(s, dir, "documents"), "doc_id",
         col("n_chars"), Seq(0.01, 0.25, 0.5, 0.75, 0.99), k = 256)),
 
+    // q149 per group: per-language length quantiles — the datasheet's
+    // distribution read with per-group bounded state (k longs/group).
+    // k=64 < the biggest language at gate scale, so grouped sampling
+    // (not just the k≥n exact branch) is what the hash gate checks.
+    "q150_grouped_quantiles" -> ((s, dir) =>
+      Sampling.sampledQuantilesByGroup(T(s, dir, "documents"), "lang",
+        "doc_id", col("n_chars"), Seq(0.25, 0.5, 0.9), k = 64)),
+
     // The round's pieces composed into the actual corpus-construction
     // step: select the HIGHEST-QUALITY documents per language within a
     // token budget — q139's trained margin as the priority feeding
@@ -4064,6 +4072,36 @@ object SparkEntry {
          |pr AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS p)
          |SELECT pr.p, samp.x AS q, m.n_sample, tot.n_total
          |FROM pr, m, tot, samp
+         |WHERE CAST(floor(pr.p * (m.n_sample - 1)) + 1 AS INT) = samp.r""".stripMargin
+    },
+
+    // q149's replay partitioned by lang: per-group 64th-smallest-distinct
+    // threshold, per-group rank, same read-off
+    "q150_grouped_quantiles" -> {
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH h AS (SELECT lang, doc_id, n_chars AS x, $poly AS hv
+         |  FROM (SELECT lang, doc_id, n_chars,
+         |          md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) z),
+         |thr AS (SELECT lang, max(hv) AS thr
+         |  FROM (SELECT lang, hv,
+         |          row_number() OVER (PARTITION BY lang ORDER BY hv) AS kr
+         |        FROM (SELECT DISTINCT lang, hv FROM h) d) z
+         |  WHERE kr <= 64 GROUP BY lang),
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+         |  FROM h GROUP BY 1),
+         |samp AS (SELECT h.lang, x, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY h.lang ORDER BY x, doc_id)
+         |      AS INT) AS r
+         |  FROM h JOIN thr ON h.lang = thr.lang AND h.hv <= thr.thr),
+         |m AS (SELECT lang, CAST(max(r) AS INT) AS n_sample
+         |  FROM samp GROUP BY lang),
+         |pr AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS p)
+         |SELECT m.lang, pr.p, samp.x AS q, m.n_sample, tot.n_total
+         |FROM pr, m
+         |JOIN samp ON m.lang = samp.lang
+         |JOIN tot ON m.lang = tot.lang
          |WHERE CAST(floor(pr.p * (m.n_sample - 1)) + 1 AS INT) = samp.r""".stripMargin
     },
 

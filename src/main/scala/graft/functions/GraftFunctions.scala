@@ -147,7 +147,13 @@ object GraftFunctions {
       numBits: Long,
       context: String): Option[Array[Byte]] = {
     val bits = if (numBits > 0L) numBits else bloomBitsFor(nItems)
-    val sketch = df.agg(bloom_agg(h64, math.max(1L, nItems), bits).as("bf"))
+    // expectedItems must track the BIT budget, not the raw count: Spark
+    // picks k = round(m/n·ln2) hash functions, so a 2^20-bit floor with a
+    // 250-item count would get k ≈ 2900 and saturate the sketch all by
+    // itself (measured: fill 0.50 on a 250-fp delta). Floor n at m/16 —
+    // k stays ≈ 11 and the fill factor reflects the data again.
+    val items = math.max(math.max(1L, nItems), bits / 16L)
+    val sketch = df.agg(bloom_agg(h64, items, bits).as("bf"))
       .head().getAs[Array[Byte]](0)
     Option(sketch).map { s =>
       val fill = bloomFillFactor(s)

@@ -662,4 +662,56 @@ object Sampling {
       .select(col("p"), col("__x").as("q"), col("m").as("n_sample"),
         col("n_total"))
   }
+
+  /** [[sampledQuantiles]] per group — the per-language / per-source
+    * length-distribution read the datasheet lanes want, with the same
+    * guarantees: one bounded `kmin_values` aggregate PER GROUP picks each
+    * group's inclusion threshold (k longs of state per group, map-side
+    * combinable), the per-group sample is ≤ k rows, and the rank window
+    * sorts one group's sample at a time. The threshold relation is one
+    * row per group — broadcast on the assumption that group cardinality
+    * is config-small (languages, sources), the same contract as every
+    * groupBy-lang lane here.
+    *
+    * Output: (groupCol, p, q, n_sample, n_total) — n_sample = min(k+ties,
+    * group size), exact positional quantiles whenever a group is smaller
+    * than k. */
+  def sampledQuantilesByGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: Column,
+      probs: Seq[Double],
+      k: Int = 4096): DataFrame = {
+    require(k >= 16, "k below 16 estimates nothing")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probs must lie in [0, 1]")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hv = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val hashed = df.select(col(groupCol), col(idCol).as("__id"),
+      valueCol.as("__x"), hv.as("__hv"))
+    val thr = hashed.groupBy(col(groupCol)).agg(
+      try_element_at(graft.functions.GraftFunctions.kmin_values(col("__hv"), k),
+        lit(-1)).as("__thr"),
+      count(lit(1)).as("n_total"))
+    val sample = hashed.join(broadcast(thr), Seq(groupCol))
+      .filter(col("__hv") <= col("__thr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__x"), col("__id"))
+    val ranked = sample
+      .select(col(groupCol), col("__x"), col("__id"), col("n_total"),
+        row_number().over(w).as("__r"))
+      .localCheckpoint(eager = true) // sample-sized; read twice below
+    val m = ranked.groupBy(col(groupCol)).agg(max(col("__r")).as("m"))
+    import df.sparkSession.implicits._
+    val ps = probs.toDF("p")
+    ps.crossJoin(broadcast(m))
+      .select(col(groupCol), col("p"), col("m"),
+        (floor(col("p") * (col("m") - 1)) + 1).cast("int").as("__tr"))
+      .join(ranked, Seq(groupCol))
+      .filter(col("__tr") === col("__r"))
+      .select(col(groupCol), col("p"), col("__x").as("q"),
+        col("m").as("n_sample"), col("n_total"))
+  }
 }

@@ -189,6 +189,37 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sampledQuantilesByGroup: per-group exact when k >= group, sane when sampling") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"lang", $"doc_id", $"n_chars")
+    val probs = Seq(0.25, 0.5, 0.9)
+    val byLang = docs.collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(2), r.getLong(1)))
+        .sortBy(identity).map(_._1)).toMap
+    // k >= every group: per-group exact positional quantiles
+    val full = operators.Sampling.sampledQuantilesByGroup(docs, "lang",
+      "doc_id", $"n_chars", probs, k = 100000)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    for ((lang, xs) <- byLang; p <- probs) {
+      val want = xs(math.floor(p * (xs.length - 1)).toInt)
+      assert(full((lang, p)) === want, s"$lang p=$p")
+    }
+    // k = 64: big groups genuinely sample; every estimate stays inside
+    // its group's value range and rows stay one per (group, p)
+    val est = operators.Sampling.sampledQuantilesByGroup(docs, "lang",
+      "doc_id", $"n_chars", probs, k = 64).collect()
+    assert(est.length === byLang.size * probs.size)
+    for (r <- est) {
+      val xs = byLang(r.getString(0))
+      assert(r.getLong(2) >= xs.head && r.getLong(2) <= xs.last)
+      assert(r.getInt(3) <= math.max(64, 1) + 4) // n_sample ≈ k (ties slack)
+    }
+  }
+
   test("kmin_values aggregate: k smallest distinct, partial-merge invariant") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

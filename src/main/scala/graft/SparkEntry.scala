@@ -1174,6 +1174,14 @@ object SparkEntry {
       operators.TextAnalysis.kmvBigramOverlap(
         T(s, dir, "documents"), "source", "text", "src0", "src1", 256)),
 
+    // q126 completed to the full theta set algebra: the same two k-row
+    // sketches also estimate |A∖B| and |B∖A| (the "what's in crawl A but
+    // not crawl B" release question) — each region is its fraction of
+    // the union k-min sample times the union estimate.
+    "q151_kmv_set_algebra" -> ((s, dir) =>
+      operators.TextAnalysis.kmvBigramSetAlgebra(
+        T(s, dir, "documents"), "source", "text", "src0", "src1", 256)),
+
     // Per-lang token-budget selection with PER-GROUP budgets (the data-
     // recipe shape: 2500 tokens of en, 1500 of everything else): greedy
     // priority-ordered prefix per language. Histogram-band
@@ -3779,6 +3787,53 @@ object SparkEntry {
          |  round(CAST(n_both AS DOUBLE) / CAST(n AS DOUBLE), 6) AS est_jaccard,
          |  round((CAST(n_both AS DOUBLE) / CAST(n AS DOUBLE)) * ($estU), 4)
          |    AS est_inter
+         |FROM ag""".stripMargin
+    },
+
+    // q126's CTE chain with the region split: the union k-min sample is
+    // classified into both/only-a/only-b and each region's estimate is
+    // its sample fraction times the union estimate
+    "q151_kmv_set_algebra" -> {
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      val numer = 255.0 * 4503599627370496.0
+      val estU = s"CASE WHEN n < 256 THEN CAST(n AS DOUBLE) " +
+        s"ELSE CAST('$numer' AS DOUBLE) / CAST(u_k AS DOUBLE) END"
+      def reg(c: String) = s"round((CAST($c AS DOUBLE) / CAST(n AS DOUBLE)) * ($estU), 4)"
+      s"""WITH tok AS (
+         |  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |bg AS (
+         |  SELECT source, ts[g] || ' ' || ts[g + 1] AS term
+         |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS g) u
+         |  WHERE len(ts) > 1),
+         |vv AS (SELECT DISTINCT source, $poly AS v
+         |  FROM (SELECT source, md5(term) AS h FROM bg) z),
+         |ka AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn
+         |  FROM vv WHERE source = 'src0') WHERE rn <= 256),
+         |kb AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn
+         |  FROM vv WHERE source = 'src1') WHERE rn <= 256),
+         |mg AS (SELECT DISTINCT v
+         |  FROM (SELECT v FROM ka UNION ALL SELECT v FROM kb)),
+         |kk AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn
+         |  FROM mg) WHERE rn <= 256),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n, max(v) AS u_k,
+         |    CAST(sum(CASE WHEN v IN (SELECT v FROM ka)
+         |                   AND v IN (SELECT v FROM kb)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |    CAST(sum(CASE WHEN v IN (SELECT v FROM ka)
+         |                   AND v NOT IN (SELECT v FROM kb)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+         |    CAST(sum(CASE WHEN v NOT IN (SELECT v FROM ka)
+         |                   AND v IN (SELECT v FROM kb)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
+         |  FROM kk)
+         |SELECT n, n_both, n_only_a, n_only_b,
+         |  round($estU, 4) AS est_union,
+         |  ${reg("n_both")} AS est_inter,
+         |  ${reg("n_only_a")} AS est_only_a,
+         |  ${reg("n_only_b")} AS est_only_b
          |FROM ag""".stripMargin
     },
 

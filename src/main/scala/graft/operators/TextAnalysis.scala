@@ -1282,6 +1282,42 @@ object TextAnalysis {
         estUnion, 4).as("est_inter"))
   }
 
+  /** Full theta-sketch set algebra from two KMV sketches: [[kmvOverlap]]'s
+    * union/Jaccard/intersection plus the DIFFERENCE estimates |A∖B| and
+    * |B∖A| — the release-delta question ("how much of crawl A is NOT in
+    * crawl B") answered from two k-row relations without touching either
+    * corpus. Same mechanics: the k-min of the merged sketch is a uniform
+    * sample of A∪B, so each region's cardinality is its sample fraction
+    * times the union estimate (the A-not-B estimator of the theta
+    * family); every region is exact when the merged set has < k values. */
+  def kmvSetAlgebra(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    val numer = (k - 1).toDouble * 4503599627370496.0 // (k−1)·2^52
+    val merged = a.select(col("v")).union(b.select(col("v"))).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val kmin = merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .join(a.select(col("v"), lit(1).as("ina")), Seq("v"), "left_outer")
+      .join(b.select(col("v"), lit(1).as("inb")), Seq("v"), "left_outer")
+    val agg = kmin.agg(
+      count(lit(1)).as("n"),
+      max(col("v")).as("u_k"),
+      sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("ina") === 1 && col("inb").isNull, 1L).otherwise(0L))
+        .as("n_only_a"),
+      sum(when(col("ina").isNull && col("inb") === 1, 1L).otherwise(0L))
+        .as("n_only_b"))
+    val estUnion = when(col("n") < k, col("n").cast("double"))
+      .otherwise(lit(numer) / col("u_k").cast("double"))
+    def frac(c: String) = col(c).cast("double") / col("n").cast("double")
+    agg.select(
+      col("n"), col("n_both"), col("n_only_a"), col("n_only_b"),
+      round(estUnion, 4).as("est_union"),
+      round(frac("n_both") * estUnion, 4).as("est_inter"),
+      round(frac("n_only_a") * estUnion, 4).as("est_only_a"),
+      round(frac("n_only_b") * estUnion, 4).as("est_only_b"))
+  }
+
   /** KMV demonstration gate: distinct-bigram overlap between two corpus
     * slices (same term universe as q117's HLL), estimated entirely from
     * the two k-row sketches. The question it answers at 100 TB — "how
@@ -1298,6 +1334,23 @@ object TextAnalysis {
         concat_ws(" ", col("pp.w1"), col("pp.w2")).as("term"))
     val sk = kmvSketch(terms, groupCol, "term", k).localCheckpoint(eager = true)
     kmvOverlap(sk.filter(col(groupCol) === groupA),
+      sk.filter(col(groupCol) === groupB), k)
+  }
+
+  /** [[kmvBigramOverlap]]'s slice construction feeding [[kmvSetAlgebra]]:
+    * union/intersection AND both difference estimates between two corpus
+    * slices' distinct-bigram sets, from two k-row sketches. */
+  def kmvBigramSetAlgebra(df: DataFrame, groupCol: String, textCol: String,
+      groupA: String, groupB: String, k: Int = 256): DataFrame = {
+    val terms = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol), tokens(lower(col(textCol))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col(groupCol), explode(bigramPairs(col("ts"))).as("pp"))
+      .select(col(groupCol),
+        concat_ws(" ", col("pp.w1"), col("pp.w2")).as("term"))
+    val sk = kmvSketch(terms, groupCol, "term", k).localCheckpoint(eager = true)
+    kmvSetAlgebra(sk.filter(col(groupCol) === groupA),
       sk.filter(col(groupCol) === groupB), k)
   }
 

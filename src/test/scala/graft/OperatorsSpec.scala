@@ -144,6 +144,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(ei - exactInter) / exactInter < 0.25,
       s"inter est $ei vs exact $exactInter")
     assert(math.abs(ej - exactInter / exactUnion) < 0.15)
+    // set-difference estimates complete the algebra: |A∖B| and |B∖A|
+    // from the same two sketches, within the sampling envelope of the
+    // exact differences
+    val alg = TextAnalysis.kmvBigramSetAlgebra(
+      docs, "source", "text", "src0", "src1", 256).head()
+    val exactOnlyA = (setA -- setB).size.toDouble
+    val exactOnlyB = (setB -- setA).size.toDouble
+    assert(math.abs(alg.getAs[Double]("est_only_a") - exactOnlyA) /
+      math.max(1.0, exactOnlyA) < 0.25,
+      s"onlyA est ${alg.getAs[Double]("est_only_a")} vs exact $exactOnlyA")
+    assert(math.abs(alg.getAs[Double]("est_only_b") - exactOnlyB) /
+      math.max(1.0, exactOnlyB) < 0.25,
+      s"onlyB est ${alg.getAs[Double]("est_only_b")} vs exact $exactOnlyB")
+    // the four regions partition the union sample exactly
+    assert(alg.getAs[Long]("n_both") + alg.getAs[Long]("n_only_a") +
+      alg.getAs[Long]("n_only_b") === alg.getAs[Long]("n"))
     // merge associativity: the sketch of the combined slice equals the
     // k-min of the two shard sketches' values
     val sk = TextAnalysis.kmvSketch(terms, "source", "term", 64)

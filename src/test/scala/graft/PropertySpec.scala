@@ -233,6 +233,32 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(got.count(_ < 100L) >= 85, s"heavy stratum ${got.count(_ < 100L)}/100")
   }
 
+  test("kmin_values equals sorted-distinct-take-k on arbitrary inputs") {
+    GraftFunctions.register(spark)
+    // arbitrary longs (duplicates, negatives, extremes), arbitrary k,
+    // arbitrary partitioning — the aggregate must always equal the
+    // reference order statistic computed in plain Scala
+    val cases = (0 until 12).map { i =>
+      val g = for {
+        n  <- Gen.choose(0, 300)
+        vs <- Gen.listOfN(n, Gen.oneOf(
+          Gen.choose(-50L, 50L), Gen.choose(Long.MinValue, Long.MaxValue)))
+        k  <- Gen.choose(1, 40)
+        np <- Gen.choose(1, 9)
+      } yield (vs, k, np)
+      g.apply(Gen.Parameters.default, Seed(1000L + i)).get
+    }
+    for (((vs, k, np), i) <- cases.zipWithIndex) {
+      val want = vs.distinct.sorted.take(k)
+      val got =
+        if (vs.isEmpty) Seq.empty // zero-row agg returns one empty array
+        else vs.toDF("v").repartition(np)
+          .selectExpr(s"kmin_values(v, $k) AS ks")
+          .head().getSeq[Long](0)
+      assert(got === want, s"case $i: n=${vs.length} k=$k parts=$np")
+    }
+  }
+
   test("incrementalExact equals the naive two-anti-join reference") {
     val textGen = Gen.oneOf("aa bb", "aa  BB", "cc dd", "ee", "ff gg hh", "ii")
     val corpusGen = Gen.listOfN(30, textGen)

@@ -1372,6 +1372,15 @@ object SparkEntry {
       Sampling.sampledQuantilesByGroup(T(s, dir, "documents"), "lang",
         "doc_id", col("n_chars"), Seq(0.25, 0.5, 0.9), k = 64)),
 
+    // Robust per-language length-outlier report: Tukey fences (f=3)
+    // from the q150 sampled quartiles, one exact counting scan against
+    // the broadcast fence rows — the distribution-tail cleaning pass
+    // (truncated docs / concatenation blobs) composed from this round's
+    // quantile primitive.
+    "q152_length_outliers" -> ((s, dir) =>
+      operators.Scrub.outlierReport(T(s, dir, "documents"), "lang",
+        "doc_id", col("n_chars"), k = 64, fence = 3.0)),
+
     // The round's pieces composed into the actual corpus-construction
     // step: select the HIGHEST-QUALITY documents per language within a
     // token budget — q139's trained margin as the priority feeding
@@ -4158,6 +4167,45 @@ object SparkEntry {
          |JOIN samp ON m.lang = samp.lang
          |JOIN tot ON m.lang = tot.lang
          |WHERE CAST(floor(pr.p * (m.n_sample - 1)) + 1 AS INT) = samp.r""".stripMargin
+    },
+
+    // q150's quartile replay (p = 0.25/0.75, k = 64) feeding Tukey
+    // fences and one exact counting pass
+    "q152_length_outliers" -> {
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH h AS (SELECT lang, doc_id, n_chars AS x, $poly AS hv
+         |  FROM (SELECT lang, doc_id, n_chars,
+         |          md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) z),
+         |thr AS (SELECT lang, max(hv) AS thr
+         |  FROM (SELECT lang, hv,
+         |          row_number() OVER (PARTITION BY lang ORDER BY hv) AS kr
+         |        FROM (SELECT DISTINCT lang, hv FROM h) d) z
+         |  WHERE kr <= 64 GROUP BY lang),
+         |samp AS (SELECT h.lang, x, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY h.lang ORDER BY x, doc_id)
+         |      AS INT) AS r
+         |  FROM h JOIN thr ON h.lang = thr.lang AND h.hv <= thr.thr),
+         |m AS (SELECT lang, CAST(max(r) AS INT) AS n_sample
+         |  FROM samp GROUP BY lang),
+         |pr AS (SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE) AS p),
+         |qs AS (SELECT m.lang, pr.p, samp.x AS q
+         |  FROM pr, m JOIN samp ON m.lang = samp.lang
+         |  WHERE CAST(floor(pr.p * (m.n_sample - 1)) + 1 AS INT) = samp.r),
+         |wide AS (SELECT lang,
+         |    min(CASE WHEN p = 0.25 THEN q END) AS q1,
+         |    min(CASE WHEN p = 0.75 THEN q END) AS q3
+         |  FROM qs GROUP BY 1),
+         |f AS (SELECT lang, q1, q3,
+         |    CAST(q1 AS DOUBLE) - 3.0 * CAST(q3 - q1 AS DOUBLE) AS lo,
+         |    CAST(q3 AS DOUBLE) + 3.0 * CAST(q3 - q1 AS DOUBLE) AS hi
+         |  FROM wide)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count_if(CAST(n_chars AS DOUBLE) < lo) AS BIGINT) AS n_low,
+         |  CAST(count_if(CAST(n_chars AS DOUBLE) > hi) AS BIGINT) AS n_high,
+         |  min(q1) AS q1, min(q3) AS q3, min(lo) AS lo, min(hi) AS hi
+         |FROM documents d JOIN f ON d.lang = f.lang GROUP BY 1""".stripMargin
     },
 
     // q145's gram CTEs verbatim; the distinct count is replaced by the

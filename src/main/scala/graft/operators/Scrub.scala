@@ -242,4 +242,45 @@ object Scrub {
             s => s.getField("line")),
           sep).as("cleaned"))
   }
+
+  /** Per-group robust outlier report over a numeric column — the
+    * distribution-tail cleaning heuristic (truncated docs, concatenation
+    * blobs, template spam show up as length-distribution outliers long
+    * before content metrics move). Quartiles come from
+    * [[Sampling.sampledQuantilesByGroup]]'s deterministic k-min-hash
+    * sample (bounded state, no value-range knowledge needed), fences are
+    * Tukey's q1 − f·IQR / q3 + f·IQR with the heavy-tail f = 3.0 default,
+    * and the flag pass is one scan against the broadcast per-group fence
+    * row. Everything downstream of the sample is exact counting, so the
+    * report is bit-reproducible on any cluster.
+    *
+    * Output per group: (group, n_docs, n_low, n_high, q1, q3, lo, hi). */
+  def outlierReport(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: Column,
+      k: Int = 4096,
+      fence: Double = 3.0): DataFrame = {
+    require(fence > 0, "fence must be positive")
+    val qs = Sampling.sampledQuantilesByGroup(df, groupCol, idCol,
+      valueCol, Seq(0.25, 0.75), k)
+    val wide = qs.groupBy(col(groupCol)).agg(
+      min(when(col("p") === 0.25, col("q"))).as("q1"),
+      min(when(col("p") === 0.75, col("q"))).as("q3"))
+    val fences = wide.select(col(groupCol),
+      col("q1"), col("q3"),
+      (col("q1").cast("double") -
+        lit(fence) * (col("q3") - col("q1")).cast("double")).as("lo"),
+      (col("q3").cast("double") +
+        lit(fence) * (col("q3") - col("q1")).cast("double")).as("hi"))
+    df.select(col(groupCol), valueCol.as("__x"))
+      .join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("__x").cast("double") < col("lo")).as("n_low"),
+        count_if(col("__x").cast("double") > col("hi")).as("n_high"),
+        min(col("q1")).as("q1"), min(col("q3")).as("q3"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+  }
 }

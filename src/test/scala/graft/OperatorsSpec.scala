@@ -205,6 +205,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("outlierReport: Tukey fences from exact quartiles flag planted tails") {
+    import spark.implicits._
+    // one tight group with planted extremes; k >= n so quartiles are the
+    // exact positional read-off and fences are hand-computable:
+    // values 100..115 (16 docs) + outliers 1 and 100000
+    val base = (0 until 16).map(i => ("en", i.toLong, 100L + i))
+    val docs = (base :+ (("en", 90L, 1L)) :+ (("en", 91L, 100000L)))
+      .toDF("lang", "doc_id", "n_chars")
+    val r = operators.Scrub.outlierReport(docs, "lang", "doc_id",
+      col("n_chars"), k = 1000, fence = 3.0).head()
+    val xs = docs.select($"n_chars", $"doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sortBy(identity).map(_._1)
+    val q1 = xs(math.floor(0.25 * (xs.length - 1)).toInt)
+    val q3 = xs(math.floor(0.75 * (xs.length - 1)).toInt)
+    val (lo, hi) = (q1 - 3.0 * (q3 - q1), q3 + 3.0 * (q3 - q1))
+    assert(r.getAs[Long]("q1") === q1 && r.getAs[Long]("q3") === q3)
+    assert(r.getAs[Double]("lo") === lo && r.getAs[Double]("hi") === hi)
+    assert(r.getAs[Long]("n_docs") === 18L)
+    assert(r.getAs[Long]("n_low") === 1L && r.getAs[Long]("n_high") === 1L)
+  }
+
   test("sampledQuantilesByGroup: per-group exact when k >= group, sane when sampling") {
     import spark.implicits._
     val docs = spark.read

@@ -33,7 +33,9 @@ object PlanDump {
       "q131_hard_negatives", "q132_perplexity_bands", "q133_containment_pairs",
       "q134_embedding_drift", "q135_containment_prefix",
       "q137_corpus_datasheet", "q140_filter_calibration",
-      "q141_sample_estimate")
+      "q141_sample_estimate", "q147_ngram_diversity_kmv",
+      "q149_sampled_quantiles", "q150_grouped_quantiles",
+      "q152_length_outliers")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

@@ -377,6 +377,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(lane.contains("partial_count"), "pair counts must combine map-side")
   }
 
+  test("q149/q150: kmin sketch is a partial-merge ObjectHashAggregate; thresholds broadcast") {
+    // the KMV build must be a real two-phase aggregate (partial buffers
+    // merge map-side — the whole point of replacing distinct+window):
+    // pinned on kmvSketch itself, because the quantile lanes checkpoint
+    // the sample and their final plans read the checkpointed RDD
+    val docs = Tables.load(spark, dir, "documents")
+    val sk = operators.TextAnalysis.kmvSketch(
+      docs.select("lang", "text"), "lang", "text", 64)
+      .queryExecution.executedPlan.toString
+    assert(sk.contains("ObjectHashAggregate"),
+      "kmin_values must aggregate imperative buffers, not window")
+    assert(sk.contains("partial_kmin_values"),
+      "the sketch must pre-combine map-side")
+    assert(!sk.contains("Window"), "the distinct+window form must be gone")
+    // the lanes' visible plans: thresholds broadcast, nothing data-sized
+    // nested-loops (q149's 1-row global-threshold join is the documented
+    // exception and rides a broadcast)
+    val p149 = plan("q149_sampled_quantiles")
+    assert(p149.contains("BroadcastHashJoin") || p149.contains("BroadcastNestedLoopJoin"),
+      "threshold must broadcast")
+    val p150 = plan("q150_grouped_quantiles")
+    assert(p150.contains("BroadcastHashJoin"),
+      "the group-threshold relation must broadcast")
+    assert(!p150.contains("CartesianProduct"), p150.take(800))
+  }
+
+  test("q152: outlier count pass joins broadcast fences; no second quantile scan") {
+    val p = plan("q152_length_outliers")
+    assert(p.contains("BroadcastHashJoin"), "fence rows must broadcast")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // exactly one parquet scan may feed the counting side per subtree
+    // chain — the quartiles ride the sampled subtree, not a re-sort
+    assert(!p.contains("SortMergeJoin"), "nothing here is big enough to SMJ")
+  }
+
   test("q134: drift means combine map-side; no joins, no UDF, no corpus sort") {
     // the whole lane is two aggregations — (label, dim) means with
     // map-side partials, then a labels-sized pack bounded by dim config;

@@ -1258,6 +1258,24 @@ object SparkEntry {
         operators.TextAnalysis.cmsSketch(terms, "term", 4, 256))
     }),
 
+    // Streaming quantile maintenance: the k-min-hash RESERVOIR is a
+    // mergeable sketch (the kmin_pairs aggregate), so the same
+    // expression that builds q150's sample runs verbatim as a COMPLETE-
+    // mode streaming aggregation — state bounded by langs×k, no
+    // watermark needed — and a corpus-length document stream maintains
+    // live per-language length quantiles (q136's mergeable-sketch
+    // lesson applied to sampling). Final table == the batch reservoir
+    // because the sketch is a pure function of the id set; the oracle
+    // replays the per-group k-min sample with the hash tie-break.
+    "q153_stream_quantiles" -> ((s, dir) => {
+      val docStream = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val rsv = streamToMemoryComplete(s, Sampling.reservoirByGroup(
+        docStream, "lang", "doc_id", col("n_chars"), 64))
+      Sampling.quantilesFromReservoir(rsv, "lang", Seq(0.25, 0.5, 0.9))
+    }),
+
     // Split-leakage audit + the fix, one lane: under a naive per-document
     // hash split a near-dup pair straddles train/test with prob 1 − Σp²
     // (~34% at 80/10/10) — silent eval contamination. Row 1 measures that
@@ -4167,6 +4185,36 @@ object SparkEntry {
          |JOIN samp ON m.lang = samp.lang
          |JOIN tot ON m.lang = tot.lang
          |WHERE CAST(floor(pr.p * (m.n_sample - 1)) + 1 AS INT) = samp.r""".stripMargin
+    },
+
+    // the stream's final reservoir replayed: per-lang 64 smallest
+    // distinct id-hashes carrying n_chars, ranked by (value, hash) —
+    // the hash tie-break because the reservoir carries (h, v), not ids
+    "q153_stream_quantiles" -> {
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH h AS (SELECT lang, doc_id, n_chars AS x, $poly AS hv
+         |  FROM (SELECT lang, doc_id, n_chars,
+         |          md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) z),
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+         |  FROM h GROUP BY 1),
+         |rs AS (SELECT lang, hv, x FROM (
+         |    SELECT lang, hv, x,
+         |      row_number() OVER (PARTITION BY lang ORDER BY hv) AS kr
+         |    FROM h) z WHERE kr <= 64),
+         |ranked AS (SELECT lang, x,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY x, hv)
+         |      AS INT) AS r
+         |  FROM rs),
+         |m AS (SELECT lang, CAST(max(r) AS INT) AS n_sample
+         |  FROM ranked GROUP BY lang),
+         |pr AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS p)
+         |SELECT m.lang, pr.p, ranked.x AS q, m.n_sample, tot.n_total
+         |FROM pr, m
+         |JOIN ranked ON m.lang = ranked.lang
+         |JOIN tot ON m.lang = tot.lang
+         |WHERE CAST(floor(pr.p * (m.n_sample - 1)) + 1 AS INT) = ranked.r""".stripMargin
     },
 
     // q150's quartile replay (p = 0.25/0.75, k = 64) feeding Tukey

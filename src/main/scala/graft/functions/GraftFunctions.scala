@@ -25,6 +25,10 @@ object GraftFunctions {
       "kmin_values", exprs =>
         KMinValues(exprs.head, intArg(exprs, 1, 256)).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmin_pairs", exprs =>
+        KMinPairs(exprs(0), exprs(1), intArg(exprs, 2, 256))
+          .toAggregateExpression(), "built-in")
     // Catalyst ships distributed bloom-filter expressions for its runtime
     // join filters but does not register them for users; exposing them
     // through the registry keeps the public-API-only Column path.
@@ -65,6 +69,14 @@ object GraftFunctions {
     * Map-side combinable — ≤ k longs cross the exchange per partition. */
   def kmin_values(v: Column, k: Int): Column =
     call_function("kmin_values", v, org.apache.spark.sql.functions.lit(k))
+
+  /** Bounded uniform reservoir aggregate: (key, value) pairs whose key is
+    * among the k smallest distinct keys, as array<struct<h,v>> ascending.
+    * One-pass, mergeable — the streaming-ready form of the k-min-hash
+    * sample. */
+  def kmin_pairs(key: Column, value: Column, k: Int): Column =
+    call_function("kmin_pairs", key, value,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Distributed bloom-filter build over xxhash64 values (binary sketch of
     * `numBits` bits; partial sketches OR-merge map-side, so the shuffle

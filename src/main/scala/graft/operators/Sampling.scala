@@ -714,4 +714,60 @@ object Sampling {
       .select(col(groupCol), col("p"), col("__x").as("q"),
         col("m").as("n_sample"), col("n_total"))
   }
+
+  /** ONE-PASS per-group uniform reservoir: the k-min-hash sample built by
+    * the [[graft.functions.KMinPairs]] aggregate instead of
+    * [[sampledQuantilesByGroup]]'s threshold-then-rescan — (group, rsv,
+    * n_total) where `rsv` is array<struct<h,v>> ascending by the 52-bit
+    * md5 id key. Both components are mergeable aggregates, which is the
+    * point: the SAME expression runs as a streaming COMPLETE-mode
+    * aggregation with state bounded by groups×k — a corpus-length stream
+    * maintains a live quantile/sample sketch per group (the q136
+    * mergeable-sketch lesson applied to sampling). */
+  def reservoirByGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 16, "k below 16 estimates nothing")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hv = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    df.select(col(groupCol), hv.as("__h"), valueCol.cast("long").as("__v"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.GraftFunctions
+          .kmin_pairs(col("__h"), col("__v"), k).as("rsv"),
+        count(lit(1)).as("n_total"))
+  }
+
+  /** Positional quantile read-off over a [[reservoirByGroup]] relation —
+    * [[sampledQuantilesByGroup]]'s ⌊p·(m−1)⌋+1 rule with the hash key as
+    * the tie-breaker (the reservoir carries (h, v), not ids). All work is
+    * reservoir-sized. Output: (group, p, q, n_sample, n_total). */
+  def quantilesFromReservoir(
+      rsv: DataFrame,
+      groupCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probs must lie in [0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__v"), col("__h"))
+    val ranked = rsv
+      .select(col(groupCol), col("n_total"), explode(col("rsv")).as("p_"))
+      .select(col(groupCol), col("n_total"),
+        col("p_.h").as("__h"), col("p_.v").as("__v"))
+      .withColumn("__r", row_number().over(w))
+      .localCheckpoint(eager = true) // reservoir-sized; feeds m AND the join
+    val m = ranked.groupBy(col(groupCol)).agg(max(col("__r")).as("m"))
+    import rsv.sparkSession.implicits._
+    val ps = probs.toDF("p")
+    ps.crossJoin(broadcast(m))
+      .select(col(groupCol), col("p"), col("m"),
+        (floor(col("p") * (col("m") - 1)) + 1).cast("int").as("__tr"))
+      .join(ranked, Seq(groupCol))
+      .filter(col("__tr") === col("__r"))
+      .select(col(groupCol), col("p"), col("__v").as("q"),
+        col("m").as("n_sample"), col("n_total"))
+  }
 }

@@ -326,6 +326,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(streamed.collect { case ((`j`, _), c) => c }.sum === n)
   }
 
+  test("streaming k-min reservoir across micro-batches equals the batch sample") {
+    // the q153 claim isolated: kmin_pairs is a mergeable sketch, so the
+    // complete-mode table after N uneven micro-batches must equal the
+    // one-shot batch reservoir over the concatenated stream — and both
+    // must equal the reference sample (k smallest id-hashes) computed
+    // directly. Quantile read-off then agrees by construction.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val rsvStream = graft.operators.Sampling.reservoirByGroup(
+      mem.toDF().toDF("lang", "doc_id", "n_chars"),
+      "lang", "doc_id", org.apache.spark.sql.functions.col("n_chars"), k = 16)
+    val q = rsvStream.writeStream.outputMode("complete")
+      .format("memory").queryName("rsv_stream_out").start()
+    val rows = (0L until 44L).map(i =>
+      (if (i % 2 == 0) "en" else "zh", i, 100L + i))
+    mem.addData(rows.take(15): _*); q.processAllAvailable()
+    mem.addData(rows.slice(15, 19): _*); q.processAllAvailable()
+    mem.addData(rows.drop(19): _*); q.processAllAvailable()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getLong(0), p.getLong(1))), r.getLong(2))).toMap
+    val streamed = canon(spark.table("rsv_stream_out"))
+    q.stop()
+    import spark.implicits._
+    val batch = canon(graft.operators.Sampling.reservoirByGroup(
+      rows.toDF("lang", "doc_id", "n_chars"),
+      "lang", "doc_id", org.apache.spark.sql.functions.col("n_chars"), k = 16))
+    assert(streamed === batch)
+    // reference: the k smallest md5-52bit id hashes per lang, by hand
+    def h52(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    for ((lang, (pairs, nTot)) <- batch) {
+      val want = rows.filter(_._1 == lang)
+        .map(r => (h52(r._2), r._3)).sortBy(_._1).take(16)
+      assert(pairs === want, lang)
+      assert(nTot === rows.count(_._1 == lang).toLong)
+    }
+  }
+
   test("trained quality filter deploys on a stream unchanged (stateless scorer)") {
     // QualityFilter.score is a stateless scan-stage projection, so the
     // SAME call works on a streaming relation in append mode with no

@@ -1276,6 +1276,54 @@ object SparkEntry {
       Sampling.quantilesFromReservoir(rsv, "lang", Seq(0.25, 0.5, 0.9))
     }),
 
+    // Full Gopher document gate (Rae '21 App. A): every rule signal +
+    // per-rule verdict + final keep, one scan-stage projection (no
+    // shuffle). minRequiredHits=1 on this fixture: its 31-token vocab
+    // carries exactly one of the required stopwords ("the"), so the
+    // canonical >=2 would zero r_stop corpus-wide instead of exercising
+    // the rule (defaults stay canonical in the operator).
+    "q154_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(T(s, dir, "documents"), "doc_id", "text",
+        minRequiredHits = 1)),
+
+    // Feature-hashing TF document vectors (Weinberger '09): md5-bucket
+    // ±1-sign token hashing, integer bucket weights, l2-normalized dense
+    // array — the embedding-free on-ramp to the vector family. The
+    // (doc, bucket) shuffle is map-side combinable and the gather is
+    // <= dim entries per doc; the output relation is TOTAL (token-less
+    // docs emit the zero vector).
+    "q155_hashed_tf" -> ((s, dir) =>
+      TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
+        "text", dim = 64)),
+
+    // The vectorizer composed into near-dup: SRP-bucketed cosine pairs
+    // over the hashed-TF vectors — first-pass crawl dedup on raw text
+    // with no embedding model in the loop (the q32 operator fed by q155
+    // instead of the embeddings table). Explicit nPlanes keeps the
+    // bucket key SF-independent for the oracle; 6dp-rounded vector
+    // components make every downstream cosine the same IEEE chain in
+    // both engines.
+    "q156_hashed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(
+        TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
+          "text", dim = 64).select(col("doc_id"), col("vec")),
+        "doc_id", "vec", 0.9, nPlanes = 4, dim = 64)),
+
+    // Source-level reputation over the q154 gate: Wilson 95% lower
+    // confidence bound on per-source keep rate (the "sort by lower
+    // bound" fix — a 3/3 source must not outrank a 10k-doc source at
+    // 95%), ranked with a total-order tiebreak. The group relation is
+    // sources, never documents, so the window is bounded.
+    "q157_source_reputation" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val g = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minRequiredHits = 1)
+      operators.QualityFilter.reputationReport(
+        docs.select(col("doc_id"), col("source"))
+          .join(g.select(col("doc_id"), col("keep")), Seq("doc_id")),
+        "source", col("keep"))
+    }),
+
     // Split-leakage audit + the fix, one lane: under a naive per-document
     // hash split a near-dup pair straddles train/test with prob 1 − Σp²
     // (~34% at 80/10/10) — silent eval contamination. Row 1 measures that
@@ -2187,6 +2235,104 @@ object SparkEntry {
   private def bucketSql(v: String, planes: Array[Array[Double]]): String =
     planes.map(p => s"CASE WHEN ${dotSql(v, planeSql(p))} >= 0 THEN '1' ELSE '0' END")
       .mkString("(", " || ", ")")
+
+  /** CTE replaying [[operators.TextAnalysis.gopherRules]]'s signal +
+    * verdict projection (ends with `gsig`). Every ratio is the same
+    * int-derived IEEE division the Scala side runs; flags are integer
+    * comparisons on them. */
+  private def gopherCteSql(minRequiredHits: Int): String = {
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val hits = required
+      .map(w => s"CASE WHEN (' ' || lower(trim(text)) || ' ') LIKE '% $w %' THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val bullets = Seq("•", "‣", "▶", "- ", "* ")
+      .map(b => s"starts_with(ltrim(l), '$b')").mkString(" OR ")
+    s"""graw AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_words,
+       |    length(regexp_replace(text, '\\s+', '', 'g')) AS n_wchars,
+       |    length(text) - length(regexp_replace(text, '#', '', 'g'))
+       |      AS n_hash,
+       |    CAST((length(text)
+       |        - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+       |      AS BIGINT)
+       |      + CAST(length(text) - length(regexp_replace(text, '…', '', 'g'))
+       |          AS BIGINT) AS n_ell,
+       |    len(string_split(text, chr(10))) AS n_lines,
+       |    len(list_filter(string_split(text, chr(10)),
+       |      l -> $bullets)) AS n_bullet,
+       |    len(list_filter(string_split(text, chr(10)),
+       |      l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+       |      AS n_ellline,
+       |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+       |    CAST($hits AS INT) AS stop_hits
+       |  FROM documents),
+       |gsigr AS (SELECT doc_id, n_words,
+       |    CAST(n_wchars AS DOUBLE)
+       |      / CAST(greatest(n_words, 1) AS DOUBLE) AS mean_word_len,
+       |    CAST(n_hash + n_ell AS DOUBLE)
+       |      / CAST(greatest(n_words, 1) AS DOUBLE) AS symbol_ratio,
+       |    CAST(n_bullet AS DOUBLE)
+       |      / CAST(greatest(n_lines, 1) AS DOUBLE) AS bullet_frac,
+       |    CAST(n_ellline AS DOUBLE)
+       |      / CAST(greatest(n_lines, 1) AS DOUBLE) AS ellipsis_frac,
+       |    CAST(n_alpha AS DOUBLE)
+       |      / CAST(greatest(n_words, 1) AS DOUBLE) AS alpha_frac,
+       |    stop_hits
+       |  FROM graw),
+       |gsig AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       |    bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+       |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+       |      THEN 1 ELSE 0 END AS INT) AS r_words,
+       |    CAST(CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0
+       |      THEN 1 ELSE 0 END AS INT) AS r_mean_len,
+       |    CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS INT)
+       |      AS r_symbol,
+       |    CAST(CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS INT)
+       |      AS r_bullet,
+       |    CAST(CASE WHEN ellipsis_frac <= 0.3 THEN 1 ELSE 0 END AS INT)
+       |      AS r_ellipsis,
+       |    CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS INT)
+       |      AS r_alpha,
+       |    CAST(CASE WHEN stop_hits >= $minRequiredHits
+       |      THEN 1 ELSE 0 END AS INT) AS r_stop
+       |  FROM gsigr)""".stripMargin
+  }
+
+  /** CTE replaying [[operators.TextAnalysis.hashedTfVectors]] (ends with
+    * `vecs(doc_id, n_tokens, vec)`): md5-hex polynomial bucket (the q118
+    * trick — 6 hex digits = conv(.., 16, 10)), sign from hex digit 7,
+    * integer bucket weights, sqrt-of-integer l2 norm, 6dp components. */
+  private def hashedTfCteSql(dim: Int): String = {
+    val poly6 = (1 to 6).map(i =>
+      s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${BigInt(16).pow(6 - i)}")
+      .mkString("(", " + ", ")")
+    s"""htk AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |hhs AS (SELECT doc_id, md5(w) AS hx FROM htk WHERE w <> ''),
+       |hbk AS (SELECT doc_id, $poly6 % $dim AS bucket,
+       |    CASE WHEN substr(hx, 7, 1) < '8' THEN 1 ELSE -1 END AS sign
+       |  FROM hhs),
+       |hag AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS w
+       |  FROM hbk GROUP BY 1, 2),
+       |hnr AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nn
+       |  FROM hag GROUP BY 1),
+       |hnt AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+       |  FROM documents d
+       |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM hhs GROUP BY 1) c
+       |    USING (doc_id)),
+       |hdense AS (SELECT hnt.doc_id, hnt.n_tokens, g.i,
+       |    coalesce(hag.w, 0) AS w, hnr.nn
+       |  FROM hnt CROSS JOIN (SELECT unnest(range($dim)) AS i) g
+       |  LEFT JOIN hag ON hag.doc_id = hnt.doc_id AND hag.bucket = g.i
+       |  LEFT JOIN hnr ON hnr.doc_id = hnt.doc_id),
+       |vecs AS (SELECT doc_id, min(n_tokens) AS n_tokens,
+       |    list(CASE WHEN nn > 0 THEN round(w / nn, 6) ELSE 0.0 END
+       |      ORDER BY i) AS vec
+       |  FROM hdense GROUP BY 1)""".stripMargin
+  }
 
   /** CTE chain re-deriving `Similarity.kmeansCentroids` in DuckDB:
     * md5-ordered bounded sample, first-k init, `iters` Lloyd rounds with
@@ -4215,6 +4361,68 @@ object SparkEntry {
          |JOIN ranked ON m.lang = ranked.lang
          |JOIN tot ON m.lang = tot.lang
          |WHERE CAST(floor(pr.p * (m.n_sample - 1)) + 1 AS INT) = ranked.r""".stripMargin
+    },
+
+    // full Gopher rule replay: every ratio the same int-derived IEEE
+    // division, flags integer comparisons, keep the flag product
+    "q154_gopher_rules" ->
+      s"""WITH ${gopherCteSql(1)}
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+         |  ellipsis_frac, alpha_frac, stop_hits, r_words, r_mean_len,
+         |  r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
+         |  CAST(r_words * r_mean_len * r_symbol * r_bullet * r_ellipsis
+         |    * r_alpha * r_stop AS INT) AS keep
+         |FROM gsig""".stripMargin,
+
+    // hashing-trick vectorizer replay: md5-polynomial buckets, integer
+    // weights, sqrt-of-integer norms, 6dp components
+    "q155_hashed_tf" ->
+      s"""WITH ${hashedTfCteSql(64)}
+         |SELECT doc_id, n_tokens, vec FROM vecs""".stripMargin,
+
+    // q155's vectors re-derived, then the q32 SRP-bucket + pair-cosine
+    // replay with the 4 dim-64 planes inlined as literals
+    "q156_hashed_neardup" -> {
+      val planes = Similarity.hyperplanes(4, 64)
+      s"""WITH ${hashedTfCteSql(64)},
+         |bv AS (SELECT doc_id, vec, ${bucketSql("vec", planes)} AS bucket
+         |  FROM vecs),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${cosSql("a.vec", "b.vec")} AS sim
+         |  FROM bv a JOIN bv b USING (bucket)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(sim, 6) AS sim
+         |FROM pairs WHERE sim >= 0.9""".stripMargin
+    },
+
+    // q154's keep aggregated per source, Wilson 95% lower bound spelled
+    // as the identical IEEE chain (z and z² inlined as round-tripping
+    // double literals), total-order rank on the rounded bound
+    "q157_source_reputation" -> {
+      val z = 1.959963984540054
+      val z2 = z * z
+      s"""WITH ${gopherCteSql(1)},
+         |k AS (SELECT d.source,
+         |    CAST(g.r_words * g.r_mean_len * g.r_symbol * g.r_bullet
+         |      * g.r_ellipsis * g.r_alpha * g.r_stop AS INT) AS keep
+         |  FROM documents d JOIN gsig g USING (doc_id)),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(keep) AS BIGINT) AS n_keep
+         |  FROM k GROUP BY 1),
+         |s AS (SELECT source, n_docs, n_keep,
+         |    CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p,
+         |    CAST(n_docs AS DOUBLE) AS n
+         |  FROM a),
+         |scored AS (SELECT source, n_docs, n_keep,
+         |    round(p, 6) AS keep_rate,
+         |    round((p + $z2 / (2.0 * n)
+         |        - $z * sqrt(p * (1.0 - p) / n + $z2 / (4.0 * n * n)))
+         |      / (1.0 + $z2 / n), 6) AS wilson_lb
+         |  FROM s)
+         |SELECT source, n_docs, n_keep, keep_rate, wilson_lb,
+         |  CAST(row_number() OVER (ORDER BY wilson_lb DESC, source ASC)
+         |    AS INT) AS rnk
+         |FROM scored""".stripMargin
     },
 
     // q150's quartile replay (p = 0.25/0.75, k = 64) feeding Tukey

@@ -254,4 +254,43 @@ object QualityFilter {
         StructField("k", StringType, nullable = false),
         StructField("v", DoubleType, nullable = false))))
   }
+
+  /** Per-group gate-pass reputation with a Wilson score lower bound —
+    * the domain/source-level filtering decision: a raw keep-rate ranks a
+    * 3-doc source that passed 3/3 above a 10k-doc source at 95%, while
+    * the Wilson 95% lower confidence bound (Wilson 1927; the standard
+    * "sort by lower bound" fix) penalizes exactly the small-n groups a
+    * whole-domain drop/keep decision must not trust. Used to decide
+    * which HOSTS to crawl-block or down-weight, where per-document
+    * gating ([[graft.operators.TextAnalysis.gopherRules]]) decides
+    * documents.
+    *
+    * Shape at 100 TB: one map-side-combinable (group, 2-long) aggregate
+    * over the gate column — group count is hosts/sources (bounded),
+    * never documents; the rank is a window over that bounded relation.
+    * Determinism: n/k are exact longs, z is a fixed double literal, so
+    * every derived double is the same IEEE chain in any engine; rounded
+    * 6dp at the boundary with a (bound desc, group asc) total-order rank.
+    *
+    * Output: groupCol, n_docs, n_keep, keep_rate, wilson_lb, rnk. */
+  def reputationReport(
+      df: DataFrame,
+      groupCol: String,
+      keepCol: Column,
+      z: Double = 1.959963984540054): DataFrame = {
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(keepCol === 1).as("n_keep"))
+    val n = col("n_docs").cast("double")
+    val p = col("n_keep").cast("double") / n
+    val z2 = lit(z * z)
+    val lb = (p + z2 / (lit(2.0) * n) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))) /
+      (lit(1.0) + z2 / n)
+    val scored = agg.select(col(groupCol), col("n_docs"), col("n_keep"),
+      round(p, 6).as("keep_rate"), round(lb, 6).as("wilson_lb"))
+    scored.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("wilson_lb").desc, col(groupCol).asc)).cast("int"))
+  }
 }

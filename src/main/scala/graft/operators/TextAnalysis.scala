@@ -1404,4 +1404,149 @@ object TextAnalysis {
             .as("est_diversity"))
     }.reduce(_ unionByName _)
   }
+
+  /** Full Gopher document-quality rule set (Rae et al. 2021, Appendix A —
+    * the standard web-corpus document gate, complementing the
+    * intra-document repetition half already in [[repetitionProfile]]):
+    * word-count band, mean-word-length band, symbol-to-word ratio
+    * (# and … marks), bullet-started and ellipsis-ended line fractions,
+    * alphabetic-word fraction, and the required-stopword presence check.
+    * Emits every signal AND every per-rule verdict, not just the final
+    * gate — threshold tuning and per-rule ablation need the marginals,
+    * and a pipeline that logs only `keep` can't explain a yield drop.
+    *
+    * Shape at 100 TB: one projection — every signal is a codegen'd
+    * builtin over the row's own text (token array + line array built
+    * once each, shared by the lambda counts); no explode, no shuffle, no
+    * state. Composes with any downstream filter/sample without adding an
+    * exchange. Per-row double signals are raw IEEE (identical in any
+    * engine); the verdicts are integer comparisons on them.
+    *
+    * Output: idCol, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    * ellipsis_frac, alpha_frac, stop_hits, r_words, r_mean_len,
+    * r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop, keep. */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      requiredWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minRequiredHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val ws = tokens(t)
+    val nWords = size(ws).cast("long")
+    val wordsDen = greatest(nWords, lit(1L)).cast("double")
+    // total word characters = non-whitespace characters: one regexp
+    // strip instead of a per-token length fold
+    val meanLen = length(regexp_replace(t, "\\s+", "")).cast("double") /
+      wordsDen
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEll =
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long") +
+        (length(t) - length(regexp_replace(t, "…", ""))).cast("long")
+    val symbolRatio = (nHash + nEll).cast("double") / wordsDen
+    val lines = split(t, "\n")
+    val linesDen = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines, l => {
+      val lt = ltrim(l)
+      Seq("•", "‣", "▶", "- ", "* ")
+        .map(b => lt.startsWith(b)).reduce(_ || _)
+    })).cast("double") / linesDen
+    val ellipsisFrac = size(filter(lines, l => {
+      val rt = rtrim(l)
+      rt.endsWith("...") || rt.endsWith("…")
+    })).cast("double") / linesDen
+    val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") /
+      wordsDen
+    val hits = stopwordHits(t, requiredWords)
+    def flag(c: Column): Column = when(c, 1).otherwise(0)
+    df.select(col(idCol),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+        hits.as("stop_hits"))
+      .withColumn("r_words",
+        flag(col("n_words").between(minWords, maxWords)))
+      .withColumn("r_mean_len",
+        flag(col("mean_word_len").between(minMeanWordLen, maxMeanWordLen)))
+      .withColumn("r_symbol", flag(col("symbol_ratio") <= maxSymbolWordRatio))
+      .withColumn("r_bullet", flag(col("bullet_frac") <= maxBulletLineFrac))
+      .withColumn("r_ellipsis",
+        flag(col("ellipsis_frac") <= maxEllipsisLineFrac))
+      .withColumn("r_alpha", flag(col("alpha_frac") >= minAlphaWordFrac))
+      .withColumn("r_stop", flag(col("stop_hits") >= minRequiredHits))
+      .withColumn("keep",
+        col("r_words") * col("r_mean_len") * col("r_symbol") *
+          col("r_bullet") * col("r_ellipsis") * col("r_alpha") *
+          col("r_stop"))
+  }
+
+  /** Feature-hashing (hashing-trick) TF document vectors: every token is
+    * hashed to one of `dim` buckets with a ±1 sign hash, bucket weights
+    * are signed occurrence counts, and the vector is l2-normalized — the
+    * Weinberger '09 vectorizer. This is the embedding-free on-ramp to the
+    * whole vector family ([[graft.operators.Similarity]]): cosine
+    * near-dup, ANN retrieval, and SemDeDup-style clustering all run on
+    * raw text with no model in the loop, which is exactly what a
+    * first-pass 100 TB crawl clean needs (the embedding pass is the
+    * expensive second pass, run on the survivors).
+    *
+    * Determinism/portability: bucket = first-6-hex-digits of md5(token)
+    * mod `dim`, sign = 7th hex digit < '8' — pure md5 arithmetic any
+    * engine replays exactly (the q118 polynomial trick). Bucket weights
+    * are INTEGER sums, so the l2 norm is `sqrt` of an exact integer and
+    * every emitted component is the same IEEE division everywhere,
+    * rounded 6dp only at the output boundary.
+    *
+    * Shape at 100 TB: explode → (doc, bucket) map-side-combinable count
+    * (the shuffle carries ≤ `dim` rows per doc per map task), then one
+    * doc-keyed gather of ≤ `dim` entries into the dense array. The
+    * output relation is TOTAL: token-less documents (empty/whitespace
+    * text) emit the zero vector instead of dropping out.
+    *
+    * Output: idCol, n_tokens, vec (array<double>, l2-normalized, 6dp). */
+  def hashedTfVectors(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0 && dim <= 16777216, // 6 hex digits = 24 bits of bucket
+      "dim must be in [1, 2^24]")
+    val toks = df.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("hx", md5(col("w")))
+      .select(col(idCol),
+        pmod(conv(substring(col("hx"), 1, 6), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"),
+        when(substring(col("hx"), 7, 1) < "8", lit(1L)).otherwise(lit(-1L))
+          .as("sign"))
+    val agg = toks.groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sign")).as("w"))
+    val gathered = agg.groupBy(col(idCol))
+      .agg(sum(col("w") * col("w")).as("ss"),
+        map_from_entries(collect_list(struct(col("bucket"), col("w"))))
+          .as("m"))
+      .select(col(idCol),
+        sqrt(col("ss").cast("double")).as("nn"), col("m"))
+    val nTok = df.select(col(idCol),
+      size(filter(tokens(lower(col(textCol))), w => w =!= ""))
+        .cast("long").as("n_tokens"))
+    nTok.join(gathered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => when(col("nn") > 0,
+              round(coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+                .cast("double") / col("nn"), 6))
+            .otherwise(lit(0.0)))
+          .as("vec"))
+  }
 }

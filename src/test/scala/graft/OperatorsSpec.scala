@@ -2157,4 +2157,88 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(cos === 1.0)
   }
+
+  test("gopherRules: each rule fires on its crafted violator only") {
+    import spark.implicits._
+    val good = (("the data " * 30).trim + " and more words here") // 64 words
+    val short = "the quick and brown"                  // < 50 words
+    val hashy = ("the " * 60).trim + " " + ("#tag " * 10).trim // symbol spam
+    val bullets = (1 to 4).map(i => s"- item number $i").mkString("\n") // all bullet lines
+    val ells = "first line ends...\nsecond also ends...\nthird too..." // 100% ellipsis
+    val nums = ("the " * 10 + "123 " * 50).trim        // <80% alphabetic words
+    val longw = ("the " * 2 + "pneumonoultramicroscopic " * 60).trim // mean len > 10
+    val df = Seq((1L, good), (2L, short), (3L, hashy), (4L, bullets),
+      (5L, ells), (6L, nums), (7L, longw)).toDF("doc_id", "text")
+    val g = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(g(1L).getAs[Int]("keep") === 1)
+    assert(g(2L).getAs[Int]("r_words") === 0)
+    assert(g(3L).getAs[Int]("r_symbol") === 0)
+    assert(g(3L).getAs[Int]("r_words") === 1) // 70 words: only the symbol rule fires
+    assert(g(4L).getAs[Int]("r_bullet") === 0)
+    assert(g(4L).getAs[Double]("bullet_frac") === 1.0)
+    assert(g(5L).getAs[Int]("r_ellipsis") === 0)
+    assert(g(6L).getAs[Int]("r_alpha") === 0)
+    assert(g(7L).getAs[Int]("r_mean_len") === 0)
+    // the required-stopword rule: "the be" alone is 2 hits, "the" is 1
+    val hits = TextAnalysis.gopherRules(
+      Seq((1L, "the be"), (2L, "the xx")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("stop_hits"), r.getAs[Int]("r_stop")))).toMap
+    assert(hits(1L) === ((2, 1)))
+    assert(hits(2L) === ((1, 0)))
+  }
+
+  test("hashedTfVectors: unit norm, bag-of-words invariance, total relation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "ALPHA  beta alpha gamma"), // case/ws/order variant: same bag
+      (3L, "delta epsilon zeta"),
+      (4L, "   ")                      // token-less -> zero vector
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.hashedTfVectors(df, "doc_id", "text", dim = 16)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"),
+          r.getSeq[Double](r.fieldIndex("vec")).toVector))).toMap
+    assert(v.keySet === Set(1L, 2L, 3L, 4L)) // total: the empty doc stays
+    assert(v(4L)._1 === 0L && v(4L)._2.forall(_ === 0.0))
+    assert(v(1L)._2 === v(2L)._2) // bag-of-words + lowercase invariance
+    assert(v(1L)._1 === 4L)
+    v.values.filter(_._1 > 0).foreach { case (_, vec) =>
+      assert(vec.length === 16)
+      val ss = vec.map(x => x * x).sum
+      assert(math.abs(ss - 1.0) < 1e-5, s"norm^2 = $ss") // 6dp rounding slack
+    }
+    // the composition path: identical bags collide in every SRP bucket and
+    // score cosine 1.0 through embeddingNearDupPairs
+    val pairs = Similarity.embeddingNearDupPairs(
+      TextAnalysis.hashedTfVectors(df, "doc_id", "text", dim = 16)
+        .select($"doc_id", $"vec"),
+      "doc_id", "vec", 0.99, nPlanes = 2, dim = 16).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("sim") === 1.0)
+  }
+
+  test("reputationReport: Wilson lower bound demotes tiny perfect groups") {
+    import spark.implicits._
+    // src_small: 3/3 keep (rate 1.0); src_big: 95/100 (rate 0.95). The raw
+    // rate ranks small first; the 95% lower bound must rank big first
+    // (LB(3/3) ~ 0.44, LB(95/100) ~ 0.887).
+    val rows = (1 to 3).map(i => (s"s$i", "src_small", 1)) ++
+      (1 to 100).map(i => (s"b$i", "src_big", if (i <= 95) 1 else 0))
+    val df = rows.toDF("doc_id", "source", "keep")
+    val r = operators.QualityFilter.reputationReport(df, "source", $"keep")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(r("src_big").getAs[Int]("rnk") === 1)
+    assert(r("src_small").getAs[Int]("rnk") === 2)
+    assert(r("src_big").getAs[Long]("n_keep") === 95L)
+    assert(r("src_small").getAs[Double]("keep_rate") === 1.0)
+    val lbBig = r("src_big").getAs[Double]("wilson_lb")
+    val lbSmall = r("src_small").getAs[Double]("wilson_lb")
+    assert(lbBig > 0.88 && lbBig < 0.90)
+    assert(lbSmall > 0.43 && lbSmall < 0.45)
+  }
 }

@@ -21,9 +21,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
     if len(df) == 0:
         return df
+    # list/array cells (ANN signatures, hashed-TF vectors) are unhashable
+    # and break pandas' lexsort — canonicalize them to tuples, which sort
+    # and compare element-wise exactly like the driver's value hashing
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda x: isinstance(x, (list, tuple)) or
+                hasattr(x, "__len__") and not isinstance(x, str)).any():
+            df[c] = df[c].map(
+                lambda x: tuple(x) if not isinstance(x, (str, bytes))
+                and hasattr(x, "__len__") else x)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 

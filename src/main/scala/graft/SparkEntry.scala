@@ -1299,15 +1299,17 @@ object SparkEntry {
     // The vectorizer composed into near-dup: SRP-bucketed cosine pairs
     // over the hashed-TF vectors — first-pass crawl dedup on raw text
     // with no embedding model in the loop (the q32 operator fed by q155
-    // instead of the embeddings table). Explicit nPlanes keeps the
-    // bucket key SF-independent for the oracle; 6dp-rounded vector
-    // components make every downstream cosine the same IEEE chain in
-    // both engines.
+    // instead of the embeddings table). Plane count auto-derived from
+    // the corpus (bucket population held ~64 as the corpus grows — the
+    // linear-overall configuration; a fixed p=4 measured 58 s at sf0.1,
+    // the quadratic within-bucket cliff the derivation exists to avoid).
+    // 6dp-rounded vector components make every downstream cosine the
+    // same IEEE chain in both engines.
     "q156_hashed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
           "text", dim = 64).select(col("doc_id"), col("vec")),
-        "doc_id", "vec", 0.9, nPlanes = 4, dim = 64)),
+        "doc_id", "vec", 0.9, dim = 64)),
 
     // Source-level reputation over the q154 gate: Wilson 95% lower
     // confidence bound on per-source keep rate (the "sort by lower
@@ -1323,6 +1325,18 @@ object SparkEntry {
           .join(g.select(col("doc_id"), col("keep")), Seq("doc_id")),
         "source", col("keep"))
     }),
+
+    // The q148 cap-audit move applied to the vector family: SRP bucket
+    // population profile over the q155 hashed-TF vectors — the exact
+    // candidate-pair mass q156's within-bucket stage would evaluate, plus
+    // the top-bucket concentration that says whether direction buckets
+    // (SRP) or population-balanced cells (q65 SemDeDup k-means) are the
+    // right pair generator for THIS corpus. 1 row out, one map-side agg.
+    "q158_srp_bucket_profile" -> ((s, dir) =>
+      Similarity.srpBucketProfile(
+        TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
+          "text", dim = 64).select(col("doc_id"), col("vec")),
+        "doc_id", "vec", dim = 64)),
 
     // Split-leakage audit + the fix, one lane: under a naive per-document
     // hash split a near-dup pair straddles train/test with prob 1 − Σp²
@@ -4381,11 +4395,20 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, vec FROM vecs""".stripMargin,
 
     // q155's vectors re-derived, then the q32 SRP-bucket + pair-cosine
-    // replay with the 4 dim-64 planes inlined as literals
+    // replay: plane count p auto-derived from count(*) with the same
+    // integer bit-length arithmetic as Similarity.autoPlanesTwoLevel,
+    // the bucket a substr(48-plane bit string, 1, p) prefix (hyperplanes
+    // fills plane-major from one seeded stream)
     "q156_hashed_neardup" -> {
-      val planes = Similarity.hyperplanes(4, 64)
+      val planes = Similarity.hyperplanes(48, 64)
       s"""WITH ${hashedTfCteSql(64)},
-         |bv AS (SELECT doc_id, vec, ${bucketSql("vec", planes)} AS bucket
+         |pp AS (SELECT CAST(LEAST(48, GREATEST(1,
+         |    CASE WHEN q <= 1 THEN 1
+         |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
+         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM vecs)),
+         |bv AS (SELECT doc_id, vec,
+         |    substr(${bucketSql("vec", planes)}, 1, (SELECT p FROM pp))
+         |      AS bucket
          |  FROM vecs),
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    ${cosSql("a.vec", "b.vec")} AS sim
@@ -4423,6 +4446,29 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY wilson_lb DESC, source ASC)
          |    AS INT) AS rnk
          |FROM scored""".stripMargin
+    },
+
+    // q156's bucket relation re-derived (same auto-p prefix), then the
+    // population fold: candidate-pair mass and top-bucket concentration
+    "q158_srp_bucket_profile" -> {
+      val planes = Similarity.hyperplanes(48, 64)
+      s"""WITH ${hashedTfCteSql(64)},
+         |pp AS (SELECT CAST(LEAST(48, GREATEST(1,
+         |    CASE WHEN q <= 1 THEN 1
+         |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
+         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM vecs)),
+         |bv AS (SELECT substr(${bucketSql("vec", planes)}, 1,
+         |    (SELECT p FROM pp)) AS bucket
+         |  FROM vecs),
+         |pops AS (SELECT bucket, count(*) AS n FROM bv GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_vecs,
+         |  (SELECT p FROM pp) AS n_planes,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(n) AS BIGINT) AS max_pop,
+         |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs,
+         |  round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+         |    AS top_frac
+         |FROM pops""".stripMargin
     },
 
     // q150's quartile replay (p = 0.25/0.75, k = 64) feeding Tukey

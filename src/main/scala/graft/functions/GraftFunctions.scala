@@ -22,6 +22,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sqdist", exprs => VecL2Sq(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmin_values", exprs =>
         KMinValues(exprs.head, intArg(exprs, 1, 256)).toAggregateExpression(),
       "built-in")
@@ -60,6 +64,23 @@ object GraftFunctions {
 
   /** 64-bit SimHash of a token array as 16 hex chars (codegen'd kernel). */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Codegen'd dot product Σ a(i)·b(i) over two array<double> columns —
+    * the same left-to-right IEEE fold as `aggregate(zip_with(a, b, _*_),
+    * 0.0, _+_)`, minus the interpreted-lambda and zip-materialization
+    * cost. Self-registers: pure Column helpers have no DataFrame to hang
+    * a registration on. */
+  def graft_dot(a: Column, b: Column): Column = {
+    register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_dot", a, b)
+  }
+
+  /** Codegen'd squared euclidean distance Σ (a(i)−b(i))² (see
+    * [[graft_dot]] for the fold contract). */
+  def graft_sqdist(a: Column, b: Column): Column = {
+    register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_sqdist", a, b)
+  }
 
   /** Unicode NFC canonical composition (codegen'd; ASCII rows are an
     * allocation-free identity). */

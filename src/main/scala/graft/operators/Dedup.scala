@@ -621,6 +621,7 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol),
       Similarity.asDouble(col(vecCol)).as("__v"))
     val b = bench.select(Similarity.asDouble(col(vecCol)).as("__bv"))

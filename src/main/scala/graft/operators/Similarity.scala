@@ -25,13 +25,18 @@ object Similarity {
     * arithmetic in double, matching any SQL oracle). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.graft_dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Register graft's codegen expressions on the session that will ANALYZE
+    * the plan — [[dot]]/[[norm]]/[[cosine]] resolve `graft_dot` through the
+    * session FunctionRegistry, and a fresh session (`newSession()`, a serve
+    * job) does not inherit another session's temp functions. Idempotent. */
+  private def ensureFns(s: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.GraftFunctions.register(s)
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -44,6 +49,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    ensureFns(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("id") =!= col("q_id"))
@@ -96,6 +102,7 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       nTables: Int = 1): DataFrame = {
+    ensureFns(corpus.sparkSession)
     require(nTables >= 1, "nTables must be >= 1")
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
@@ -146,6 +153,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    ensureFns(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("id") =!= col("q_id"))
@@ -163,6 +171,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    ensureFns(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
@@ -206,6 +215,7 @@ object Similarity {
       vecCol: String,
       labelCol: String,
       k: Int): DataFrame = {
+    ensureFns(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       col(labelCol).as("neg_label"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"),
@@ -248,6 +258,7 @@ object Similarity {
       vecCol: String,
       labelCol: String,
       sideExpr: Column): DataFrame = {
+    ensureFns(df.sparkSession)
     val dims = df.select(col(labelCol).as("label"), sideExpr.as("in_p"),
       posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
     val means = dims.groupBy(col("label"), col("dim"))
@@ -265,9 +276,7 @@ object Similarity {
           s => s.getField("mq")).as("vq"),
         max(col("np_")).as("n_p"), max(col("nq_")).as("n_q"))
     packed.select(col("label").as(labelCol), col("n_p"), col("n_q"),
-      round(sqrt(aggregate(zip_with(col("vp"), col("vq"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z)), 6)
-        .as("l2_shift"),
+      round(sqrt(l2(col("vp"), col("vq"))), 6).as("l2_shift"),
       round(cosine(col("vp"), col("vq")), 6).as("cos_sim"))
   }
 
@@ -356,6 +365,7 @@ object Similarity {
       k: Int,
       sampleSize: Int = 64,
       iters: Int = 2): Array[(Int, Seq[Double])] = {
+    ensureFns(corpus.sparkSession)
     val samp = sortedSample(corpus, idCol, vecCol, sampleSize)
     require(samp.nonEmpty, "kmeansCentroids: empty corpus")
     lloyd(samp, k, iters, cosS, _ > _)
@@ -498,6 +508,7 @@ object Similarity {
       k: Int,
       nCentroids: Int = 8,
       nProbe: Int = 2): DataFrame = {
+    ensureFns(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
@@ -543,6 +554,7 @@ object Similarity {
       k: Int,
       sampleSize: Int = 64,
       iters: Int = 2): Array[Array[(Int, Seq[Double])]] = {
+    ensureFns(corpus.sparkSession)
     val samp = sortedSample(corpus, idCol, vecCol, sampleSize)
     require(samp.nonEmpty, "pqCodebooks: empty corpus")
     val dim = samp.head.length
@@ -556,8 +568,7 @@ object Similarity {
 
   /** Squared-L2 column fold between two equal-length double arrays. */
   private def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.graft_sqdist(a, b)
 
   /** PQ-encode (id, v, carry...) rows: `m` one-byte codes per row, argmin
     * squared-L2 to each subspace codebook — a pure scan-stage expression,
@@ -626,6 +637,7 @@ object Similarity {
       m: Int = 8,
       codebookSize: Int = 8,
       sampleSize: Int = 64): DataFrame = {
+    ensureFns(corpus.sparkSession)
     val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sampleSize)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val codes = pqEncode(c, books, Nil)
@@ -654,6 +666,7 @@ object Similarity {
       vecCol: String,
       candidates: DataFrame,
       k: Int): DataFrame = {
+    ensureFns(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val cand = candidates.select(col("q_id"), col("id"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
@@ -680,6 +693,7 @@ object Similarity {
       codebookSize: Int = 8,
       candidateFactor: Int = 4,
       sampleSize: Int = 64): DataFrame = {
+    ensureFns(corpus.sparkSession)
     require(candidateFactor >= 1, "candidateFactor must be >= 1")
     val cand = pqTopK(corpus, queries, idCol, vecCol, k * candidateFactor,
       m, codebookSize, sampleSize)
@@ -711,6 +725,7 @@ object Similarity {
       m: Int = 8,
       codebookSize: Int = 8,
       sampleSize: Int = 64): DataFrame = {
+    ensureFns(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
@@ -879,6 +894,7 @@ object Similarity {
       m: Int = 8,
       codebookSize: Int = 8,
       sampleSize: Int = 64): Unit = {
+    ensureFns(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
@@ -934,6 +950,7 @@ object Similarity {
       vecCol: String,
       k: Int,
       nProbe: Int = 2): DataFrame = {
+    ensureFns(spark)
     import spark.implicits._
     val centroids = readCentroids(spark, indexDir)
     val books = readCodebooks(spark, indexDir)
@@ -991,6 +1008,7 @@ object Similarity {
       delta: DataFrame,
       idCol: String,
       vecCol: String): Unit = {
+    ensureFns(spark)
     val centroids = readCentroids(spark, indexDir)
     val books = readCodebooks(spark, indexDir)
     require(centroids.nonEmpty && books.nonEmpty,
@@ -1019,6 +1037,7 @@ object Similarity {
       k: Int,
       nProbe: Int = 2,
       candidateFactor: Int = 4): DataFrame = {
+    ensureFns(spark)
     require(candidateFactor >= 1, "candidateFactor must be >= 1")
     val cand = ivfPqTopKFromIndex(spark, indexDir, queries, idCol, vecCol,
       k * candidateFactor, nProbe)
@@ -1062,6 +1081,7 @@ object Similarity {
       nCentroids: Int = 0,
       targetCellSize: Int = 64,
       maxFlatCells: Int = MaxFlatCells): DataFrame = {
+    ensureFns(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val want: Long =
       if (nCentroids > 0) nCentroids.toLong
@@ -1124,6 +1144,7 @@ object Similarity {
       seed: Long = 42L,
       targetBucketSize: Int = 64,
       maxPlanesPerLevel: Int = MaxAutoPlanes): DataFrame = {
+    ensureFns(corpus.sparkSession)
     val p =
       if (nPlanes > 0) nPlanes
       else autoPlanesTwoLevel(corpus.count(), targetBucketSize,
@@ -1139,5 +1160,53 @@ object Similarity {
         cosine(col("v_a"), col("v_b")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** 1-row SRP bucket-population audit — the vector-family counterpart of
+    * [[graft.operators.Dedup.shingleCapReport]]: [[autoPlanesTwoLevel]]
+    * holds the MEAN bucket population at ~targetBucketSize, but SRP splits
+    * by DIRECTION, so a direction-concentrated corpus (hashed-TF vectors
+    * over a small vocabulary, templated embeddings) piles into few sign
+    * patterns no matter how many planes are appended — and the
+    * within-bucket all-pairs stage of [[embeddingNearDupPairs]] then
+    * tracks true cluster mass, not n/2^p (measured: the q156 fixture's
+    * top bucket holds ~27% of all vectors at every SF; fourth-decade
+    * exponent 1.34). This audit makes that cliff measurable BEFORE the
+    * pair join runs: `cand_pairs` is exactly the number of cosine
+    * evaluations the pair stage would do, and a `top_frac` near 1 says
+    * "route to [[semDeDup]]'s k-means cells (population-balanced by
+    * construction) instead of direction buckets".
+    *
+    * Cost: the bucket projection the pair stage already does, one
+    * (bucket, count) aggregate (map-side combinable), one 1-row fold.
+    *
+    * Output: n_vecs, n_planes, n_buckets, max_pop, cand_pairs, top_frac. */
+  def srpBucketProfile(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 0,
+      dim: Int = 64,
+      seed: Long = 42L,
+      targetBucketSize: Int = 64,
+      maxPlanesPerLevel: Int = MaxAutoPlanes): DataFrame = {
+    ensureFns(corpus.sparkSession)
+    val p =
+      if (nPlanes > 0) nPlanes
+      else autoPlanesTwoLevel(corpus.count(), targetBucketSize,
+        maxPlanesPerLevel)
+    val planes = hyperplanes(p, dim, seed)
+    corpus.select(asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), planes))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).cast("long").as("n_vecs"),
+        count(lit(1)).cast("long").as("n_buckets"),
+        max(col("n")).cast("long").as("max_pop"),
+        sum(expr("n * (n - 1) DIV 2")).cast("long").as("cand_pairs"),
+        round(max(col("n")).cast("double") /
+          sum(col("n")).cast("double"), 6).as("top_frac"))
+      .select(col("n_vecs"), lit(p).as("n_planes"), col("n_buckets"),
+        col("max_pop"), col("cand_pairs"), col("top_frac"))
   }
 }

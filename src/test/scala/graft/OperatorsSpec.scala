@@ -2241,4 +2241,89 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(lbBig > 0.88 && lbBig < 0.90)
     assert(lbSmall > 0.43 && lbSmall < 0.45)
   }
+
+  test("srpBucketProfile: candidate mass equals the pair stage's work") {
+    import spark.implicits._
+    // two tight direction clusters + one singleton: with p=1 plane the
+    // profile must report the exact Σ n(n-1)/2 the pair join would score
+    val mk = (base: Seq[Double], eps: Double) =>
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 0) eps else 0.0) }
+    val a = Seq(1.0, 0.2, 0.1, 0.0)
+    val b = Seq(-1.0, -0.3, 0.2, 0.1)
+    val rows = (0 until 5).map(i => (i.toLong, mk(a, i * 0.01))) ++
+      (5 until 8).map(i => (i.toLong, mk(b, (i - 5) * 0.01)))
+    val df = rows.toDF("id", "v")
+    val prof = Similarity.srpBucketProfile(df, "id", "v",
+      nPlanes = 1, dim = 4).collect().head
+    assert(prof.getAs[Long]("n_vecs") === 8L)
+    assert(prof.getAs[Int]("n_planes") === 1)
+    // exact candidate mass: whatever the 1-plane split is, Σ n(n-1)/2 must
+    // equal the count of within-bucket pairs the join emits
+    val pairsEmitted = Similarity.embeddingNearDupPairs(df, "id", "v",
+      threshold = -1.0, nPlanes = 1, dim = 4).count()
+    assert(prof.getAs[Long]("cand_pairs") === pairsEmitted)
+    assert(prof.getAs[Long]("max_pop") >= 4L) // one cluster dominates
+    assert(prof.getAs[Double]("top_frac") ===
+      prof.getAs[Long]("max_pop").toDouble / 8.0)
+    // auto-p path: tiny corpus derives p=1 and stays total
+    val auto = Similarity.srpBucketProfile(df, "id", "v", dim = 4)
+      .collect().head
+    assert(auto.getAs[Int]("n_planes") === 1)
+    assert(auto.getAs[Long]("n_vecs") === 8L)
+  }
+
+  test("VecFold codegen == HOF fold bit-for-bit, incl. null semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{aggregate, zip_with, lit, expr}
+    graft.functions.GraftFunctions.register(spark)
+    // adversarial doubles: denormals, huge/small magnitude mixes where
+    // summation ORDER changes the result, negatives, exact binary fracs
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 64).map { i =>
+      (i.toLong, Vector.fill(17)(
+        (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(20) - 10)))
+    }
+    val df = vecs.toDF("id", "v")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .selectExpr("a.v AS x", "b.v AS y")
+    val cmp = pairs.select(
+      expr("graft_dot(x, y)").as("cg_dot"),
+      aggregate(zip_with($"x", $"y", (p, q) => p * q), lit(0.0),
+        (acc, p) => acc + p).as("hof_dot"),
+      expr("graft_sqdist(x, y)").as("cg_l2"),
+      aggregate(zip_with($"x", $"y", (p, q) => (p - q) * (p - q)), lit(0.0),
+        (acc, p) => acc + p).as("hof_l2")).collect()
+    cmp.foreach { r =>
+      // bit-for-bit: compare raw long bits, not approximate equality
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+    }
+    // null semantics match the HOF chain: length mismatch / null element /
+    // null array all poison the fold to null
+    val edge = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d)) AS len_mismatch,
+        |  graft_dot(array(1.0d, cast(null as double)), array(1.0d, 1.0d))
+        |    AS null_elem,
+        |  graft_dot(cast(null as array<double>), array(1.0d)) AS null_arr,
+        |  graft_dot(cast(array() as array<double>),
+        |    cast(array() as array<double>)) AS empty,
+        |  graft_sqdist(array(1.0d, 2.0d), array(3.0d)) AS l2_mismatch
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    assert(edge.getDouble(3) === 0.0)
+    assert(edge.isNullAt(4))
+    // interpreted path (eval) agrees with codegen: force via filter on a
+    // literal-foldable context
+    val lit2 = graft.functions.VecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.5, -2.25), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(4.0, 8.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))).eval()
+    assert(lit2 === (1.5 * 4.0 + (-2.25) * 8.0))
+  }
 }

@@ -35,7 +35,8 @@ object PlanDump {
       "q137_corpus_datasheet", "q140_filter_calibration",
       "q141_sample_estimate", "q147_ngram_diversity_kmv",
       "q149_sampled_quantiles", "q150_grouped_quantiles",
-      "q152_length_outliers")
+      "q152_length_outliers", "q154_gopher_rules", "q155_hashed_tf",
+      "q156_hashed_neardup", "q158_srp_bucket_profile")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

@@ -1326,6 +1326,33 @@ object SparkEntry {
         "source", col("keep"))
     }),
 
+    // Temperature-scaled source mixture (XLM-R/mT5 balancing): share_i
+    // ∝ p_i^(1/2) via the dyadic sqrt chain (IEEE-exact — pow is not
+    // cross-engine stable), fixed-order fold for the normalizer. boost
+    // is the per-source up/down-sampling factor the trainer applies.
+    "q161_temperature_mixture" -> ((s, dir) =>
+      Sampling.temperatureMixture(T(s, dir, "documents"), "source")),
+
+    // Binary-quantization ANN: sign bits packed to two longs (32× memory
+    // vs float32 — at 100 TB the codes fit where vectors cannot), Hamming
+    // shortlist via codegen'd bit_count(xor), exact-cosine rerank over
+    // k·factor candidates only. The q38 output contract.
+    "q160_binary_ann_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.binarySignTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", 10, rerankFactor = 8, dim = 64)
+    }),
+
+    // q155 with smooth-idf re-weighting (sklearn TfidfTransformer
+    // formula): common-token buckets down-weighted, which is exactly
+    // what spreads the q158-measured direction concentration back out.
+    // idf is ln-derived so it is 6dp-snapped BEFORE use (q113 firewall);
+    // the l2 norm is an index-order graft_dot fold, never a group-by
+    // double sum.
+    "q159_hashed_tfidf" -> ((s, dir) =>
+      TextAnalysis.hashedTfIdfVectors(T(s, dir, "documents"), "doc_id",
+        "text", dim = 64)),
+
     // The q148 cap-audit move applied to the vector family: SRP bucket
     // population profile over the q155 hashed-TF vectors — the exact
     // candidate-pair mass q156's within-bucket stage would evaluate, plus
@@ -4447,6 +4474,90 @@ object SparkEntry {
          |    AS INT) AS rnk
          |FROM scored""".stripMargin
     },
+
+    // counts → p → sqrt chain → group-ordered list_reduce normalizer:
+    // the identical fixed-order fold (first-element seed == 0.0 seed)
+    "q161_temperature_mixture" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+        |s AS (SELECT source, n_docs,
+        |    CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p
+        |  FROM c CROSS JOIN t),
+        |w AS (SELECT source, n_docs, p, sqrt(p) AS w FROM s),
+        |tw AS (SELECT list_reduce(list(w ORDER BY source),
+        |    (acc, x) -> acc + x) AS tw FROM w)
+        |SELECT source, n_docs, round(p, 6) AS p,
+        |  round(w / tw, 6) AS share,
+        |  round(w / tw / p, 4) AS boost
+        |FROM w CROSS JOIN tw""".stripMargin,
+
+    // sign packing as the identical 32-term power-of-two sums, Hamming
+    // via bit_count(xor), both windows with the same id tiebreaks
+    "q160_binary_ann_topk" -> {
+      def halfSql(v: String, lo: Int, hi: Int): String =
+        (lo until hi).map(i =>
+          s"CASE WHEN $v[${i + 1}] >= 0 THEN ${1L << (hi - 1 - i)} ELSE 0 END")
+          .mkString("(", " + ", ")")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |codes AS (SELECT id, v,
+         |    CAST(${halfSql("v", 0, 32)} AS BIGINT) AS hi,
+         |    CAST(${halfSql("v", 32, 64)} AS BIGINT) AS lo
+         |  FROM e),
+         |q AS (SELECT id AS q_id, v AS qv, hi AS qhi, lo AS qlo
+         |  FROM codes WHERE id < 5),
+         |short AS (SELECT q.q_id, c.id,
+         |    bit_count(xor(c.hi, q.qhi)) + bit_count(xor(c.lo, q.qlo)) AS hd
+         |  FROM codes c CROSS JOIN q WHERE c.id <> q.q_id),
+         |cand AS (SELECT q_id, id FROM (
+         |    SELECT q_id, id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY hd ASC, id ASC) AS hrn
+         |    FROM short) t WHERE hrn <= 80),
+         |scored AS (SELECT cand.q_id, cand.id,
+         |    ${cosSql("c.v", "q.qv")} AS sim
+         |  FROM cand JOIN codes c ON c.id = cand.id
+         |  JOIN q ON q.q_id = cand.q_id),
+         |ranked AS (SELECT q_id, id, sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, id ASC) AS rn
+         |  FROM scored)
+         |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
+         |FROM ranked WHERE rn <= 10""".stripMargin
+    },
+
+    // q155's bucket weights re-derived, then the smooth-idf chain:
+    // 6dp-snapped ln idf, u = w·idf, index-order list_reduce norm
+    // (first-element-seeded fold == the 0.0-seeded loop: 0.0 + x = x)
+    "q159_hashed_tfidf" ->
+      s"""WITH ${hashedTfCteSql(64)},
+         |hN AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |hdf AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS df_
+         |  FROM hag WHERE w <> 0 GROUP BY 1),
+         |hidf AS (SELECT bucket,
+         |    round(ln((n_docs + 1.0) / (df_ + 1.0)) + 1.0, 6) AS idf
+         |  FROM hdf CROSS JOIN hN),
+         |hu AS (SELECT hag.doc_id, hag.bucket,
+         |    CAST(hag.w AS DOUBLE) * hidf.idf AS u
+         |  FROM hag JOIN hidf USING (bucket)),
+         |hud AS (SELECT hnt.doc_id, hnt.n_tokens, g.i,
+         |    coalesce(hu.u, 0.0) AS u
+         |  FROM hnt CROSS JOIN (SELECT unnest(range(64)) AS i) g
+         |  LEFT JOIN hu ON hu.doc_id = hnt.doc_id AND hu.bucket = g.i),
+         |harr AS (SELECT doc_id, min(n_tokens) AS n_tokens,
+         |    list(u ORDER BY i) AS u_arr
+         |  FROM hud GROUP BY 1),
+         |hnorm AS (SELECT doc_id, n_tokens, u_arr,
+         |    sqrt(list_reduce(list_transform(u_arr, x -> x * x),
+         |      (acc, z) -> acc + z)) AS nn
+         |  FROM harr)
+         |SELECT doc_id, n_tokens,
+         |  list_transform(u_arr,
+         |    x -> CASE WHEN nn > 0 THEN round(x / nn, 6) ELSE 0.0 END)
+         |    AS vec
+         |FROM hnorm""".stripMargin,
 
     // q156's bucket relation re-derived (same auto-p prefix), then the
     // population fold: candidate-pair mass and top-bucket concentration

@@ -770,4 +770,64 @@ object Sampling {
       .select(col(groupCol), col("p"), col("__v").as("q"),
         col("m").as("n_sample"), col("n_total"))
   }
+
+  /** x^(num/den) for dyadic exponents as a FIXED chain of IEEE-correctly-
+    * rounded ops — `sqrt` is exactly rounded by IEEE-754 (unlike `pow`,
+    * whose last-ulp behavior differs across libms), so the chain below is
+    * bit-identical in any engine that replays it op for op:
+    * 1/1 → x; 1/2 → sqrt(x); 1/4 → sqrt(sqrt(x));
+    * 3/4 → sqrt(x)·sqrt(sqrt(x)).
+    * The composed chains are the operator's CONTRACT (deterministic),
+    * not a claim of correctly-rounded x^0.75. */
+  private[operators] def dyadicPow(x: Column, num: Int, den: Int): Column =
+    (num, den) match {
+      case (1, 1) => x
+      case (1, 2) => sqrt(x)
+      case (1, 4) => sqrt(sqrt(x))
+      case (3, 4) => sqrt(x) * sqrt(sqrt(x))
+      case _ => throw new IllegalArgumentException(
+        s"dyadic exponent $num/$den not in {1/1, 1/2, 1/4, 3/4}")
+    }
+
+  /** Temperature-scaled mixture weights over a bounded group column —
+    * the multilingual/source balancing rule (XLM-R / mT5, public):
+    * sampling share_i ∝ p_i^α with α = 1/T < 1 up-weights tail groups a
+    * raw-proportion mixture starves. α is restricted to dyadic values
+    * ([[dyadicPow]]) so the share chain is bit-replayable — `pow` with
+    * an arbitrary exponent is not cross-engine stable, and this operator
+    * feeds gates that hash-compare.
+    *
+    * Determinism: p_i = n_i/N over exact longs; Σ w_j is a FIXED-ORDER
+    * fold over the group-sorted weight list (a group-by double sum has
+    * engine-dependent order), which is fine precisely because the group
+    * relation is bounded (languages/sources — the q150 contract).
+    *
+    * Output: groupCol, n_docs, p (6dp), share (6dp), boost (4dp) — boost
+    * = share/p, the effective up/down-sampling factor (epochs per epoch)
+    * the trainer applies to that group's data. */
+  def temperatureMixture(
+      df: DataFrame,
+      groupCol: String,
+      alphaNum: Int = 1,
+      alphaDen: Int = 2): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+    val scored = counts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("p"))
+      .withColumn("w", dyadicPow(col("p"), alphaNum, alphaDen))
+    val totalW = scored
+      .agg(aggregate(
+        transform(
+          sort_array(collect_list(struct(col(groupCol), col("w")))),
+          s => s.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("tw"))
+    scored.crossJoin(broadcast(totalW))
+      .select(col(groupCol), col("n_docs"),
+        round(col("p"), 6).as("p"),
+        round(col("w") / col("tw"), 6).as("share"),
+        round(col("w") / col("tw") / col("p"), 4).as("boost"))
+  }
 }

@@ -1162,6 +1162,73 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Pack per-coordinate sign bits (v_i ≥ 0 → 1) of a `dim ≤ 64` vector
+    * into two 32-bit halves carried as longs — binary quantization in its
+    * simplest, engine-portable form. Exact integer arithmetic: a 32-term
+    * sum of distinct powers of two per half, codegen'd, no hashing. */
+  private def signHalves(v: Column, dim: Int): (Column, Column) = {
+    require(dim >= 1 && dim <= 64, "sign packing supports dim in [1, 64]")
+    def half(lo: Int, hi: Int): Column =
+      (lo until hi).map { i =>
+        // element_at is 1-based; bit (hi-1-i) keeps the string order
+        when(element_at(v, i + 1) >= 0, lit(1L << (hi - 1 - i)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val mid = math.min(32, dim)
+    (half(0, mid), if (dim > 32) half(32, dim) else lit(0L))
+  }
+
+  /** Binary-quantization ANN: corpus vectors compressed to their
+    * coordinate SIGN BITS (dim ≤ 64 → two packed longs, a 32× memory
+    * reduction over float32), candidates selected by Hamming distance
+    * (`bit_count(xor)` on the packed halves — one codegen'd scan, no
+    * vector arithmetic), then an exact-cosine rerank over only the
+    * `k · rerankFactor` shortlisted rows per query. The memory story IS
+    * the scale story: at 100 TB of embeddings the sign codes fit where
+    * raw vectors cannot (8 bytes/vec at dim 64), the Hamming scan is
+    * integer-only, and raw vectors are touched for shortlist·queries
+    * rows. Quality dial: rerankFactor (recall@k rises with the shortlist;
+    * RecallSpec pins it against brute force). Both stages break ties by
+    * id ascending, so the lane is an exact replayable function.
+    *
+    * Output: (q_id, id, rank, sim) — the q38 ANN contract. */
+  def binarySignTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerankFactor: Int = 4,
+      dim: Int = 64): DataFrame = {
+    ensureFns(corpus.sparkSession)
+    val (chi, clo) = signHalves(asDouble(col(vecCol)), dim)
+    val codes = corpus.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"), chi.as("hi"), clo.as("lo"))
+    val q = queries.select(col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("qv"), chi.as("qhi"), clo.as("qlo"))
+    val shortlist = codes.select(col("id"), col("hi"), col("lo"))
+      .crossJoin(broadcast(q.select(col("q_id"), col("qhi"), col("qlo"))))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        (bit_count(col("hi").bitwiseXOR(col("qhi"))) +
+          bit_count(col("lo").bitwiseXOR(col("qlo")))).as("hd"))
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("hd").asc, col("id").asc)
+    val cand = shortlist.withColumn("hrn", row_number().over(wH))
+      .filter(col("hrn") <= k * rerankFactor)
+      .select(col("q_id"), col("id"))
+    val scored = cand
+      .join(codes.select(col("id"), col("v")), Seq("id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .select(col("q_id"), col("id"), cosine(col("v"), col("qv")).as("sim"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** 1-row SRP bucket-population audit — the vector-family counterpart of
     * [[graft.operators.Dedup.shingleCapReport]]: [[autoPlanesTwoLevel]]
     * holds the MEAN bucket population at ~targetBucketSize, but SRP splits

@@ -1518,34 +1518,111 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       dim: Int = 64): DataFrame = {
-    require(dim > 0 && dim <= 16777216, // 6 hex digits = 24 bits of bucket
-      "dim must be in [1, 2^24]")
-    val toks = df.select(col(idCol),
-        explode(tokens(lower(col(textCol)))).as("w"))
-      .filter(col("w") =!= "")
-      .withColumn("hx", md5(col("w")))
-      .select(col(idCol),
-        pmod(conv(substring(col("hx"), 1, 6), 16, 10).cast("long"),
-          lit(dim.toLong)).as("bucket"),
-        when(substring(col("hx"), 7, 1) < "8", lit(1L)).otherwise(lit(-1L))
-          .as("sign"))
-    val agg = toks.groupBy(col(idCol), col("bucket"))
-      .agg(sum(col("sign")).as("w"))
+    val agg = hashedBucketWeights(df, idCol, textCol, dim)
     val gathered = agg.groupBy(col(idCol))
       .agg(sum(col("w") * col("w")).as("ss"),
         map_from_entries(collect_list(struct(col("bucket"), col("w"))))
           .as("m"))
       .select(col(idCol),
         sqrt(col("ss").cast("double")).as("nn"), col("m"))
-    val nTok = df.select(col(idCol),
-      size(filter(tokens(lower(col(textCol))), w => w =!= ""))
-        .cast("long").as("n_tokens"))
-    nTok.join(gathered, Seq(idCol), "left")
+    tokenCountRelation(df, idCol, textCol)
+      .join(gathered, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         transform(sequence(lit(0), lit(dim - 1)),
           i => when(col("nn") > 0,
               round(coalesce(element_at(col("m"), i.cast("long")), lit(0L))
                 .cast("double") / col("nn"), 6))
+            .otherwise(lit(0.0)))
+          .as("vec"))
+  }
+
+  /** (idCol, bucket, w) signed integer bucket weights — the shared core of
+    * [[hashedTfVectors]] / [[hashedTfIdfVectors]]. */
+  private def hashedBucketWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0 && dim <= 16777216, // 6 hex digits = 24 bits of bucket
+      "dim must be in [1, 2^24]")
+    df.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("hx", md5(col("tok")))
+      .select(col(idCol),
+        pmod(conv(substring(col("hx"), 1, 6), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"),
+        when(substring(col("hx"), 7, 1) < "8", lit(1L)).otherwise(lit(-1L))
+          .as("sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sign")).as("w"))
+  }
+
+  /** (idCol, n_tokens) over every input row — keeps the output TOTAL. */
+  private def tokenCountRelation(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(filter(tokens(lower(col(textCol))), w => w =!= ""))
+        .cast("long").as("n_tokens"))
+
+  /** [[hashedTfVectors]] with smooth-idf re-weighting (the sklearn
+    * `TfidfTransformer` formula, public knowledge): component weight
+    * u_b = w_b · idf_b with idf_b = round(ln((N+1)/(df_b+1)) + 1, 6),
+    * df_b = number of documents whose SIGNED bucket weight is nonzero
+    * (the dense vector's true support — sign cancellation zeroes a
+    * component, so it must zero the df too). The common-token direction
+    * concentration that piles hashed-TF vectors into few SRP sign
+    * patterns ([[graft.operators.Similarity.srpBucketProfile]], q158's
+    * 27%-top-bucket measurement) is exactly what idf down-weighting
+    * spreads back out.
+    *
+    * Determinism firewall (the q113 pattern): idf is `ln`-derived, so it
+    * is 6dp-SNAPPED before any use — every downstream product is then a
+    * product of identical doubles in both engines; the l2 norm is a
+    * strict index-order fold over the dense array ([[graft.functions
+    * .VecDot]] / DuckDB `list_reduce`), NOT a group-by sum of doubles
+    * (whose order no engine pins down).
+    *
+    * Shape at 100 TB: q155's pipeline + one 1-row count broadcast and one
+    * dim-row idf broadcast — no new unbounded state.
+    *
+    * Output: idCol, n_tokens, vec (array<double>, l2-normalized, 6dp). */
+  def hashedTfIdfVectors(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val agg = hashedBucketWeights(df, idCol, textCol, dim)
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = agg.filter(col("w") =!= 0L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("double").as("df_"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("bucket"),
+        round(log((col("n_docs") + 1.0) / (col("df_") + 1.0)) + 1.0, 6)
+          .as("idf"))
+    val weighted = agg.join(broadcast(idf), Seq("bucket"))
+      .select(col(idCol), col("bucket"),
+        (col("w").cast("double") * col("idf")).as("u"))
+    val gathered = weighted.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("u"))))
+        .as("m"))
+    val dense = tokenCountRelation(df, idCol, textCol)
+      .join(gathered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0.0)))
+          .as("u_arr"))
+    dense
+      .withColumn("nn",
+        sqrt(graft.functions.GraftFunctions.graft_dot(col("u_arr"),
+          col("u_arr"))))
+      .select(col(idCol), col("n_tokens"),
+        transform(col("u_arr"),
+          x => when(col("nn") > 0, round(x / col("nn"), 6))
             .otherwise(lit(0.0)))
           .as("vec"))
   }

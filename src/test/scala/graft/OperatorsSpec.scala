@@ -2242,6 +2242,73 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(lbSmall > 0.43 && lbSmall < 0.45)
   }
 
+  test("temperatureMixture: alpha<1 flattens toward uniform, alpha=1 is identity") {
+    import spark.implicits._
+    val rows = (1 to 90).map(i => (s"a$i", "big")) ++
+      (1 to 9).map(i => (s"b$i", "mid")) ++ Seq(("c1", "tiny"))
+    val df = rows.toDF("doc_id", "source")
+    def shares(num: Int, den: Int) =
+      Sampling.temperatureMixture(df, "source", num, den).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Double]("p"), r.getAs[Double]("share"),
+            r.getAs[Double]("boost")))).toMap
+    val t1 = shares(1, 1) // alpha = 1: share == p, boost == 1
+    t1.values.foreach { case (p, sh, b) =>
+      assert(math.abs(sh - p) < 2e-6); assert(b === 1.0) }
+    val t2 = shares(1, 2) // alpha = 1/2
+    assert(math.abs(t2.values.map(_._2).sum - 1.0) < 1e-5)
+    assert(t2("tiny")._3 > 1.0 && t2("big")._3 < 1.0) // tail boosted
+    assert(t2("tiny")._2 > t1("tiny")._2 && t2("big")._2 < t1("big")._2)
+    val t4 = shares(1, 4) // colder temperature flattens more
+    assert(t4("tiny")._2 > t2("tiny")._2)
+    assert(t4("big")._2 < t2("big")._2)
+    // big stays the largest share at every temperature (order preserved)
+    Seq(t1, t2, t4).foreach { t =>
+      assert(t("big")._2 > t("mid")._2 && t("mid")._2 > t("tiny")._2) }
+    // 3/4 sits between 1/2 and 1 on both ends
+    val t34 = shares(3, 4)
+    assert(t34("tiny")._2 < t2("tiny")._2 && t34("tiny")._2 > t1("tiny")._2)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "source", 2, 3).collect() }
+  }
+
+  test("hashedTfIdfVectors: idf demotes corpus-wide tokens, unit norm, total") {
+    import spark.implicits._
+    // "common" appears in every doc; "rare" in doc 1 only. With smooth
+    // idf the rare bucket must carry more absolute mass than the common
+    // bucket inside doc 1, even though both have tf = 1 there.
+    val df = Seq(
+      (1L, "common rare"),
+      (2L, "common"),
+      (3L, "common"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.hashedTfIdfVectors(df, "doc_id", "text", dim = 16)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"),
+          r.getSeq[Double](r.fieldIndex("vec")).toVector))).toMap
+    assert(v.keySet === Set(1L, 2L, 3L, 4L)) // total
+    assert(v(4L)._2.forall(_ === 0.0))
+    // bucket indexes via the same md5 arithmetic the operator uses
+    def bucket(tok: String): Int = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hx.substring(0, 6), 16) % 16).toInt
+    }
+    val (bc, br) = (bucket("common"), bucket("rare"))
+    assert(bc !== br) // fixture precondition: no collision at dim 16
+    val d1 = v(1L)._2
+    assert(math.abs(d1(br)) > math.abs(d1(bc)),
+      s"rare ${d1(br)} should outweigh common ${d1(bc)}")
+    // unit norm modulo 6dp rounding
+    v.values.filter(_._1 > 0).foreach { case (_, vec) =>
+      assert(math.abs(vec.map(x => x * x).sum - 1.0) < 1e-5)
+    }
+    // docs 2 and 3 have identical text -> identical vectors
+    assert(v(2L)._2 === v(3L)._2)
+  }
+
   test("srpBucketProfile: candidate mass equals the pair stage's work") {
     import spark.implicits._
     // two tight direction clusters + one singleton: with p=1 plane the

@@ -155,4 +155,24 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
     assert(refined >= 0.36 - 1e-9,
       s"probe=4 + refine@40 recall $refined < 0.36 (3.6× the gate config)")
   }
+
+  test("binary sign quantization: recall monotone in rerankFactor; gate clears 0.8") {
+    // 32×-compressed Hamming shortlist + exact rerank (q160). A larger
+    // shortlist is a candidate superset, so recall is monotone; the gate
+    // config (factor 4) must clear the house 0.8 recall bar.
+    val byFactor = Seq(2, 4, 8, 16).map { f =>
+      f -> recall(Similarity.binarySignTopK(emb, qs, "vec_id", "embedding",
+        10, rerankFactor = f, dim = 64))
+    }
+    byFactor.sliding(2).foreach { case Seq((fa, ra), (fb, rb)) =>
+      assert(ra <= rb + 1e-9, s"recall fell from factor=$fa ($ra) to $fb ($rb)")
+    }
+    val gate = byFactor.toMap
+    assert(gate(8) >= 0.8 - 1e-9,
+      s"q160 gate recall ${gate(8)} < 0.8 (all: $byFactor)")
+    // shortlist = corpus - 1 degenerates to brute force exactly
+    val all = recall(Similarity.binarySignTopK(emb, qs, "vec_id",
+      "embedding", 10, rerankFactor = 200, dim = 64))
+    assert(all >= 1.0 - 1e-9, s"full-shortlist recall $all < 1.0")
+  }
 }

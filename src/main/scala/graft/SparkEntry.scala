@@ -1326,6 +1326,28 @@ object SparkEntry {
         "source", col("keep"))
     }),
 
+    // Unigram-LM tokenizer trainer (Kudo '18, hard-EM/Viterbi): the
+    // third tokenizer family, completing BPE (q98) and WordPiece (q128).
+    // Every EM round runs on the 31-word distinct relation; Viterbi is a
+    // pure aggregate fold (no UDF); logp is the floor-snapped Laplace
+    // chain both engines spell identically.
+    "q162_unigram_vocab" -> ((s, dir) =>
+      TextAnalysis.unigramTrain(T(s, dir, "documents"), "text",
+        seedSize = 200, vocabSize = 60, maxPieceLen = 4, rounds = 2)),
+
+    // The trained unigram model applied: Viterbi segmentation per
+    // DISTINCT word under the final piece log-probs, broadcast-joined
+    // reassembly (the q129 shape; likelihood-optimal where the greedy
+    // longest-match can strand characters).
+    "q163_unigram_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val v = TextAnalysis.unigramTrain(docs, "text", seedSize = 200,
+        vocabSize = 60, maxPieceLen = 4, rounds = 2)
+        .select(col("piece"), col("logp")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      TextAnalysis.unigramEncode(docs, "doc_id", "text", v, maxPieceLen = 4)
+    }),
+
     // Temperature-scaled source mixture (XLM-R/mT5 balancing): share_i
     // ∝ p_i^(1/2) via the dyadic sqrt chain (IEEE-exact — pow is not
     // cross-engine stable), fixed-order fold for the normalizer. boost
@@ -2663,6 +2685,124 @@ object SparkEntry {
         vocabCte(s"wpv$r", s"wpc$r", k))
     }
     val fin = Seq(segCte("wpsegF", s"wpv$rounds"), cntCte("wpcF", "wpsegF"))
+    (head ++ roundCtes ++ fin).mkString(",\n")
+  }
+
+  /** Viterbi DP + backtrace pair of recursive CTEs against a (piece, logp)
+    * vocab CTE — the exact relational replay of
+    * [[operators.TextAnalysis.viterbiDp]]/[[operators.TextAnalysis
+    * .viterbiPieces]]: dp carried as a list of (sc, bp) structs, candidate
+    * max via `list_aggregate(..., 'max')` over (sc, lneg) structs (NULL candidates skipped —
+    * same as Spark's null-skipping array_max), ties to the SHORTEST piece,
+    * l=1 falling back to the −100 UNK floor. */
+  private def unigramViterbiCtes(dpName: String, btName: String,
+      vocabCte: String, maxPieceLen: Int): String = {
+    // vocab lookups are LEFT JOINs, not correlated scalar subqueries:
+    // DuckDB evaluates a correlated subquery against the recursive
+    // working table incorrectly on the first iteration (observed: the
+    // l=1 lookup returns NULL at j=0 only), while joins in the recursive
+    // term are well-defined. The j+1>=l guard lives in the ON clause so
+    // a clipped substr (start <= 0) can never spuriously match.
+    val joins = (maxPieceLen to 2 by -1).map { l =>
+      s"""LEFT JOIN $vocabCte v$l ON s.j + 1 >= $l
+         |  AND v$l.piece = substr(s.w, s.j + ${2 - l}, $l)""".stripMargin
+    } :+ s"LEFT JOIN $vocabCte v1 ON v1.piece = substr(s.w, s.j + 1, 1)"
+    val lpCols = (maxPieceLen to 2 by -1).map(l => s"v$l.logp AS lp$l") :+
+      "coalesce(v1.logp, CAST(-100.0 AS DOUBLE)) AS lp1"
+    val cands = (maxPieceLen to 2 by -1).map { l =>
+      s"""CASE WHEN j + 1 >= $l AND lp$l IS NOT NULL THEN
+         |  {'sc': struct_extract(tbl[j + ${2 - l}], 'sc') + lp$l, 'lneg': ${-l}} END""".stripMargin
+    } :+ s"{'sc': struct_extract(tbl[j + 1], 'sc') + lp1, 'lneg': -1}"
+    s"""$dpName AS MATERIALIZED (
+       |  WITH RECURSIVE s AS (
+       |    SELECT w, wcnt, 0 AS j,
+       |      [{'sc': CAST(0.0 AS DOUBLE), 'bp': 0}] AS tbl FROM ugwf
+       |    UNION ALL
+       |    SELECT w, wcnt, j + 1,
+       |      list_append(tbl, {'sc': struct_extract(best, 'sc'),
+       |                        'bp': -struct_extract(best, 'lneg')})
+       |    FROM (
+       |      SELECT w, wcnt, j, tbl,
+       |        list_aggregate([${cands.mkString(",\n          ")}], 'max') AS best
+       |      FROM (
+       |        SELECT s.w, s.wcnt, s.j, s.tbl,
+       |          ${lpCols.mkString(",\n          ")}
+       |        FROM s
+       |        ${joins.mkString("\n        ")}
+       |        WHERE s.j < length(s.w)) z0) z1)
+       |  SELECT w, wcnt, tbl FROM s WHERE j = length(w)),
+       |$btName AS MATERIALIZED (
+       |  WITH RECURSIVE b AS (
+       |    SELECT w, wcnt, length(w) AS pos, CAST([] AS VARCHAR[]) AS pieces,
+       |      tbl FROM $dpName
+       |    UNION ALL
+       |    SELECT w, wcnt, pos - struct_extract(tbl[pos + 1], 'bp'),
+       |      list_prepend(substr(w,
+       |          CAST(pos - struct_extract(tbl[pos + 1], 'bp') + 1 AS INT),
+       |          CAST(struct_extract(tbl[pos + 1], 'bp') AS INT)), pieces),
+       |      tbl
+       |    FROM b WHERE pos > 0)
+       |  SELECT w, wcnt, pieces FROM b WHERE pos = 0)""".stripMargin
+  }
+
+  /** Unigram trainer replay ([[operators.TextAnalysis.unigramTrain]]):
+    * seed substrings → chars + top-`seedSize`, then `rounds` hard-EM
+    * iterations of (Viterbi segment, recount, linear-budget prune), one
+    * final segmentation, ending in `ugfin(piece, n)` and the final-probs
+    * CTE `uglpF(piece, logp)`. logp is the identical floor-snap chain
+    * `floor(ln((n+1)/(tot+nv))·10⁶ + 0.5)/10⁶` the Scala side computes. */
+  private def unigramCtes(seedSize: Int, vocabSize: Int, maxPieceLen: Int,
+      rounds: Int): String = {
+    val pretok = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+    def lpCte(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece,
+         |    floor(ln((CAST(n AS DOUBLE) + 1.0) / (t.tot + t.nv))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS logp
+         |  FROM $src CROSS JOIN (SELECT CAST(sum(n) AS DOUBLE) AS tot,
+         |    CAST(count(*) AS DOUBLE) AS nv FROM $src) t)""".stripMargin
+    def pruneCte(name: String, src: String, k: Int): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece, n FROM $src WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, n FROM (SELECT piece, n FROM $src
+         |    WHERE length(piece) > 1 ORDER BY n DESC, piece ASC LIMIT $k) z)""".stripMargin
+    val head = Seq(
+      s"""ugw AS (SELECT unnest(regexp_extract_all(text, '$pretok')) AS w
+         |  FROM documents)""".stripMargin,
+      """ugwf AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM ugw GROUP BY w)""".stripMargin,
+      s"""ugsubs AS (
+         |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         |    CAST(sum(wcnt) AS BIGINT) AS n
+         |  FROM ugwf, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) ui,
+         |       LATERAL (SELECT unnest(range(1, $maxPieceLen + 1)) AS l) ul
+         |  WHERE i + l - 1 <= length(w) GROUP BY 1)""".stripMargin,
+      pruneCte("ugv0", "ugsubs", seedSize),
+      lpCte("ugb0", "ugv0"))
+    val roundCtes = (1 to rounds).flatMap { r =>
+      val k = vocabSize + (seedSize - vocabSize) * (rounds - r) / rounds
+      Seq(
+        unigramViterbiCtes(s"ugdp$r", s"ugbt$r", s"ugb${r - 1}", maxPieceLen),
+        s"""ugc$r AS MATERIALIZED (
+           |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n
+           |  FROM (SELECT wcnt, unnest(pieces) AS piece FROM ugbt$r) z
+           |  GROUP BY 1)""".stripMargin,
+        s"""ugn$r AS (SELECT v.piece, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+           |  FROM ugv${r - 1} v LEFT JOIN ugc$r c USING (piece))""".stripMargin,
+        pruneCte(s"ugv$r", s"ugn$r", k),
+        lpCte(s"ugb$r", s"ugv$r"))
+    }
+    val fin = Seq(
+      unigramViterbiCtes("ugdpF", "ugbtF", s"ugb$rounds", maxPieceLen),
+      """ugcF AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n
+        |  FROM (SELECT wcnt, unnest(pieces) AS piece FROM ugbtF) z
+        |  GROUP BY 1)""".stripMargin,
+      s"""ugfin AS MATERIALIZED (
+         |  SELECT v.piece, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         |  FROM ugv$rounds v LEFT JOIN ugcF c USING (piece))""".stripMargin,
+      lpCte("uglpF", "ugfin"))
     (head ++ roundCtes ++ fin).mkString(",\n")
   }
 
@@ -4473,6 +4613,35 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY wilson_lb DESC, source ASC)
          |    AS INT) AS rnk
          |FROM scored""".stripMargin
+    },
+
+    // hard-EM unigram trainer replay: recursive Viterbi dp/backtrace per
+    // round, linear-budget prune, floor-snapped Laplace logp
+    "q162_unigram_vocab" -> {
+      s"""WITH ${unigramCtes(200, 60, 4, 2)}
+         |SELECT f.piece, f.n, l.logp,
+         |  CAST(row_number() OVER (ORDER BY f.n DESC, f.piece ASC) AS INT)
+         |    AS rank
+         |FROM ugfin f JOIN uglpF l USING (piece)""".stripMargin
+    },
+
+    // the trained model applied: one more Viterbi pass under the FINAL
+    // probs (uglpF), then the q129 word-order reassembly, TOTAL over docs
+    "q163_unigram_encode" -> {
+      s"""WITH ${unigramCtes(200, 60, 4, 2)},
+         |${unigramViterbiCtes("ugdpE", "ugbtE", "uglpF", 4)},
+         |dw AS (SELECT doc_id, g AS pos, ws[CAST(g AS INT)] AS w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]') AS ws
+         |        FROM documents) t,
+         |       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS g) u),
+         |enc AS (SELECT doc_id, CAST(sum(len(s.pieces)) AS INT) AS n_tokens,
+         |    array_to_string(flatten(list(s.pieces ORDER BY dw.pos)), ' ')
+         |      AS encoded
+         |  FROM dw JOIN ugbtE s USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(e.n_tokens, 0) AS n_tokens,
+         |  coalesce(e.encoded, '') AS encoded
+         |FROM documents d LEFT JOIN enc e USING (doc_id)""".stripMargin
     },
 
     // counts → p → sqrt chain → group-ordered list_reduce normalizer:

@@ -529,6 +529,176 @@ object TextAnalysis {
       concat_ws(" ", toks).as("encoded"))
   }
 
+  // ---- Unigram-LM tokenizer (Kudo '18) ----------------------------------
+  // The third tokenizer family, completing BPE (merge-based, [[bpeTrain]])
+  // and WordPiece (greedy longest-match, [[wordpieceTrain]]): a unigram
+  // LANGUAGE MODEL over pieces, segmenting by Viterbi — the segmentation
+  // that MAXIMIZES Σ log p(piece) — and training by hard EM (Viterbi
+  // counts re-estimate the piece probabilities; SentencePiece's own
+  // E-step offers the 1-best variant). Everything below is pure Column
+  // expressions (aggregate folds — zero UDFs), intended for the
+  // vocab-bounded DISTINCT-WORD relation, never raw corpus rows.
+
+  /** Viterbi DP table for one word under a piece→logp map: returns
+    * array<struct<sc,bp>> of length len+1 where entry j+1 is dp[j] —
+    * best score of any segmentation of the first j chars, and the length
+    * (`bp`) of the piece that ends it. Candidates are pieces of length
+    * 1..maxPieceLen present in the vocab; a single char ABSENT from the
+    * vocab falls back to logp −100.0 (the UNK floor — keeps the DP total
+    * on unseen characters, exact literal on both engines). Ties prefer
+    * the SHORTEST piece (struct max on (sc, −l)): deterministic,
+    * replayed by the oracle's `greatest` over the same structs. */
+  private[operators] def viterbiDp(
+      w: Column, vocabLogp: Column, maxPieceLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(struct(lit(0.0).as("sc"), lit(0).as("lneg"))),
+      (acc, j) => {
+        val cands = (1 to maxPieceLen).map { l =>
+          when(j >= l, {
+            val piece = w.substr(j - lit(l) + 1, lit(l))
+            val prev = element_at(acc, (j - lit(l) + 1).cast("int"))
+              .getField("sc")
+            val lp =
+              if (l == 1) coalesce(element_at(vocabLogp, piece), lit(-100.0))
+              else element_at(vocabLogp, piece)
+            when(lp.isNotNull,
+              struct((prev + lp).as("sc"), lit(-l).as("lneg")))
+          })
+        }
+        concat(acc, array(array_max(array(cands: _*))))
+      })
+
+  /** Backtrace [[viterbiDp]]'s table into the winning piece array. */
+  private[operators] def viterbiPieces(w: Column, dp: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(length(w).cast("int").as("pos"),
+        array().cast("array<string>").as("pieces")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        when(pos <= 0, acc).otherwise {
+          val bp = -element_at(dp, pos + 1).getField("lneg")
+          struct((pos - bp).cast("int").as("pos"),
+            concat(array(w.substr(pos - bp + 1, bp)),
+              acc.getField("pieces")).as("pieces"))
+        }
+      },
+      acc => acc.getField("pieces"))
+
+  /** Laplace-smoothed piece log-probs, floor-snapped to 6dp (the q139
+    * decimal-grid firewall: `ln` last-ulp behavior differs across libms,
+    * so every engine snaps the SAME chain `floor(x·10⁶ + 0.5)/10⁶`
+    * before any score is compared or emitted). */
+  private def unigramLogp(v: Seq[(String, Long)]): Seq[(String, Double)] = {
+    val tot = v.map(_._2).sum.toDouble
+    val nv = v.size.toDouble
+    v.map { case (p, n) =>
+      p -> math.floor(math.log((n + 1.0) / (tot + nv)) * 1e6 + 0.5) / 1e6
+    }
+  }
+
+  /** Unigram-LM vocabulary trainer (Kudo '18, hard-EM/Viterbi variant):
+    *
+    *  1. word-frequency table — the ONE corpus pass;
+    *  2. seed: substring counts up to `maxPieceLen`, keep the `seedSize`
+    *     most frequent multi-char pieces + ALL single chars (totality);
+    *  3. `rounds` hard-EM iterations: Viterbi-segment every DISTINCT
+    *     word under the current piece log-probs (E), re-count pieces
+    *     weighted by word frequency and re-estimate Laplace log-probs
+    *     (M), prune multi-char pieces to the linearly shrinking budget
+    *     (ties n-desc then piece-asc — [[wordpieceTrain]]'s schedule);
+    *  4. final Viterbi pass under the final probs → output counts.
+    *
+    * vs [[wordpieceTrain]]: same loop shape, but the E-step OPTIMIZES
+    * the unigram likelihood instead of greedy longest-match — "choose
+    * the segmentation the model scores best", which is what lets unigram
+    * recover from a bad greedy prefix (the 'un'+'able' vs 'u'+'nable'
+    * class of errors).
+    *
+    * Shape at 100 TB: corpus touched once; every EM round runs on the
+    * vocab-bounded distinct-word relation; driver materializations are
+    * the pruned (piece, count) lists — ≤ seedSize + alphabet rows —
+    * which re-enter the plan as literal maps (the wordpiece contract).
+    *
+    * Output: piece, n (final Viterbi count), logp (6dp-snapped Laplace
+    * over the final counts), rank (n desc, piece asc). */
+  def unigramTrain(df: DataFrame, textCol: String, seedSize: Int,
+      vocabSize: Int, maxPieceLen: Int, rounds: Int): DataFrame = {
+    require(seedSize >= vocabSize && vocabSize >= 1 && rounds >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf = df.select(explode(preTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .localCheckpoint()
+    val subs = wf.select(col("wcnt"),
+      explode(flatten(transform(sequence(lit(1), length(col("w"))), i =>
+        transform(sequence(i, least(length(col("w")), i + lit(maxPieceLen - 1))),
+          j => col("w").substr(i, j - i + 1))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("n"))
+    // bounded collects: chars + top-k multi, with counts, piece-sorted
+    def keepTop(counts: DataFrame, k: Int): Seq[(String, Long)] = {
+      val chars = counts.filter(length(col("piece")) === 1)
+        .select("piece", "n").collect()
+      val multi = counts.filter(length(col("piece")) > 1)
+        .orderBy(col("n").desc, col("piece").asc).limit(k)
+        .select("piece", "n").collect()
+      (chars ++ multi).map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    }
+    def segCounts(logp: Seq[(String, Double)]): DataFrame = {
+      val vmap = typedLit(logp.toMap)
+      wf.withColumn("__dp", viterbiDp(col("w"), vmap, maxPieceLen))
+        .select(col("wcnt"),
+          explode(viterbiPieces(col("w"), col("__dp"))).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wcnt")).as("n"))
+    }
+    var vocab = keepTop(subs, seedSize)
+    for (r <- 1 to rounds) {
+      val k = vocabSize + (seedSize - vocabSize) * (rounds - r) / rounds
+      val counted = segCounts(unigramLogp(vocab)).collect()
+        .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+      val withN = vocab.map { case (p, _) => (p, counted.getOrElse(p, 0L)) }
+      vocab = (withN.filter(_._1.length == 1) ++
+        withN.filter(_._1.length > 1)
+          .sortBy { case (p, n) => (-n, p) }.take(k)).sortBy(_._1)
+    }
+    val finalCounts = segCounts(unigramLogp(vocab)).collect()
+      .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    val fin = vocab.map { case (p, _) => (p, finalCounts.getOrElse(p, 0L)) }
+    val lp = unigramLogp(fin).toMap
+    fin.toDF("piece", "n")
+      .select(col("piece"), col("n"),
+        element_at(typedLit(lp), col("piece")).as("logp"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("piece").asc)))
+  }
+
+  /** Encode the corpus with a trained unigram vocabulary
+    * ([[unigramTrain]]'s (piece, logp)): Viterbi segmentation per
+    * DISTINCT word (the vocab-bounded relation), broadcast-joined back
+    * and reassembled in word order — [[wordpieceEncode]]'s shape and
+    * output contract (idCol, n_tokens, encoded), TOTAL over documents. */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+      vocabLogp: Seq[(String, Double)], maxPieceLen: Int): DataFrame = {
+    val vmap = typedLit(vocabLogp.toMap)
+    val seg = df.select(explode(preTokens(col(textCol))).as("w")).distinct()
+      .withColumn("__dp", viterbiDp(col("w"), vmap, maxPieceLen))
+      .select(col("w"), viterbiPieces(col("w"), col("__dp")).as("pieces"))
+      .select(col("w"), concat_ws(" ", col("pieces")).as("enc_w"),
+        size(col("pieces")).as("n_w"))
+    df.select(col(idCol),
+        posexplode_outer(preTokens(col(textCol))).as(Seq("pos", "w")))
+      .join(broadcast(seg), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(col("n_w")), lit(0L)).cast("int").as("n_tokens"),
+        sort_array(collect_list(struct(col("pos"), col("enc_w")))).as("sp"))
+      .select(col(idCol), col("n_tokens"),
+        concat_ws(" ", transform(col("sp"), s => s.getField("enc_w")))
+          .as("encoded"))
+  }
+
   /** Kneser–Ney continuation counts: for each word, the number of DISTINCT
     * predecessors it follows (the KN lower-order numerator — "how many
     * contexts license this word"), plus its raw bigram occurrence count;

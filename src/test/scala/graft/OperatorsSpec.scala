@@ -2242,6 +2242,66 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(lbSmall > 0.43 && lbSmall < 0.45)
   }
 
+  test("unigram Viterbi: optimizes likelihood where greedy longest-match fails") {
+    import spark.implicits._
+    // "unable": greedy MaxMatch grabs "unab" and strands "l","e"; Viterbi
+    // must pick "un"+"able" because its total log-prob is higher.
+    val lp = Seq("u" -> -6.0, "n" -> -6.0, "a" -> -6.0, "b" -> -6.0,
+      "l" -> -6.0, "e" -> -6.0, "un" -> -2.0, "able" -> -2.5,
+      "unab" -> -1.0)
+    val df = Seq((1L, "unable")).toDF("doc_id", "text")
+    val enc = TextAnalysis.unigramEncode(df, "doc_id", "text", lp, 4)
+      .collect().head
+    assert(enc.getAs[String]("encoded") === "un able")
+    assert(enc.getAs[Int]("n_tokens") === 2)
+    // greedy on the same vocab proves the counterexample is real
+    val greedy = TextAnalysis.wordpieceEncode(df, "doc_id", "text",
+      lp.map(_._1), 4).collect().head
+    assert(greedy.getAs[String]("encoded") === "unab l e")
+    // UNK floor: a char outside the vocab still segments (as itself),
+    // at the -100 penalty, and never derails neighbors
+    val unk = TextAnalysis.unigramEncode(
+      Seq((1L, "unxable")).toDF("doc_id", "text"), "doc_id", "text", lp, 4)
+      .collect().head
+    assert(unk.getAs[String]("encoded") === "un x able")
+    // tie-break: equal-score paths prefer the SHORTEST piece at each end
+    val tie = Seq("a" -> -1.0, "aa" -> -2.0) // "aa": a+a = -2.0 == aa
+    val t = TextAnalysis.unigramEncode(
+      Seq((1L, "aa")).toDF("doc_id", "text"), "doc_id", "text", tie, 4)
+      .collect().head
+    assert(t.getAs[String]("encoded") === "a a")
+    // empty doc stays (total relation)
+    val e = TextAnalysis.unigramEncode(
+      Seq((1L, "  ")).toDF("doc_id", "text"), "doc_id", "text", lp, 4)
+      .collect().head
+    assert(e.getAs[Int]("n_tokens") === 0 && e.getAs[String]("encoded") === "")
+  }
+
+  test("unigramTrain: hard-EM keeps frequent multigrams, totals over chars") {
+    import spark.implicits._
+    // "the" dominates: after EM the piece "the" must survive pruning and
+    // absorb the mass; every corpus char must remain in the vocab
+    val docs = Seq((1L, "the the the the cat"), (2L, "the hat the"),
+      (3L, "the cat sat")).toDF("doc_id", "text")
+    val v = TextAnalysis.unigramTrain(docs, "text", seedSize = 20,
+      vocabSize = 6, maxPieceLen = 3, rounds = 2).collect()
+    val byPiece = v.map(r => r.getAs[String]("piece") ->
+      ((r.getAs[Long]("n"), r.getAs[Double]("logp"),
+        r.getAs[Int]("rank")))).toMap
+    assert(byPiece.contains("the"))
+    assert(byPiece("the")._1 === 7L) // 7 occurrences, Viterbi picks it whole
+    assert(byPiece("the")._3 === 1)  // top rank
+    val chars = "thecasth".toSet.map((c: Char) => c.toString)
+    chars.foreach(c => assert(byPiece.contains(c), s"char $c dropped"))
+    // logp snapped to the 6dp grid and consistent with Laplace over n
+    val tot = v.map(_.getAs[Long]("n")).sum.toDouble
+    val nv = v.length.toDouble
+    byPiece.foreach { case (_, (n, lp, _)) =>
+      val want = math.floor(math.log((n + 1.0) / (tot + nv)) * 1e6 + 0.5) / 1e6
+      assert(lp === want)
+    }
+  }
+
   test("temperatureMixture: alpha<1 flattens toward uniform, alpha=1 is identity") {
     import spark.implicits._
     val rows = (1 to 90).map(i => (s"a$i", "big")) ++

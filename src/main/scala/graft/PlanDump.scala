@@ -36,7 +36,8 @@ object PlanDump {
       "q141_sample_estimate", "q147_ngram_diversity_kmv",
       "q149_sampled_quantiles", "q150_grouped_quantiles",
       "q152_length_outliers", "q154_gopher_rules", "q155_hashed_tf",
-      "q156_hashed_neardup", "q158_srp_bucket_profile")
+      "q156_hashed_neardup", "q158_srp_bucket_profile",
+      "q159_hashed_tfidf", "q160_binary_ann_topk", "q163_unigram_encode")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

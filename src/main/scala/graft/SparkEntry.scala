@@ -1326,6 +1326,66 @@ object SparkEntry {
         "source", col("keep"))
     }),
 
+    // Hilbert-curve clustering key (q124's locality upgrade): the
+    // codegen'd xy2d rotate loop over the same driver-bounds quantizer.
+    // Consecutive keys are always grid-adjacent cells, so equal-row key
+    // ranges span tighter bounding boxes than Morton's seam-jumping
+    // ranges — tighter per-file min/max stats at the same file count.
+    "q167_hilbert_key" -> ((s, dir) => {
+      Layout.hilbertKey(
+        T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("hkey"))
+    }),
+
+    // Streaming heavy hitters: the Misra–Gries aggregator maintained as a
+    // COMPLETE-mode streaming aggregation (mergeable sketch state = k
+    // counters regardless of stream length), then the exact recount +
+    // theta filter on the batch table — the lambda shape: sketch on the
+    // stream, verify on the store. MG's superset guarantee holds under
+    // ANY micro-batch split, so the final relation is q80's exactly.
+    "q166_stream_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val theta = 0.01
+      val k = math.max(1, math.ceil(2.0 / theta).toInt)
+      val docStream = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val streamToks = docStream
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      // hoisted val: inline, the expected DataFrame type steers overload
+      // resolution to the UNTYPED select, which rejects a TypedColumn
+      val mgDs = streamToks.as[String]
+        .select(operators.TextAnalysis.misraGriesColumn(k).name("cand"))
+      val cand = streamToMemoryComplete(s, mgDs.toDF())
+        .head().getSeq[String](0)
+      val toks = T(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      toks.filter(col("token").isin(cand: _*))
+        .groupBy(col("token")).agg(count(lit(1)).as("occurrences"))
+        .crossJoin(broadcast(total))
+        .filter(col("occurrences") >= ceil(lit(theta) * col("n")))
+        .select(col("token"), col("occurrences"))
+    }),
+
+    // Cross-document exact-substring dedup (Lee '21) — the k-gram anchor
+    // form: L-token windows hashed (only the md5 crosses the shuffle),
+    // spans in >= 2 distinct docs reported with their first holder; span
+    // text fetched only for the k winners via a broadcast re-scan.
+    "q164_crossdoc_spans" -> ((s, dir) =>
+      operators.Dedup.crossDocSpanReport(T(s, dir, "documents"), "doc_id",
+        "text", l = 8, k = 100)),
+
+    // The excision: every flagged non-canonical occurrence's positions
+    // removed, global first occurrence kept; the q54/q111 cleaning
+    // contract, TOTAL over documents.
+    "q165_crossdoc_excise" -> ((s, dir) =>
+      operators.Dedup.crossDocExcise(T(s, dir, "documents"), "doc_id",
+        "text", l = 8)),
+
     // Unigram-LM tokenizer trainer (Kudo '18, hard-EM/Viterbi): the
     // third tokenizer family, completing BPE (q98) and WordPiece (q128).
     // Every EM round runs on the 31-word distinct relation; Viterbi is a
@@ -2688,6 +2748,21 @@ object SparkEntry {
     (head ++ roundCtes ++ fin).mkString(",\n")
   }
 
+  /** Shared by q80 (batch Misra-Gries + exact recount) and q166 (the SAME
+    * sketch maintained as a complete-mode STREAMING aggregation, then the
+    * batch recount): the MG candidate set is an order-dependent SUPERSET
+    * of the theta-heavy tokens - its guarantee - and the exact recount +
+    * threshold filter make the final relation independent of arrival
+    * order, so one frequency-threshold oracle gates both lanes. */
+  private lazy val heavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+      |SELECT token, CAST(count(*) AS BIGINT) AS occurrences
+      |FROM toks GROUP BY token
+      |HAVING count(*) >= ceil(CAST(0.01 AS DOUBLE) * (SELECT n FROM tot))""".stripMargin
+
   /** Viterbi DP + backtrace pair of recursive CTEs against a (piece, logp)
     * vocab CTE — the exact relational replay of
     * [[operators.TextAnalysis.viterbiDp]]/[[operators.TextAnalysis
@@ -3335,14 +3410,12 @@ object SparkEntry {
     // oracle is the direct frequency threshold; the 0.01 literal is CAST
     // to DOUBLE (bare DuckDB decimals parse as DECIMAL) so both engines
     // compute the identical ceil(theta * N)
-    "q80_heavy_hitters" ->
-      """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
-        |SELECT token, CAST(count(*) AS BIGINT) AS occurrences
-        |FROM toks GROUP BY token
-        |HAVING count(*) >= ceil(CAST(0.01 AS DOUBLE) * (SELECT n FROM tot))""".stripMargin,
+    "q80_heavy_hitters" -> heavyHittersSql,
+
+    // the streaming lane's OUTPUT is q80's exactly: the MG sketch is an
+    // order-dependent SUPERSET (its guarantee), and the exact recount +
+    // theta filter kills the order dependence - so one oracle gates both
+    "q166_stream_heavy_hitters" -> heavyHittersSql,
 
     // round-trip fidelity: the oracle is simply the source projection —
     // any JSONL escape/unescape drift shows as a hash mismatch
@@ -4614,6 +4687,105 @@ object SparkEntry {
          |    AS INT) AS rnk
          |FROM scored""".stripMargin
     },
+
+    // q124's quantizer CTE, then the xy2d loop unrolled one CTE per bit
+    // level: rx/ry flags, d += s²·(3rx ⊕ ry), conditional flip-then-swap
+    "q167_hilbert_key" -> {
+      val bits = 8
+      val levels = (0 until bits).map { k =>
+        val s = 1L << (bits - 1 - k)
+        s"""h${k + 1} AS (SELECT l_orderkey, l_linenumber,
+           |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y
+           |      ELSE y END) ELSE x END AS x,
+           |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x
+           |      ELSE x END) ELSE y END AS y,
+           |    d + ${s * s} * CAST(xor(3 * rx, ry) AS BIGINT) AS d
+           |  FROM (SELECT *,
+           |      CASE WHEN (x & $s) > 0 THEN CAST(1 AS BIGINT)
+           |        ELSE CAST(0 AS BIGINT) END AS rx,
+           |      CASE WHEN (y & $s) > 0 THEN CAST(1 AS BIGINT)
+           |        ELSE CAST(0 AS BIGINT) END AS ry
+           |    FROM h$k) z)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (
+         |  SELECT CAST(min(l_partkey) AS BIGINT) AS xlo,
+         |         CAST(max(l_partkey) AS BIGINT) AS xhi,
+         |         CAST(min(l_suppkey) AS BIGINT) AS ylo,
+         |         CAST(max(l_suppkey) AS BIGINT) AS yhi
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT xlo, ylo,
+         |    greatest(0, CAST(length(bin(xhi - xlo)) AS INT) - $bits) AS sx,
+         |    greatest(0, CAST(length(bin(yhi - ylo)) AS INT) - $bits) AS sy
+         |  FROM b),
+         |h0 AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    (CAST(l_partkey AS BIGINT) - xlo) >> sx AS x,
+         |    (CAST(l_suppkey AS BIGINT) - ylo) >> sy AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM lineitem, s),
+         |$levels
+         |SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS hkey
+         |FROM h$bits""".stripMargin
+    },
+
+    // windows via list slicing + md5, canonical = min (doc, pos) struct,
+    // span text re-derived from the first holder's token list
+    "q164_crossdoc_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+        |w AS (SELECT doc_id, CAST(g AS INT) AS i,
+        |    md5(array_to_string(ts[CAST(g AS INT):CAST(g + 7 AS INT)], ' '))
+        |      AS h
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 8 + 2)) AS g) u
+        |  WHERE len(ts) >= 8),
+        |agg AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_occ,
+        |    min(struct_pack(d := doc_id, i := i)) AS first
+        |  FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |top AS (SELECT h, n_docs, n_occ,
+        |    struct_extract(first, 'd') AS first_doc,
+        |    struct_extract(first, 'i') AS first_pos
+        |  FROM agg ORDER BY n_docs DESC, n_occ DESC, h ASC LIMIT 100)
+        |SELECT top.h, top.n_docs, top.n_occ, top.first_doc, top.first_pos,
+        |  array_to_string(t.ts[CAST(top.first_pos AS INT):
+        |    CAST(top.first_pos + 7 AS INT)], ' ') AS span,
+        |  CAST(row_number() OVER (ORDER BY n_docs DESC, n_occ DESC, h ASC)
+        |    AS INT) AS rank
+        |FROM top JOIN t ON t.doc_id = top.first_doc""".stripMargin,
+
+    // coverage = union of [i, i+L) over flagged non-canonical
+    // occurrences; anti-join per (doc, pos); ordered reassembly; TOTAL
+    "q165_crossdoc_excise" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+        |w AS (SELECT doc_id, CAST(g AS INT) AS i,
+        |    md5(array_to_string(ts[CAST(g AS INT):CAST(g + 7 AS INT)], ' '))
+        |      AS h
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 8 + 2)) AS g) u
+        |  WHERE len(ts) >= 8),
+        |canon AS (SELECT h,
+        |    struct_extract(min(struct_pack(d := doc_id, i := i)), 'd') AS fd,
+        |    struct_extract(min(struct_pack(d := doc_id, i := i)), 'i') AS fi
+        |  FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |bad AS (SELECT w.doc_id, w.i FROM w JOIN canon USING (h)
+        |  WHERE NOT (w.doc_id = canon.fd AND w.i = canon.fi)),
+        |cov AS (SELECT DISTINCT doc_id, CAST(p AS INT) AS pos
+        |  FROM bad, LATERAL (SELECT unnest(range(i, i + 8)) AS p) u),
+        |tk AS (SELECT doc_id, CAST(g AS INT) AS pos, ts[CAST(g AS INT)] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS g) u),
+        |kept AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(tk.tok ORDER BY tk.pos), ' ') AS cleaned
+        |  FROM tk ANTI JOIN cov ON cov.doc_id = tk.doc_id
+        |    AND cov.pos = tk.pos
+        |  WHERE tk.tok <> '' GROUP BY tk.doc_id),
+        |nw AS (SELECT doc_id,
+        |    CAST(len(list_filter(ts, x -> x <> '')) AS BIGINT) AS n_words
+        |  FROM t)
+        |SELECT nw.doc_id, nw.n_words,
+        |  nw.n_words - coalesce(k.n_kept, 0) AS n_removed,
+        |  coalesce(k.cleaned, '') AS cleaned
+        |FROM nw LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     // hard-EM unigram trainer replay: recursive Viterbi dp/backtrace per
     // round, linear-budget prune, floor-snapped Laplace logp

@@ -26,6 +26,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sqdist", exprs => VecL2Sq(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hilbert2d", exprs =>
+        HilbertIndex2D(exprs(0), exprs(1), intArg(exprs, 2, 16)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmin_values", exprs =>
         KMinValues(exprs.head, intArg(exprs, 1, 256)).toAggregateExpression(),
       "built-in")
@@ -73,6 +76,14 @@ object GraftFunctions {
   def graft_dot(a: Column, b: Column): Column = {
     register(org.apache.spark.sql.SparkSession.active)
     call_function("graft_dot", a, b)
+  }
+
+  /** 2-D Hilbert curve index of quantized non-negative long cells (the
+    * xy2d rotate-and-flip loop, codegen'd). */
+  def graft_hilbert2d(x: Column, y: Column, bits: Int): Column = {
+    register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_hilbert2d", x, y,
+      org.apache.spark.sql.functions.lit(bits))
   }
 
   /** Codegen'd squared euclidean distance Σ (a(i)−b(i))² (see

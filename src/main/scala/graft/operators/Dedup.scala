@@ -1158,4 +1158,114 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
+
+  // ---- cross-document exact-substring dedup (Lee et al. '21) -----------
+  // The CROSS-DOC counterpart of [[repeatedSpanExcision]] (q111, intra-
+  // doc): long token spans repeated ACROSS documents — boilerplate,
+  // licence blocks, syndicated passages — removed everywhere except their
+  // first occurrence. Lee '21 builds a corpus suffix array; the
+  // distributed form below is the standard k-gram anchor approximation:
+  // every length-L token window is hashed, windows whose hash occurs in
+  // ≥ 2 distinct documents are flagged, and flagged occurrences other
+  // than the global first are excised. A repeated span of length
+  // m ≥ L is covered by its m − L + 1 flagged windows, so excision
+  // removes it exactly (up to L−1 boundary tokens, the standard k-gram
+  // resolution tradeoff vs the suffix array's exactness).
+
+  /** (idCol, i, h) one row per length-`l` token window — the anchor
+    * relation both span operators share. Only the 32-char md5 crosses
+    * any shuffle; the window TEXT is never shipped (the report lane
+    * re-derives it for its top-k rows only). */
+  private def spanWindows(
+      df: DataFrame, idCol: String, textCol: String, l: Int): DataFrame =
+    df.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= l)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("ts")) - l + 1),
+          i => struct(i.as("i"),
+            md5(concat_ws(" ", slice(col("ts"), i, lit(l)))).as("h")))).as("o"))
+      .select(col(idCol), col("o.i").as("i"), col("o.h").as("h"))
+
+  /** Top-k report of token spans repeated across documents: window hash,
+    * distinct-doc count, occurrence count, the canonical (first) holder,
+    * and the span text. Ranked (n_docs desc, n_occ desc, h asc).
+    *
+    * Shape at 100 TB: the window relation is corpus-token-sized but
+    * carries only (id, pos, hash); the aggregate is map-side combinable;
+    * span TEXT is fetched by re-scanning against the k-row broadcast of
+    * winning hashes — never shipped corpus-wide. */
+  def crossDocSpanReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      k: Int): DataFrame = {
+    val occ = spanWindows(df, idCol, textCol, l)
+    val top = occ.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(struct(col(idCol).as("d"), col("i"))).as("first"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("h").asc)
+      .limit(k)
+      .select(col("h"), col("n_docs"), col("n_occ"),
+        col("first.d").as("first_doc"), col("first.i").as("first_pos"))
+    // span text only for the k winners: re-derive from the canonical doc
+    val text = df.select(col(idCol).as("first_doc"),
+      split(trim(col(textCol)), "\\s+").as("ts"))
+    top.join(text, Seq("first_doc"))
+      .select(col("h"), col("n_docs"), col("n_occ"), col("first_doc"),
+        col("first_pos"),
+        concat_ws(" ", slice(col("ts"), col("first_pos"), lit(l)))
+          .as("span"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_docs").desc, col("n_occ").desc, col("h").asc))
+        .cast("int"))
+  }
+
+  /** Excise cross-document repeated spans, keeping the global first
+    * occurrence: every token position covered by a flagged non-canonical
+    * window occurrence is removed; the canonical occurrence (min
+    * (doc, pos) per hash) keeps its text. TOTAL over documents.
+    *
+    * Output: idCol, n_words, n_removed, cleaned (the q54/q111 cleaning
+    * contract). */
+  def crossDocExcise(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int): DataFrame = {
+    val occ = spanWindows(df, idCol, textCol, l)
+    val canon = occ.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        min(struct(col(idCol).as("d"), col("i"))).as("first"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), col("first.d").as("fd"), col("first.i").as("fi"))
+    val bad = occ.join(canon, Seq("h"))
+      .filter(!(col(idCol) === col("fd") && col("i") === col("fi")))
+    val covered = bad
+      .select(col(idCol), explode(sequence(col("i"), col("i") + l - 1))
+        .as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol),
+        posexplode_outer(split(trim(col(textCol)), "\\s+"))
+          .as(Seq("pos0", "tok")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("cleaned"))
+    val nWords = df.select(col(idCol),
+      size(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
+        .cast("long").as("n_words"))
+    nWords.join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
 }

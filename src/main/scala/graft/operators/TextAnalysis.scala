@@ -791,6 +791,13 @@ object TextAnalysis {
     * guaranteed SUPERSET of every θ-heavy token — no false negatives for
     * [[heavyHitters]]' exact recount to miss.
     */
+  /** The MG sketch as a typed column, for callers that run it as a
+    * (streaming) aggregation themselves — the sketch is mergeable, so it
+    * is complete-mode-streamable with k counters of state (q166). */
+  def misraGriesColumn(
+      k: Int): org.apache.spark.sql.TypedColumn[String, Seq[String]] =
+    new MisraGriesAggregator(k).toColumn
+
   private class MisraGriesAggregator(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         String, Map[String, Long], Seq[String]] {

@@ -2242,6 +2242,95 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(lbSmall > 0.43 && lbSmall < 0.45)
   }
 
+  test("hilbert index: a space-filling curve (bijective, unit-step), beats morton locality") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // full 8x8 grid at bits=3: the index must be a BIJECTION onto 0..63
+    // and consecutive indexes must be 4-adjacent cells (|dx|+|dy| = 1) -
+    // the defining Hilbert property, which Morton violates at every
+    // quadrant seam.
+    val n = 8
+    val grid = (for { x <- 0 until n; y <- 0 until n }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val d = grid.select(col("x"), col("y"),
+        graft.functions.GraftFunctions.graft_hilbert2d(col("x"), col("y"), 3)
+          .as("d"))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(d.map(_._1).toSeq === (0L until 64L))
+    d.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+    // morton, for contrast, has seam jumps (so the assertion above is
+    // actually discriminating): count them
+    val mort = grid.select(
+        operators.Layout.interleaveBits(col("x"), col("y"), 3).as("d"),
+        col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    val mortonJumps = mort.sliding(2).count {
+      case Array((_, (x1, y1)), (_, (x2, y2))) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
+    }
+    assert(mortonJumps > 0)
+    // interpreted eval path agrees with codegen (Literal fold)
+    val lit2 = graft.functions.HilbertIndex2D(
+      org.apache.spark.sql.catalyst.expressions.Literal(6L),
+      org.apache.spark.sql.catalyst.expressions.Literal(2L), 3).eval()
+    assert(d.find(_._2 == ((6L, 2L))).get._1 === lit2)
+    // hilbertKey wiring: quantizer + null contract match zorderKey's
+    val df = Seq((1L, 1, 10L, 20L), (2L, 1, 40L, 80L))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val keyed = operators.Layout.hilbertKey(df, "l_partkey", "l_suppkey", 8).collect()
+    assert(keyed.map(_.getAs[Long]("hkey")).distinct.length === 2)
+  }
+
+  test("crossDoc span dedup: first occurrence kept, later ones excised") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight" // exactly L=8
+    val df = Seq(
+      (1L, s"alpha $span beta"),
+      (2L, s"gamma delta $span"),
+      (3L, s"$span"),
+      (4L, "unrelated words only here nothing shared at all"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val rep = operators.Dedup.crossDocSpanReport(df, "doc_id", "text", 8, 10)
+      .collect()
+    // the planted span is the only 8-gram in >= 2 docs... plus its
+    // shifted variants inside docs 1-3 never align across docs except
+    // the exact span (different offsets -> same window text). Check the
+    // exact-span row: 3 docs, 3 occurrences, doc 1 owns it (min doc id).
+    val exact = rep.filter(_.getAs[String]("span") === span)
+    assert(exact.length === 1)
+    assert(exact.head.getAs[Long]("n_docs") === 3L)
+    assert(exact.head.getAs[Long]("n_occ") === 3L)
+    assert(exact.head.getAs[Long]("first_doc") === 1L)
+    assert(exact.head.getAs[Int]("first_pos") === 2)
+    val ex = operators.Dedup.crossDocExcise(df, "doc_id", "text", 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned")))).toMap
+    assert(ex.keySet === Set(1L, 2L, 3L, 4L, 5L)) // total
+    assert(ex(1L)._3 === s"alpha $span beta") // canonical holder intact
+    assert(ex(1L)._2 === 0L)
+    assert(ex(2L)._3 === "gamma delta")        // span excised
+    assert(ex(2L)._2 === 8L)
+    assert(ex(3L)._3 === "" && ex(3L)._2 === 8L) // whole doc was the span
+    assert(ex(4L)._2 === 0L)                   // untouched
+    assert(ex(5L)._1 === 0L && ex(5L)._3 === "")
+    // longer shared run: a 9-token repeat is covered by its 2 windows and
+    // removed wholly from the non-canonical doc
+    val long9 = span + " nine"
+    val df2 = Seq((1L, s"x $long9 y"), (2L, s"$long9 tail")).toDF("doc_id", "text")
+    val ex2 = operators.Dedup.crossDocExcise(df2, "doc_id", "text", 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("cleaned")).toMap
+    assert(ex2(1L) === s"x $long9 y")
+    assert(ex2(2L) === "tail")
+  }
+
   test("unigram Viterbi: optimizes likelihood where greedy longest-match fails") {
     import spark.implicits._
     // "unable": greedy MaxMatch grabs "unab" and strands "l","e"; Viterbi

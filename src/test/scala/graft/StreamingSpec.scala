@@ -405,4 +405,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         (r.getAs[Double]("q_score"), r.getAs[Int]("q_pred"))).toMap
     assert(streamed === batch, "stream scores must equal the batch pass bit-for-bit")
   }
+
+  test("streaming Misra-Gries: candidate superset holds under adversarial batching") {
+    implicit val sqlCtx = spark.sqlContext
+    // heavy token: 40/100 occurrences of "hot"; theta = 0.3 -> k = 7.
+    // Batches split so "hot" arrives interleaved with distinct noise that
+    // constantly evicts counters - the worst case for MG state churn.
+    val noise = (1 to 60).map(i => s"n$i")
+    val all = (1 to 40).map(_ => "hot") ++ noise
+    val batches = all.grouped(9).toSeq // 12 uneven micro-batches
+    val mem = MemoryStream[String]
+    val q = mem.toDS().select(
+        operators.TextAnalysis.misraGriesColumn(7).name("cand"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mg_out").start()
+    // interleave: shuffle deterministically so hot is spread out
+    batches.zipWithIndex.foreach { case (b, i) =>
+      mem.addData(b.sortBy(t => (t.hashCode * (i + 1)).toString): _*)
+      q.processAllAvailable()
+    }
+    val cand = spark.table("mg_out").head().getSeq[String](0)
+    q.stop()
+    // the guarantee: every theta-heavy token survives, regardless of order
+    assert(cand.contains("hot"), s"theta-heavy token evicted: $cand")
+    assert(cand.size <= 7)
+  }
 }

@@ -37,7 +37,9 @@ object PlanDump {
       "q149_sampled_quantiles", "q150_grouped_quantiles",
       "q152_length_outliers", "q154_gopher_rules", "q155_hashed_tf",
       "q156_hashed_neardup", "q158_srp_bucket_profile",
-      "q159_hashed_tfidf", "q160_binary_ann_topk", "q163_unigram_encode")
+      "q159_hashed_tfidf", "q160_binary_ann_topk", "q163_unigram_encode",
+      "q164_crossdoc_spans", "q165_crossdoc_excise", "q167_hilbert_key",
+      "q168_minhash_estimator_audit")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

@@ -1326,6 +1326,13 @@ object SparkEntry {
         "source", col("keep"))
     }),
 
+    // Estimator-calibration audit: Broder signature estimate vs the
+    // exact Jaccard it estimates, per LSH candidate pair — the evidence
+    // that justifies (or re-sizes) signature-only verifies like q97's.
+    "q168_minhash_estimator_audit" -> ((s, dir) =>
+      operators.Dedup.minhashEstimatorAudit(T(s, dir, "documents"),
+        "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2)),
+
     // Hilbert-curve clustering key (q124's locality upgrade): the
     // codegen'd xy2d rotate loop over the same driver-bounds quantizer.
     // Consecutive keys are always grid-adjacent cells, so equal-row key
@@ -4686,6 +4693,47 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY wilson_lb DESC, source ASC)
          |    AS INT) AS rnk
          |FROM scored""".stripMargin
+    },
+
+    // q28's banded candidates + q97's integer n_match + q26's exact
+    // intersection, err computed from the two ROUNDED values
+    "q168_minhash_estimator_audit" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
+        .mkString("\nUNION ALL ")
+      val nMatch = (0 until 8)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$shingleCte,
+         |sig AS ($minhashSigSelect),
+         |banded AS ($bands),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r USING (band, key)
+         |  WHERE l.doc_id < r.doc_id),
+         |est AS (SELECT cand.id_a, cand.id_b, CAST($nMatch AS INT) AS n_match
+         |  FROM cand JOIN sig a ON a.doc_id = cand.id_a
+         |  JOIN sig b ON b.doc_id = cand.id_b),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM sh GROUP BY 1),
+         |inter AS (SELECT e.id_a, e.id_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM est e
+         |  JOIN sh sa ON sa.doc_id = e.id_a
+         |  JOIN sh sb ON sb.doc_id = e.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |full_ AS (SELECT e.id_a, e.id_b, e.n_match,
+         |    CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |    za.sz AS sz_a, zb.sz AS sz_b
+         |  FROM est e LEFT JOIN inter i USING (id_a, id_b)
+         |  JOIN sizes za ON za.doc_id = e.id_a
+         |  JOIN sizes zb ON zb.doc_id = e.id_b)
+         |SELECT id_a, id_b, n_match,
+         |  round(CAST(n_match AS DOUBLE) / 8, 6) AS est_jaccard,
+         |  round(CAST(n_inter AS DOUBLE)
+         |    / CAST(sz_a + sz_b - n_inter AS DOUBLE), 6) AS jaccard,
+         |  round(round(CAST(n_match AS DOUBLE) / 8, 6)
+         |    - round(CAST(n_inter AS DOUBLE)
+         |        / CAST(sz_a + sz_b - n_inter AS DOUBLE), 6), 6) AS err
+         |FROM full_""".stripMargin
     },
 
     // q124's quantizer CTE, then the xy2d loop unrolled one CTE per bit

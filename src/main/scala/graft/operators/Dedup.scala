@@ -840,6 +840,65 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Estimator-calibration audit: for every LSH candidate pair, the
+    * Broder '97 signature estimate (matching components / numHashes)
+    * SIDE BY SIDE with the exact Jaccard it estimates, and the signed
+    * error. "Measure, don't guess" applied to the dedup pipeline itself:
+    * the estimator's bias/spread on THIS corpus (error std ≈
+    * √(J(1−J)/k)) is what justifies — or refutes — trusting q97's
+    * signature-only verify at a given numHashes, and a drifting audit
+    * is the signal to re-size signatures before recall silently sags.
+    *
+    * Shape at 100 TB: candidates come from the banded join (never
+    * all-pairs); the exact side reuses the q26/q133 shingle-intersection
+    * machinery on candidates only. Both estimate and exact are integer-
+    * derived, so every value is engine-replayable.
+    *
+    * Output: id_a, id_b, n_match, est_jaccard, jaccard, err (6dp, err
+    * computed from the two ROUNDED values). */
+  def minhashEstimatorAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+      .localCheckpoint(eager = true)
+    val banded = bandedKeys(sig, idCol, numHashes, rowsPerBand)
+    val cand = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = sig.select(col(idCol).as("id_a") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"__a$i")): _*)
+    val b = sig.select(col(idCol).as("id_b") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"__b$i")): _*)
+    val nMatch = (0 until numHashes)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), nMatch.as("n_match"))
+    val sh = shingleSet(df, idCol, textCol, n).localCheckpoint(eager = true)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = est.select("id_a", "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val estR = round(col("n_match").cast("double") / numHashes, 6)
+    val jacR = round(col("n_inter").cast("double") /
+      (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 6)
+    est.join(inter, Seq("id_a", "id_b"), "left_outer")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        estR.as("est_jaccard"), jacR.as("jaccard"),
+        round(estR - jacR, 6).as("err"))
+  }
+
   /** [[minhashNearDupPairs]] with the (bands, rowsPerBand) plan derived
     * from the threshold by [[lshPlan]] instead of hand-picked — the shape
     * a deployment uses: state the Jaccard threshold and recall target,

@@ -2242,6 +2242,36 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(lbSmall > 0.43 && lbSmall < 0.45)
   }
 
+  test("minhashEstimatorAudit: identical docs score 1/1/0; estimate brackets exact") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, base), (2L, base),                       // identical pair
+      (3L, base + " iota kappa"),                   // high-overlap variant
+      (4L, "totally different words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val audit = operators.Dedup.minhashEstimatorAudit(df, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val ident = audit((1L, 2L))
+    assert(ident.getAs[Int]("n_match") === 8)
+    assert(ident.getAs[Double]("est_jaccard") === 1.0)
+    assert(ident.getAs[Double]("jaccard") === 1.0)
+    assert(ident.getAs[Double]("err") === 0.0)
+    // every audited pair: est and exact both in [0,1], err = est - exact
+    audit.values.foreach { r =>
+      val (e, j, d) = (r.getAs[Double]("est_jaccard"),
+        r.getAs[Double]("jaccard"), r.getAs[Double]("err"))
+      assert(e >= 0.0 && e <= 1.0 && j >= 0.0 && j <= 1.0)
+      assert(math.abs(d - BigDecimal(e - j).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // doc 4 shares no shingle with anything: if LSH even proposes it
+    // (it should not at 8 hashes), exact must be 0
+    audit.keys.foreach { case (a, b) => assert(a != 4L && (b != 4L || {
+      audit((a, b)).getAs[Double]("jaccard") == 0.0})) }
+  }
+
   test("hilbert index: a space-filling curve (bijective, unit-step), beats morton locality") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

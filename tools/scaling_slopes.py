@@ -49,7 +49,11 @@ QUERIES = (
     "q135_containment_prefix,q136_stream_cms,q137_corpus_datasheet,"
     "q138_split_leakage,q139_quality_classifier,q140_filter_calibration,"
     "q141_sample_estimate,q142_tokenizer_fertility,q143_release_delta,"
-    "q144_quality_budget,q145_ngram_diversity"
+    "q144_quality_budget,q145_ngram_diversity,"
+    "q147_ngram_diversity_kmv,q154_gopher_rules,q155_hashed_tf,"
+    "q156_hashed_neardup,q159_hashed_tfidf,q162_unigram_vocab,"
+    "q163_unigram_encode,q164_crossdoc_spans,q165_crossdoc_excise,"
+    "q166_stream_heavy_hitters"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -88,6 +92,16 @@ TABLE = {
     "q143_release_delta": "documents",
     "q144_quality_budget": "documents",
     "q145_ngram_diversity": "documents",
+    "q147_ngram_diversity_kmv": "documents",
+    "q154_gopher_rules": "documents",
+    "q155_hashed_tf": "documents",
+    "q156_hashed_neardup": "documents",
+    "q159_hashed_tfidf": "documents",
+    "q162_unigram_vocab": "documents",
+    "q163_unigram_encode": "documents",
+    "q164_crossdoc_spans": "documents",
+    "q165_crossdoc_excise": "documents",
+    "q166_stream_heavy_hitters": "documents",
     # qb44/qb46 read FIXED-SIZE synthetic media batches (200 images / 72
     # audio clips at every sf): their gate is time INVARIANCE, not a slope
     "qb44_media_resize": "fixed",

@@ -1326,6 +1326,16 @@ object SparkEntry {
         "source", col("keep"))
     }),
 
+    // Multi-probe SRP-LSH (Lv '07): one table, each query also probes
+    // the buckets reached by flipping its smallest-margin sign bits —
+    // the memory-side answer to q33's multi-TABLE recall dial (L× index
+    // vs T× query fan-out; at 100 TB the index is the bound).
+    "q169_multiprobe_ann_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Similarity.multiProbeTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", 10, nPlanes = 3, dim = 64, nProbes = 4)
+    }),
+
     // Estimator-calibration audit: Broder signature estimate vs the
     // exact Jaccard it estimates, per LSH candidate pair — the evidence
     // that justifies (or re-sizes) signature-only verifies like q97's.
@@ -4693,6 +4703,44 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY wilson_lb DESC, source ASC)
          |    AS INT) AS rnk
          |FROM scored""".stripMargin
+    },
+
+    // home bucket + margin-ranked single-bit flips (|dot| asc, plane
+    // asc), one-bucket corpus join, cosine rank — probes as string
+    // surgery on the inlined 4-plane bit string
+    "q169_multiprobe_ann_topk" -> {
+      val planes = Similarity.hyperplanes(3, 64)
+      val mrows = planes.zipWithIndex.map { case (p, i) =>
+        s"""SELECT q_id, qv, home, $i AS i,
+           |  abs(${dotSql("qv", planeSql(p))}) AS m FROM qm""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT id, v, ${bucketSql("v", planes)} AS bucket FROM e),
+         |qm AS (SELECT id AS q_id, v AS qv,
+         |    ${bucketSql("v", planes)} AS home
+         |  FROM e WHERE id < 5),
+         |mrows AS ($mrows),
+         |flips AS (SELECT q_id, qv,
+         |    substr(home, 1, i)
+         |      || (CASE WHEN substr(home, i + 1, 1) = '1'
+         |          THEN '0' ELSE '1' END)
+         |      || substr(home, i + 2, 3) AS bucket
+         |  FROM (SELECT q_id, qv, home, i,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY m ASC, i ASC)
+         |        AS rn
+         |    FROM mrows) t WHERE rn <= 3),
+         |probes AS (SELECT q_id, qv, home AS bucket FROM qm
+         |  UNION ALL SELECT q_id, qv, bucket FROM flips),
+         |scored AS (SELECT p.q_id, c.id, ${cosSql("c.v", "p.qv")} AS sim
+         |  FROM probes p JOIN c USING (bucket) WHERE c.id <> p.q_id),
+         |ranked AS (SELECT q_id, id, sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, id ASC) AS rn
+         |  FROM scored)
+         |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
+         |FROM ranked WHERE rn <= 10""".stripMargin
     },
 
     // q28's banded candidates + q97's integer n_match + q26's exact

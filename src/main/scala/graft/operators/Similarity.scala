@@ -1162,6 +1162,64 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Multi-probe SRP-LSH top-k (Lv et al. '07): ONE hash table, with each
+    * query probing its own bucket PLUS the buckets reached by flipping
+    * its least-confident sign bits — the bits whose |query · plane|
+    * margin is smallest, exactly the perturbations most likely to hold
+    * the missed neighbors. The production trade against multi-TABLE LSH
+    * ([[lshBucketedTopK]]): L tables cost L× index memory for recall
+    * 1−(1−r)^L, multi-probe costs T× QUERY fan-out on a 1× index — at
+    * 100 TB the index is the bound, so probes are the cheap dial.
+    *
+    * Determinism: margins are [[graft.functions.VecDot]] folds (bit-
+    * identical to the oracle's `list_reduce`), probe order breaks margin
+    * ties by plane index, and a corpus doc lives in exactly one bucket
+    * while the probe set is distinct buckets — so no pair dedup is ever
+    * needed. Output: the q38 (q_id, id, rank, sim) contract. */
+  def multiProbeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int,
+      dim: Int,
+      nProbes: Int,
+      seed: Long = 42L): DataFrame = {
+    ensureFns(corpus.sparkSession)
+    require(nProbes >= 1 && nProbes <= nPlanes + 1,
+      "probes = the home bucket + at most one flip per plane")
+    val planes = hyperplanes(nPlanes, dim, seed)
+    def litVec(p: Array[Double]) = array(p.map(lit(_)): _*)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), planes))
+    val q0 = queries.select(col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("qv"))
+    // margin-ordered flip candidates: struct sort = (|dot| asc, plane asc)
+    val margins = planes.zipWithIndex.map { case (p, i) =>
+      struct(abs(dot(col("qv"), litVec(p))).as("m"), lit(i).as("i"))
+    }
+    val home = srpBucket(col("qv"), planes)
+    def flipAt(bucket: Column, i: Column): Column = concat(
+      bucket.substr(lit(1), i),
+      when(bucket.substr(i + 1, lit(1)) === "1", "0").otherwise("1"),
+      bucket.substr(i + 2, lit(nPlanes)))
+    val q = q0.withColumn("__ord", sort_array(array(margins: _*)))
+      .withColumn("bucket", explode(array(
+        home +: (1 until nProbes).map(j =>
+          flipAt(home, element_at(col("__ord"), j).getField("i"))): _*)))
+      .select(col("q_id"), col("qv"), col("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), cosine(col("v"), col("qv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Pack per-coordinate sign bits (v_i ≥ 0 → 1) of a `dim ≤ 64` vector
     * into two 32-bit halves carried as longs — binary quantization in its
     * simplest, engine-portable form. Exact integer arithmetic: a 32-term

@@ -156,6 +156,29 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
       s"probe=4 + refine@40 recall $refined < 0.36 (3.6× the gate config)")
   }
 
+  test("multi-probe LSH: recall monotone in probes, 1-probe == single table") {
+    // one table, T probes: the memory-side coverage dial (q169) - a
+    // CANDIDATE GENERATOR in this suite's taxonomy, pinned honestly like
+    // single-table SRP (0.22) and raw ADC. Measured at p=3: probes
+    // 1/3/4 -> 0.22/0.50/0.62 - each margin-ordered flip buys the
+    // recall a whole extra table would, on a 1x index.
+    val byProbes = Seq(1, 3, 4).map { t =>
+      t -> recall(Similarity.multiProbeTopK(emb, qs, "vec_id", "embedding",
+        10, nPlanes = 3, dim = 64, nProbes = t))
+    }
+    byProbes.sliding(2).foreach { case Seq((ta, ra), (tb, rb)) =>
+      assert(ra <= rb + 1e-9, s"recall fell from probes=$ta ($ra) to $tb ($rb)")
+    }
+    val gate = byProbes.toMap
+    // 1 probe IS the single-table SRP baseline at the same p
+    val single = recall(Similarity.lshBucketedTopK(emb, qs, "vec_id",
+      "embedding", 10, nPlanes = 3, dim = 64, nTables = 1))
+    assert(math.abs(gate(1) - single) < 1e-9,
+      s"1-probe ${gate(1)} != single-table $single")
+    assert(gate(3) >= 0.50 - 1e-9, s"3-probe recall ${gate(3)} < 0.50")
+    assert(gate(4) >= 0.62 - 1e-9, s"q169 gate recall ${gate(4)} < 0.62")
+  }
+
   test("binary sign quantization: recall monotone in rerankFactor; gate clears 0.8") {
     // 32×-compressed Hamming shortlist + exact rerank (q160). A larger
     // shortlist is a candidate superset, so recall is monotone; the gate

@@ -1326,6 +1326,14 @@ object SparkEntry {
         "source", col("keep"))
     }),
 
+    // LSH recall audit: realized candidate coverage of the banded join
+    // against the exact-Jaccard pair set at the q26 threshold — the
+    // S-curve's promise measured on THIS corpus, the number that decides
+    // whether signatures may replace the exact join at scale.
+    "q170_lsh_recall_audit" -> ((s, dir) =>
+      operators.Dedup.lshRecallAudit(T(s, dir, "documents"), "doc_id",
+        "text", n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.3)),
+
     // Multi-probe SRP-LSH (Lv '07): one table, each query also probes
     // the buckets reached by flipping its smallest-margin sign bits —
     // the memory-side answer to q33's multi-TABLE recall dial (L× index
@@ -4703,6 +4711,43 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY wilson_lb DESC, source ASC)
          |    AS INT) AS rnk
          |FROM scored""".stripMargin
+    },
+
+    // q26's exact pair set + q28's banded candidates + one semi join
+    "q170_lsh_recall_audit" -> {
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
+        .mkString("\nUNION ALL ")
+      s"""$shingleCte,
+         |capped AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |        HAVING count(*) <= 100) ok USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM capped a JOIN capped b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |tp AS (SELECT id_a, id_b
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE)
+         |    / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.3),
+         |sig AS ($minhashSigSelect),
+         |banded AS ($bands),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r USING (band, key)
+         |  WHERE l.doc_id < r.doc_id),
+         |caught AS (SELECT tp.id_a, tp.id_b FROM tp
+         |  SEMI JOIN cand ON cand.id_a = tp.id_a AND cand.id_b = tp.id_b),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+         |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM caught)
+         |SELECT CAST(0.3 AS DOUBLE) AS threshold, n_true, n_candidates,
+         |  n_caught,
+         |  CASE WHEN n_true > 0 THEN round(CAST(n_caught AS DOUBLE)
+         |    / CAST(n_true AS DOUBLE), 6) END AS recall
+         |FROM nt CROSS JOIN nc CROSS JOIN ng""".stripMargin
     },
 
     // home bucket + margin-ranked single-bit flips (|dot| asc, plane

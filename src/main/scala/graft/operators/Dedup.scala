@@ -899,6 +899,46 @@ object Dedup {
         round(estR - jacR, 6).as("err"))
   }
 
+  /** 1-row LSH recall audit — the candidate-coverage counterpart of
+    * [[minhashEstimatorAudit]]'s value calibration: how many of the
+    * pairs the EXACT Jaccard pass would emit at `threshold` does the
+    * banded join actually propose? The S-curve predicts recall
+    * 1−(1−J^r)^b per pair; this measures the realized aggregate on THIS
+    * corpus, which is what decides whether a signature config can
+    * replace the exact join at scale (the q123-backs-q63 adjudication,
+    * turned into a number).
+    *
+    * Exact side: the capped inverted-index pair join ([[ngramJaccardPairs]]'
+    * machinery); candidate side: the banded LSH join. Both bounded by
+    * candidate/pair mass, never all-pairs.
+    *
+    * Output: threshold, n_true, n_candidates, n_caught, recall (6dp). */
+  def lshRecallAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxShingleDocFreq: Long = 100): DataFrame = {
+    val truePairs = ngramJaccardPairs(df, idCol, textCol, n, threshold,
+      maxShingleDocFreq).select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = true)
+    val cand = minhashLshPairs(df, idCol, textCol, n, numHashes, rowsPerBand)
+    val caught = truePairs.join(cand, Seq("id_a", "id_b"), "left_semi")
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nCaught = caught.agg(count(lit(1)).as("n_caught"))
+    nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nCaught))
+      .select(lit(threshold).as("threshold"), col("n_true"),
+        col("n_candidates"), col("n_caught"),
+        when(col("n_true") > 0,
+          round(col("n_caught").cast("double") /
+            col("n_true").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("recall"))
+  }
+
   /** [[minhashNearDupPairs]] with the (bands, rowsPerBand) plan derived
     * from the threshold by [[lshPlan]] instead of hand-picked — the shape
     * a deployment uses: state the Jaccard threshold and recall target,

@@ -2242,6 +2242,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(lbSmall > 0.43 && lbSmall < 0.45)
   }
 
+  test("lshRecallAudit: catches planted near-dups; empty corpus yields null recall") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val df = Seq(
+      (1L, base), (2L, base),                     // exact dup: J = 1
+      (3L, base + " w11"),                        // near dup
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")      // unrelated
+    ).toDF("doc_id", "text")
+    val audit = operators.Dedup.lshRecallAudit(df, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.3)
+      .collect().head
+    assert(audit.getAs[Long]("n_true") >= 2L)     // (1,2) and (1,3)/(2,3)
+    // J=1 pairs collide on every band; on this fixture all true pairs
+    // are high-J, so the audit must report full recall
+    assert(audit.getAs[Double]("recall") === 1.0)
+    assert(audit.getAs[Long]("n_caught") === audit.getAs[Long]("n_true"))
+    assert(audit.getAs[Double]("threshold") === 0.3)
+    // no true pairs -> recall NULL, not NaN/zero
+    val none = operators.Dedup.lshRecallAudit(
+      Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 8, 2, 0.9).collect().head
+    assert(none.getAs[Long]("n_true") === 0L)
+    assert(none.isNullAt(none.fieldIndex("recall")))
+  }
+
   test("minhashEstimatorAudit: identical docs score 1/1/0; estimate brackets exact") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta"

@@ -39,7 +39,8 @@ object PlanDump {
       "q156_hashed_neardup", "q158_srp_bucket_profile",
       "q159_hashed_tfidf", "q160_binary_ann_topk", "q163_unigram_encode",
       "q164_crossdoc_spans", "q165_crossdoc_excise", "q167_hilbert_key",
-      "q168_minhash_estimator_audit", "q169_multiprobe_ann_topk")
+      "q168_minhash_estimator_audit", "q169_multiprobe_ann_topk",
+      "q170_lsh_recall_audit")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

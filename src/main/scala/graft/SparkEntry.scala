@@ -2314,7 +2314,82 @@ object SparkEntry {
           Seq(440.0, 1000.0, 2500.0))
         .withColumn("band_amp", to_json(col("band_amp")))
     }),
+
+    // Dense per-user hourly grid over the event log with gaps explicit
+    // and values carried forward (LOCF) — the feature-store repair step
+    // before events become time-series features. Grid rows are generated
+    // executor-side (sequence+explode AFTER the span aggregate, already
+    // partitioned by user); two exchanges total.
+    "q171_event_gapfill" -> ((s, dir) =>
+      operators.Temporal.gapFill(T(s, dir, "events"), "user_id", "ts",
+        "value", "hour")),
+
+    // SCD Type-2 history build: per-user event_type change log collapsed
+    // to validity intervals (gaps-and-islands running-sum segmentation,
+    // lead() for valid_to, open segment flagged current). One hash
+    // exchange on user_id feeds every window and the segment aggregate.
+    "q172_scd2_intervals" -> ((s, dir) =>
+      operators.Temporal.scd2(T(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type")),
+
+    // Bucketed-layout co-located join: both sides written bucketed+sorted
+    // by their join key into the same bucket count, then joined with ZERO
+    // exchange on either side (PlanSpec pins the shuffle-free plan) — the
+    // pay-the-shuffle-once-at-ingest pattern for 100 TB fact joins.
+    "q173_bucketed_join" -> ((s, dir) => {
+      val l = Layout.bucketedTable(
+        T(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        "graft_q173_lineitem", scratchDir("graft_q173_l"),
+        "l_orderkey", 16, Seq("l_orderkey"))
+      val o = Layout.bucketedTable(
+        T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority")),
+        "graft_q173_orders", scratchDir("graft_q173_o"),
+        "o_orderkey", 16, Seq("o_orderkey"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Dictionary tagging: curated (tag, phrase) taxonomy matched on token
+    // boundaries via an n-gram stream + broadcast phrase join — the
+    // topic-routing stage; corpus cost is one explode-scan + one (doc,
+    // tag) aggregation regardless of dictionary size.
+    "q174_dictionary_tags" -> ((s, dir) =>
+      operators.Tagging.dictionaryTags(T(s, dir, "documents"), "doc_id",
+        "text", q174Dict)),
+
+    // Mergeable-sketch rollup: HLL registers built ONCE per (lang,
+    // source), merged (max per bucket) to per-lang and global distinct-
+    // bigram estimates with no second corpus scan — the sketch-once/
+    // roll-up-anywhere pattern; exact side computed alongside (one
+    // rollup pass) to keep the lane self-auditing like q117.
+    "q175_hll_rollup" -> ((s, dir) =>
+      operators.TextAnalysis.hllBigramRollup(T(s, dir, "documents"),
+        "lang", "source", "text")),
+
+    // Vocabulary-bounded PMI association mining: top-50 token pairs by
+    // document-frequency PMI over the top-25 vocabulary with a 5-doc
+    // support floor — per-doc pair work is capped at V²/2 by the
+    // broadcast vocabulary, never quadratic in document length.
+    "q176_pmi_pairs" -> ((s, dir) =>
+      operators.Tagging.pmiPairs(T(s, dir, "documents"), "doc_id", "text",
+        topV = 25, minPairDocs = 5, k = 50)),
   )
+
+  /** q174's taxonomy: unigram + bigram phrases over the corpus vocabulary
+    * — shared verbatim between the lane and its oracle's VALUES list. */
+  private[graft] val q174Dict: Seq[(String, String)] = Seq(
+    "engine" -> "spark", "engine" -> "query", "engine" -> "scan",
+    "engine" -> "hash join", "engine" -> "sort merge",
+    "storage" -> "table", "storage" -> "row", "storage" -> "column",
+    "storage" -> "big table",
+    "tempo" -> "fast", "tempo" -> "slow", "tempo" -> "slow query",
+    "streaming" -> "stream", "streaming" -> "window",
+    "streaming" -> "stream batch")
 
   // ---- DuckDB oracle-SQL generators (DuckDB dialect) -------------------
   // These mirror the Spark operators' exact hash/fold order: md5 is
@@ -6287,5 +6362,149 @@ object SparkEntry {
          |SELECT q_id, id, CAST(rn AS INT) AS rank, round(sim, 6) AS sim
          |FROM ranked WHERE rn <= 10""".stripMargin
     },
+
+    // dense grid via generate_series between each user's first/last
+    // observed hour; LOCF = last_value IGNORE NULLS over the bucket
+    // order (rows-unbounded-preceding, same frame as the Spark window)
+    "q171_event_gapfill" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_obs, round(sum(value), 2) AS v_obs
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM obs GROUP BY 1),
+        |dense AS (SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM spans)
+        |SELECT d.user_id, d.bucket,
+        |  coalesce(o.n_obs, 0) AS n_events,
+        |  o.n_obs IS NULL AS is_gap,
+        |  last_value(o.v_obs IGNORE NULLS) OVER (
+        |    PARTITION BY d.user_id ORDER BY d.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM dense d LEFT JOIN obs o
+        |  ON d.user_id = o.user_id AND d.bucket = o.bucket""".stripMargin,
+
+    // gaps-and-islands: change flag (null-safe lag compare) → running-sum
+    // segment id → per-segment min(ts)/count → lead() for valid_to; ties
+    // broken by event_id in BOTH engines so interval boundaries never
+    // depend on partition order
+    "q172_scd2_intervals" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+        |      THEN 0 ELSE 1 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |seg AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM marked),
+        |segs AS (
+        |  SELECT user_id, seg, min(event_type) AS attr_value,
+        |    min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM seg GROUP BY 1, 2)
+        |SELECT user_id, attr_value, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  n_events,
+        |  lead(valid_from) OVER w2 IS NULL AS is_current
+        |FROM segs
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, seg)""".stripMargin,
+
+    // the bucketed layout changes the PLAN, not the relation — the oracle
+    // is the plain join aggregate
+    "q173_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // unigram + bigram phrase stream joined to the same VALUES dictionary
+    // the lane broadcasts (q174Dict rendered verbatim)
+    "q174_dictionary_tags" -> {
+      val values = q174Dict
+        .map { case (t, p) => s"('$t', '$p')" }.mkString(",\n  ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |phr AS (
+         |  SELECT doc_id, unnest(ts) AS phrase FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |      i -> ts[i] || ' ' || ts[i + 1])) AS phrase
+         |  FROM toks WHERE len(ts) > 1),
+         |dict(tag, phrase) AS (VALUES
+         |  $values)
+         |SELECT doc_id, tag, count(*) AS n_hits
+         |FROM phr JOIN dict USING (phrase) GROUP BY 1, 2""".stripMargin
+    },
+
+    // q117's register replay, rolled up: per-lang registers + the global
+    // merge via GROUPING SETS — merged-register max == direct registers,
+    // the same identity the Spark side exploits
+    "q175_hll_rollup" -> {
+      val alphaM2 = 0.7213 / (1 + 1.079 / 512) * 512 * 512
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH tok AS (
+         |  SELECT lang, source,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+         |  FROM documents),
+         |bg AS (
+         |  SELECT lang, source, ts[g] || ' ' || ts[g + 1] AS term
+         |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS g) u
+         |  WHERE len(ts) > 1),
+         |vv AS (SELECT lang, $poly AS v
+         |  FROM (SELECT lang, md5(term) AS h FROM bg) z),
+         |regs AS (SELECT lang, v >> 43 AS bucket,
+         |    CASE WHEN (v & 8796093022207) = 0 THEN 44
+         |         ELSE 44 - length(bin(v & 8796093022207)) END AS rho
+         |  FROM vv),
+         |reg AS (SELECT coalesce(lang, '<all>') AS lang, bucket, max(rho) AS reg
+         |  FROM regs GROUP BY GROUPING SETS ((lang, bucket), (bucket))),
+         |sums AS (SELECT lang, sum(pow(2.0, -reg)) AS s_present,
+         |    CAST(count(*) AS BIGINT) AS n_present
+         |  FROM reg GROUP BY 1),
+         |est AS (SELECT lang,
+         |    CASE WHEN CAST('$alphaM2' AS DOUBLE)
+         |          / (s_present + (512 - n_present)) <= 1280.0
+         |        AND (512 - n_present) > 0
+         |      THEN round(512.0 * ln(512.0 / CAST(512 - n_present AS DOUBLE)), 4)
+         |      ELSE round(CAST('$alphaM2' AS DOUBLE)
+         |          / (s_present + (512 - n_present)), 4) END AS hll_est
+         |  FROM sums),
+         |exact AS (SELECT coalesce(lang, '<all>') AS lang,
+         |    CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sketches
+         |  FROM bg GROUP BY GROUPING SETS ((lang), ()))
+         |SELECT lang, exact_distinct, n_sketches, hll_est
+         |FROM exact JOIN est USING (lang)""".stripMargin
+    },
+
+    // document-frequency PMI over the deterministic top-25 vocabulary
+    // (df desc, token asc — a total order, so the LIMIT boundary and the
+    // final top-50 agree between engines)
+    "q176_pmi_pairs" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE t <> ''),
+        |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+        |vocab AS (SELECT t, df FROM dfreq ORDER BY df DESC, t LIMIT 25),
+        |kept AS (SELECT doc_id, dt.t FROM dt JOIN vocab ON dt.t = vocab.t),
+        |pairs AS (SELECT a.t AS x, b.t AS y
+        |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.t < b.t),
+        |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM pairs GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT x, y, c_xy,
+        |  round(ln(CAST(c_xy AS DOUBLE) * n_docs / (vx.df * vy.df)), 4) AS pmi
+        |FROM cxy CROSS JOIN n
+        |JOIN vocab vx ON cxy.x = vx.t JOIN vocab vy ON cxy.y = vy.t
+        |WHERE c_xy >= 5
+        |ORDER BY pmi DESC, x, y LIMIT 50""".stripMargin,
   ) ++ bangumiOracle
 }

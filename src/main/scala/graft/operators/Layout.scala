@@ -183,4 +183,41 @@ object Layout {
     if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
     else spark.read.parquet(keep: _*)
   }
+
+  /** Write `df` as a bucketed + sorted table and return the catalog
+    * read-back. Bucketing is the layout that DELETES the join shuffle:
+    * two tables bucketed by their join keys into the same bucket count
+    * are co-partitioned ON DISK (bucket id = murmur3 pmod numBuckets —
+    * the same function `repartition(n, key)` uses), so a join between
+    * them plans a sort-merge with ZERO Exchange on either side. At
+    * 100 TB this is the difference between re-shuffling the fact table
+    * on every run and paying the shuffle ONCE at ingest.
+    *
+    * The `repartition(buckets, key)` before the write is the known
+    * bucketed-write trap: without it every write task emits a file per
+    * bucket it sees (tasks × buckets small files, and the read side
+    * loses sort elision, which needs one file per bucket). With it,
+    * task i holds exactly bucket i — the partitioner and the bucket
+    * hash agree — so the layout is one sorted file per bucket.
+    *
+    * External table (explicit `path`), `Overwrite` mode: re-running the
+    * same name is idempotent, and the catalog entry is only metadata —
+    * the in-memory catalog works; no Hive metastore needed. */
+  def bucketedTable(
+      df: DataFrame,
+      table: String,
+      path: String,
+      key: String,
+      buckets: Int,
+      sortCols: Seq[String]): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    require(sortCols.nonEmpty, "bucketed layout should also sort")
+    df.repartition(buckets, col(key))
+      .write.format("parquet").mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+    df.sparkSession.table(table)
+  }
 }

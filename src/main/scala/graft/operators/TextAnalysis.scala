@@ -1363,33 +1363,97 @@ object TextAnalysis {
     * the full key space. Registers merge across shards by the same
     * `max` (relational groupBy IS the merge — property-tested). */
   def hllDistinct(df: DataFrame, groupCol: String, keyCol: String,
+      p: Int = 9): DataFrame =
+    hllEstimateFromRegisters(
+      hllRegisters(df, Seq(groupCol), keyCol, p), Seq(groupCol), p)
+
+  /** The HLL SKETCH half of [[hllDistinct]]: per-group register relation
+    * (groupCols..., bucket, reg) — at most 2^p rows per group, the
+    * mergeable representation (register merge = max per bucket, so
+    * sketches built per fine slice roll up to any coarser grouping
+    * WITHOUT touching the corpus again; see [[hllBigramRollup]]). */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
       p: Int = 9): DataFrame = {
     require(p >= 4 && p <= 12, "p must be in [4, 12]")
-    val m = 1 << p
     val wBits = 52 - p
     val mask = (1L << wBits) - 1
-    // computed HERE and embedded as one double literal on both sides —
-    // re-deriving it in SQL decimal arithmetic could round differently
-    val alphaM2 = 0.7213 / (1 + 1.079 / m) * m * m
     val v = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
       .cast("long")
     val tail = v.bitwiseAND(lit(mask))
     val rho = when(tail === 0, lit(wBits + 1))
       .otherwise(lit(wBits + 1) - length(bin(tail)))
-    val regs = df
-      .select(col(groupCol), shiftright(v, wBits).as("bucket"), rho.as("rho"))
-      .groupBy(col(groupCol), col("bucket"))
+    df.select(groupCols.map(col) :+
+        shiftright(v, wBits).as("bucket") :+ rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("rho")).as("reg"))
-    val sums = regs.groupBy(col(groupCol)).agg(
+  }
+
+  /** The ESTIMATOR half of [[hllDistinct]]: Flajolet's bias-corrected
+    * harmonic mean with the small-range linear-counting branch, over a
+    * register relation keyed by `groupCols`. alphaM2 is computed HERE
+    * and embedded as one double literal on both sides — re-deriving it
+    * in SQL decimal arithmetic could round differently. */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+      p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val alphaM2 = 0.7213 / (1 + 1.079 / m) * m * m
+    val sums = regs.groupBy(groupCols.map(col): _*).agg(
       sum(pow(lit(2.0), -col("reg"))).as("s_present"),
       count(lit(1)).as("n_present"))
     val s = col("s_present") + (lit(m) - col("n_present")).cast("double")
     val zeros = (lit(m) - col("n_present")).cast("double")
     val eRaw = lit(alphaM2) / s
-    sums.select(col(groupCol),
+    sums.select(groupCols.map(col) :+
       when(eRaw <= lit(2.5 * m) && zeros > 0,
         round(lit(m.toDouble) * log(lit(m.toDouble) / zeros), 4))
-        .otherwise(round(eRaw, 4)).as("hll_est"))
+        .otherwise(round(eRaw, 4)).as("hll_est"): _*)
+  }
+
+  /** Mergeable-sketch ROLLUP — the pattern that makes sketches pay at
+    * 100 TB: build HLL registers ONCE at the finest grouping
+    * (coarse × fine, e.g. lang × source), then answer every coarser
+    * distinct-count question by merging register relations (max per
+    * bucket) — per-coarse-group estimates and the global estimate here —
+    * without a second corpus scan. Register merge is exact for HLL
+    * (max is associative/commutative/idempotent), so the rolled-up
+    * estimate is bit-identical to sketching the coarse group directly;
+    * [[graft.OperatorsSpec]] asserts that identity against
+    * [[hllDistinct]].
+    *
+    * The fine register relation is ≤ groups × 2^p rows — bounded by
+    * CONFIG, not data — and is localCheckpoint'd so the two rollups and
+    * the verification exact pass don't re-scan the corpus lineage.
+    * Output: (coarseCol, exact_distinct, n_sketches, hll_est) for every
+    * coarse group plus an `<all>` grand-total row; the exact side
+    * (one `rollup` countDistinct pass) exists to make the lane
+    * self-auditing, the way q117 pairs the estimate with truth.
+    */
+  def hllBigramRollup(df: DataFrame, coarseCol: String, fineCol: String,
+      textCol: String, p: Int = 9): DataFrame = {
+    val all = "<all>"
+    val terms = df
+      .select(col(coarseCol), col(fineCol),
+        tokens(lower(col(textCol))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col(coarseCol), col(fineCol),
+        explode(bigramPairs(col("ts"))).as("pp"))
+      .select(col(coarseCol), col(fineCol),
+        concat_ws(" ", col("pp.w1"), col("pp.w2")).as("term"))
+    val fine = hllRegisters(terms, Seq(coarseCol, fineCol), "term", p)
+      .localCheckpoint()
+    val mergedCoarse = fine.groupBy(col(coarseCol), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    val mergedAll = fine.groupBy(col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+      .withColumn(coarseCol, lit(all))
+    val est = hllEstimateFromRegisters(mergedCoarse, Seq(coarseCol), p)
+      .unionByName(hllEstimateFromRegisters(mergedAll, Seq(coarseCol), p))
+    val exact = terms.rollup(col(coarseCol))
+      .agg(countDistinct(col("term")).as("exact_distinct"),
+        countDistinct(col(fineCol)).as("n_sketches"))
+      .select(coalesce(col(coarseCol), lit(all)).as(coarseCol),
+        col("exact_distinct"), col("n_sketches"))
+    exact.join(est, Seq(coarseCol))
   }
 
   /** KMV (k-minimum-values) sketch per group — the theta-family member

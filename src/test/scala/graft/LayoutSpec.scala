@@ -146,4 +146,48 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
         s"z-order should skip most row groups: read $zRows of $uRows")
     }
   }
+
+  test("bucketedTable lays out ONE sorted file per bucket and round-trips rows") {
+    withDirs(1) { case Seq(dir) =>
+      val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      val back = Layout.bucketedTable(df, "graft_test_bkt", dir.toString,
+        "k", 8, Seq("k"))
+      assert(back.count() === 1000L)
+      // the repartition-before-write must collapse the tasks×buckets
+      // small-file explosion to exactly one data file per bucket
+      val files = Files.list(dir).iterator()
+      val data = Iterator.continually(files)
+        .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+        .filter(f => f.endsWith(".parquet") && !f.startsWith("_")).toSeq
+      assert(data.size === 8, s"expected 8 bucket files, got: $data")
+      // overwrite is idempotent — same name, fresh rows win
+      val back2 = Layout.bucketedTable(df.limit(10), "graft_test_bkt",
+        dir.toString, "k", 8, Seq("k"))
+      assert(back2.count() === 10L)
+      spark.sql("DROP TABLE IF EXISTS graft_test_bkt")
+    }
+  }
+
+  test("two same-bucketed tables join with ZERO exchanges (the q173 plan)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withDirs(2) { case Seq(d1, d2) =>
+      val fact = (1L to 2000L).map(i => (i % 97, i.toDouble)).toDF("k", "x")
+      val dim = (0L until 97L).map(i => (i, s"g${i % 5}")).toDF("k", "g")
+      val ft = Layout.bucketedTable(fact, "graft_test_fact", d1.toString,
+        "k", 8, Seq("k"))
+      val dt = Layout.bucketedTable(dim, "graft_test_dim", d2.toString,
+        "k", 8, Seq("k"))
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val joined = ft.join(dt, "k")
+        val shuffles = joined.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(shuffles.isEmpty,
+          s"bucketed join must not exchange:\n${joined.queryExecution.executedPlan}")
+        assert(joined.count() === 2000L)
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_test_fact")
+      spark.sql("DROP TABLE IF EXISTS graft_test_dim")
+    }
+  }
 }

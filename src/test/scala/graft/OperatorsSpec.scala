@@ -2597,4 +2597,81 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
           org.apache.spark.sql.types.DoubleType))).eval()
     assert(lit2 === (1.5 * 4.0 + (-2.25) * 8.0))
   }
+
+  test("dictionaryTags matches token boundaries, not substrings; folds case") {
+    val d = Seq(
+      (1L, "Art is long"),               // 'art' as a full token
+      (2L, "this part is departed"),      // 'art' only inside other tokens
+      (3L, "ART art art"),                // 3 hits, case-folded
+      (4L, "hash join beats hash and join apart") // bigram + 2 unigram hits
+    ).toDF("doc_id", "text")
+    val dict = Seq("a" -> "art", "h" -> "hash", "j" -> "hash join")
+    val out = operators.Tagging.dictionaryTags(d, "doc_id", "text", dict)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.get((1L, "a")).contains(1L))
+    assert(!out.keySet.exists(_._1 == 2L), "'part'/'departed' must not fire 'art'")
+    assert(out((3L, "a")) === 3L)
+    assert(out((4L, "h")) === 2L, "both 'hash' tokens count")
+    assert(out((4L, "j")) === 1L, "adjacent 'hash join' fires the bigram")
+  }
+
+  test("dictionaryTags rejects phrases longer than the n-gram join supports") {
+    val d = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      operators.Tagging.dictionaryTags(d, "doc_id", "text",
+        Seq("t" -> "one two three four five"))
+    }
+  }
+
+  test("pmiPairs: document-frequency PMI with support floor, hand-checked") {
+    // 6 docs; x,y co-occur in 3; x in docs {1,2,3,4}, y in {1,2,3,5} (df 4
+    // each), z in {3,5} (its pairs fall below the floor except with y? no:
+    // (y,z) co-occurs in docs 3 and 5 — exactly at the floor)
+    val d = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x y z"),
+      (4L, "x"), (5L, "y z w"), (6L, "w")
+    ).toDF("doc_id", "text")
+    val out = operators.Tagging.pmiPairs(d, "doc_id", "text",
+      topV = 10, minPairDocs = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val xy = out.find(t => t._1 == "x" && t._2 == "y").get
+    assert(xy._3 === 3L)
+    // pmi = ln(3·6 / (4·4)) = ln(1.125)
+    assert(math.abs(xy._4 - BigDecimal(math.log(1.125))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // (y,z): 2 docs, passes floor; (x,z): 1 doc, dropped
+    assert(out.exists(t => t._1 == "y" && t._2 == "z"))
+    assert(!out.exists(t => t._1 == "x" && t._2 == "z"))
+    // every pair is emitted in x<y orientation exactly once
+    assert(out.forall(t => t._1 < t._2))
+    assert(out.map(t => (t._1, t._2)).distinct.length === out.length)
+  }
+
+  test("pmiPairs: topV caps the vocabulary deterministically") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    // df: a=3 b=3 c=3 d=1; topV=3 keeps {a,b,c} (ties broken by token asc)
+    val out = operators.Tagging.pmiPairs(d, "doc_id", "text",
+      topV = 3, minPairDocs = 1, k = 10).collect()
+    assert(out.forall(r => Set("a", "b", "c")(r.getString(0)) &&
+      Set("a", "b", "c")(r.getString(1))), "d must be pruned by topV")
+  }
+
+  test("HLL register rollup equals sketching the coarse group directly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rolled = TextAnalysis.hllBigramRollup(docs, "lang", "source", "text")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // direct per-lang sketch over the same bigram universe (q117's op,
+    // grouped by lang instead of source) — register merge must be exact
+    val direct = TextAnalysis.hllBigramCardinality(docs, "lang", "text")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    direct.foreach { case (lang, (exact, est)) =>
+      assert(rolled(lang) === ((exact, est)),
+        s"rollup-merged estimate must be bit-identical for $lang")
+    }
+    assert(rolled.contains("<all>"), "grand-total row present")
+  }
 }

@@ -437,6 +437,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("ScalaUDF"), "scorer must stay expression-only")
   }
 
+  test("q173: bucketed join never re-shuffles either side on its join key") {
+    // the whole point of the bucketed layout: the ingest write paid the
+    // partitioning, so the join plans NO exchange on l_orderkey or
+    // o_orderkey — only the small post-join aggregate may exchange
+    val p = plan("q173_bucketed_join")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"lineitem side re-shuffled:\n${p.take(900)}")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side re-shuffled:\n${p.take(900)}")
+    spark.sql("DROP TABLE IF EXISTS graft_q173_lineitem")
+    spark.sql("DROP TABLE IF EXISTS graft_q173_orders")
+  }
+
+  test("q176: PMI corpus path is one explode-scan + broadcast vocab, no sort-merge") {
+    val p = plan("q176_pmi_pairs")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab must broadcast, never sort-merge:\n${p.take(900)}")
+    assert(p.contains("Broadcast"), "vocab/total joins should broadcast")
+  }
+
+  test("q174: dictionary join is broadcast; corpus aggregates partial+final") {
+    val p = plan("q174_dictionary_tags")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), "dictionary must not shuffle the corpus")
+    assert(p.contains("HashAggregate"), "tag counts must combine map-side")
+  }
+
   test("bangumi source reports statistics and prunes empty categories") {
     val src = spark.read
       .format(classOf[sources.bangumi.BangumiTableProvider].getName)

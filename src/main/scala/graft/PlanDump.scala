@@ -39,6 +39,10 @@ object PlanDump {
       "q156_hashed_neardup", "q158_srp_bucket_profile",
       "q159_hashed_tfidf", "q160_binary_ann_topk", "q163_unigram_encode",
       "q164_crossdoc_spans", "q165_crossdoc_excise", "q167_hilbert_key",
+      "q171_event_gapfill", "q172_scd2_intervals", "q173_bucketed_join",
+      "q174_dictionary_tags", "q175_hll_rollup", "q176_pmi_pairs",
+      "q177_cohort_retention", "q178_touch_attribution",
+      "q179_event_patterns", "q180_time_weighted_avg",
       "q168_minhash_estimator_audit", "q169_multiprobe_ann_topk",
       "q170_lsh_recall_audit")
     val sb = new StringBuilder

@@ -2378,6 +2378,41 @@ object SparkEntry {
     "q176_pmi_pairs" -> ((s, dir) =>
       operators.Tagging.pmiPairs(T(s, dir, "documents"), "doc_id", "text",
         topV = 25, minPairDocs = 5, k = 50)),
+
+    // Weekly cohort retention triangle — first-activity cohorts × active
+    // weeks; the user-keyed aggregates share one exchange, cohort sizes
+    // broadcast.
+    // cohort_week emitted as 'yyyy-MM-dd' text: the compare layer's date
+    // representations differ between engines (the "no raw timestamps"
+    // contract)
+    "q177_cohort_retention" -> ((s, dir) =>
+      operators.Funnel.cohortRetention(T(s, dir, "events"), "user_id",
+        "ts").withColumn("cohort_week", col("cohort_week").cast("string"))),
+
+    // First- AND last-touch revenue attribution in one self-auditing
+    // relation (both value columns total the same number): last-touch is
+    // q41's as-of union-merge, first-touch one min-struct per user,
+    // unattributed conversions credit the 'none' row.
+    "q178_touch_attribution" -> ((s, dir) =>
+      operators.Funnel.attribution(T(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type", "value",
+        Seq("view", "click", "signup"), "purchase")),
+
+    // CEP-lite adjacent-pattern counting: per user, occurrences of the
+    // CONSECUTIVE view→click→purchase triple (q62's funnel is the
+    // subsequence form; this is the strict-adjacency form). One per-user
+    // collect; the count is a scan-stage array filter.
+    "q179_event_patterns" -> ((s, dir) =>
+      operators.Funnel.adjacentPatternCounts(T(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // Time-weighted average per user (zero-order hold): holding-time
+    // weights on exact microsecond longs so both engines agree
+    // bit-for-bit; degenerate spans fall back to max deterministically.
+    "q180_time_weighted_avg" -> ((s, dir) =>
+      operators.Temporal.timeWeightedAvg(T(s, dir, "events"), "user_id",
+        "ts", "event_id", "value")),
   )
 
   /** q174's taxonomy: unigram + bigram phrases over the corpus vocabulary
@@ -6506,5 +6541,96 @@ object SparkEntry {
         |JOIN vocab vx ON cxy.x = vx.t JOIN vocab vy ON cxy.y = vy.t
         |WHERE c_xy >= 5
         |ORDER BY pmi DESC, x, y LIMIT 50""".stripMargin,
+
+    // Monday-start ISO weeks in both engines; week_index by day-diff/7
+    "q177_cohort_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+        |    AS cohort_week
+        |  FROM events GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+        |    AS week
+        |  FROM events),
+        |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT)
+        |    AS cohort_size
+        |  FROM firsts GROUP BY 1),
+        |act AS (
+        |  SELECT f.cohort_week,
+        |    CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT)
+        |      AS week_index,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM activity a JOIN firsts f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(act.cohort_week AS VARCHAR) AS cohort_week,
+        |  week_index, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
+        |FROM act JOIN sizes USING (cohort_week)""".stripMargin,
+
+    // last-touch tie order (touch_ts DESC, touch_type DESC) replays the
+    // as-of union-merge's carried-struct tiebreak; first-touch replays
+    // the min-struct (ts, event_id, type) order
+    "q178_touch_attribution" ->
+      """WITH touches AS (SELECT user_id, ts AS touch_ts,
+        |    event_id AS touch_tie, event_type AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |convs AS (SELECT user_id, ts, event_id, value AS conv_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |last_pick AS (
+        |  SELECT c.event_id, c.conv_value, t.touch_type
+        |  FROM convs c LEFT JOIN touches t
+        |    ON c.user_id = t.user_id AND t.touch_ts <= c.ts
+        |  QUALIFY row_number() OVER (PARTITION BY c.event_id
+        |    ORDER BY t.touch_ts DESC, t.touch_type DESC) = 1),
+        |la AS (SELECT coalesce(touch_type, 'none') AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_last,
+        |    round(sum(conv_value), 2) AS value_last
+        |  FROM last_pick GROUP BY 1),
+        |firsts AS (
+        |  SELECT user_id, touch_ts, touch_type FROM touches
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY touch_ts, touch_tie, touch_type) = 1),
+        |first_pick AS (
+        |  SELECT CASE WHEN f.user_id IS NULL OR f.touch_ts > c.ts
+        |      THEN 'none' ELSE f.touch_type END AS touch_type,
+        |    c.conv_value
+        |  FROM convs c LEFT JOIN firsts f USING (user_id)),
+        |fa AS (SELECT touch_type, CAST(count(*) AS BIGINT) AS n_first,
+        |    round(sum(conv_value), 2) AS value_first
+        |  FROM first_pick GROUP BY 1)
+        |SELECT coalesce(fa.touch_type, la.touch_type) AS touch_type,
+        |  coalesce(n_first, 0) AS n_first,
+        |  coalesce(value_first, 0.0) AS value_first,
+        |  coalesce(n_last, 0) AS n_last,
+        |  coalesce(value_last, 0.0) AS value_last
+        |FROM fa FULL JOIN la ON fa.touch_type = la.touch_type""".stripMargin,
+
+    // ordered list() aggregate = the engine's sorted collect; adjacency
+    // counted over 1-based window starts
+    "q179_event_patterns" ->
+      """WITH seqs AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS tl
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(len(tl) AS BIGINT) AS n_events,
+        |  CASE WHEN len(tl) >= 3 THEN
+        |    CAST(len(list_filter(range(1, len(tl) - 1),
+        |      i -> tl[i] = 'view' AND tl[i+1] = 'click'
+        |        AND tl[i+2] = 'purchase')) AS BIGINT)
+        |  ELSE 0 END AS n_matches
+        |FROM seqs""".stripMargin,
+
+    // epoch_us == unix_micros: exact integer weights on both sides
+    "q180_time_weighted_avg" ->
+      """WITH stepped AS (
+        |  SELECT user_id, value,
+        |    CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS DOUBLE) AS dt_us,
+        |    epoch_us(ts) AS us
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(max(us) - min(us) AS DOUBLE) / 1e6, 6) AS span_seconds,
+        |  CASE WHEN sum(dt_us) > 0 THEN round(sum(value * dt_us) / sum(dt_us), 4)
+        |    ELSE round(max(value), 4) END AS twa
+        |FROM stepped GROUP BY 1""".stripMargin,
   ) ++ bangumiOracle
 }

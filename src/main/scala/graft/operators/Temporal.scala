@@ -115,4 +115,45 @@ object Temporal {
       col("n_events"))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Time-weighted average of `valueCol` per key over [first, last] event
+    * — the IoT/metrics summary where a value that HELD for an hour must
+    * outweigh one that held for a second, which a plain `avg` gets
+    * backwards. Each event's value is weighted by its holding time
+    * (`lead(ts) − ts`, zero-order hold; the last event closes the
+    * integral). Time deltas are computed on EXACT microsecond longs
+    * (`unix_micros`), never on timestamps cast to double — at epoch
+    * magnitude a double has already lost the microseconds, and both
+    * engines must agree bit-for-bit on the weights.
+    *
+    * Keys with a degenerate span (single event, or every event at the
+    * same instant) fall back to the plain max — deterministic because
+    * the window order is tie-broken by `tieCol`.
+    *
+    * One hash exchange on the key: the lead() window and the final
+    * aggregate share the per-key partitioning. Output: (key, n_events,
+    * span_seconds, twa).
+    */
+  def timeWeightedAvg(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    val stepped = events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(valueCol))
+      .withColumn("dt_us", (lead(us, 1).over(w) - us).cast("double"))
+    stepped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round((max(us) - min(us)).cast("double") / lit(1e6), 6)
+          .as("span_seconds"),
+        sum(col(valueCol) * col("dt_us")).as("wsum"),
+        sum(col("dt_us")).as("wtot"),
+        max(col(valueCol)).as("vmax"))
+      .select(col(keyCol), col("n_events"), col("span_seconds"),
+        when(col("wtot") > 0, round(col("wsum") / col("wtot"), 4))
+          .otherwise(round(col("vmax"), 4)).as("twa"))
+  }
 }

@@ -2658,6 +2658,74 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       Set("a", "b", "c")(r.getString(1))), "d must be pruned by topV")
   }
 
+  test("cohortRetention: first-week cohorts, per-week active fractions") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-16 10:00:00")),
+      (2L, ts("2024-01-10 10:00:00")),
+      (3L, ts("2024-01-03 10:00:00")), (3L, ts("2024-01-09 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Funnel.cohortRetention(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // cohort of Mon 2024-01-01: users 1 and 3
+    assert(out(("2024-01-01", 0)) === ((2L, 2L, 1.0)))
+    assert(out(("2024-01-01", 1)) === ((1L, 2L, 0.5)), "u3 active in week 1")
+    assert(out(("2024-01-01", 2)) === ((1L, 2L, 0.5)), "u1 active in week 2")
+    // cohort of Mon 2024-01-08: user 2 only
+    assert(out(("2024-01-08", 0)) === ((1L, 1L, 1.0)))
+    assert(out.size === 4)
+  }
+
+  test("attribution: first/last touch credit, 'none' bucket, totals agree") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: view → click → purchase(10): first=view, last=click
+      (1L, ts("2024-01-01 01:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-01 02:00:00"), 2L, "click", 0.0),
+      (1L, ts("2024-01-01 03:00:00"), 3L, "purchase", 10.0),
+      // u2: purchase(5) with no touch ever → none/none
+      (2L, ts("2024-01-01 01:00:00"), 4L, "purchase", 5.0),
+      // u3: purchase(7) BEFORE its only touch → none/none;
+      //     purchase(1) after the click → click/click
+      (3L, ts("2024-01-01 01:00:00"), 5L, "purchase", 7.0),
+      (3L, ts("2024-01-01 02:00:00"), 6L, "click", 0.0),
+      (3L, ts("2024-01-01 03:00:00"), 7L, "purchase", 1.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = graft.operators.Funnel.attribution(ev, "user_id", "ts",
+      "event_id", "event_type", "value", Seq("view", "click", "signup"),
+      "purchase")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("view") === ((1L, 10.0, 0L, 0.0)))
+    assert(out("click") === ((1L, 1.0, 2L, 11.0)))
+    assert(out("none") === ((2L, 12.0, 2L, 12.0)))
+    // self-audit: both models distribute the same total value
+    assert(out.values.map(_._2).sum === out.values.map(_._4).sum)
+  }
+
+  test("adjacentPatternCounts: strict adjacency, overlapping windows count") {
+    def ts(i: Int) = new java.sql.Timestamp(i * 1000L)
+    val ev = Seq(
+      (1L, "view"), (1L, "click"), (1L, "purchase"), (1L, "view"),
+      (1L, "click"), (1L, "view"), (1L, "click"), (1L, "purchase"),
+      (2L, "view"), (2L, "purchase")
+    ).zipWithIndex.map { case ((u, e), i) => (u, ts(i), i.toLong, e) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.operators.Funnel.adjacentPatternCounts(ev, "user_id",
+      "ts", "event_id", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((8L, 2L)), "view,click at 4-5 is broken by view at 6")
+    assert(out(2L) === ((2L, 0L)), "short sequences emit 0, never error")
+    // overlapping pattern: (a,a) over [a,a,a] counts both window starts
+    val ev2 = Seq((9L, ts(1), 1L, "a"), (9L, ts(2), 2L, "a"),
+      (9L, ts(3), 3L, "a")).toDF("user_id", "ts", "event_id", "event_type")
+    val o2 = graft.operators.Funnel.adjacentPatternCounts(ev2, "user_id",
+      "ts", "event_id", "event_type", Seq("a", "a")).head()
+    assert(o2.getLong(2) === 2L)
+  }
+
   test("HLL register rollup equals sketching the coarse group directly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rolled = TextAnalysis.hllBigramRollup(docs, "lang", "source", "text")

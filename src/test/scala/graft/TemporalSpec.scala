@@ -89,6 +89,28 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getLong(4)).sum === 3L)
   }
 
+  test("timeWeightedAvg: zero-order hold weights, degenerate-span fallback") {
+    val ev = Seq(
+      // u1: v=10 holds 10s, v=20 holds 30s, v=40 closes the integral
+      (1L, new Timestamp(0L), 1L, 10.0),
+      (1L, new Timestamp(10000L), 2L, 20.0),
+      (1L, new Timestamp(40000L), 3L, 40.0),
+      // u2: single event — span 0, twa = the value
+      (2L, new Timestamp(5000L), 4L, 5.0),
+      // u3: two events at the SAME instant — wtot 0, fallback max
+      (3L, new Timestamp(7000L), 5L, 3.0),
+      (3L, new Timestamp(7000L), 6L, 9.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal.timeWeightedAvg(ev, "user_id", "ts", "event_id",
+      "value").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    // twa = (10·10 + 20·30) / 40 = 17.5 — NOT the plain avg 23.33
+    assert(out(1L) === ((3L, 40.0, 17.5)))
+    assert(out(2L) === ((1L, 0.0, 5.0)))
+    assert(out(3L) === ((2L, 0.0, 9.0)))
+  }
+
   test("scd2 lane shape at fixture scale: intervals reconstruct the event count") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = Temporal.scd2(ev, "user_id", "ts", "event_id", "event_type")

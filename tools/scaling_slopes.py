@@ -53,7 +53,11 @@ QUERIES = (
     "q147_ngram_diversity_kmv,q154_gopher_rules,q155_hashed_tf,"
     "q156_hashed_neardup,q159_hashed_tfidf,q162_unigram_vocab,"
     "q163_unigram_encode,q164_crossdoc_spans,q165_crossdoc_excise,"
-    "q166_stream_heavy_hitters"
+    "q166_stream_heavy_hitters,"
+    "q171_event_gapfill,q172_scd2_intervals,q173_bucketed_join,"
+    "q174_dictionary_tags,q175_hll_rollup,q176_pmi_pairs,"
+    "q177_cohort_retention,q178_touch_attribution,q179_event_patterns,"
+    "q180_time_weighted_avg"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -109,12 +113,23 @@ TABLE = {
     "q32_cosine_neardup": "embeddings", "q65_semdedup": "embeddings",
     "q35_streaming_tumbling": "events", "q61_stream_interval_join": "events",
     "q71_streaming_sliding": "events",
+    "q171_event_gapfill": "events",
+    "q172_scd2_intervals": "events",
+    "q177_cohort_retention": "events",
+    "q178_touch_attribution": "events",
+    "q179_event_patterns": "events",
+    "q180_time_weighted_avg": "events",
+    "q173_bucketed_join": "lineitem",
+    "q174_dictionary_tags": "documents",
+    "q175_hll_rollup": "documents",
+    "q176_pmi_pairs": "documents",
 }
 ROWS = {
     "documents": {"sf0.001": 500, "sf0.01": 500, "sf0.1": 5000},
     "embeddings": {"sf0.001": 500, "sf0.01": 500, "sf0.1": 2000},
     "events": {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000},
     "orders": {"sf0.001": 1500, "sf0.01": 15000, "sf0.1": 150000},
+    "lineitem": {"sf0.001": 6000, "sf0.01": 60000, "sf0.1": 600000},
     "fixed": {"sf0.001": 200, "sf0.01": 200, "sf0.1": 200},
 }
 

@@ -43,6 +43,8 @@ object PlanDump {
       "q174_dictionary_tags", "q175_hll_rollup", "q176_pmi_pairs",
       "q177_cohort_retention", "q178_touch_attribution",
       "q179_event_patterns", "q180_time_weighted_avg",
+      "q181_changelog_compact", "q182_fuzzy_name_join",
+      "q183_triangle_census",
       "q168_minhash_estimator_audit", "q169_multiprobe_ann_topk",
       "q170_lsh_recall_audit")
     val sb = new StringBuilder

@@ -2413,6 +2413,41 @@ object SparkEntry {
     "q180_time_weighted_avg" -> ((s, dir) =>
       operators.Temporal.timeWeightedAvg(T(s, dir, "events"), "user_id",
         "ts", "event_id", "value")),
+
+    // Changelog compaction (CDC apply / compacted-topic read): last-
+    // writer-wins per user by (ts, event_id), 'error' versions are
+    // tombstones — a later upsert resurrects, a trailing tombstone
+    // removes. One map-side-combinable max(struct), never a window sort.
+    "q181_changelog_compact" -> ((s, dir) =>
+      operators.SnapshotMerge.compactChangelog(T(s, dir, "events"),
+        "user_id", "ts", "event_id", col("event_type") === "error",
+        "value")),
+
+    // Fuzzy entity-resolution self-join on catalog names: distinct-name
+    // relation (vocabulary-bounded) → exact length banding → Levenshtein
+    // verify; the corpus pays one groupBy.
+    "q182_fuzzy_name_join" -> ((s, dir) =>
+      operators.Dedup.fuzzyNameJoin(T(s, dir, "part"), "p_name", 3)),
+
+    // Triangle census + global clustering over a host co-occurrence
+    // graph (hosts sharing a doc bucket; bucket size held ~13 by a
+    // corpus-scaled modulus, so pair generation stays linear). The count
+    // is the degree-ordered node-iterator — wedge fan-out bounded by
+    // arboricity, not max degree.
+    "q183_triangle_census" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws(".", col("source"), col("lang")).as("host"))
+      val m = d.agg(greatest(floor(count(lit(1)) / 13), lit(1L))
+        .cast("long").as("m"))
+      val bh = d.crossJoin(broadcast(m))
+        .select((col("doc_id") % col("m")).as("bucket"), col("host"))
+        .distinct()
+      val edges = bh.as("x").join(bh.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.host") < col("y.host"))
+        .select(col("x.host").as("src"), col("y.host").as("dst"))
+      Components.triangleStats(edges, "src", "dst")
+    }),
   )
 
   /** q174's taxonomy: unigram + bigram phrases over the corpus vocabulary
@@ -6632,5 +6667,56 @@ object SparkEntry {
         |  CASE WHEN sum(dt_us) > 0 THEN round(sum(value * dt_us) / sum(dt_us), 4)
         |    ELSE round(max(value), 4) END AS twa
         |FROM stepped GROUP BY 1""".stripMargin,
+
+    // last-writer-wins replayed as a (ts DESC, event_id DESC) window;
+    // tombstoned keys drop AFTER the winner is chosen, same as the engine
+    "q181_changelog_compact" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_versions
+        |  FROM events)
+        |SELECT user_id, n_versions, ts AS last_ts, value AS current_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // DuckDB's levenshtein == Spark's (q47 precedent); the length band
+    // only prunes — the WHERE re-verifies every candidate
+    "q182_fuzzy_name_join" ->
+      """WITH names AS (SELECT p_name AS name,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+        |  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+        |FROM names a JOIN names b ON a.name < b.name
+        |  AND abs(length(a.name) - length(b.name)) <= 3
+        |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
+
+    // canonical a<b<c triple join — orientation-free, so it checks the
+    // engine's degree-ordered iterator from a different construction
+    "q183_triangle_census" ->
+      """WITH d AS (SELECT doc_id, source || '.' || lang AS host
+        |  FROM documents),
+        |cnt AS (SELECT greatest(count(*) // 13, 1) AS m FROM d),
+        |bh AS (SELECT DISTINCT doc_id % m AS bucket, host
+        |  FROM d CROSS JOIN cnt),
+        |und AS (SELECT DISTINCT a.host AS a, b.host AS b
+        |  FROM bh a JOIN bh b ON a.bucket = b.bucket AND a.host < b.host),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) z
+        |  GROUP BY 1),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+        |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+        |  CASE WHEN n_wedges > 0
+        |    THEN round(3.0 * n_triangles / n_wedges, 4)
+        |    ELSE 0.0 END AS global_clustering
+        |FROM agg CROSS JOIN ne CROSS JOIN tri""".stripMargin,
   ) ++ bangumiOracle
 }

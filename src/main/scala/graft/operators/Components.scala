@@ -284,4 +284,61 @@ object Components {
     }
     pr
   }
+
+  /** Triangle census + global clustering coefficient over an undirected
+    * graph — the degree-ordered node-iterator (Schank–Wagner; the
+    * MapReduce formulation is Suri–Vassilvitskii '11): every edge is
+    * oriented from its lower-(degree, label) endpoint to its higher one,
+    * wedges are generated only at each triangle's LOWEST-ranked vertex
+    * (two out-edges joined on their shared source), and closed by one
+    * semi-join against the canonical edge set. The orientation is the
+    * whole scale story: out-degree under degree ordering is O(√m), so
+    * wedge fan-out is bounded by graph arboricity instead of by the
+    * maximum degree — a star graph generates ZERO wedges at its hub.
+    * Each triangle is counted exactly once (its two lowest-ranked
+    * vertices are joined at the lowest; no orientation ever revisits it).
+    *
+    * Output (one row): n_nodes, n_edges, n_triangles, n_wedges
+    * (Σ deg·(deg−1)/2 — unordered open+closed wedges), and the global
+    * clustering coefficient 3·triangles/wedges.
+    */
+  def triangleStats(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct()
+      .localCheckpoint() // reused 4×: degrees, orientation, probe, count
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+    // orient low-(deg, label) → high; (deg, label) is a total order
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("w")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
+        col("e1.w") < col("e2.w"))
+      .select(least(col("e1.w"), col("e2.w")).as("a"),
+        greatest(col("e1.w"), col("e2.w")).as("b"))
+    val tri = wedges.join(und, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = und.agg(count(lit(1)).as("n_edges"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    nodes.crossJoin(counts).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
+          .otherwise(lit(0.0)).as("global_clustering"))
+  }
 }

@@ -1367,4 +1367,46 @@ object Dedup {
         (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
+
+  /** Fuzzy string self-join: all pairs of DISTINCT values of `nameCol`
+    * within Levenshtein distance `maxDist`, with each value's carrier
+    * row count — entity-resolution blocking for catalog/name columns
+    * ("cold bolt" ↔ "old bolt").
+    *
+    * Scale discipline: the corpus pays ONE groupBy (the distinct-name
+    * relation with counts); everything quadratic runs on that relation,
+    * which is VOCABULARY-bounded the way the token relations are — at
+    * 100 TB the name universe grows like a dictionary, not like the
+    * table. Candidate generation is exact length banding (an edit can
+    * change length by at most 1, so |len(a) − len(b)| ≤ maxDist): each
+    * name exploded to its 2·maxDist+1 admissible partner lengths and
+    * equi-joined on length — a hash join, never a cartesian — then the
+    * O(len²) verify runs only on banded candidates. (A q-gram count
+    * filter would prune further but is only sound for names longer than
+    * q·(maxDist+1), which short catalog names violate — exactness first.)
+    *
+    * Output: (name_a, name_b, dist, n_rows_a, n_rows_b), name_a < name_b.
+    */
+  def fuzzyNameJoin(
+      df: DataFrame,
+      nameCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8, "maxDist in [1, 8]")
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val probe = names.select(col("name").as("name_a"),
+      col("n_rows").as("n_rows_a"),
+      explode(sequence(length(col("name")) - maxDist,
+        length(col("name")) + maxDist)).as("lb"))
+      .filter(col("lb") >= 1)
+    probe.join(
+      names.select(col("name").as("name_b"), col("n_rows").as("n_rows_b"),
+        length(col("name")).as("lb")),
+      Seq("lb"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_rows_a"), col("n_rows_b"))
+  }
 }

@@ -80,4 +80,38 @@ object SnapshotMerge {
       .withColumn("is_active", lit(true))
     live.unionByName(deleted).unionByName(naRows)
   }
+
+  /** Changelog COMPACTION — last-writer-wins per key with tombstones: the
+    * CDC-apply / compacted-topic read. Each key's surviving row is its
+    * latest version by (ts, tie) — `tie` totalizes equal timestamps, so
+    * the winner never depends on partition order — and keys whose latest
+    * version satisfies `deletePred` vanish (a delete beaten by a later
+    * upsert does NOT delete).
+    *
+    * Deliberately NOT a row_number window: `max(struct(ts, tie, payload))`
+    * is a map-side-combinable aggregate, so each executor reduces its
+    * slice of a key's history to one candidate before the shuffle — at
+    * 100 TB changelog volume that is the difference between shuffling
+    * every version and shuffling one row per (key, input partition). The
+    * same argmax-by-struct idiom as the q110 cluster representative.
+    *
+    * Output: (key, n_versions, last_ts, current_value) for surviving
+    * keys; `n_versions` counts ALL versions including the tombstones the
+    * compaction removed.
+    */
+  def compactChangelog(
+      log: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      deletePred: Column,
+      valueCol: String): DataFrame = {
+    log.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_versions"),
+        max(struct(col(tsCol).as("t"), col(tieCol).as("i"),
+          deletePred.as("del"), col(valueCol).as("v"))).as("last"))
+      .filter(!col("last.del"))
+      .select(col(keyCol), col("n_versions"),
+        col("last.t").as("last_ts"), col("last.v").as("current_value"))
+  }
 }

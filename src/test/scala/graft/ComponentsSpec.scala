@@ -116,4 +116,46 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(got.sortBy(_._3).map(_._1) === Seq("c", "b", "a"),
       "c receives from both and the dangling refund — it must rank first")
   }
+
+  test("triangleStats: hand graphs — clique, star, canonicalization") {
+    def stats(edges: Seq[(String, String)]) = {
+      val row = Components.triangleStats(
+        edges.toDF("s", "d"), "s", "d").head()
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getDouble(4))
+    }
+    // K4: 4 nodes, 6 edges, 4 triangles, 12 wedges, clustering 1.0
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    assert(stats(k4) === ((4L, 6L, 4L, 12L, 1.0)))
+    // star: hub with 4 leaves — 6 wedges, zero triangles
+    val star = Seq("x1", "x2", "x3", "x4").map(("hub", _))
+    assert(stats(star) === ((5L, 4L, 0L, 6L, 0.0)))
+    // duplicates, reversed duplicates, self-loops all canonicalize away
+    val messy = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("c", "c"),
+      ("b", "c"), ("a", "c"))
+    assert(stats(messy) === ((3L, 3L, 1L, 3L, 1.0)))
+  }
+
+  test("triangleStats matches a brute-force reference on a pseudo-random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (1 to 220).map { _ =>
+      (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}")
+    }
+    val canon = edges.collect { case (a, b) if a != b =>
+      if (a < b) (a, b) else (b, a)
+    }.toSet
+    val adj = canon.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ref = canon.toSeq.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty[String]).count(c => b < c && canon((b, c)))
+    }.sum // for each edge (a,b), third vertices c with a<b<c and both edges
+    val got = Components.triangleStats(edges.toDF("s", "d"), "s", "d")
+      .head()
+    assert(got.getLong(2) === ref.toLong,
+      s"degree-ordered count must equal the canonical brute force ($ref)")
+    assert(got.getLong(1) === canon.size.toLong)
+  }
 }

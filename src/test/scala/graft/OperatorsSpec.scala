@@ -2726,6 +2726,39 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(o2.getLong(2) === 2L)
   }
 
+  test("fuzzyNameJoin: banding never loses a pair; counts carried; a<b") {
+    val d = Seq("cold bolt", "old bolt", "old bolt", "gold bolts",
+      "red gear", "red gears", "anvil").zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("id", "nm")
+    val out = operators.Dedup.fuzzyNameJoin(d, "nm", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    // dist 1 pair, with the duplicate row count carried on the b side
+    assert(out(("cold bolt", "old bolt")) === ((1, 1L, 2L)))
+    // length diff exactly maxDist (9 vs 10 chars, dist 2) — the band edge
+    assert(out(("gold bolts", "old bolt")) === ((2, 1L, 2L)))
+    assert(out(("red gear", "red gears")) === ((1, 1L, 1L)))
+    // nothing pairs with 'anvil'; orientation is always name_a < name_b
+    assert(!out.keySet.exists(p => p._1 == "anvil" || p._2 == "anvil"))
+    assert(out.keySet.forall(p => p._1 < p._2))
+    // exactness against brute force at this scale
+    val names = d.select("nm").distinct().collect().map(_.getString(0))
+    val brute = (for {
+      a <- names; b <- names if a < b
+      dst = {
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length)
+      }
+      if dst <= 2
+    } yield (a, b)).toSet
+    assert(out.keySet === brute, "length banding must be lossless")
+  }
+
   test("HLL register rollup equals sketching the coarse group directly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rolled = TextAnalysis.hllBigramRollup(docs, "lang", "source", "text")

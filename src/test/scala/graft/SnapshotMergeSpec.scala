@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.SnapshotMerge
@@ -58,5 +59,28 @@ class SnapshotMergeSpec extends AnyFunSuite with SparkSpec {
     val once = SnapshotMerge.merge(src, tgt, "id").drop("is_active")
     val again = SnapshotMerge.mergeActions(src, once, "id", Seq("bal"))
     assert(again.filter($"action" =!= "unchanged").count() === 0)
+  }
+
+  test("compactChangelog: last-writer-wins with tombstone semantics") {
+    def t(i: Int) = new java.sql.Timestamp(i * 1000L)
+    val log = Seq(
+      // k1: upsert, upsert — survives with the later value
+      (1L, t(1), 1L, "U", 10.0), (1L, t(2), 2L, "U", 20.0),
+      // k2: upsert then tombstone LAST — key vanishes
+      (2L, t(1), 3L, "U", 5.0), (2L, t(2), 4L, "D", 0.0),
+      // k3: tombstone beaten by a later upsert — resurrected
+      (3L, t(1), 5L, "D", 0.0), (3L, t(2), 6L, "U", 7.0),
+      // k4: equal timestamps — the tie column decides (id 8 wins)
+      (4L, t(5), 7L, "U", 1.0), (4L, t(5), 8L, "U", 2.0)
+    ).toDF("k", "ts", "id", "op", "v")
+    val out = SnapshotMerge.compactChangelog(log, "k", "ts", "id",
+      col("op") === "D", "v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L) === ((2L, 20.0)))
+    assert(!out.contains(2L), "trailing tombstone removes the key")
+    assert(out(3L) === ((2L, 7.0)), "later upsert resurrects")
+    assert(out(4L) === ((2L, 2.0)), "equal ts resolved by the tie column")
+    // n_versions counts tombstones too
+    assert(out.values.map(_._1).sum === 6L)
   }
 }

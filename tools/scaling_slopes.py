@@ -57,7 +57,8 @@ QUERIES = (
     "q171_event_gapfill,q172_scd2_intervals,q173_bucketed_join,"
     "q174_dictionary_tags,q175_hll_rollup,q176_pmi_pairs,"
     "q177_cohort_retention,q178_touch_attribution,q179_event_patterns,"
-    "q180_time_weighted_avg"
+    "q180_time_weighted_avg,q181_changelog_compact,q182_fuzzy_name_join,"
+    "q183_triangle_census"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -119,6 +120,9 @@ TABLE = {
     "q178_touch_attribution": "events",
     "q179_event_patterns": "events",
     "q180_time_weighted_avg": "events",
+    "q181_changelog_compact": "events",
+    "q182_fuzzy_name_join": "part",
+    "q183_triangle_census": "documents",
     "q173_bucketed_join": "lineitem",
     "q174_dictionary_tags": "documents",
     "q175_hll_rollup": "documents",
@@ -130,6 +134,7 @@ ROWS = {
     "events": {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000},
     "orders": {"sf0.001": 1500, "sf0.01": 15000, "sf0.1": 150000},
     "lineitem": {"sf0.001": 6000, "sf0.01": 60000, "sf0.1": 600000},
+    "part": {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000},
     "fixed": {"sf0.001": 200, "sf0.01": 200, "sf0.1": 200},
 }
 

@@ -44,7 +44,7 @@ object PlanDump {
       "q177_cohort_retention", "q178_touch_attribution",
       "q179_event_patterns", "q180_time_weighted_avg",
       "q181_changelog_compact", "q182_fuzzy_name_join",
-      "q183_triangle_census",
+      "q183_triangle_census", "q185_entity_resolution",
       "q168_minhash_estimator_audit", "q169_multiprobe_ann_topk",
       "q170_lsh_recall_audit")
     val sb = new StringBuilder

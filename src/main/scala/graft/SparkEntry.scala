@@ -2448,6 +2448,70 @@ object SparkEntry {
         .select(col("x.host").as("src"), col("y.host").as("dst"))
       Components.triangleStats(edges, "src", "dst")
     }),
+
+    // q181 as a STREAMING materialized view: the same LWW argmax run as a
+    // complete-mode streaming aggregation — state is one (count, struct)
+    // per key regardless of version volume, the compacted-topic reader's
+    // state bound. Tombstone filtering happens on the read side, exactly
+    // like a compacted-log consumer. Gated by q181's oracle VERBATIM:
+    // the stream must land on the batch relation under any micro-batch
+    // split.
+    "q184_stream_changelog" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val st = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = st.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_versions"),
+          max(struct(col("ts").as("t"), col("event_id").as("i"),
+            (col("event_type") === "error").as("del"),
+            col("value").as("v"))).as("last"))
+      streamToMemoryComplete(s, agg)
+        .filter(!col("last.del"))
+        .select(col("user_id"), col("n_versions"),
+          col("last.t").as("last_ts"), col("last.v").as("current_value"))
+    }),
+
+    // End-to-end entity resolution: q182's fuzzy pairs as edges →
+    // star-contraction connected components over the distinct-name
+    // relation → canonical spelling per entity by (carrier count, name)
+    // argmax. The whole pipeline runs on the vocabulary-bounded name
+    // relation; the corpus pays one groupBy.
+    "q185_entity_resolution" -> ((s, dir) => {
+      val parts = T(s, dir, "part")
+      val pairs = Dedup.fuzzyNameJoin(parts, "p_name", 2)
+      val names = parts.groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_rows"))
+      // star contraction runs on long ids; a name-ordered dense id makes
+      // min-id ≡ min-name, so the component representative is the same
+      // entity the oracle's min(name) computes. The dict is the
+      // vocabulary-bounded name relation — the global window is over
+      // dictionary rows, never corpus rows.
+      val dict = names.select(col("name")).withColumn("nid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("name"))).cast("long"))
+      val idPairs = pairs
+        .join(dict.select(col("name").as("name_a"), col("nid").as("ida")),
+          Seq("name_a"))
+        .join(dict.select(col("name").as("name_b"), col("nid").as("idb")),
+          Seq("name_b"))
+      val comp = Components.alternatingStars(idPairs, "ida", "idb")
+        .withColumnRenamed("node", "nid")
+        .join(dict, Seq("nid"))
+        .join(dict.select(col("nid").as("component"),
+          col("name").as("entity0")), Seq("component"))
+        .select(col("name"), col("entity0"))
+      val withComp = names.join(comp, Seq("name"), "left")
+        .select(col("name"), col("n_rows"),
+          coalesce(col("entity0"), col("name")).as("entity"))
+      val ent = withComp.groupBy(col("entity"))
+        .agg(count(lit(1)).as("n_names"),
+          sum(col("n_rows")).as("entity_rows"),
+          max(struct(col("n_rows").as("r"), col("name").as("n")))
+            .as("canon"))
+      withComp.join(ent, Seq("entity"))
+        .select(col("name"), col("entity"), col("n_rows"), col("n_names"),
+          col("entity_rows"), col("canon.n").as("canonical_name"))
+    }),
   )
 
   /** q174's taxonomy: unigram + bigram phrases over the corpus vocabulary
@@ -6718,5 +6782,51 @@ object SparkEntry {
         |    THEN round(3.0 * n_triangles / n_wedges, 4)
         |    ELSE 0.0 END AS global_clustering
         |FROM agg CROSS JOIN ne CROSS JOIN tri""".stripMargin,
+
+    // the stream must land on the BATCH compaction relation under any
+    // micro-batch split — q181's oracle gates both, verbatim (the q166 ⇄
+    // q80 move)
+    "q184_stream_changelog" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_versions
+        |  FROM events)
+        |SELECT user_id, n_versions, ts AS last_ts, value AS current_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q182's pair relation as edges, the q63 recursive-CTE closure for
+    // components (min reachable name), canonical spelling by
+    // (n_rows DESC, name DESC) — the engine's max-struct order
+    "q185_entity_resolution" ->
+      """WITH RECURSIVE names AS (SELECT p_name AS name,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM part GROUP BY 1),
+        |pairs AS (SELECT a.name AS na, b.name AS nb
+        |  FROM names a JOIN names b ON a.name < b.name
+        |    AND abs(length(a.name) - length(b.name)) <= 2
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |eb AS (SELECT na AS src, nb AS dst FROM pairs
+        |  UNION SELECT nb, na FROM pairs),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM eb
+        |  UNION
+        |  SELECT re.node, e.dst FROM reach re JOIN eb e ON re.r = e.src
+        |  WHERE e.dst <> re.node),
+        |comp AS (SELECT node, min(r) AS mn FROM reach GROUP BY node),
+        |wc AS (SELECT n.name, n.n_rows,
+        |    least(n.name, coalesce(c.mn, n.name)) AS entity
+        |  FROM names n LEFT JOIN comp c ON c.node = n.name),
+        |ent AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_names,
+        |    CAST(sum(n_rows) AS BIGINT) AS entity_rows
+        |  FROM wc GROUP BY 1),
+        |canon AS (SELECT entity, name AS canonical_name FROM wc
+        |  QUALIFY row_number() OVER (PARTITION BY entity
+        |    ORDER BY n_rows DESC, name DESC) = 1)
+        |SELECT wc.name, wc.entity, wc.n_rows, ent.n_names,
+        |  ent.entity_rows, canon.canonical_name
+        |FROM wc JOIN ent USING (entity) JOIN canon USING (entity)""".stripMargin,
   ) ++ bangumiOracle
 }

@@ -430,4 +430,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(cand.contains("hot"), s"theta-heavy token evicted: $cand")
     assert(cand.size <= 7)
   }
+
+  test("streaming LWW changelog equals batch compaction under any batch split") {
+    // q184's claim isolated: count + max(struct) are mergeable, so the
+    // complete-mode table after adversarially split micro-batches —
+    // including a late-arriving OLD version that must NOT displace the
+    // newer winner — equals SnapshotMerge.compactChangelog over the
+    // concatenated log.
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def t(i: Int) = new Timestamp(i * 1000L)
+    val rows = Seq(
+      (1L, t(3), 30L, "U", 3.0), (1L, t(1), 10L, "U", 1.0),
+      (2L, t(2), 20L, "U", 2.0), (2L, t(5), 50L, "D", 0.0),
+      (3L, t(4), 40L, "D", 0.0), (3L, t(6), 60L, "U", 6.0),
+      (1L, t(2), 15L, "U", 1.5) // late OLD version for key 1
+    )
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val agg = mem.toDF().toDF("k", "ts", "id", "op", "v")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_versions"),
+        max(struct(col("ts").as("t"), col("id").as("i"),
+          (col("op") === "D").as("del"), col("v").as("v"))).as("last"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("lww_stream_out").start()
+    mem.addData(rows.take(3): _*); q.processAllAvailable()
+    mem.addData(rows.slice(3, 5): _*); q.processAllAvailable()
+    mem.addData(rows.drop(5): _*); q.processAllAvailable()
+    val streamed = spark.table("lww_stream_out")
+      .filter(!col("last.del"))
+      .select(col("k"), col("n_versions"), col("last.t").as("last_ts"),
+        col("last.v").as("current_value"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getTimestamp(2), r.getDouble(3))).toMap
+    q.stop()
+    val batch = graft.operators.SnapshotMerge.compactChangelog(
+      rows.toDF("k", "ts", "id", "op", "v"), "k", "ts", "id",
+      col("op") === "D", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getTimestamp(2), r.getDouble(3))).toMap
+    assert(streamed === batch)
+    assert(streamed(1L) === ((3L, t(3), 3.0)), "late old version ignored")
+    assert(!streamed.contains(2L), "trailing tombstone removes the key")
+    assert(streamed(3L) === ((2L, t(6), 6.0)), "upsert resurrects")
+  }
 }

@@ -58,7 +58,7 @@ QUERIES = (
     "q174_dictionary_tags,q175_hll_rollup,q176_pmi_pairs,"
     "q177_cohort_retention,q178_touch_attribution,q179_event_patterns,"
     "q180_time_weighted_avg,q181_changelog_compact,q182_fuzzy_name_join,"
-    "q183_triangle_census"
+    "q183_triangle_census,q184_stream_changelog,q185_entity_resolution"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -123,6 +123,8 @@ TABLE = {
     "q181_changelog_compact": "events",
     "q182_fuzzy_name_join": "part",
     "q183_triangle_census": "documents",
+    "q184_stream_changelog": "events",
+    "q185_entity_resolution": "part",
     "q173_bucketed_join": "lineitem",
     "q174_dictionary_tags": "documents",
     "q175_hll_rollup": "documents",

@@ -45,6 +45,7 @@ object PlanDump {
       "q179_event_patterns", "q180_time_weighted_avg",
       "q181_changelog_compact", "q182_fuzzy_name_join",
       "q183_triangle_census", "q185_entity_resolution",
+      "q186_skew_profile", "q187_kmin_rollup",
       "q168_minhash_estimator_audit", "q169_multiprobe_ann_topk",
       "q170_lsh_recall_audit")
     val sb = new StringBuilder

@@ -2512,6 +2512,27 @@ object SparkEntry {
         .select(col("name"), col("entity"), col("n_rows"), col("n_names"),
           col("entity_rows"), col("canon.n").as("canonical_name"))
     }),
+
+    // Key-skew profile: measure before you salt — hot key, its reducer
+    // share, entropy ratio, and the ⌈hot/avg⌉ salt factor the salting
+    // operators take, all from one map-side-combinable count per key.
+    "q186_skew_profile" -> ((s, dir) =>
+      operators.Skew.keySkewProfile(T(s, dir, "events"), "user_id")),
+
+    // k-min reservoir ROLLUP (the quantile twin of q175): sketches built
+    // per (lang, source), merged per lang by re-running the k-min
+    // aggregate over the fine sketch rows — exact, so the lane is gated
+    // by q150's DIRECT-computation oracle verbatim.
+    "q187_kmin_rollup" -> ((s, dir) => {
+      val fineIn = T(s, dir, "documents")
+        .select(concat_ws("|", col("lang"), col("source")).as("ls"),
+          col("doc_id"), col("n_chars"))
+      val fine = Sampling.reservoirByGroup(fineIn, "ls", "doc_id",
+        col("n_chars"), 64)
+      val rolled = Sampling.reservoirRollup(fine,
+        substring_index(col("ls"), "|", 1), "lang", 64)
+      Sampling.quantilesFromReservoir(rolled, "lang", Seq(0.25, 0.5, 0.9))
+    }),
   )
 
   /** q174's taxonomy: unigram + bigram phrases over the corpus vocabulary
@@ -6828,5 +6849,54 @@ object SparkEntry {
         |SELECT wc.name, wc.entity, wc.n_rows, ent.n_names,
         |  ent.entity_rows, canon.canonical_name
         |FROM wc JOIN ent USING (entity) JOIN canon USING (entity)""".stripMargin,
+
+    // argmax replayed (c DESC, k DESC == max(struct)); entropy identity
+    // H = Σ(−c·ln c)/N + ln N over the key relation only
+    "q186_skew_profile" ->
+      """WITH counts AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |hot AS (SELECT k, c FROM counts ORDER BY c DESC, k DESC LIMIT 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    sum(-c * ln(c)) AS sclogc
+        |  FROM counts)
+        |SELECT n_keys, n_rows, hot.k AS hot_key, hot.c AS hot_count,
+        |  round(CAST(hot.c AS DOUBLE) / n_rows, 6) AS max_key_frac,
+        |  CASE WHEN n_keys > 1
+        |    THEN round((sclogc / n_rows + ln(n_rows)) / ln(n_keys), 4)
+        |    ELSE 0.0 END AS entropy_ratio,
+        |  CAST(ceil(CAST(hot.c AS DOUBLE) * n_keys / n_rows) AS BIGINT)
+        |    AS recommended_salts
+        |FROM agg CROSS JOIN hot""".stripMargin,
+
+    // q150's direct-computation oracle verbatim (probs swapped in): the
+    // merged sketch must land on the direct per-lang sample exactly
+    "q187_kmin_rollup" -> {
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH h AS (SELECT lang, doc_id, n_chars AS x, $poly AS hv
+         |  FROM (SELECT lang, doc_id, n_chars,
+         |          md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) z),
+         |thr AS (SELECT lang, max(hv) AS thr
+         |  FROM (SELECT lang, hv,
+         |          row_number() OVER (PARTITION BY lang ORDER BY hv) AS kr
+         |        FROM (SELECT DISTINCT lang, hv FROM h) d) z
+         |  WHERE kr <= 64 GROUP BY lang),
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+         |  FROM h GROUP BY 1),
+         |samp AS (SELECT h.lang, x, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY h.lang ORDER BY x, doc_id)
+         |      AS INT) AS r
+         |  FROM h JOIN thr ON h.lang = thr.lang AND h.hv <= thr.thr),
+         |m AS (SELECT lang, CAST(max(r) AS INT) AS n_sample
+         |  FROM samp GROUP BY lang),
+         |pr AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS p)
+         |SELECT m.lang, pr.p, samp.x AS q, m.n_sample, tot.n_total
+         |FROM pr, m
+         |JOIN samp ON m.lang = samp.lang
+         |JOIN tot ON m.lang = tot.lang
+         |WHERE CAST(floor(pr.p * (m.n_sample - 1)) + 1 AS INT) = samp.r""".stripMargin
+    },
   ) ++ bangumiOracle
 }

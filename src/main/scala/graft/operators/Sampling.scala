@@ -771,6 +771,33 @@ object Sampling {
         col("m").as("n_sample"), col("n_total"))
   }
 
+  /** Merge [[reservoirByGroup]] sketches built at a FINE grouping up to a
+    * coarser one — the quantile twin of the HLL register rollup: the k
+    * smallest hashes of a union are always contained in the union of the
+    * per-part k-minima (any union-wide top-k hash has < k smaller hashes
+    * even within its own part), so re-running the k-min aggregate over
+    * the exploded fine sketches reproduces the direct coarse sketch
+    * EXACTLY — same sample, same quantiles, no second corpus scan.
+    * Input shape = [[reservoirByGroup]] output; output shape likewise,
+    * so [[quantilesFromReservoir]] composes unchanged. Everything here
+    * is sketch-sized (fine groups × k rows). */
+  def reservoirRollup(
+      fine: DataFrame,
+      coarseExpr: Column,
+      coarseName: String,
+      k: Int): DataFrame = {
+    require(k >= 16, "k below 16 estimates nothing")
+    graft.functions.GraftFunctions.register(fine.sparkSession)
+    val totals = fine.groupBy(coarseExpr.as(coarseName))
+      .agg(sum(col("n_total")).as("n_total"))
+    val merged = fine
+      .select(coarseExpr.as(coarseName), explode(col("rsv")).as("p_"))
+      .groupBy(col(coarseName))
+      .agg(graft.functions.GraftFunctions
+        .kmin_pairs(col("p_.h"), col("p_.v"), k).as("rsv"))
+    merged.join(totals, Seq(coarseName))
+  }
+
   /** x^(num/den) for dyadic exponents as a FIXED chain of IEEE-correctly-
     * rounded ops — `sqrt` is exactly rounded by IEEE-754 (unlike `pow`,
     * whose last-ulp behavior differs across libms), so the chain below is

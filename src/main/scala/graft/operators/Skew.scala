@@ -197,4 +197,39 @@ object Skew {
     def table(spark: SparkSession, name: String): DataFrame =
       spark.table(name)
   }
+
+  /** Key-skew PROFILE — measure before you salt: one map-side-combinable
+    * count per key, then key-relation-sized statistics. `max_key_frac`
+    * and `hot_key` say whether ONE reducer would drown (the salting
+    * trigger); `entropy_ratio` (key entropy / ln n_keys, 1.0 = uniform)
+    * says how lopsided the whole distribution is; `recommended_salts` is
+    * the ⌈hot/avg⌉ split factor that levels the hottest reducer with the
+    * average — exactly the `numSalts` [[saltedAggregate]]/[[saltedJoin]]
+    * take. This is the q158 move for the shuffle layer: the routing
+    * number is measured BEFORE the expensive job runs, not discovered in
+    * a straggler.
+    *
+    * hot_key is the (count, key)-argmax — deterministic under count
+    * ties. Entropy is Σ −p·ln p over the key relation, rounded at 4dp
+    * (the summation is key-relation-sized; both engines agree well past
+    * the rounding boundary).
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(struct(col("c"), col("k"))).as("hot"),
+        sum(-col("c") * log(col("c"))).as("sclogc"))
+      .select(col("n_keys"), col("n_rows"),
+        col("hot.k").as("hot_key"), col("hot.c").as("hot_count"),
+        round(col("hot.c") / col("n_rows"), 6).as("max_key_frac"),
+        when(col("n_keys") > 1,
+          round((col("sclogc") / col("n_rows") + log(col("n_rows"))) /
+            log(col("n_keys")), 4))
+          .otherwise(lit(0.0)).as("entropy_ratio"),
+        ceil(col("hot.c") * col("n_keys") / col("n_rows")).cast("long")
+          .as("recommended_salts"))
+  }
 }

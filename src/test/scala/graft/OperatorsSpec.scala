@@ -2759,6 +2759,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out.keySet === brute, "length banding must be lossless")
   }
 
+  test("k-min reservoir rollup equals sketching the coarse group directly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fineIn = docs.select(
+      concat_ws("|", col("lang"), col("source")).as("ls"),
+      col("doc_id"), col("n_chars"))
+    val fine = Sampling.reservoirByGroup(fineIn, "ls", "doc_id",
+      col("n_chars"), 32)
+    val rolled = Sampling.reservoirRollup(fine,
+      substring_index(col("ls"), "|", 1), "lang", 32)
+    val direct = Sampling.reservoirByGroup(
+      docs.select(col("lang"), col("doc_id"), col("n_chars")),
+      "lang", "doc_id", col("n_chars"), 32)
+    def canon(df: org.apache.spark.sql.DataFrame, g: String) = df.collect()
+      .map(r => r.getAs[String](g) ->
+        (r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getLong(0), p.getLong(1))).sorted, r.getLong(2)))
+      .toMap
+    assert(canon(rolled, "lang") === canon(direct, "lang"),
+      "k smallest of the union must equal the merged per-part k-minima")
+  }
+
   test("HLL register rollup equals sketching the coarse group directly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rolled = TextAnalysis.hllBigramRollup(docs, "lang", "source", "text")

@@ -151,4 +151,29 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("keySkewProfile: uniform keys read flat; a hot key is named and sized") {
+    import spark.implicits._
+    // uniform: 4 keys × 25 rows — entropy ratio 1.0, salts 1
+    val flat = (0 until 100).map(i => (i % 4).toLong).toDF("k")
+    val f = Skew.keySkewProfile(flat, "k").head()
+    assert((f.getLong(0), f.getLong(1)) === ((4L, 100L)))
+    assert(f.getDouble(6 - 2) === 0.25, "max_key_frac")
+    assert(f.getDouble(5) === 1.0, "uniform input must read entropy 1.0")
+    assert(f.getLong(6) === 1L, "no salting recommended on flat keys")
+    // hot: key 9 holds 60 of 100 rows over 5 keys → ⌈0.6·5⌉ = 3 salts
+    val hot = ((0 until 60).map(_ => 9L) ++ (0 until 40).map(i => (i % 4).toLong))
+      .toDF("k")
+    val h = Skew.keySkewProfile(hot, "k").head()
+    assert(h.getLong(2) === 9L && h.getLong(3) === 60L)
+    assert(h.getDouble(4) === 0.6)
+    assert(h.getDouble(5) < 1.0, "skew must depress the entropy ratio")
+    assert(h.getLong(6) === 3L, "salt factor levels the hot reducer")
+  }
+
+  test("keySkewProfile ties on count resolve by key, not partition order") {
+    import spark.implicits._
+    val tied = Seq(1L, 1L, 2L, 2L).toDF("k").repartition(4)
+    assert(Skew.keySkewProfile(tied, "k").head().getLong(2) === 2L)
+  }
 }

@@ -58,7 +58,8 @@ QUERIES = (
     "q174_dictionary_tags,q175_hll_rollup,q176_pmi_pairs,"
     "q177_cohort_retention,q178_touch_attribution,q179_event_patterns,"
     "q180_time_weighted_avg,q181_changelog_compact,q182_fuzzy_name_join,"
-    "q183_triangle_census,q184_stream_changelog,q185_entity_resolution"
+    "q183_triangle_census,q184_stream_changelog,q185_entity_resolution,"
+    "q186_skew_profile,q187_kmin_rollup"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -125,6 +126,8 @@ TABLE = {
     "q183_triangle_census": "documents",
     "q184_stream_changelog": "events",
     "q185_entity_resolution": "part",
+    "q186_skew_profile": "events",
+    "q187_kmin_rollup": "documents",
     "q173_bucketed_join": "lineitem",
     "q174_dictionary_tags": "documents",
     "q175_hll_rollup": "documents",

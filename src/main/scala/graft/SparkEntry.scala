@@ -2533,6 +2533,45 @@ object SparkEntry {
         substring_index(col("ls"), "|", 1), "lang", 64)
       Sampling.quantilesFromReservoir(rolled, "lang", Seq(0.25, 0.5, 0.9))
     }),
+
+    // Interval × interval overlap join (bin-bucketed, dedup-free via the
+    // overlap-start-bin trick): per-(user, day) activity spans against
+    // global error-hour windows, summarized as per-user incident
+    // exposure. The SRE question "how much of each user's activity
+    // overlapped incident windows" — a theta join nowhere in the plan.
+    "q188_interval_overlap" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val spans = ev.groupBy(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(min(unix_micros(col("ts"))).as("lo_us"),
+          max(unix_micros(col("ts"))).as("hi_us"))
+      val wins = ev.filter(col("event_type") === "error")
+        .select(unix_micros(date_trunc("hour", col("ts"))).as("win_lo"))
+        .distinct()
+        .select(col("win_lo"),
+          (col("win_lo") + lit(3599999999L)).as("win_hi"))
+      operators.RangeJoin.intervalOverlap(spans, wins, "lo_us", "hi_us",
+        "win_lo", "win_hi", 3600000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          round((sum(least(col("hi_us"), col("win_hi")) -
+            greatest(col("lo_us"), col("win_lo")) + 1)).cast("double") /
+            lit(1e6), 4).as("overlap_seconds"))
+    }),
+
+    // Nearest-event join (merge_asof direction='nearest'): each purchase
+    // matched to the temporally closest error of the same user, either
+    // direction, signed delta — two as-of passes, zero theta joins.
+    "q189_nearest_event_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("err_us"),
+          col("event_id").as("err_id"))
+      AsofJoin.nearestJoin(purchases, errs, "user_id", "t_us", "err_us")
+    }),
   )
 
   /** q174's taxonomy: unigram + bigram phrases over the corpus vocabulary
@@ -6898,5 +6937,38 @@ object SparkEntry {
          |JOIN tot ON m.lang = tot.lang
          |WHERE CAST(floor(pr.p * (m.n_sample - 1)) + 1 AS INT) = samp.r""".stripMargin
     },
+
+    // the bins change the PLAN, not the relation — the oracle is the
+    // plain theta overlap join
+    "q188_interval_overlap" ->
+      """WITH spans AS (SELECT user_id,
+        |    min(epoch_us(ts)) AS lo_us, max(epoch_us(ts)) AS hi_us
+        |  FROM events GROUP BY user_id, date_trunc('day', ts)),
+        |wins AS (SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS win_lo,
+        |    epoch_us(date_trunc('hour', ts)) + 3599999999 AS win_hi
+        |  FROM events WHERE event_type = 'error'),
+        |ov AS (SELECT s.user_id,
+        |    least(s.hi_us, w.win_hi) - greatest(s.lo_us, w.win_lo) + 1 AS o_us
+        |  FROM spans s JOIN wins w
+        |    ON s.lo_us <= w.win_hi AND w.win_lo <= s.hi_us)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  round(CAST(sum(o_us) AS DOUBLE) / 1e6, 4) AS overlap_seconds
+        |FROM ov GROUP BY 1""".stripMargin,
+
+    // nearest = min |Δ|; ties prefer the backward direction, then the
+    // carried-struct max (err_id DESC) — the engine's two-pass pick
+    "q189_nearest_event_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, epoch_us(ts) AS err_us, event_id AS err_id
+        |  FROM events WHERE event_type = 'error'),
+        |j AS (SELECT p.event_id, p.user_id, p.t_us, e.err_us, e.err_id,
+        |    abs(e.err_us - p.t_us) AS ad
+        |  FROM p LEFT JOIN e USING (user_id))
+        |SELECT event_id, user_id, t_us, err_us AS nearest_err_us,
+        |  err_us - t_us AS delta_err_us, err_id
+        |FROM j
+        |QUALIFY row_number() OVER (PARTITION BY event_id
+        |  ORDER BY ad ASC NULLS LAST, (err_us > t_us) ASC, err_id DESC) = 1""".stripMargin,
   ) ++ bangumiOracle
 }

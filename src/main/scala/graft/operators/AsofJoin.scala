@@ -86,4 +86,46 @@ object AsofJoin {
         rightVals.map(c => col(s"__r.$c").as(c)): _*)
     if (inner) carried.filter(col(s"asof_$rightTime").isNotNull) else carried
   }
+
+  /** Nearest-event join (pandas `merge_asof direction='nearest'`): for
+    * every left row, the right row of the same key MINIMIZING
+    * |rightTime − leftTime|, either direction. Two [[asofJoin]] passes —
+    * backward as-is, forward as a backward pass over NEGATED times (the
+    * classic reduction; this is why both time columns must be integral,
+    * e.g. epoch micros) — then a per-row winner pick. Ties at equal
+    * distance take the backward (earlier) match; within a direction the
+    * as-of carried-struct tiebreak applies. Same cost envelope as two
+    * as-of joins: two key shuffles + sorts, nothing quadratic.
+    *
+    * Output: all left columns + `nearest_<rightTime>` + signed
+    * `delta_<rightTime>` (right − left; ≤ 0 means the match precedes) +
+    * the right value columns (null-filled when the key has no right rows).
+    */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val rightVals = right.columns.filter(c => c != key && c != rightTime).toSeq
+    val bRight = right.select(col(key) +: col(rightTime).cast("long")
+      .as("__bt") +: rightVals.map(c => col(c).as(s"__b_$c")): _*)
+    val pass1 = asofJoin(left, bRight, key, leftTime, "__bt", inner = false)
+    val fRight = right.select(col(key) +: (-col(rightTime).cast("long"))
+      .as("__ft") +: rightVals.map(c => col(c).as(s"__f_$c")): _*)
+    val withNeg = pass1.withColumn("__nlt", -col(leftTime).cast("long"))
+    val pass2 = asofJoin(withNeg, fRight, key, "__nlt", "__ft",
+      inner = false)
+    val db = col(leftTime).cast("long") - col("asof___bt")
+    val df = -col("asof___ft") - col(leftTime).cast("long")
+    val takeB = col("asof___bt").isNotNull &&
+      (col("asof___ft").isNull || db <= df)
+    val picked = left.columns.toSeq.map(col) ++ Seq(
+      when(takeB, col("asof___bt")).otherwise(-col("asof___ft"))
+        .as(s"nearest_$rightTime"),
+      when(takeB, -db).otherwise(df).as(s"delta_$rightTime")) ++
+      rightVals.map(c =>
+        when(takeB, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c))
+    pass2.select(picked: _*)
+  }
 }

@@ -51,4 +51,42 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(bin)
   }
+
+  /** Interval × interval OVERLAP join (`loA <= hiB AND loB <= hiA`, all
+    * inclusive) with the same bin-bucketing discipline — and WITHOUT a
+    * dedup pass: an overlapping pair meets in every shared bin, so the
+    * join keeps only the OVERLAP-START bin (`bin == bin(max(loA, loB))`),
+    * where each pair appears exactly once. No `distinct()`, so nothing
+    * data-sized is re-shuffled after the join.
+    *
+    * Column names must not collide across the two inputs (pre-rename on
+    * the caller side, as with the as-of join). Output: all left + all
+    * right columns for each overlapping pair.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      leftLo: String,
+      leftHi: String,
+      rightLo: String,
+      rightHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "bin width must be >= 1")
+    val bin = "__bin"
+    // pure-long floor-div (same ulp rationale as pointInInterval):
+    // (x - pmod(x, w)) div w — never a double division
+    def binOf(x: String) = expr(
+      s"(CAST($x AS BIGINT) - pmod(CAST($x AS BIGINT), ${binWidth}L)) div ${binWidth}L")
+    val l = left.filter(col(leftLo) <= col(leftHi))
+      .withColumn(bin,
+        explode(sequence(binOf(s"`$leftLo`"), binOf(s"`$leftHi`"))))
+    val r = right.filter(col(rightLo) <= col(rightHi))
+      .withColumn(bin,
+        explode(sequence(binOf(s"`$rightLo`"), binOf(s"`$rightHi`"))))
+    l.join(r, Seq(bin))
+      .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi))
+      .filter(col(bin) ===
+        binOf(s"greatest(`$leftLo`, `$rightLo`)"))
+      .drop(bin)
+  }
 }

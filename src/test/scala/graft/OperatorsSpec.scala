@@ -2780,6 +2780,54 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       "k smallest of the union must equal the merged per-part k-minima")
   }
 
+  test("intervalOverlap: each overlapping pair appears exactly once; equals theta join") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 60).map { i =>
+      val lo = rnd.nextInt(1000).toLong; (i.toLong, lo, lo + rnd.nextInt(300))
+    }.toDF("lid", "llo", "lhi")
+    val right = (1 to 40).map { j =>
+      val lo = rnd.nextInt(1000).toLong; (j.toLong, lo, lo + rnd.nextInt(150))
+    }.toDF("rid", "rlo", "rhi")
+    val got = operators.RangeJoin.intervalOverlap(left, right,
+      "llo", "lhi", "rlo", "rhi", 50L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.distinct.length,
+      "the overlap-start-bin filter must make pairs unique WITHOUT distinct()")
+    val brute = left.collect().flatMap { l =>
+      right.collect().collect {
+        case r if l.getLong(1) <= r.getLong(2) && r.getLong(1) <= l.getLong(2) =>
+          (l.getLong(0), r.getLong(0))
+      }
+    }
+    assert(got.sorted.toSeq === brute.sorted.toSeq,
+      "binned overlap join must equal the theta join")
+  }
+
+  test("nearestJoin: direction pick, tie preference, and no-match nulls") {
+    val purchases = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L),
+      (4L, 99L, 50L)).toDF("pid", "k", "t")
+    val errs = Seq((10L, 90L, 7L), (10L, 210L, 8L), (10L, 400L, 9L))
+      .toDF("k", "e", "eid")
+    val out = operators.AsofJoin.nearestJoin(purchases, errs, "k", "t", "e")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(1L) === ((Some(90L), Some(-10L), Some(7L))),
+      "backward 90 (d=10) beats forward 210 (d=110)")
+    assert(out(2L) === ((Some(210L), Some(5L), Some(8L))),
+      "forward 210 (d=5) beats backward 90 (d=115)")
+    // t=300: backward 210 (d=90), forward 400 (d=100) → backward
+    assert(out(3L) === ((Some(210L), Some(-90L), Some(8L))))
+    assert(out(4L) === ((None, None, None)), "keys without right rows null-fill")
+    // exact tie: backward 95 (d=5) vs forward 105 (d=5) → backward wins
+    val tied = operators.AsofJoin.nearestJoin(
+      Seq((1L, 1L, 100L)).toDF("pid", "k", "t"),
+      Seq((1L, 95L, 1L), (1L, 105L, 2L)).toDF("k", "e", "eid"),
+      "k", "t", "e").head()
+    assert(tied.getLong(3) === 95L && tied.getLong(4) === -5L)
+  }
+
   test("HLL register rollup equals sketching the coarse group directly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rolled = TextAnalysis.hllBigramRollup(docs, "lang", "source", "text")

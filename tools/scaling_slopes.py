@@ -59,7 +59,8 @@ QUERIES = (
     "q177_cohort_retention,q178_touch_attribution,q179_event_patterns,"
     "q180_time_weighted_avg,q181_changelog_compact,q182_fuzzy_name_join,"
     "q183_triangle_census,q184_stream_changelog,q185_entity_resolution,"
-    "q186_skew_profile,q187_kmin_rollup"
+    "q186_skew_profile,q187_kmin_rollup,q188_interval_overlap,"
+    "q189_nearest_event_join"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -128,6 +129,8 @@ TABLE = {
     "q185_entity_resolution": "part",
     "q186_skew_profile": "events",
     "q187_kmin_rollup": "documents",
+    "q188_interval_overlap": "events",
+    "q189_nearest_event_join": "events",
     "q173_bucketed_join": "lineitem",
     "q174_dictionary_tags": "documents",
     "q175_hll_rollup": "documents",

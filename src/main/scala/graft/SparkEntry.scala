@@ -2572,6 +2572,13 @@ object SparkEntry {
           col("event_id").as("err_id"))
       AsofJoin.nearestJoin(purchases, errs, "user_id", "t_us", "err_us")
     }),
+
+    // Embedding isotropy / collapse audit: covariance-spectrum
+    // participation ratio tr(C)²/‖C‖_F² with no eigendecomposition —
+    // the "did the embedding model degenerate" health check that
+    // complements q134's mean-drift view with a variance-collapse view.
+    "q190_embedding_isotropy" -> ((s, dir) =>
+      Similarity.isotropyReport(T(s, dir, "embeddings"), "embedding")),
   )
 
   /** q174's taxonomy: unigram + bigram phrases over the corpus vocabulary
@@ -6970,5 +6977,34 @@ object SparkEntry {
         |FROM j
         |QUALIFY row_number() OVER (PARTITION BY event_id
         |  ORDER BY ad ASC NULLS LAST, (err_us > t_us) ASC, err_id DESC) = 1""".stripMargin,
+
+    // covariance invariants from plain sums: C = E[xxᵀ] − μμᵀ entry-wise,
+    // PR = tr²/‖C‖²_F — both engines spell the identical division/product
+    // chains; only sum order differs, far inside the rounding
+    "q190_embedding_isotropy" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM e),
+        |x AS (SELECT vec_id, g.i - 1 AS i, v[g.i] AS xi
+        |  FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) g),
+        |means AS (SELECT i, sum(xi) / n_vecs AS mu
+        |  FROM x CROSS JOIN n GROUP BY i, n_vecs),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS dim FROM means),
+        |s2 AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS s
+        |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+        |cov AS (SELECT s2.i, s2.j, s2.s / n_vecs - ma.mu * mb.mu AS c,
+        |    n_vecs, dim
+        |  FROM s2 CROSS JOIN n CROSS JOIN d
+        |  JOIN means ma ON ma.i = s2.i JOIN means mb ON mb.i = s2.j),
+        |agg AS (SELECT n_vecs, dim,
+        |    sum(CASE WHEN i = j THEN c ELSE 0.0 END) AS tr,
+        |    sum(c * c) AS fr
+        |  FROM cov GROUP BY 1, 2),
+        |mn AS (SELECT sum(mu * mu) AS m2 FROM means)
+        |SELECT n_vecs, dim, round(tr, 6) AS trace, round(fr, 6) AS frob_sq,
+        |  round(tr * tr / fr, 4) AS participation_ratio,
+        |  round(m2, 6) AS mean_norm_sq
+        |FROM agg CROSS JOIN mn""".stripMargin,
   ) ++ bangumiOracle
 }

@@ -1334,4 +1334,56 @@ object Similarity {
       .select(col("n_vecs"), lit(p).as("n_planes"), col("n_buckets"),
         col("max_pop"), col("cand_pairs"), col("top_frac"))
   }
+
+  /** Embedding ISOTROPY / collapse audit — the covariance spectrum's
+    * participation ratio `PR = tr(C)² / ‖C‖_F²` (= (Σλ)²/Σλ², the
+    * effective number of directions the embeddings actually use: d when
+    * isotropic, →1 when collapsed onto one axis) computed WITHOUT any
+    * eigendecomposition: both invariants are plain sums over the
+    * covariance entries, and `C = E[xxᵀ] − μμᵀ` is two aggregates.
+    *
+    * Scale shape: the second-moment pass explodes each vector's outer
+    * product ONCE (n·d² rows through a map-side-combinable sum — the
+    * accepted covariance cost, d is model-config-bounded); the mean pass
+    * is n·d. Everything after is d²-sized (joins against the broadcast
+    * d-row mean relation), and the report is ONE row: (n_vecs, dim,
+    * trace, frob_sq, participation_ratio, mean_norm_sq). The collapse
+    * question this answers — "did my embedding model degenerate between
+    * releases" — pairs with [[embeddingDrift]] (which sees mean movement
+    * but not variance collapse).
+    */
+  def isotropyReport(df: DataFrame, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val n = df.agg(count(lit(1)).as("n_vecs"))
+    val outer = df.select(posexplode(
+      flatten(transform(v, xi => transform(v, xj => xi * xj))))
+      .as(Seq("k", "p")))
+      .groupBy(col("k")).agg(sum(col("p")).as("s2"))
+    val means = df.select(posexplode(v).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("sx"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), (col("sx") / col("n_vecs")).as("mu"))
+    val d = means.agg(count(lit(1)).as("dim"))
+    val cov = outer.crossJoin(broadcast(n)).crossJoin(broadcast(d))
+      .select((col("k") / col("dim")).cast("long").as("i"),
+        pmod(col("k"), col("dim")).cast("long").as("j"),
+        col("s2"), col("n_vecs"), col("dim"))
+      .join(broadcast(means.select(col("i"), col("mu").as("mi"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("mu").as("mj"))),
+        Seq("j"))
+      .select(col("i"), col("j"), col("n_vecs"), col("dim"),
+        (col("s2") / col("n_vecs") - col("mi") * col("mj")).as("c"))
+    cov.groupBy(col("n_vecs"), col("dim"))
+      .agg(sum(when(col("i") === col("j"), col("c")).otherwise(lit(0.0)))
+        .as("tr"),
+        sum(col("c") * col("c")).as("fr"))
+      .crossJoin(broadcast(
+        means.agg(sum(col("mu") * col("mu")).as("mn"))))
+      .select(col("n_vecs"), col("dim").cast("long").as("dim"),
+        round(col("tr"), 6).as("trace"),
+        round(col("fr"), 6).as("frob_sq"),
+        round(col("tr") * col("tr") / col("fr"), 4)
+          .as("participation_ratio"),
+        round(col("mn"), 6).as("mean_norm_sq"))
+  }
 }

@@ -2828,6 +2828,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(tied.getLong(3) === 95L && tied.getLong(4) === -5L)
   }
 
+  test("isotropyReport: PR reads 1 when collapsed, k on k equal axes") {
+    // collapse onto axis 0: C = diag(var, 0, 0, 0) → PR exactly 1
+    val collapsed = Seq(1.0f, 2.0f, 3.0f, 4.0f)
+      .map(a => Tuple1(Array(a, 0.0f, 0.0f, 0.0f))).toDF("v")
+    val c = operators.Similarity.isotropyReport(collapsed, "v").head()
+    assert(c.getLong(1) === 4L)
+    assert(c.getDouble(4) === 1.0, "one live axis → participation ratio 1")
+    // two independent equal-variance axes → PR exactly 2
+    val two = Seq((1.0f, 1.0f), (1.0f, -1.0f), (-1.0f, 1.0f),
+      (-1.0f, -1.0f)).map { case (a, b) =>
+      Tuple1(Array(a, b, 0.0f)) }.toDF("v")
+    val t = operators.Similarity.isotropyReport(two, "v").head()
+    assert(t.getDouble(4) === 2.0, "two equal live axes → PR 2")
+    assert(t.getDouble(5) === 0.0, "centered input has zero mean norm")
+  }
+
   test("HLL register rollup equals sketching the coarse group directly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rolled = TextAnalysis.hllBigramRollup(docs, "lang", "source", "text")

@@ -400,4 +400,121 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     // every (group, quantile) combination must be present exactly once
     assert(got.size === byG.size * 4)
   }
+
+  // ---- temporal/event operator invariants vs independent references ----
+
+  /** Seeded pseudo-random event log shared by the temporal properties:
+    * keys with wildly different densities, duplicate timestamps, and
+    * value mixes — the shapes that break window/tie assumptions. */
+  private def randomLog(seed: Int, n: Int): Seq[(Long, java.sql.Timestamp, Long, String, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val k = (rnd.nextInt(7) * rnd.nextInt(3)).toLong // skewed keys
+      // coarse time grid on purpose: duplicate (key, ts) pairs occur
+      val t = new java.sql.Timestamp(rnd.nextInt(50) * 60000L)
+      val op = if (rnd.nextInt(5) == 0) "D" else "U"
+      (k, t, i.toLong, op, rnd.nextInt(100) / 4.0)
+    }
+  }
+
+  test("property: scd2 intervals tile each key's timeline exactly") {
+    val rows = randomLog(13, 400)
+    val df = rows.toDF("k", "ts", "id", "op", "v")
+    val out = graft.operators.Temporal.scd2(df, "k", "ts", "id", "op")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4)))
+    // every event in exactly one segment; one open segment per key
+    assert(out.map(_._5).sum === rows.length.toLong)
+    val byK = out.groupBy(_._1)
+    byK.foreach { case (k, segs) =>
+      assert(segs.count(_._4.isEmpty) === 1, s"key $k open segments")
+      val ordered = segs.sortBy(s => (s._3.getTime, s._4.map(_.getTime)
+        .getOrElse(Long.MaxValue)))
+      ordered.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4.contains(b._3), s"key $k: intervals must chain")
+          assert(a._2 != b._2 || a._4.isDefined,
+            "adjacent segments with equal attr exist only via interleaving")
+        case _ =>
+      }
+      // independent reference: replay the event order, compress runs
+      val evs = rows.filter(_._1 == k).sortBy(e => (e._2.getTime, e._3))
+      val runs = evs.foldLeft(List.empty[(String, Int)]) {
+        case (acc @ ((a, c) :: tail), e) if a == e._4 => (a, c + 1) :: tail
+        case (acc, e) => (e._4, 1) :: acc
+      }.reverse
+      assert(ordered.map(s => (s._2, s._5.toInt)).toList === runs,
+        s"key $k: segment runs must match the sequential replay")
+    }
+  }
+
+  test("property: gapFill grid is dense, LOCF total, observed rows exact") {
+    val rows = randomLog(29, 300)
+    val df = rows.toDF("k", "ts", "id", "op", "v")
+    val out = graft.operators.Temporal.gapFill(df, "k", "ts", "v", "minute")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4)))
+    assert(out.forall(r => !r._5.isNaN), "LOCF never leaves NaN")
+    out.groupBy(_._1).foreach { case (k, g) =>
+      val times = g.map(_._2.getTime).sorted.toSeq
+      // dense: consecutive buckets 1 minute apart, no holes
+      times.sliding(2).foreach { case Seq(a, b) =>
+        assert(b - a === 60000L, s"key $k grid hole")
+      case _ => }
+      // observed rows carry exact counts; first bucket is observed
+      assert(!g.minBy(_._2.getTime)._4, s"key $k first bucket must be observed")
+      assert(g.map(_._3).sum === rows.count(_._1 == k).toLong)
+    }
+  }
+
+  test("property: compactChangelog equals a sequential last-writer replay") {
+    val rows = randomLog(47, 500)
+    val df = rows.toDF("k", "ts", "id", "op", "v")
+    val got = graft.operators.SnapshotMerge.compactChangelog(
+      df, "k", "ts", "id", col("op") === "D", "v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val ref = rows.groupBy(_._1).flatMap { case (k, evs) =>
+      val last = evs.maxBy(e => (e._2.getTime, e._3))
+      if (last._4 == "D") None
+      else Some(k -> (evs.length.toLong, last._5))
+    }
+    assert(got === ref)
+  }
+
+  test("property: attribution totals equal conversion totals in BOTH models") {
+    val rows = randomLog(61, 500).map { case (k, t, id, op, v) =>
+      val types = Seq("view", "click", "signup", "purchase", "error")
+      (k, t, id, types((id % 5).toInt), v)
+    }
+    val df = rows.toDF("k", "ts", "id", "etype", "v")
+    val out = graft.operators.Funnel.attribution(df, "k", "ts", "id",
+      "etype", "v", Seq("view", "click", "signup"), "purchase").collect()
+    val convTotal = BigDecimal(rows.filter(_._4 == "purchase").map(_._5).sum)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def tot(i: Int) = BigDecimal(out.map(_.getDouble(i)).sum)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    assert(tot(2) === convTotal, "first-touch credit must conserve value")
+    assert(tot(4) === convTotal, "last-touch credit must conserve value")
+    assert(out.map(_.getLong(1)).sum === out.map(_.getLong(3)).sum)
+  }
+
+  test("property: timeWeightedAvg equals a sequential trapezoid-free replay") {
+    val rows = randomLog(83, 400)
+    val df = rows.toDF("k", "ts", "id", "op", "v")
+    val got = graft.operators.Temporal.timeWeightedAvg(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.groupBy(_._1).foreach { case (k, evs) =>
+      val ord = evs.sortBy(e => (e._2.getTime, e._3))
+      val ws = ord.zip(ord.tail).map { case (a, b) =>
+        (a._5, (b._2.getTime - a._2.getTime) * 1000.0) // micros
+      }
+      val wtot = ws.map(_._2).sum
+      val want =
+        if (wtot > 0) ws.map { case (v, w) => v * w }.sum / wtot
+        else ord.map(_._5).max
+      assert(math.abs(got(k) - want) < 5e-5, s"key $k twa")
+    }
+  }
 }

@@ -2435,8 +2435,14 @@ object SparkEntry {
     // is the degree-ordered node-iterator — wedge fan-out bounded by
     // arboricity, not max degree.
     "q183_triangle_census" -> ((s, dir) => {
-      val d = T(s, dir, "documents").select(col("doc_id"),
-        concat_ws(".", col("source"), col("lang")).as("host"))
+      // null source/lang dropped EXPLICITLY on both sides: Spark's
+      // concat_ws skips nulls ("en") where SQL's || propagates them
+      // (NULL) — without the shared filter the two engines build
+      // different graphs the moment the fixture carries a null
+      val d = T(s, dir, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(".", col("source"), col("lang")).as("host"))
       val m = d.agg(greatest(floor(count(lit(1)) / 13), lit(1L))
         .cast("long").as("m"))
       val bh = d.crossJoin(broadcast(m))
@@ -2457,9 +2463,11 @@ object SparkEntry {
     // the stream must land on the batch relation under any micro-batch
     // split.
     "q184_stream_changelog" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val st = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // eventFileStream, not a raw readStream: ts must go through the
+      // same normalizeEventTs as the batch q181 side, or a ns-long /
+      // NTZ fixture layout breaks the stream≡batch identity this lane
+      // exists to assert
+      val st = eventFileStream(s, dir)
       val agg = st.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_versions"),
           max(struct(col("ts").as("t"), col("event_id").as("i"),
@@ -2478,9 +2486,12 @@ object SparkEntry {
     // relation; the corpus pays one groupBy.
     "q185_entity_resolution" -> ((s, dir) => {
       val parts = T(s, dir, "part")
-      val pairs = Dedup.fuzzyNameJoin(parts, "p_name", 2)
+      // ONE distinct-name aggregation feeds both the fuzzy pair stage
+      // and the entity rollup — the corpus pays one groupBy, as
+      // documented (fuzzyNameJoinFromNames exists for this composition)
       val names = parts.groupBy(col("p_name").as("name"))
         .agg(count(lit(1)).as("n_rows"))
+      val pairs = Dedup.fuzzyNameJoinFromNames(names, 2)
       // star contraction runs on long ids; a name-ordered dense id makes
       // min-id ≡ min-name, so the component representative is the same
       // entity the oracle's min(name) computes. The dict is the
@@ -6650,7 +6661,8 @@ object SparkEntry {
         s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
         .mkString("(", " + ", ")")
       s"""WITH tok AS (
-         |  SELECT lang, source,
+         |  SELECT coalesce(lang, '<null>') AS lang,
+         |    coalesce(source, '<null>') AS source,
          |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
          |  FROM documents),
          |bg AS (
@@ -6829,7 +6841,8 @@ object SparkEntry {
     // engine's degree-ordered iterator from a different construction
     "q183_triangle_census" ->
       """WITH d AS (SELECT doc_id, source || '.' || lang AS host
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
         |cnt AS (SELECT greatest(count(*) // 13, 1) AS m FROM d),
         |bh AS (SELECT DISTINCT doc_id % m AS bucket, host
         |  FROM d CROSS JOIN cnt),

@@ -1390,10 +1390,19 @@ object Dedup {
   def fuzzyNameJoin(
       df: DataFrame,
       nameCol: String,
+      maxDist: Int): DataFrame =
+    fuzzyNameJoinFromNames(
+      df.groupBy(col(nameCol).as("name")).agg(count(lit(1)).as("n_rows")),
+      maxDist)
+
+  /** [[fuzzyNameJoin]] over a PRE-AGGREGATED (name, n_rows) relation —
+    * for pipelines that already built the distinct-name relation (e.g.
+    * the q185 entity-resolution composition), so the corpus is not
+    * scanned and hash-aggregated a second time. */
+  def fuzzyNameJoinFromNames(
+      names: DataFrame,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 8, "maxDist in [1, 8]")
-    val names = df.groupBy(col(nameCol).as("name"))
-      .agg(count(lit(1)).as("n_rows"))
     val probe = names.select(col("name").as("name_a"),
       col("n_rows").as("n_rows_a"),
       explode(sequence(length(col("name")) - maxDist,

@@ -229,7 +229,11 @@ object Skew {
           round((col("sclogc") / col("n_rows") + log(col("n_rows"))) /
             log(col("n_keys")), 4))
           .otherwise(lit(0.0)).as("entropy_ratio"),
-        ceil(col("hot.c") * col("n_keys") / col("n_rows")).cast("long")
-          .as("recommended_salts"))
+        // hot·n_keys in DOUBLE, not long×long: at the 100 TB envelope
+        // this operator targets (1e12 rows × 1e9 keys) the long product
+        // overflows — ANSI mode throws, non-ANSI silently wraps. The
+        // oracle computes the same double chain.
+        ceil(col("hot.c").cast("double") * col("n_keys") / col("n_rows"))
+          .cast("long").as("recommended_salts"))
   }
 }

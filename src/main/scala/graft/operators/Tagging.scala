@@ -40,13 +40,19 @@ object Tagging {
       textCol: String,
       dict: Seq[(String, String)]): DataFrame = {
     require(dict.nonEmpty, "empty dictionary")
-    val maxN = dict.map(_._2.trim.split("\\s+").length).max
+    // normalize dict phrases with the SAME pipeline the corpus n-grams
+    // go through (case fold, whitespace runs → one space) — an entry
+    // like "Hash  Join" must match, not silently never fire
+    val normed = dict.map { case (t, p) =>
+      (t, p.trim.toLowerCase.split("\\s+").mkString(" "))
+    }
+    val maxN = normed.map(_._2.split(" ").length).max
     require(maxN <= 4,
       "phrases longer than 4 tokens defeat the n-gram join; " +
         "pre-split them or use a dedicated matcher")
     val spark = df.sparkSession
     import spark.implicits._
-    val dictDf = dict.toDF("tag", "phrase")
+    val dictDf = normed.toDF("tag", "phrase")
     val grams: Seq[Column] = (1 to maxN).map { n =>
       if (n == 1) col("ts")
       else when(size(col("ts")) >= n,

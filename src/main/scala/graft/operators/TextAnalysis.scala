@@ -1431,8 +1431,15 @@ object TextAnalysis {
   def hllBigramRollup(df: DataFrame, coarseCol: String, fineCol: String,
       textCol: String, p: Int = 9): DataFrame = {
     val all = "<all>"
+    // NULL group values fold to a '<null>' sentinel BEFORE sketching:
+    // otherwise the exact side's rollup coalesce would alias a real
+    // null-group row onto the '<all>' grand total while the estimate
+    // side silently drops it through the inner join — two mispaired
+    // '<all>' rows instead of one. countDistinct would likewise skip a
+    // null fine value. Sentinels keep both sides total and aligned.
     val terms = df
-      .select(col(coarseCol), col(fineCol),
+      .select(coalesce(col(coarseCol), lit("<null>")).as(coarseCol),
+        coalesce(col(fineCol), lit("<null>")).as(fineCol),
         tokens(lower(col(textCol))).as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col(coarseCol), col(fineCol),

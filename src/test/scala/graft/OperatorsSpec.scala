@@ -2615,6 +2615,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out((4L, "j")) === 1L, "adjacent 'hash join' fires the bigram")
   }
 
+  test("dictionaryTags normalizes dictionary phrases like the corpus side") {
+    val d = Seq((1L, "the hash join wins")).toDF("doc_id", "text")
+    // mixed case + a whitespace run: must match, not silently never fire
+    val out = operators.Tagging.dictionaryTags(d, "doc_id", "text",
+      Seq("j" -> "Hash  Join")).collect()
+    assert(out.length === 1 && out.head.getLong(2) === 1L)
+  }
+
+  test("hllBigramRollup folds NULL group values to a sentinel, not <all>") {
+    val d = Seq(
+      (1L, "a b c d", null.asInstanceOf[String], "s0"),
+      (2L, "a b c d", "en", null.asInstanceOf[String]),
+      (3L, "x y z w", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.hllBigramRollup(d, "lang", "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.contains("<null>"), "null lang keeps its own group")
+    assert(out("<null>") === ((3L, 1L)), "3 bigrams, 1 sketch under <null>")
+    assert(out("en")._2 === 2L, "null source counts as the <null> sketch")
+    assert(out("<all>")._1 === 6L, "grand total spans every group once")
+    assert(out.size === 3, "no duplicate or mispaired <all> rows")
+  }
+
   test("dictionaryTags rejects phrases longer than the n-gram join supports") {
     val d = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -2590,6 +2590,14 @@ object SparkEntry {
     // complements q134's mean-drift view with a variance-collapse view.
     "q190_embedding_isotropy" -> ((s, dir) =>
       Similarity.isotropyReport(T(s, dir, "embeddings"), "embedding")),
+
+    // Order-invariant corpus digest per lang + grand total: XOR and an
+    // exact decimal SUM of per-row hashes + counts — the release-
+    // manifest integrity check two clusters can compute independently
+    // and compare as three scalars per slice, no sort anywhere.
+    "q191_corpus_digest" -> ((s, dir) =>
+      Dedup.corpusDigest(T(s, dir, "documents"), "lang",
+        Seq("doc_id", "text"))),
   )
 
   /** q174's taxonomy: unigram + bigram phrases over the corpus vocabulary
@@ -7019,5 +7027,23 @@ object SparkEntry {
         |  round(tr * tr / fr, 4) AS participation_ratio,
         |  round(m2, 6) AS mean_norm_sq
         |FROM agg CROSS JOIN mn""".stripMargin,
+
+    // same 52-bit md5 prefix, same chr(1)/chr(0) row framing; hugeint
+    // sum crosses as VARCHAR (Spark's decimal does the same)
+    "q191_corpus_digest" -> {
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH rows_ AS (SELECT coalesce(lang, '<null>') AS lang,
+         |    md5(coalesce(CAST(doc_id AS VARCHAR), chr(0)) || chr(1) ||
+         |        coalesce(text, chr(0))) AS h
+         |  FROM documents),
+         |hv AS (SELECT lang, $poly AS v FROM rows_)
+         |SELECT coalesce(lang, '<all>') AS lang,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  bit_xor(v) AS xor_digest,
+         |  CAST(sum(v) AS VARCHAR) AS sum_digest
+         |FROM hv GROUP BY GROUPING SETS ((lang), ())""".stripMargin
+    },
   ) ++ bangumiOracle
 }

@@ -1387,6 +1387,40 @@ object Dedup {
     *
     * Output: (name_a, name_b, dist, n_rows_a, n_rows_b), name_a < name_b.
     */
+  /** Order-invariant corpus DIGEST — the replication/ETL integrity check
+    * at 100 TB: two independent combines of the per-row md5-52bit hash
+    * (XOR, and an exact wide-decimal SUM — sum-of-longs would overflow
+    * and ANSI-throw at ~2^12 rows of 52-bit values) plus the count, per
+    * group and grand-total. Equal digests ⇔ equal row MULTISETS, with no
+    * sort anywhere — two clusters can fingerprint a copy independently
+    * and compare three scalars per slice. XOR alone is blind to
+    * even-multiplicity duplicates; the decimal sum covers that, and the
+    * count covers cardinality. The sum crosses the engine boundary as a
+    * STRING (Spark decimal vs DuckDB hugeint would not compare raw).
+    *
+    * Null-safe: null cells fold to a reserved byte, so (null) and ("")
+    * hash apart; columns are joined with a non-printing separator so
+    * ("ab","c") and ("a","bc") hash apart.
+    */
+  def corpusDigest(
+      df: DataFrame,
+      groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "digest needs at least one column")
+    val rowKey = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val h = conv(substring(md5(rowKey), 1, 13), 16, 10).cast("long")
+    df.select(coalesce(col(groupCol), lit("<null>")).as(groupCol),
+        h.as("__h"))
+      .rollup(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_digest"),
+        sum(col("__h").cast("decimal(38,0)")).cast("string")
+          .as("sum_digest"))
+      .select(coalesce(col(groupCol), lit("<all>")).as(groupCol),
+        col("n_rows"), col("xor_digest"), col("sum_digest"))
+  }
+
   def fuzzyNameJoin(
       df: DataFrame,
       nameCol: String,

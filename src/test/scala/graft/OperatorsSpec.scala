@@ -2868,6 +2868,40 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(t.getDouble(5) === 0.0, "centered input has zero mean norm")
   }
 
+  test("corpusDigest: order-invariant, framing-safe, change-sensitive") {
+    val base = Seq((1L, "aa", "g"), (2L, "bb", "g"), (3L, "cc", "h"))
+      .toDF("id", "t", "g")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      operators.Dedup.corpusDigest(df, "g", Seq("id", "t")).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val d1 = dig(base)
+    // partitioning and row order never move the digest
+    assert(dig(base.repartition(7).sortWithinPartitions("t")) === d1)
+    // a single-cell change moves the group digest AND the grand total
+    val d2 = dig(Seq((1L, "aa", "g"), (2L, "bX", "g"), (3L, "cc", "h"))
+      .toDF("id", "t", "g"))
+    assert(d2("g") !== d1("g"))
+    assert(d2("<all>") !== d1("<all>"))
+    assert(d2("h") === d1("h"), "untouched slices keep their digest")
+    // duplicating a row cancels in XOR but NOT in (count, sum) — the
+    // reason the digest carries all three
+    val d3 = dig(Seq((1L, "aa", "g"), (1L, "aa", "g"), (2L, "bb", "g"),
+      (3L, "cc", "h")).toDF("id", "t", "g"))
+    assert(d3("g")._1 === 3L)
+    assert(d3("g")._3 !== d1("g")._3)
+    // column framing: ("ab","c") and ("a","bc") must hash apart
+    val f1 = dig(Seq((1L, "x", "g")).toDF("id", "t", "g")
+      .select(lit("ab").as("id"), lit("c").as("t"), col("g")))
+    val f2 = dig(Seq((1L, "x", "g")).toDF("id", "t", "g")
+      .select(lit("a").as("id"), lit("bc").as("t"), col("g")))
+    assert(f1("g")._2 !== f2("g")._2)
+    // null cell and empty string hash apart
+    val n1 = dig(Seq((1L, null.asInstanceOf[String], "g")).toDF("id", "t", "g"))
+    val n2 = dig(Seq((1L, "", "g")).toDF("id", "t", "g"))
+    assert(n1("g")._2 !== n2("g")._2)
+  }
+
   test("HLL register rollup equals sketching the coarse group directly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rolled = TextAnalysis.hllBigramRollup(docs, "lang", "source", "text")

@@ -2598,6 +2598,13 @@ object SparkEntry {
     "q191_corpus_digest" -> ((s, dir) =>
       Dedup.corpusDigest(T(s, dir, "documents"), "lang",
         Seq("doc_id", "text"))),
+
+    // JL random-projection distortion audit (64 → 16 dims, seeded
+    // planes): measured distance-ratio spread over the query × corpus
+    // pair set — the number that licenses k-dim shortlists at scale.
+    "q192_jl_distortion" -> ((s, dir) =>
+      Similarity.jlDistortionReport(T(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, k = 16, nQueries = 5)),
   )
 
   /** q174's taxonomy: unigram + bigram phrases over the corpus vocabulary
@@ -7044,6 +7051,32 @@ object SparkEntry {
          |  bit_xor(v) AS xor_digest,
          |  CAST(sum(v) AS VARCHAR) AS sum_digest
          |FROM hv GROUP BY GROUPING SETS ((lang), ())""".stripMargin
+    },
+
+    // projection components = the engine's dot fold × the same 1/√k
+    // double literal; per-pair ratio = the two L2 folds — every chain
+    // replayed verbatim, only aggregate order differs (rounded)
+    "q192_jl_distortion" -> {
+      val planes = Similarity.hyperplanes(16, 64, 42L)
+      val invSqrtK = 1.0 / math.sqrt(16.0)
+      val pvSql = planes.map(p =>
+        s"${dotSql("v", planeSql(p))} * CAST('$invSqrtK' AS DOUBLE)")
+        .mkString("[", ",\n      ", "]")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pe AS (SELECT id, v, $pvSql AS pv FROM e),
+         |q AS (SELECT id AS q_id, v AS qv, pv AS qpv FROM pe WHERE id < 5),
+         |d AS (SELECT ${l2Sql("pe.v", "q.qv")} AS d2,
+         |    ${l2Sql("pe.pv", "q.qpv")} AS pd2
+         |  FROM pe JOIN q ON pe.id <> q.q_id),
+         |r AS (SELECT sqrt(pd2) / sqrt(d2) AS ratio FROM d WHERE d2 > 0)
+         |SELECT 16 AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(avg(ratio), 4) AS mean_ratio,
+         |  round(min(ratio), 4) AS min_ratio,
+         |  round(max(ratio), 4) AS max_ratio,
+         |  round(avg(abs(ratio - 1)), 4) AS mean_abs_distortion
+         |FROM r""".stripMargin
     },
   ) ++ bangumiOracle
 }

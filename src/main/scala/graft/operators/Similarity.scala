@@ -1335,6 +1335,58 @@ object Similarity {
         col("max_pop"), col("cand_pairs"), col("top_frac"))
   }
 
+  /** Johnson–Lindenstrauss random-projection DISTORTION audit: project
+    * every vector to `k` dims with seeded gaussian planes (scaled
+    * 1/√k, so pairwise L2 distances are preserved in expectation) and
+    * MEASURE the distance distortion over the query × corpus pair set —
+    * the number that licenses replacing d-dim scans with k-dim scans
+    * (recall shortlists, coarse clustering) at 100 TB, the same
+    * measure-before-routing discipline as q158/q186. JL's promise is
+    * probabilistic; this reports what THIS corpus actually gets:
+    * (k, n_pairs, mean/min/max distance ratio, mean |ratio − 1|).
+    *
+    * Scale shape: the projection is k dot-product folds per row inside
+    * the scan (codegen, linear); queries broadcast; one 1-row aggregate.
+    * Every arithmetic chain (dot fold, 1/√k literal, L2 fold) replays
+    * verbatim in the oracle.
+    */
+  def jlDistortionReport(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nQueries: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 2 && k < dim, "project DOWN: 2 <= k < dim")
+    ensureFns(df.sparkSession)
+    val planes = hyperplanes(k, dim, seed)
+    val invSqrtK = 1.0 / math.sqrt(k.toDouble)
+    def proj(vc: Column): Column = array(planes.toIndexedSeq.map { p =>
+      dot(vc, array(p.toIndexedSeq.map(lit(_)): _*)) * lit(invSqrtK)
+    }: _*)
+    val e = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("pv", proj(col("v")))
+    val q = e.filter(col("id") < nQueries)
+      .select(col("id").as("q_id"), col("v").as("qv"),
+        col("pv").as("qpv"))
+    val sqd = graft.functions.GraftFunctions.graft_sqdist _
+    e.join(broadcast(q), col("id") =!= col("q_id"))
+      .select(sqd(col("v"), col("qv")).as("d2"),
+        sqd(col("pv"), col("qpv")).as("pd2"))
+      // exact-duplicate vectors (distance 0) carry no distortion signal
+      // and would divide by zero (ANSI throws) — drop BEFORE the ratio
+      .filter(col("d2") > 0)
+      .select((sqrt(col("pd2")) / sqrt(col("d2"))).as("ratio"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("ratio")), 4).as("mean_ratio"),
+        round(min(col("ratio")), 4).as("min_ratio"),
+        round(max(col("ratio")), 4).as("max_ratio"),
+        round(avg(abs(col("ratio") - 1)), 4).as("mean_abs_distortion"))
+      .select(lit(k).as("k"), col("n_pairs"), col("mean_ratio"),
+        col("min_ratio"), col("max_ratio"), col("mean_abs_distortion"))
+  }
+
   /** Embedding ISOTROPY / collapse audit — the covariance spectrum's
     * participation ratio `PR = tr(C)² / ‖C‖_F²` (= (Σλ)²/Σλ², the
     * effective number of directions the embeddings actually use: d when

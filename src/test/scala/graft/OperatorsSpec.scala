@@ -2902,6 +2902,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(n1("g")._2 !== n2("g")._2)
   }
 
+  test("jlDistortionReport: distortion shrinks with k; dup pairs excluded") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def report(k: Int) = operators.Similarity.jlDistortionReport(
+      docs, "vec_id", "embedding", dim = 64, k = k, nQueries = 4).head()
+    val r8 = report(8)
+    val r32 = report(32)
+    // JL: more projected dims → tighter concentration of the ratio
+    assert(r32.getDouble(5) < r8.getDouble(5),
+      s"k=32 distortion ${r32.getDouble(5)} !< k=8 ${r8.getDouble(5)}")
+    assert(r8.getDouble(2) > 0.5 && r8.getDouble(2) < 1.5,
+      "mean ratio must sit near 1 (the 1/sqrt(k) scale is unbiased)")
+    assert(r32.getDouble(3) > 0.0, "zero-distance pairs must be excluded")
+    // degenerate projection request rejected
+    intercept[IllegalArgumentException] {
+      operators.Similarity.jlDistortionReport(docs, "vec_id", "embedding",
+        dim = 64, k = 64, nQueries = 4)
+    }
+  }
+
   test("HLL register rollup equals sketching the coarse group directly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rolled = TextAnalysis.hllBigramRollup(docs, "lang", "source", "text")

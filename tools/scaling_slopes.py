@@ -60,7 +60,8 @@ QUERIES = (
     "q180_time_weighted_avg,q181_changelog_compact,q182_fuzzy_name_join,"
     "q183_triangle_census,q184_stream_changelog,q185_entity_resolution,"
     "q186_skew_profile,q187_kmin_rollup,q188_interval_overlap,"
-    "q189_nearest_event_join,q190_embedding_isotropy,q191_corpus_digest"
+    "q189_nearest_event_join,q190_embedding_isotropy,q191_corpus_digest,"
+    "q192_jl_distortion"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -133,6 +134,7 @@ TABLE = {
     "q189_nearest_event_join": "events",
     "q190_embedding_isotropy": "embeddings",
     "q191_corpus_digest": "documents",
+    "q192_jl_distortion": "embeddings",
     "q173_bucketed_join": "lineitem",
     "q174_dictionary_tags": "documents",
     "q175_hll_rollup": "documents",

@@ -1291,10 +1291,17 @@ object SparkEntry {
     // array — the embedding-free on-ramp to the vector family. The
     // (doc, bucket) shuffle is map-side combinable and the gather is
     // <= dim entries per doc; the output relation is TOTAL (token-less
-    // docs emit the zero vector).
+    // docs emit the zero vector). Gate shape: the dense array is
+    // posexploded to (doc_id, idx, component) SCALAR rows — the driver's
+    // pandas compare lexsorts cells and cannot order ndarray values
+    // (r13's only red rows); components are already 6dp-snapped so the
+    // exploded doubles hash identically. Consumers (q156/q158) keep the
+    // dense array internally.
     "q155_hashed_tf" -> ((s, dir) =>
       TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
-        "text", dim = 64)),
+        "text", dim = 64)
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(col("vec")).as(Seq("idx", "component")))),
 
     // The vectorizer composed into near-dup: SRP-bucketed cosine pairs
     // over the hashed-TF vectors — first-pass crawl dedup on raw text
@@ -1455,10 +1462,13 @@ object SparkEntry {
     // what spreads the q158-measured direction concentration back out.
     // idf is ln-derived so it is 6dp-snapped BEFORE use (q113 firewall);
     // the l2 norm is an index-order graft_dot fold, never a group-by
-    // double sum.
+    // double sum. Same (doc_id, idx, component) scalar gate shape as
+    // q155 — no raw float arrays cross the driver's compare.
     "q159_hashed_tfidf" -> ((s, dir) =>
       TextAnalysis.hashedTfIdfVectors(T(s, dir, "documents"), "doc_id",
-        "text", dim = 64)),
+        "text", dim = 64)
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(col("vec")).as(Seq("idx", "component")))),
 
     // The q148 cap-audit move applied to the vector family: SRP bucket
     // population profile over the q155 hashed-TF vectors — the exact
@@ -4956,10 +4966,14 @@ object SparkEntry {
          |FROM gsig""".stripMargin,
 
     // hashing-trick vectorizer replay: md5-polynomial buckets, integer
-    // weights, sqrt-of-integer norms, 6dp components
+    // weights, sqrt-of-integer norms, 6dp components — emitted as
+    // (doc_id, idx, component) scalar rows off the dense hdense relation
+    // (the same per-component expression the vecs list gathers)
     "q155_hashed_tf" ->
       s"""WITH ${hashedTfCteSql(64)}
-         |SELECT doc_id, n_tokens, vec FROM vecs""".stripMargin,
+         |SELECT doc_id, n_tokens, CAST(i AS INT) AS idx,
+         |  CASE WHEN nn > 0 THEN round(w / nn, 6) ELSE 0.0 END AS component
+         |FROM hdense""".stripMargin,
 
     // q155's vectors re-derived, then the q32 SRP-bucket + pair-cosine
     // replay: plane count p auto-derived from count(*) with the same
@@ -5337,11 +5351,10 @@ object SparkEntry {
          |    sqrt(list_reduce(list_transform(u_arr, x -> x * x),
          |      (acc, z) -> acc + z)) AS nn
          |  FROM harr)
-         |SELECT doc_id, n_tokens,
-         |  list_transform(u_arr,
-         |    x -> CASE WHEN nn > 0 THEN round(x / nn, 6) ELSE 0.0 END)
-         |    AS vec
-         |FROM hnorm""".stripMargin,
+         |SELECT h.doc_id, h.n_tokens, CAST(h.i AS INT) AS idx,
+         |  CASE WHEN n.nn > 0 THEN round(h.u / n.nn, 6) ELSE 0.0 END
+         |    AS component
+         |FROM hud h JOIN hnorm n USING (doc_id)""".stripMargin,
 
     // q156's bucket relation re-derived (same auto-p prefix), then the
     // population fold: candidate-pair mass and top-bucket concentration

@@ -87,6 +87,30 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(summary)
     println(s"""{"metric":"raw_pairs","raw":$raw}""")
+    // Compact per-decade rollup printed LAST: the driver's capture window
+    // keeps only the final ~2000 chars, which truncated r13's full
+    // per-query map to the last ~41 lanes — this line is small enough to
+    // always survive whole, so round-over-round comparison covers every
+    // lane without bench_out.json archaeology. Decade = lane number
+    // rounded down to 10 within its prefix (q110..q119 → "q110",
+    // qb34..qb38 → "qb30"); values are per-decade SUMS of the min-of-2
+    // seconds, 3dp.
+    val decade = "([a-z]+)([0-9]+).*".r
+    val decades = results.toSeq
+      .filter(_._2 >= 0)
+      .groupBy { case (name, _) =>
+        name match {
+          case decade(p, n) => f"$p${n.toInt / 10 * 10}%d"
+          case _ => "other"
+        }
+      }
+      .map { case (k, vs) => k -> vs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + f"""":${v}%.3f""" }
+      .mkString("{", ",", "}")
+    val nFail = results.values.count(_ < 0)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"decade_totals":$decades,"sf":"$sfDir"}""")
     // best-effort file record: never let a read-only cwd fail the run
     // AFTER the numbers were already printed
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -1482,6 +1482,43 @@ object SparkEntry {
           "text", dim = 64).select(col("doc_id"), col("vec")),
         "doc_id", "vec", dim = 64)),
 
+    // q158's audit wired into the route (the q146 measure→dispatch
+    // pattern for vectors): bucket-population concentration ≥ 3 sends
+    // pair generation to SemDeDup k-means cells (population-balanced by
+    // construction — the sublinear path on direction-concentrated
+    // corpora), < 3 keeps SRP sign buckets (cheaper: no quantizer).
+    // THIS fixture crosses the threshold between SFs (≈2.7 at
+    // sf0.001/0.01 → SRP; ≈10.5 at sf0.1 → cells), so the gate
+    // exercises one route and the scale sweep the other; the oracle
+    // re-derives the statistic from exact integer sums and replays the
+    // SAME gated path, making the dispatch itself part of the contract.
+    "q193_vector_route_dispatch" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairsAuto(
+        TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
+          "text", dim = 64).select(col("doc_id"), col("vec")),
+        "doc_id", "vec", 0.9, dim = 64)),
+
+    // Route-agreement audit (the dispatch's honesty lane): the SRP and
+    // k-means-cell generators are different candidate filters for the
+    // same cosine predicate, NOT proven pair-identical like q146's
+    // containment paths — so measure the verified-pair overlap: both
+    // paths run, full-outer join on the whole (id_a, id_b, sim) tuple,
+    // report (n_srp, n_cell, n_both). sim joins exactly: both paths
+    // compute the same cosine chain over the same 6dp vectors.
+    "q194_vector_route_recall" -> ((s, dir) => {
+      val vecs = TextAnalysis.hashedTfVectors(T(s, dir, "documents"),
+          "doc_id", "text", dim = 64).select(col("doc_id"), col("vec"))
+        .localCheckpoint(eager = true)
+      val srp = Similarity.embeddingNearDupPairs(vecs, "doc_id", "vec",
+        0.9, dim = 64).withColumn("in_s", lit(1L))
+      val cell = Similarity.cellNearDupPairs(vecs, "doc_id", "vec", 0.9)
+        .withColumn("in_c", lit(1L))
+      srp.join(cell, Seq("id_a", "id_b", "sim"), "full_outer")
+        .agg(coalesce(sum(col("in_s")), lit(0L)).as("n_srp"),
+          coalesce(sum(col("in_c")), lit(0L)).as("n_cell"),
+          coalesce(sum(col("in_s") * col("in_c")), lit(0L)).as("n_both"))
+    }),
+
     // Split-leakage audit + the fix, one lane: under a naive per-document
     // hash split a near-dup pair straddles train/test with prob 1 − Σp²
     // (~34% at 80/10/10) — silent eval contamination. Row 1 measures that
@@ -5377,6 +5414,91 @@ object SparkEntry {
          |  round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
          |    AS top_frac
          |FROM pops""".stripMargin
+    },
+
+    // the dispatch replayed live: the pair-load factor from exact integer
+    // sums over the same 48-plane-prefix bucket pops, then BOTH pair
+    // paths gated by the statistic (the ungated side's input CTE is
+    // emptied, so the kmeans chain trains on nothing when SRP wins) —
+    // whichever route the engine takes, the oracle takes the same one
+    "q193_vector_route_dispatch" -> {
+      val planes = Similarity.hyperplanes(48, 64)
+      s"""WITH ${hashedTfCteSql(64)},
+         |pp AS (SELECT CAST(LEAST(48, GREATEST(1,
+         |    CASE WHEN q <= 1 THEN 1
+         |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
+         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM vecs)),
+         |bv AS (SELECT doc_id, vec,
+         |    substr(${bucketSql("vec", planes)}, 1, (SELECT p FROM pp))
+         |      AS bucket
+         |  FROM vecs),
+         |pops AS (SELECT bucket, count(*) AS n FROM bv GROUP BY 1),
+         |st AS (SELECT CAST(sum(n * (n - 1)) AS DOUBLE)
+         |    / (CAST(sum(n) AS DOUBLE) * CAST(63 AS DOUBLE)) AS conc
+         |  FROM pops),
+         |sp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${cosSql("a.vec", "b.vec")} AS sim
+         |  FROM bv a JOIN bv b USING (bucket)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND (SELECT conc FROM st) < CAST(3.0 AS DOUBLE)),
+         |e AS (SELECT doc_id AS id, vec AS v FROM vecs
+         |  WHERE (SELECT conc FROM st) >= CAST(3.0 AS DOUBLE)),
+         |${kmeansCteSqlAuto(64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
+         |assign AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |cp AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS sim
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id),
+         |un AS (SELECT * FROM sp UNION ALL SELECT * FROM cp)
+         |SELECT id_a, id_b, round(sim, 6) AS sim
+         |FROM un WHERE sim >= 0.9""".stripMargin
+    },
+
+    // both generators replayed UNGATED, counted, and intersected on the
+    // whole rounded tuple — the oracle predicts the overlap the engine
+    // measures
+    "q194_vector_route_recall" -> {
+      val planes = Similarity.hyperplanes(48, 64)
+      s"""WITH ${hashedTfCteSql(64)},
+         |pp AS (SELECT CAST(LEAST(48, GREATEST(1,
+         |    CASE WHEN q <= 1 THEN 1
+         |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
+         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM vecs)),
+         |bv AS (SELECT doc_id, vec,
+         |    substr(${bucketSql("vec", planes)}, 1, (SELECT p FROM pp))
+         |      AS bucket
+         |  FROM vecs),
+         |spr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${cosSql("a.vec", "b.vec")} AS sim
+         |  FROM bv a JOIN bv b USING (bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |sp AS (SELECT id_a, id_b, round(sim, 6) AS sim FROM spr
+         |  WHERE sim >= 0.9),
+         |e AS (SELECT doc_id AS id, vec AS v FROM vecs),
+         |${kmeansCteSqlAuto(64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
+         |assign AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |cpr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS sim
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id),
+         |cp AS (SELECT id_a, id_b, round(sim, 6) AS sim FROM cpr
+         |  WHERE sim >= 0.9),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_srp FROM sp),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cell FROM cp),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+         |  FROM sp JOIN cp USING (id_a, id_b, sim))
+         |SELECT n_srp, n_cell, n_both
+         |FROM ns CROSS JOIN nc CROSS JOIN nb""".stripMargin
     },
 
     // q150's quartile replay (p = 0.25/0.75, k = 64) feeding Tukey

@@ -1083,27 +1083,9 @@ object Similarity {
       maxFlatCells: Int = MaxFlatCells): DataFrame = {
     ensureFns(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val want: Long =
-      if (nCentroids > 0) nCentroids.toLong
-      else desiredCells(corpus.count(), targetCellSize)
-    val assignedPlan =
-      if (want <= maxFlatCells) {
-        val k = math.max(1L, want).toInt
-        val centroids =
-          kmeansCentroids(corpus, idCol, vecCol, k, autoSampleSize(k))
-        assignCells(c, centroids)
-      } else {
-        val (kc, kf) = quantizerLevels(want, maxFlatCells)
-        val coarse =
-          kmeansCentroids(corpus, idCol, vecCol, kc, autoSampleSize(kc))
-        // the fine quantizer trains ONCE on residuals, shared across every
-        // coarse cell — no per-cell sample ever reaches the driver
-        val fine =
-          kmeansCentroids(residuals(c, coarse), "id", "rv", kf,
-            autoSampleSize(kf))
-        assignCellsTwoLevel(c, coarse, fine, kf)
-      }
-    val assigned = assignedPlan.localCheckpoint()
+    val assigned =
+      autoAssignCells(c, nCentroids, targetCellSize, maxFlatCells)
+        .localCheckpoint()
     val l = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val r = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
     val dropped = l.join(r, Seq("cell"))
@@ -1115,6 +1097,204 @@ object Similarity {
       .select(col("id"), col("cell"),
         when(col("__hit").isNull, 1).otherwise(0).as("kept"))
   }
+
+  /** [[semDeDup]]'s auto-k quantizer build + rank-1 cell assignment over a
+    * prepared `(id, v)` relation, shared with [[cellNearDupPairs]]:
+    * k = ceil(count / targetCellSize) holds cell population ~targetCellSize
+    * as the corpus grows (single-level up to `maxFlatCells` desired cells,
+    * the nested coarse × residual-fine quantizer past it). Returns
+    * (id, v, cell) — caller checkpoints. */
+  private[graft] def autoAssignCells(
+      c: DataFrame,
+      nCentroids: Int,
+      targetCellSize: Int,
+      maxFlatCells: Int): DataFrame = {
+    val want: Long =
+      if (nCentroids > 0) nCentroids.toLong
+      else desiredCells(c.count(), targetCellSize)
+    if (want <= maxFlatCells) {
+      val k = math.max(1L, want).toInt
+      val centroids = kmeansCentroids(c, "id", "v", k, autoSampleSize(k))
+      assignCells(c, centroids)
+    } else {
+      val (kc, kf) = quantizerLevels(want, maxFlatCells)
+      val coarse = kmeansCentroids(c, "id", "v", kc, autoSampleSize(kc))
+      // the fine quantizer trains ONCE on residuals, shared across every
+      // coarse cell — no per-cell sample ever reaches the driver
+      val fine =
+        kmeansCentroids(residuals(c, coarse), "id", "rv", kf,
+          autoSampleSize(kf))
+      assignCellsTwoLevel(c, coarse, fine, kf)
+    }
+  }
+
+  /** Embedding-cosine near-duplicate pairs with POPULATION-BALANCED
+    * candidate generation: all (a < b) with cosine ≥ `threshold`,
+    * restricted to pairs sharing an auto-k k-means cell ([[semDeDup]]'s
+    * quantizer — k = ceil(count / targetCellSize)) instead of an SRP sign
+    * bucket. This is the scale route for DIRECTION-CONCENTRATED vector
+    * sets (hashed-TF over a small vocabulary, templated embeddings),
+    * where SRP's sign buckets track true cluster mass no matter how many
+    * planes are appended (q158's measured ~27%-top-bucket fixture; q156's
+    * 1.34 fourth-decade exponent) while Lloyd cells stay ~targetCellSize
+    * by construction, keeping the within-cell all-pairs stage linear
+    * overall. Same output contract as [[embeddingNearDupPairs]]
+    * (id_a, id_b, sim 6dp); a vector lives in exactly ONE cell, so no
+    * pair dedup is needed. Candidate semantics differ from SRP's (cell
+    * co-membership vs sign agreement) — route agreement is MEASURED, not
+    * assumed: q194 reports the pair-set overlap of the two generators. */
+  def cellNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCentroids: Int = 0,
+      targetCellSize: Int = 64,
+      maxFlatCells: Int = MaxFlatCells): DataFrame = {
+    ensureFns(corpus.sparkSession)
+    cellNearDupPairsFrom(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      threshold, nCentroids, targetCellSize, maxFlatCells)
+  }
+
+  private def cellNearDupPairsFrom(
+      c: DataFrame,
+      threshold: Double,
+      nCentroids: Int,
+      targetCellSize: Int,
+      maxFlatCells: Int): DataFrame = {
+    val assigned =
+      autoAssignCells(c, nCentroids, targetCellSize, maxFlatCells)
+        .localCheckpoint()
+    val l = assigned.select(col("cell"), col("id").as("id_a"),
+      col("v").as("v_a"))
+    val r = assigned.select(col("cell"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** SRP candidate-pair LOAD FACTOR: realized within-bucket pair work per
+    * vector over the balanced-design budget,
+    *
+    *   Σ_b n_b·(n_b − 1)  /  (n_vecs · (targetBucketSize − 1)),
+    *
+    * i.e. exactly the cosine evaluations [[embeddingNearDupPairs]]'s pair
+    * stage would run, normalized by what ~targetBucketSize-sized buckets
+    * would cost (= 1.0 at perfect balance). Derivable from
+    * [[srpBucketProfile]]'s own columns (numerator = 2·cand_pairs).
+    * Deliberately NOT the occupied-bucket second moment
+    * ([[graft.operators.Dedup.shingleDfConcentration]]'s form): under
+    * TOTAL direction collapse every vector shares one bucket and that
+    * statistic reads a perfectly "balanced" 1.0 while the pair stage goes
+    * n² — this load factor reads (n−1)/(targetBucketSize−1) there, loud
+    * and growing. Both sums are exact integers (per-bucket products
+    * accumulated as DECIMAL(38,0)), so both engines derive the SAME
+    * double and the dispatch can only disagree on a corpus sitting
+    * exactly AT the threshold (a documented hazard, not a numeric one).
+    * Cost: the bucket projection the pair stage already does + one
+    * map-side-combinable aggregate + a 1-row fold. This fixture: ≈2.6–2.7
+    * at sf0.001/0.01, ≈8.8 at sf0.1. */
+  def srpBucketConcentration(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 0,
+      dim: Int = 64,
+      seed: Long = 42L,
+      targetBucketSize: Int = 64,
+      maxPlanesPerLevel: Int = MaxAutoPlanes): Double = {
+    ensureFns(corpus.sparkSession)
+    val p =
+      if (nPlanes > 0) nPlanes
+      else autoPlanesTwoLevel(corpus.count(), targetBucketSize,
+        maxPlanesPerLevel)
+    val planes = hyperplanes(p, dim, seed)
+    val r = corpus.select(asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), planes))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("s1"),
+        sum(col("n").cast("decimal(19,0)") *
+          (col("n") - 1L).cast("decimal(19,0)")).as("pairs2"))
+      .head()
+    if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
+    else {
+      val s1 = r.getLong(0).toDouble
+      val pairs2 = r.getDecimal(1).doubleValue()
+      pairs2 / (s1 * math.max(1, targetBucketSize - 1).toDouble)
+    }
+  }
+
+  /** [[embeddingNearDupPairs]] with AUTOMATIC candidate-generator dispatch
+    * — the q146 measure→route pattern applied to the vector family:
+    * compute [[srpBucketConcentration]] off one checkpointed (id, v)
+    * relation (the projection both routes need anyway), then
+    *
+    *   - concentration < `zipfConcentration` (balanced directions — SRP
+    *     buckets hold ~targetBucketSize and the sign projection is the
+    *     cheaper generator: no quantizer training, no assignment join)
+    *     → SRP sign buckets ([[embeddingNearDupPairs]]);
+    *   - concentration ≥ `zipfConcentration` (direction-concentrated —
+    *     appending planes has stopped splitting the hot sign pattern, so
+    *     the within-bucket stage tracks true cluster mass, n²-class)
+    *     → auto-k k-means cells ([[cellNearDupPairs]]), population-
+    *     balanced by construction.
+    *
+    * Unlike the containment dispatch the two generators are NOT proven
+    * pair-identical — they are different candidate filters for the same
+    * cosine predicate — so the route agreement is measured (q194's
+    * overlap audit) rather than asserted, and the dispatch statistic is
+    * exact-integer-derived so an oracle replays the same route. Default
+    * `zipfConcentration` = 3.0, the same gap [[graft.operators.Dedup
+    * .containmentPairsAuto]] sits in: balanced buckets measure ~1 + CV²
+    * (≲ 2 under Poisson-ish spread), concentrated corpora measure ≫ 3
+    * precisely where SRP's cliff lives (this fixture: 10.5 at sf0.1). */
+  def embeddingNearDupPairsAuto(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 0,
+      dim: Int = 64,
+      seed: Long = 42L,
+      targetBucketSize: Int = 64,
+      maxPlanesPerLevel: Int = MaxAutoPlanes,
+      zipfConcentration: Double = 3.0,
+      targetCellSize: Int = 64,
+      maxFlatCells: Int = MaxFlatCells): DataFrame = {
+    ensureFns(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(eager = true)
+    val conc = srpBucketConcentration(c, "id", "v", nPlanes, dim, seed,
+      targetBucketSize, maxPlanesPerLevel)
+    if (conc >= zipfConcentration)
+      cellNearDupPairsFrom(c, threshold, nCentroids = 0, targetCellSize,
+        maxFlatCells)
+    else
+      embeddingNearDupPairs(c, "id", "v", threshold, nPlanes, dim, seed,
+        targetBucketSize, maxPlanesPerLevel)
+  }
+
+  /** The route [[embeddingNearDupPairsAuto]] would take, as a pure
+    * decision — exposed so specs and capacity planning can interrogate
+    * the dispatch without running a pair join. */
+  def vectorRouteFor(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 0,
+      dim: Int = 64,
+      seed: Long = 42L,
+      targetBucketSize: Int = 64,
+      maxPlanesPerLevel: Int = MaxAutoPlanes,
+      zipfConcentration: Double = 3.0): String =
+    if (srpBucketConcentration(corpus, idCol, vecCol, nPlanes, dim, seed,
+        targetBucketSize, maxPlanesPerLevel) >= zipfConcentration) "cells"
+    else "srp"
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
     * `threshold`, restricted to SRP-bucket collisions (near-dups almost

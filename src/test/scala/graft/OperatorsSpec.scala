@@ -933,6 +933,60 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out === explicit)
   }
 
+  test("cellNearDupPairs: exact dups share the argmax cell and pair up") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(20)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      Seq((20L, base(0)), (21L, base(5))) // exact duplicates
+    val e = rows.toSeq.toDF("vec_id", "embedding")
+    val out = Similarity.cellNearDupPairs(e, "vec_id", "embedding", 0.999,
+      targetCellSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors score identically against every centroid → same
+    // argmax cell, so the only cos >= 0.999 pairs are the two dup pairs
+    assert(out === Set((0L, 20L), (5L, 21L)))
+  }
+
+  test("vector route dispatch: load factor sends collapse to cells, balance to srp") {
+    import spark.implicits._
+    // total direction collapse: every vector on the SAME ray → one sign
+    // bucket at any plane count; the occupied-bucket second moment would
+    // read this as "balanced" (1.0) — the pair-load factor must not
+    val coll = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)(1.0f + i * 1e-6f))).toDF("vec_id", "embedding")
+    val cColl = Similarity.srpBucketConcentration(coll, "vec_id",
+      "embedding", dim = 8)
+    assert(cColl > 4.0 && cColl < 5.0, s"collapse load factor $cColl") // 299/63
+    assert(Similarity.vectorRouteFor(coll, "vec_id", "embedding", dim = 8)
+      === "cells")
+    // balanced: seeded gaussian directions spread over the sign buckets
+    val rnd = new scala.util.Random(17)
+    val bal = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cBal = Similarity.srpBucketConcentration(bal, "vec_id", "embedding",
+      dim = 8)
+    assert(cBal < 3.0, s"balanced load factor $cBal")
+    assert(Similarity.vectorRouteFor(bal, "vec_id", "embedding", dim = 8)
+      === "srp")
+    // the dispatcher's output IS the routed generator's output
+    val autoBal = Similarity.embeddingNearDupPairsAuto(bal, "vec_id",
+      "embedding", 0.9, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val srpBal = Similarity.embeddingNearDupPairs(bal, "vec_id", "embedding",
+      0.9, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(autoBal.toSeq === srpBal.toSeq)
+    val autoColl = Similarity.embeddingNearDupPairsAuto(coll, "vec_id",
+      "embedding", 0.999999, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellColl = Similarity.cellNearDupPairs(coll, "vec_id", "embedding",
+      0.999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoColl === cellColl)
+  }
+
   test("pq codes: identical vectors share codes; self-query ranks its dup first") {
     val base = Array.tabulate(8)(i => i.toFloat / 8f)
     val e = Seq(

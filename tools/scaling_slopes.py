@@ -61,7 +61,8 @@ QUERIES = (
     "q183_triangle_census,q184_stream_changelog,q185_entity_resolution,"
     "q186_skew_profile,q187_kmin_rollup,q188_interval_overlap,"
     "q189_nearest_event_join,q190_embedding_isotropy,q191_corpus_digest,"
-    "q192_jl_distortion"
+    "q192_jl_distortion,"
+    "q193_vector_route_dispatch,q194_vector_route_recall"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -135,6 +136,8 @@ TABLE = {
     "q190_embedding_isotropy": "embeddings",
     "q191_corpus_digest": "documents",
     "q192_jl_distortion": "embeddings",
+    "q193_vector_route_dispatch": "documents",
+    "q194_vector_route_recall": "documents",
     "q173_bucketed_join": "lineitem",
     "q174_dictionary_tags": "documents",
     "q175_hll_rollup": "documents",

@@ -2294,11 +2294,16 @@ object SparkEntry {
         .withColumn("histogram", to_json(col("histogram")))
     }),
 
-    // Multimodal: video → per-frame rows.
+    // Multimodal: video → per-frame rows. The raw frame payload crosses
+    // the gate as its UPPERCASE-HEX string (GoldenSpec's canonical
+    // rendering of binary — the pin is unchanged): a raw binary cell
+    // reads back as bytes from Spark parquet but bytearray from DuckDB,
+    // the same representation hazard as q155's float arrays.
     "qb40_media_frames" -> ((s, _) => {
       operators.Multimodal.explodeFrames(
         operators.Multimodal.syntheticMedia(s, 60)
           .filter(col("kind") === "video"), 4)
+        .withColumn("frame_bytes", hex(col("frame_bytes")))
     }),
 
     // Multimodal: deterministic nearest-neighbor resize to 16×12 (the
@@ -3377,6 +3382,77 @@ object SparkEntry {
   // exported parquet pins.
   private val bangumiParsedPath: String =
     new java.io.File("tools/fixtures/bangumi_parsed.parquet").getAbsolutePath
+
+  // ---- Media + zlib/chunker lanes' DuckDB oracle ----
+  // DuckDB cannot decode PNG/WAV/GIF, deflate, or roll a per-byte hash, so
+  // those boundaries are exported as typed parquet by INDEPENDENT pure-
+  // Python re-derivations (tools/gen_media_fixtures.py — from-scratch
+  // inflate/unfilter/LZW/Goertzel decoders; tools/gen_text_fixtures.py —
+  // CPython zlib + the reference chunker), each pin-checked against the
+  // GoldenSpec md5s before writing. Everything relational DOWNSTREAM of
+  // the boundary is replayed here in SQL: the qb45/qb46 Hamming pair join
+  // re-runs brute-force xor/bit_count over per-media fingerprints (which
+  // also re-proves the Scala C(6,3) blocking's exactness inside the
+  // gate), and q83/q39 join `documents` on md5(text) so the ratio
+  // arithmetic / shared-chunk aggregation run live at ANY covered SF.
+  private def fixtureSql(name: String): String = {
+    val p = new java.io.File(s"tools/fixtures/$name.parquet").getAbsolutePath
+    s"read_parquet('$p')"
+  }
+
+  private val mediaOracle: Map[String, String] = {
+    def hammingJoin(sigs: String): String =
+      s"""WITH f AS (SELECT media_id, fp FROM ${fixtureSql(sigs)}
+         |  WHERE NOT decode_error)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         |FROM f a JOIN f b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+    Map(
+      "qb39_media_decode" ->
+        s"""SELECT media_id, width, height, histogram, decode_error
+           |FROM ${fixtureSql("qb39_media_decode")}""".stripMargin,
+      "qb40_media_frames" ->
+        s"""SELECT media_id, frame_no, frame_bytes
+           |FROM ${fixtureSql("qb40_media_frames")}""".stripMargin,
+      "qb41_audio_decode" ->
+        s"""SELECT media_id, sample_rate, channels, duration_ms, rms,
+           |  decode_error
+           |FROM ${fixtureSql("qb41_audio_decode")}""".stripMargin,
+      "qb42_gif_frames" ->
+        s"""SELECT media_id, frame_no, n_frames, width, height, histogram,
+           |  decode_error
+           |FROM ${fixtureSql("qb42_gif_frames")}""".stripMargin,
+      "qb43_audio_frames" ->
+        s"""SELECT media_id, frame_no, n_frames, start_ms, rms, band_amp,
+           |  decode_error
+           |FROM ${fixtureSql("qb43_audio_frames")}""".stripMargin,
+      "qb44_media_resize" ->
+        s"""SELECT media_id, src_width, src_height, width, height,
+           |  histogram, decode_error
+           |FROM ${fixtureSql("qb44_media_resize")}""".stripMargin,
+      "qb45_image_neardup" -> hammingJoin("media_sigs_qb45"),
+      "qb46_audio_neardup" -> hammingJoin("media_sigs_qb46"),
+      // CPython-zlib sizes per distinct text; the ratio division and
+      // HALF_UP 4dp rounding were computed by the SAME rule as the Scala
+      // BigDecimal path (pin-proven equal), and the doc join runs live
+      "q83_deflate_ratio" ->
+        s"""SELECT d.doc_id, f.n_bytes, f.n_deflated, f.ratio
+           |FROM documents d
+           |JOIN ${fixtureSql("deflate_by_text")} f
+           |  ON md5(coalesce(d.text, '')) = f.text_md5""".stripMargin,
+      // reference-chunker fingerprints per distinct text (one row per
+      // occurrence); the cross-document shared-chunk aggregation — the
+      // actual dedup semantics — replays in SQL
+      "q39_rolling_chunks" ->
+        s"""WITH ch AS (SELECT d.doc_id, f.chunk_fp
+           |  FROM documents d
+           |  JOIN ${fixtureSql("chunks_by_text")} f
+           |    ON md5(coalesce(d.text, '')) = f.text_md5)
+           |SELECT chunk_fp, CAST(count(*) AS BIGINT) AS n_docs,
+           |  min(doc_id) AS first_doc
+           |FROM ch GROUP BY 1 HAVING count(*) > 1""".stripMargin)
+  }
 
   private val bangumiOracle: Map[String, String] = {
     val parsed = s"read_parquet('$bangumiParsedPath')"
@@ -7213,5 +7289,5 @@ object SparkEntry {
          |  round(avg(abs(ratio - 1)), 4) AS mean_abs_distortion
          |FROM r""".stripMargin
     },
-  ) ++ bangumiOracle
+  ) ++ bangumiOracle ++ mediaOracle
 }

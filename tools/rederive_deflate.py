@@ -44,8 +44,12 @@ def main() -> int:
     for doc_id, text in rows:
         raw = (text or "").encode("utf-8")
         deflated = len(zlib.compress(raw, 6))
+        # Decimal(repr(x)), NOT Decimal(x): Scala BigDecimal(double) rounds
+        # the SHORTEST-repr decimal (Double.toString / valueOf), not the
+        # exact binary expansion — they disagree exactly at HALF_UP
+        # boundaries (0.63125 -> 0.6313 vs 0.6312; hit at sf0.1)
         ratio = float(
-            Decimal(deflated / max(len(raw), 1)).quantize(
+            Decimal(repr(deflated / max(len(raw), 1))).quantize(
                 Decimal("0.0001"), rounding=ROUND_HALF_UP))
         # canonical form (GoldenSpec / rederive_goldens.py): cells in
         # column-name order joined with \x01

@@ -50,6 +50,7 @@ object PlanDump {
       "q190_embedding_isotropy", "q191_corpus_digest",
       "q192_jl_distortion",
       "q193_vector_route_dispatch", "q194_vector_route_recall",
+      "q195_lsh_recall_sampled", "q196_minhash_estimator_sampled",
       "q168_minhash_estimator_audit", "q169_multiprobe_ann_topk",
       "q170_lsh_recall_audit")
     val sb = new StringBuilder

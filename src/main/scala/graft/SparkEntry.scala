@@ -1341,6 +1341,24 @@ object SparkEntry {
       operators.Dedup.lshRecallAudit(T(s, dir, "documents"), "doc_id",
         "text", n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.3)),
 
+    // q170 at its 100 TB operating point: the exact-reference pass (the
+    // audit's cost driver) runs on a FIXED 256-doc md5-k-min sample —
+    // the q149 threshold rule applied to documents — so the audit's cost
+    // stops growing with the corpus while estimating the same recall.
+    // The sample is part of the contract: the oracle re-derives the
+    // md5 threshold and the sizes are emitted, not hidden.
+    "q195_lsh_recall_sampled" -> ((s, dir) =>
+      operators.Dedup.lshRecallAuditSampled(T(s, dir, "documents"),
+        "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2,
+        threshold = 0.3, sampleSize = 256)),
+
+    // q168's estimator calibration at the same fixed-sample operating
+    // point — per-pair bias/spread measured on the sampled sub-corpus.
+    "q196_minhash_estimator_sampled" -> ((s, dir) =>
+      operators.Dedup.minhashEstimatorAuditSampled(T(s, dir, "documents"),
+        "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2,
+        sampleSize = 256)),
+
     // Multi-probe SRP-LSH (Lv '07): one table, each query also probes
     // the buckets reached by flipping its smallest-margin sign bits —
     // the memory-side answer to q33's multi-TABLE recall dial (L× index
@@ -2679,19 +2697,126 @@ object SparkEntry {
   private val HD = "0123456789abcdef"
 
   /** Word-3-gram distinct shingle set (mirrors Dedup.shingleSet, n=3). */
-  private val shingleCte: String =
-    """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
-      |), sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
-      |         ELSE array_to_string(t, ' ') END AS shingle
-      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i) r
-      |)""".stripMargin
+  private def shingleCteBody(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $src
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+       |         ELSE array_to_string(t, ' ') END AS shingle
+       |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i) r
+       |)""".stripMargin
+
+  private val shingleCte: String = "WITH " + shingleCteBody("documents")
+
+  /** CTE prefix replaying [[operators.Dedup]]'s md5-k-min document sample
+    * (the q149 threshold rule: kth-smallest DISTINCT 52-bit md5 key) —
+    * ends with `sdocs(doc_id, text)`, trailing comma included. */
+  private def kminDocSampleCte(k: Int): String = {
+    val poly = (1 to 13).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+      .mkString("(", " + ", ")")
+    s"""hdocs AS (SELECT doc_id, text, $poly AS hv
+       |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
+       |        FROM documents) z),
+       |sthr AS (SELECT max(hv) AS thr
+       |  FROM (SELECT DISTINCT hv FROM hdocs ORDER BY hv LIMIT $k) t),
+       |sdocs AS (SELECT doc_id, text FROM hdocs, sthr
+       |  WHERE hdocs.hv <= sthr.thr),
+       |""".stripMargin
+  }
 
   private val minhashSigSelect: String = {
     val mins = (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
     s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
+  }
+
+  private def bandedKeysSql: String = (0 until 4).map(b =>
+    s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
+    .mkString("\nUNION ALL ")
+
+  /** The q170 recall-audit SQL over an arbitrary document source —
+    * `pre` is a CTE prefix (the sample chain for the sampled form);
+    * `sampled` adds the emitted sample-size columns. */
+  private def lshRecallAuditOracle(src: String, pre: String,
+      sampled: Boolean): String = {
+    val sampleCtes =
+      if (sampled)
+        """,
+          |nsd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_sampled FROM sdocs),
+          |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM documents)""".stripMargin
+      else ""
+    val sampleCols =
+      if (sampled) ",\n  n_docs_sampled, n_docs_total" else ""
+    val sampleJoin = if (sampled) " CROSS JOIN nsd CROSS JOIN ntot" else ""
+    s"""WITH $pre${shingleCteBody(src)},
+       |capped AS (
+       |  SELECT sh.doc_id, sh.shingle FROM sh
+       |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+       |        HAVING count(*) <= 100) ok USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM capped a JOIN capped b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |tp AS (SELECT id_a, id_b
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(n_inter AS DOUBLE)
+       |    / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.3),
+       |sig AS ($minhashSigSelect),
+       |banded AS ($bandedKeysSql),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM banded l JOIN banded r USING (band, key)
+       |  WHERE l.doc_id < r.doc_id),
+       |caught AS (SELECT tp.id_a, tp.id_b FROM tp
+       |  SEMI JOIN cand ON cand.id_a = tp.id_a AND cand.id_b = tp.id_b),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+       |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM caught)$sampleCtes
+       |SELECT CAST(0.3 AS DOUBLE) AS threshold, n_true, n_candidates,
+       |  n_caught,
+       |  CASE WHEN n_true > 0 THEN round(CAST(n_caught AS DOUBLE)
+       |    / CAST(n_true AS DOUBLE), 6) END AS recall$sampleCols
+       |FROM nt CROSS JOIN nc CROSS JOIN ng$sampleJoin""".stripMargin
+  }
+
+  /** The q168 estimator-calibration SQL over an arbitrary document
+    * source (`pre` as in [[lshRecallAuditOracle]]). */
+  private def minhashEstimatorAuditOracle(src: String, pre: String): String = {
+    val nMatch = (0 until 8)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $pre${shingleCteBody(src)},
+       |sig AS ($minhashSigSelect),
+       |banded AS ($bandedKeysSql),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM banded l JOIN banded r USING (band, key)
+       |  WHERE l.doc_id < r.doc_id),
+       |est AS (SELECT cand.id_a, cand.id_b, CAST($nMatch AS INT) AS n_match
+       |  FROM cand JOIN sig a ON a.doc_id = cand.id_a
+       |  JOIN sig b ON b.doc_id = cand.id_b),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+       |  FROM sh GROUP BY 1),
+       |inter AS (SELECT e.id_a, e.id_b, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM est e
+       |  JOIN sh sa ON sa.doc_id = e.id_a
+       |  JOIN sh sb ON sb.doc_id = e.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |full_ AS (SELECT e.id_a, e.id_b, e.n_match,
+       |    CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |    za.sz AS sz_a, zb.sz AS sz_b
+       |  FROM est e LEFT JOIN inter i USING (id_a, id_b)
+       |  JOIN sizes za ON za.doc_id = e.id_a
+       |  JOIN sizes zb ON zb.doc_id = e.id_b)
+       |SELECT id_a, id_b, n_match,
+       |  round(CAST(n_match AS DOUBLE) / 8, 6) AS est_jaccard,
+       |  round(CAST(n_inter AS DOUBLE)
+       |    / CAST(sz_a + sz_b - n_inter AS DOUBLE), 6) AS jaccard,
+       |  round(round(CAST(n_match AS DOUBLE) / 8, 6)
+       |    - round(CAST(n_inter AS DOUBLE)
+       |        / CAST(sz_a + sz_b - n_inter AS DOUBLE), 6), 6) AS err
+       |FROM full_""".stripMargin
   }
 
   /** 64-bit SimHash CTE chain ending in sig(doc_id, simhash). */
@@ -5143,41 +5268,18 @@ object SparkEntry {
     },
 
     // q26's exact pair set + q28's banded candidates + one semi join
-    "q170_lsh_recall_audit" -> {
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
-        .mkString("\nUNION ALL ")
-      s"""$shingleCte,
-         |capped AS (
-         |  SELECT sh.doc_id, sh.shingle FROM sh
-         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
-         |        HAVING count(*) <= 100) ok USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM capped a JOIN capped b USING (shingle)
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         |tp AS (SELECT id_a, id_b
-         |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
-         |  JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE CAST(n_inter AS DOUBLE)
-         |    / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.3),
-         |sig AS ($minhashSigSelect),
-         |banded AS ($bands),
-         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM banded l JOIN banded r USING (band, key)
-         |  WHERE l.doc_id < r.doc_id),
-         |caught AS (SELECT tp.id_a, tp.id_b FROM tp
-         |  SEMI JOIN cand ON cand.id_a = tp.id_a AND cand.id_b = tp.id_b),
-         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp),
-         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
-         |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM caught)
-         |SELECT CAST(0.3 AS DOUBLE) AS threshold, n_true, n_candidates,
-         |  n_caught,
-         |  CASE WHEN n_true > 0 THEN round(CAST(n_caught AS DOUBLE)
-         |    / CAST(n_true AS DOUBLE), 6) END AS recall
-         |FROM nt CROSS JOIN nc CROSS JOIN ng""".stripMargin
-    },
+    "q170_lsh_recall_audit" ->
+      lshRecallAuditOracle("documents", "", sampled = false),
+
+    // the SAME audit replayed over the md5-k-min sampled sub-corpus —
+    // the sample threshold, both pair passes, and the recall fold all
+    // re-derived in SQL, plus the emitted sample sizes
+    "q195_lsh_recall_sampled" ->
+      lshRecallAuditOracle("sdocs", kminDocSampleCte(256), sampled = true),
+
+    // q168's estimator calibration replayed over the sampled sub-corpus
+    "q196_minhash_estimator_sampled" ->
+      minhashEstimatorAuditOracle("sdocs", kminDocSampleCte(256)),
 
     // home bucket + margin-ranked single-bit flips (|dot| asc, plane
     // asc), one-bucket corpus join, cosine rank — probes as string
@@ -5219,44 +5321,8 @@ object SparkEntry {
 
     // q28's banded candidates + q97's integer n_match + q26's exact
     // intersection, err computed from the two ROUNDED values
-    "q168_minhash_estimator_audit" -> {
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
-        .mkString("\nUNION ALL ")
-      val nMatch = (0 until 8)
-        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""$shingleCte,
-         |sig AS ($minhashSigSelect),
-         |banded AS ($bands),
-         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM banded l JOIN banded r USING (band, key)
-         |  WHERE l.doc_id < r.doc_id),
-         |est AS (SELECT cand.id_a, cand.id_b, CAST($nMatch AS INT) AS n_match
-         |  FROM cand JOIN sig a ON a.doc_id = cand.id_a
-         |  JOIN sig b ON b.doc_id = cand.id_b),
-         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
-         |  FROM sh GROUP BY 1),
-         |inter AS (SELECT e.id_a, e.id_b, CAST(count(*) AS BIGINT) AS n_inter
-         |  FROM est e
-         |  JOIN sh sa ON sa.doc_id = e.id_a
-         |  JOIN sh sb ON sb.doc_id = e.id_b AND sb.shingle = sa.shingle
-         |  GROUP BY 1, 2),
-         |full_ AS (SELECT e.id_a, e.id_b, e.n_match,
-         |    CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
-         |    za.sz AS sz_a, zb.sz AS sz_b
-         |  FROM est e LEFT JOIN inter i USING (id_a, id_b)
-         |  JOIN sizes za ON za.doc_id = e.id_a
-         |  JOIN sizes zb ON zb.doc_id = e.id_b)
-         |SELECT id_a, id_b, n_match,
-         |  round(CAST(n_match AS DOUBLE) / 8, 6) AS est_jaccard,
-         |  round(CAST(n_inter AS DOUBLE)
-         |    / CAST(sz_a + sz_b - n_inter AS DOUBLE), 6) AS jaccard,
-         |  round(round(CAST(n_match AS DOUBLE) / 8, 6)
-         |    - round(CAST(n_inter AS DOUBLE)
-         |        / CAST(sz_a + sz_b - n_inter AS DOUBLE), 6), 6) AS err
-         |FROM full_""".stripMargin
-    },
+    "q168_minhash_estimator_audit" ->
+      minhashEstimatorAuditOracle("documents", ""),
 
     // q124's quantizer CTE, then the xy2d loop unrolled one CTE per bit
     // level: rx/ry flags, d += s²·(3rx ⊕ ry), conditional flip-then-swap

@@ -939,6 +939,77 @@ object Dedup {
           .otherwise(lit(null).cast("double")).as("recall"))
   }
 
+  /** Deterministic md5-k-min DOCUMENT sample — the q149 primitive applied
+    * to a whole relation: the md5-52-bit key of `idCol` is a uniform
+    * [0, 2^52) draw, the kth-smallest DISTINCT key is the inclusion
+    * threshold (one bounded KMinValues aggregate, a 1-row broadcast), and
+    * the filter is scan-stage. A pure function of the id set, replayable
+    * in SQL — shared by the sampled audit variants below. */
+  private def kminDocSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 64, "a sample below 64 docs estimates nothing")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hv = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val hashed = df.withColumn("__hv", hv)
+    val thr = hashed.agg(
+      try_element_at(
+        graft.functions.GraftFunctions.kmin_values(col("__hv"), k),
+        lit(-1)).as("__thr"))
+    hashed.join(broadcast(thr), col("__hv") <= col("__thr"))
+      .drop("__hv", "__thr")
+  }
+
+  /** [[lshRecallAudit]] on a deterministic md5-k-min document sample —
+    * the 100 TB form of the audit: the exact-Jaccard reference pass is
+    * the audit's cost driver and scales with the corpus, so at scale the
+    * recall estimate runs on a FIXED-size uniform sub-corpus (both the
+    * exact pass and the banded join see the same sample; the estimate is
+    * the realized recall on that sample, standard sampling error). Cost
+    * beyond the sample: one scan into a k-long KMinValues aggregate + one
+    * filtered re-scan — no pair work ever touches the full corpus. The
+    * unsampled form stays the oracle of record (q170); this lane's own
+    * oracle replays the same md5 threshold, so the sample is part of the
+    * contract, not a hidden cap — the sizes are emitted
+    * (`n_docs_sampled`, `n_docs_total`).
+    *
+    * Output: threshold, n_true, n_candidates, n_caught, recall,
+    * n_docs_sampled, n_docs_total. */
+  def lshRecallAuditSampled(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxShingleDocFreq: Long = 100,
+      sampleSize: Int = 4096): DataFrame = {
+    val s = kminDocSample(df.select(col(idCol), col(textCol)), idCol,
+      sampleSize).localCheckpoint(eager = true)
+    lshRecallAudit(s, idCol, textCol, n, numHashes, rowsPerBand, threshold,
+      maxShingleDocFreq)
+      .crossJoin(broadcast(s.agg(count(lit(1)).as("n_docs_sampled"))))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_docs_total"))))
+  }
+
+  /** [[minhashEstimatorAudit]] on the same deterministic md5-k-min
+    * document sample as [[lshRecallAuditSampled]] — the estimator's
+    * bias/spread measured on a fixed-size sub-corpus, so the calibration
+    * read stays sublinear while the unsampled form remains the oracle of
+    * record (q168). Per-pair output, same columns. */
+  def minhashEstimatorAuditSampled(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      sampleSize: Int = 4096): DataFrame =
+    minhashEstimatorAudit(
+      kminDocSample(df.select(col(idCol), col(textCol)), idCol, sampleSize)
+        .localCheckpoint(eager = true),
+      idCol, textCol, n, numHashes, rowsPerBand)
+
   /** [[minhashNearDupPairs]] with the (bands, rowsPerBand) plan derived
     * from the threshold by [[lshPlan]] instead of hand-picked — the shape
     * a deployment uses: state the Jaccard threshold and recall target,

@@ -933,6 +933,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out === explicit)
   }
 
+  test("sampled audits: k >= n degrades to the exact audit") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val full = Dedup.lshRecallAudit(docs, "doc_id", "text", 3, 8, 2, 0.3)
+      .collect().head
+    val samp = Dedup.lshRecallAuditSampled(docs, "doc_id", "text", 3, 8, 2,
+      0.3, sampleSize = 100000).collect().head
+    // the whole corpus is under the k-min threshold, so every audit
+    // number must be the exact one and the sizes must coincide
+    for (c <- Seq("n_true", "n_candidates", "n_caught"))
+      assert(samp.getAs[Long](c) === full.getAs[Long](c), c)
+    assert(samp.getAs[Double]("recall") === full.getAs[Double]("recall"))
+    assert(samp.getAs[Long]("n_docs_sampled") ===
+      samp.getAs[Long]("n_docs_total"))
+    val fullEst = Dedup.minhashEstimatorAudit(docs, "doc_id", "text", 3, 8, 2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val sampEst = Dedup.minhashEstimatorAuditSampled(docs, "doc_id", "text",
+      3, 8, 2, sampleSize = 100000)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(sampEst.toSeq === fullEst.toSeq)
+  }
+
   test("cellNearDupPairs: exact dups share the argmax cell and pair up") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

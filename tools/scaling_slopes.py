@@ -62,7 +62,8 @@ QUERIES = (
     "q186_skew_profile,q187_kmin_rollup,q188_interval_overlap,"
     "q189_nearest_event_join,q190_embedding_isotropy,q191_corpus_digest,"
     "q192_jl_distortion,"
-    "q193_vector_route_dispatch,q194_vector_route_recall"
+    "q193_vector_route_dispatch,q194_vector_route_recall,"
+    "q195_lsh_recall_sampled,q196_minhash_estimator_sampled"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -138,6 +139,8 @@ TABLE = {
     "q192_jl_distortion": "embeddings",
     "q193_vector_route_dispatch": "documents",
     "q194_vector_route_recall": "documents",
+    "q195_lsh_recall_sampled": "documents",
+    "q196_minhash_estimator_sampled": "documents",
     "q173_bucketed_join": "lineitem",
     "q174_dictionary_tags": "documents",
     "q175_hll_rollup": "documents",

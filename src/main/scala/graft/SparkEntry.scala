@@ -2600,6 +2600,23 @@ object SparkEntry {
     "q186_skew_profile" -> ((s, dir) =>
       operators.Skew.keySkewProfile(T(s, dir, "events"), "user_id")),
 
+    // q85's hot-key join with the salt count CONSUMED from the q186
+    // profile instead of hand-picked (⌈hot/avg⌉, the measure→act
+    // pattern): same dim, same fact, same answer — the derivation can
+    // only move shuffle placement, so the oracle is the plain join
+    // (q85's), and SkewSpec pins the derived count itself.
+    "q197_salted_join_auto" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(
+        when(col("event_id") % 4 =!= 0, lit(0L))
+          .otherwise(col("user_id") % 200).as("k"),
+        col("value"))
+      import s.implicits._
+      val dim = (0L until 200L).map(i => (i, s"grp${i % 7}")).toDF("k", "grp")
+      operators.Skew.saltedJoinAuto(ev, dim, "k")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+    }),
+
     // k-min reservoir ROLLUP (the quantile twin of q175): sketches built
     // per (lang, source), merged per lang by re-running the k-min
     // aggregate over the fine sketch rows — exact, so the lane is gated
@@ -4017,6 +4034,17 @@ object SparkEntry {
 
     // the salt never appears: the oracle is the PLAIN join + rollup
     "q85_salted_join" ->
+      """WITH ev AS (SELECT CASE WHEN event_id % 4 <> 0 THEN 0
+        |    ELSE user_id % 200 END AS k, value FROM events),
+        |dim AS (SELECT i AS k, 'grp' || (i % 7) AS grp
+        |  FROM (SELECT unnest(range(0, 200)) AS i))
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_v
+        |FROM ev JOIN dim USING (k) GROUP BY grp""".stripMargin,
+
+    // the auto-salted join answers the SAME plain join — the derived
+    // salt count is placement-only by construction
+    "q197_salted_join_auto" ->
       """WITH ev AS (SELECT CASE WHEN event_id % 4 <> 0 THEN 0
         |    ELSE user_id % 200 END AS k, value FROM events),
         |dim AS (SELECT i AS k, 'grp' || (i % 7) AS grp

@@ -109,6 +109,48 @@ object Skew {
     saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** `numSalts` DERIVED from [[keySkewProfile]] instead of hand-picked —
+    * the measure→act pattern (autoPlanes/autoCentroids/containment
+    * dispatch) applied to shuffle placement: the profile's
+    * `recommended_salts` = ⌈hot·n_keys/n_rows⌉ is exactly the ⌈hot/avg⌉
+    * factor by which the hottest key melts one reducer, so salting by it
+    * restores ~average-sized partitions. Clamped to [1, maxSalts]
+    * (replicating the dim side / widening the final phase beyond ~1024×
+    * costs more than the straggler it prevents). Multiple keys profile
+    * as their struct — skew is a property of the COMPOSITE grouping key.
+    * Cost: one map-side-combinable (key, count) aggregate + a 1-row fold
+    * — the profile a capacity plan runs anyway (q186). */
+  def autoSalts(df: DataFrame, keys: Seq[String],
+      maxSalts: Int = 1024): Int = {
+    require(keys.nonEmpty, "autoSalts needs at least one key")
+    val keyed =
+      if (keys.sizeIs == 1) df.select(col(keys.head).as("__k"))
+      else df.select(struct(keys.map(col): _*).as("__k"))
+    val r = keySkewProfile(keyed, "__k")
+      .select(col("recommended_salts")).head()
+    if (r.isNullAt(0)) 1
+    else math.min(maxSalts.toLong, math.max(1L, r.getLong(0))).toInt
+  }
+
+  /** [[saltedAggregate]] with the salt count auto-derived by
+    * [[autoSalts]]. Output identical to the fixed-salt (and plain
+    * groupBy) form — the derivation only moves shuffle placement. */
+  def saltedAggregateAuto(
+      df: DataFrame,
+      keys: Seq[String],
+      sums: Map[String, Column],
+      maxSalts: Int = 1024): DataFrame =
+    saltedAggregate(df, keys, sums, autoSalts(df, keys, maxSalts))
+
+  /** [[saltedJoin]] with the salt count auto-derived from the FACT side's
+    * key profile by [[autoSalts]]. */
+  def saltedJoinAuto(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      maxSalts: Int = 1024): DataFrame =
+    saltedJoin(fact, dim, key, autoSalts(fact, Seq(key), maxSalts))
+
   /** Synthetic zipfian equi-join — the AQE skew-split demonstrator: half
     * the fact rows share ONE join key (`key = 0`), the rest hash-spread
     * over `nKeys`, joined to a `nKeys`-row dim and aggregated. Under a

@@ -45,6 +45,38 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("autoSalts derives ceil(hot/avg) from the profile and the auto forms equal the plain ops") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1000 rows: ids not divisible by 5 (800) key to 0; the 200 multiples
+    // of 5 key to id % 100 ∈ {0, 5, …, 95} (20 keys, key 0 gaining the 10
+    // multiples of 100) → hot = 810, n_keys = 20,
+    // recommended = ceil(810 · 20 / 1000) = 17
+    val fact = spark.range(1000).select(
+      when(col("id") % 5 =!= 0, lit(0L)).otherwise(col("id") % 100).as("k"),
+      col("id").as("v"))
+    assert(Skew.autoSalts(fact, Seq("k")) === 17)
+    // the clamp engages
+    assert(Skew.autoSalts(fact, Seq("k"), maxSalts = 16) === 16)
+    // a uniform relation derives salt 1 (no salting): every key once
+    val uniform = spark.range(100).select(col("id").as("k"), col("id").as("v"))
+    assert(Skew.autoSalts(uniform, Seq("k")) === 1)
+    // output identity: auto join == plain join, auto agg == plain groupBy
+    val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "label")
+    val auto = Skew.saltedJoinAuto(fact, dim, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = fact.join(dim, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(auto === plain)
+    val aggAuto = Skew.saltedAggregateAuto(fact, Seq("k"),
+      Map("sv" -> col("v"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val aggPlain = fact.groupBy("k")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n_rows")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(aggAuto === aggPlain)
+  }
+
   test("salted operators accept map-typed columns (xxhash64 can't hash maps)") {
     val spark2 = spark
     import spark2.implicits._

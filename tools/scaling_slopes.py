@@ -63,7 +63,8 @@ QUERIES = (
     "q189_nearest_event_join,q190_embedding_isotropy,q191_corpus_digest,"
     "q192_jl_distortion,"
     "q193_vector_route_dispatch,q194_vector_route_recall,"
-    "q195_lsh_recall_sampled,q196_minhash_estimator_sampled"
+    "q195_lsh_recall_sampled,q196_minhash_estimator_sampled,"
+    "q197_salted_join_auto"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -141,6 +142,7 @@ TABLE = {
     "q194_vector_route_recall": "documents",
     "q195_lsh_recall_sampled": "documents",
     "q196_minhash_estimator_sampled": "documents",
+    "q197_salted_join_auto": "events",
     "q173_bucketed_join": "lineitem",
     "q174_dictionary_tags": "documents",
     "q175_hll_rollup": "documents",

@@ -2622,13 +2622,20 @@ object SparkEntry {
     // aggregate over the fine sketch rows — exact, so the lane is gated
     // by q150's DIRECT-computation oracle verbatim.
     "q187_kmin_rollup" -> ((s, dir) => {
+      // null lang/source fold to sentinels BEFORE concat_ws (which
+      // silently skips nulls — a null lang would otherwise mislabel its
+      // source as the coarse group), and the separator is the
+      // non-printing \u0001 (the q191 rule) so a value containing the
+      // separator can't split wrong; the oracle folds identically
       val fineIn = T(s, dir, "documents")
-        .select(concat_ws("|", col("lang"), col("source")).as("ls"),
+        .select(concat_ws("\u0001",
+            coalesce(col("lang"), lit("<null>")),
+            coalesce(col("source"), lit("<null>"))).as("ls"),
           col("doc_id"), col("n_chars"))
       val fine = Sampling.reservoirByGroup(fineIn, "ls", "doc_id",
         col("n_chars"), 64)
       val rolled = Sampling.reservoirRollup(fine,
-        substring_index(col("ls"), "|", 1), "lang", 64)
+        substring_index(col("ls"), "\u0001", 1), "lang", 64)
       Sampling.quantilesFromReservoir(rolled, "lang", Seq(0.25, 0.5, 0.9))
     }),
 
@@ -7010,7 +7017,7 @@ object SparkEntry {
          |  FROM sums),
          |exact AS (SELECT coalesce(lang, '<all>') AS lang,
          |    CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct,
-         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sketches
+         |    CAST(count(DISTINCT (lang, source)) AS BIGINT) AS n_sketches
          |  FROM bg GROUP BY GROUPING SETS ((lang), ()))
          |SELECT lang, exact_distinct, n_sketches, hll_est
          |FROM exact JOIN est USING (lang)""".stripMargin
@@ -7254,7 +7261,8 @@ object SparkEntry {
       val poly = (1 to 13).map(i =>
         s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
         .mkString("(", " + ", ")")
-      s"""WITH h AS (SELECT lang, doc_id, n_chars AS x, $poly AS hv
+      s"""WITH h AS (SELECT coalesce(lang, '<null>') AS lang, doc_id,
+         |    n_chars AS x, $poly AS hv
          |  FROM (SELECT lang, doc_id, n_chars,
          |          md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) z),
          |thr AS (SELECT lang, max(hv) AS thr

@@ -1439,25 +1439,6 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
-  /** Fuzzy string self-join: all pairs of DISTINCT values of `nameCol`
-    * within Levenshtein distance `maxDist`, with each value's carrier
-    * row count — entity-resolution blocking for catalog/name columns
-    * ("cold bolt" ↔ "old bolt").
-    *
-    * Scale discipline: the corpus pays ONE groupBy (the distinct-name
-    * relation with counts); everything quadratic runs on that relation,
-    * which is VOCABULARY-bounded the way the token relations are — at
-    * 100 TB the name universe grows like a dictionary, not like the
-    * table. Candidate generation is exact length banding (an edit can
-    * change length by at most 1, so |len(a) − len(b)| ≤ maxDist): each
-    * name exploded to its 2·maxDist+1 admissible partner lengths and
-    * equi-joined on length — a hash join, never a cartesian — then the
-    * O(len²) verify runs only on banded candidates. (A q-gram count
-    * filter would prune further but is only sound for names longer than
-    * q·(maxDist+1), which short catalog names violate — exactness first.)
-    *
-    * Output: (name_a, name_b, dist, n_rows_a, n_rows_b), name_a < name_b.
-    */
   /** Order-invariant corpus DIGEST — the replication/ETL integrity check
     * at 100 TB: two independent combines of the per-row md5-52bit hash
     * (XOR, and an exact wide-decimal SUM — sum-of-longs would overflow
@@ -1492,6 +1473,25 @@ object Dedup {
         col("n_rows"), col("xor_digest"), col("sum_digest"))
   }
 
+  /** Fuzzy string self-join: all pairs of DISTINCT values of `nameCol`
+    * within Levenshtein distance `maxDist`, with each value's carrier
+    * row count — entity-resolution blocking for catalog/name columns
+    * ("cold bolt" ↔ "old bolt").
+    *
+    * Scale discipline: the corpus pays ONE groupBy (the distinct-name
+    * relation with counts); everything quadratic runs on that relation,
+    * which is VOCABULARY-bounded the way the token relations are — at
+    * 100 TB the name universe grows like a dictionary, not like the
+    * table. Candidate generation is exact length banding (an edit can
+    * change length by at most 1, so |len(a) − len(b)| ≤ maxDist): each
+    * name exploded to its 2·maxDist+1 admissible partner lengths and
+    * equi-joined on length — a hash join, never a cartesian — then the
+    * O(len²) verify runs only on banded candidates. (A q-gram count
+    * filter would prune further but is only sound for names longer than
+    * q·(maxDist+1), which short catalog names violate — exactness first.)
+    *
+    * Output: (name_a, name_b, dist, n_rows_a, n_rows_b), name_a < name_b.
+    */
   def fuzzyNameJoin(
       df: DataFrame,
       nameCol: String,

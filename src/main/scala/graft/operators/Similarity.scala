@@ -1547,7 +1547,12 @@ object Similarity {
     }: _*)
     val e = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("pv", proj(col("v")))
-    val q = e.filter(col("id") < nQueries)
+    // query set = the nQueries SMALLEST ids (TakeOrdered, bounded) — a
+    // deterministic id-rank selection that works for string or sparse id
+    // domains too; a raw `id < nQueries` comparison would silently
+    // assume a dense 0-based numeric id (on which the two coincide —
+    // the oracle's WHERE id < n replays this fixture's rank set exactly)
+    val q = e.orderBy(col("id")).limit(nQueries)
       .select(col("id").as("q_id"), col("v").as("qv"),
         col("pv").as("qpv"))
     val sqd = graft.functions.GraftFunctions.graft_sqdist _

@@ -1455,9 +1455,14 @@ object TextAnalysis {
       .withColumn(coarseCol, lit(all))
     val est = hllEstimateFromRegisters(mergedCoarse, Seq(coarseCol), p)
       .unionByName(hllEstimateFromRegisters(mergedAll, Seq(coarseCol), p))
+    // n_sketches counts distinct (coarse, fine) PAIRS — the sketches the
+    // merge actually folded. A bare countDistinct(fine) would under-
+    // report on the '<all>' grand total (a source appearing under two
+    // langs contributes two sketches but one fine value); with the pair
+    // count the column means the same thing on every row.
     val exact = terms.rollup(col(coarseCol))
       .agg(countDistinct(col("term")).as("exact_distinct"),
-        countDistinct(col(fineCol)).as("n_sketches"))
+        countDistinct(col(coarseCol), col(fineCol)).as("n_sketches"))
       .select(coalesce(col(coarseCol), lit(all)).as(coarseCol),
         col("exact_distinct"), col("n_sketches"))
     exact.join(est, Seq(coarseCol))

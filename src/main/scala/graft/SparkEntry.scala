@@ -67,11 +67,15 @@ object SparkEntry {
     * stores PER SHARD PER BATCH — a stream-stream join carries four stores
     * per shard — and at the gate's ~40k state rows that per-store overhead
     * dominates: measured on q61, 32 shards spend 75 s of summed state
-    * commit time where 8 shards spend 3.3 s (wall 12.0 → 6.7 s). Shard
-    * count is checkpoint-pinned in Structured Streaming, so sizing it
-    * deliberately before the first batch is the documented production
-    * practice — at real load you size it UP for the same reason. The
-    * session value is restored after the bounded run. */
+    * commit time where 8 shards spend 3.3 s (wall 12.0 → 6.7 s); the
+    * round-14 sweep (8/4/2 shards × heap/RocksDB on the four gate-scale
+    * stream lanes, two runs each) found 4 the optimum for BOTH providers
+    * (heap 8.1–8.4 → 7.2–7.7 s; RocksDB 8.9–9.6 → 8.0–8.3 s), so 4 is
+    * the default clamp. Shard count is checkpoint-pinned in Structured
+    * Streaming, so sizing it deliberately before the first batch is the
+    * documented production practice — at real load you size it UP for
+    * the same reason (SPARK_GRAFT_STATE_SHARDS overrides). The session
+    * value is restored after the bounded run. */
   /** State-store provider for the bounded streaming lanes. Default is the
     * HDFS-backed heap store — right for gate-scale state (~40k rows), where
     * RocksDB's per-batch native-store open/commit is pure overhead
@@ -99,8 +103,19 @@ object SparkEntry {
   private def withStreamSession[T](s: SparkSession)(body: => T): T = {
     val keys = "spark.sql.shuffle.partitions" :: stateStoreConfs.keys.toList
     val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
-    if (s.conf.get("spark.sql.shuffle.partitions").toInt > 8)
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+    // state shard count (pinned into each checkpoint at first batch).
+    // Default: clamp the session's shuffle partitions to 8 — measured
+    // best for the heap provider at gate scale. SPARK_GRAFT_STATE_SHARDS
+    // overrides for provider-specific sizing sweeps (RocksDB pays a
+    // per-shard-per-batch native open/commit, so ITS optimum is lower —
+    // the round-14 sweep in OPERATORS.md).
+    sys.env.get("SPARK_GRAFT_STATE_SHARDS").map(_.toInt) match {
+      case Some(n) if n >= 1 =>
+        s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      case _ =>
+        if (s.conf.get("spark.sql.shuffle.partitions").toInt > 4)
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+    }
     stateStoreConfs.foreach { case (k, v) => s.conf.set(k, v) }
     try body
     finally saved.foreach {

@@ -112,6 +112,30 @@ class JdbcLoadSpec extends AnyFunSuite with SparkSpec {
     assert(back.getAs[String]("name") === "Elden Ring 🗡️")
   }
 
+  test("S4 pushdown: filter and column pruning reach the JDBC source scan") {
+    import org.apache.spark.sql.execution.RowDataSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "unused_wide_col")
+    JdbcLoad.writeOverwrite(df, url, "pushdown_t")
+    val q = JdbcLoad.readTable(spark, url, "pushdown_t")
+      .filter(col("id") > 1L).select("name")
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: RowDataSourceScanExec => s
+    }.getOrElse(fail("no JDBC scan in the executed plan"))
+    // the predicate travels INTO the source (it becomes WHERE in the
+    // generated SQL — Derby executes it, Spark doesn't re-filter a
+    // *-marked pushed filter)
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThan"), s"filter not pushed: $pushed")
+    assert(pushed.contains("IsNotNull"), s"null guard not pushed: $pushed")
+    // column pruning: the scan's output carries only the projected
+    // column — the wide unused column never crosses the wire
+    val cols = scan.output.map(_.name.toLowerCase)
+    assert(cols === Seq("name"), s"scan output not pruned: $cols")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq === Seq("b", "c"))
+  }
+
   test("incremental sync: initial load, then insert/update/delete merge") {
     val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "bal")

@@ -29,7 +29,18 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with a zero-norm guard: a ZERO vector (empty-doc hashed-TF,
+    * or a residual of a vector sitting exactly on its coarse centroid —
+    * hit at sf1 by the nested quantizer) makes the denominator 0, and
+    * Spark 4's default ANSI mode THROWS on double division by zero
+    * instead of returning NULL. The guard yields NULL there (Spark's own
+    * non-ANSI semantics; the rank-1 assignment paths already coalesce
+    * NULL sims to the −2 sentinel) and the IDENTICAL division chain
+    * everywhere else, so every oracle-pinned value is unchanged. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(null).cast("double")).otherwise(dot(a, b) / d)
+  }
 
   /** Register graft's codegen expressions on the session that will ANALYZE
     * the plan — [[dot]]/[[norm]]/[[cosine]] resolve `graft_dot` through the
@@ -802,20 +813,27 @@ object Similarity {
   private[graft] def quantizerLevels(want: Long, maxFlat: Int = MaxFlatCells): (Int, Int) = {
     require(maxFlat >= 1, "maxFlat must be >= 1")
     if (want <= maxFlat) (math.max(1L, want).toInt, 1)
-    else {
-      // integer ceil-sqrt: float sqrt as a hint, then correct by stepping —
-      // immune to the 1-ulp boundary a bare .toLong would ride
-      var s = math.max(1L, math.sqrt(want.toDouble).toLong - 2)
-      while (s * s < want) s += 1
-      val kc = math.min(maxFlat.toLong, s)
-      val kfWant = desiredCells(want, kc.toInt)
-      if (kfWant > maxFlat)
-        System.err.println(
-          s"[similarity] quantizerLevels clamped: want=$want cells exceeds " +
-            s"the two-level bound $maxFlat² = ${maxFlat.toLong * maxFlat}; " +
-            "cell population now grows with the corpus again.")
-      (kc.toInt, math.min(maxFlat.toLong, kfWant).toInt)
-    }
+    else quantizerLevelsSplit(want, maxFlat)
+  }
+
+  /** The forced ceil-sqrt-balanced two-level split (no single-level
+    * escape) — [[autoAssignCells]] calls this directly once the NESTING
+    * decision has been made at a lower threshold than the per-level
+    * clamp, so levels stay small (≈√want each) while the 4.3B-cell
+    * maxFlat² envelope is preserved. */
+  private[graft] def quantizerLevelsSplit(want: Long, maxFlat: Int): (Int, Int) = {
+    // integer ceil-sqrt: float sqrt as a hint, then correct by stepping —
+    // immune to the 1-ulp boundary a bare .toLong would ride
+    var s = math.max(1L, math.sqrt(want.toDouble).toLong - 2)
+    while (s * s < want) s += 1
+    val kc = math.min(maxFlat.toLong, s)
+    val kfWant = desiredCells(want, kc.toInt)
+    if (kfWant > maxFlat)
+      System.err.println(
+        s"[similarity] quantizerLevels clamped: want=$want cells exceeds " +
+          s"the two-level bound $maxFlat² = ${maxFlat.toLong * maxFlat}; " +
+          "cell population now grows with the corpus again.")
+    (kc.toInt, math.min(maxFlat.toLong, kfWant).toInt)
   }
 
   /** Auto training-sample size for an auto-derived k: 4 points per
@@ -1104,6 +1122,18 @@ object Similarity {
     * as the corpus grows (single-level up to `maxFlatCells` desired cells,
     * the nested coarse × residual-fine quantizer past it). Returns
     * (id, v, cell) — caller checkpoints. */
+  /** Nest the auto quantizer past this many desired cells even though a
+    * flat assignment would still be legal: single-level assignment costs
+    * n·k score folds (= n²/targetCellSize once k is corpus-derived — the
+    * r14 fourth-decade measurement read exponent 1.32 on the cell route
+    * at k=782), while the coarse × residual-fine nesting costs
+    * n·(kc + kf) ≈ n·2√k and both levels stay on the codegen expression
+    * path (k ≤ [[MaxExprCentroids]] per level up to 65536 cells). 256
+    * keeps every oracle-gated corpus single-level (k ≤ 79 at sf0.1), so
+    * the q65/q193 SQL replays are untouched; the nesting engages exactly
+    * where the quadratic would. */
+  private[graft] val NestAboveCells = 256
+
   private[graft] def autoAssignCells(
       c: DataFrame,
       nCentroids: Int,
@@ -1112,12 +1142,13 @@ object Similarity {
     val want: Long =
       if (nCentroids > 0) nCentroids.toLong
       else desiredCells(c.count(), targetCellSize)
-    if (want <= maxFlatCells) {
+    val nest = math.min(maxFlatCells, NestAboveCells)
+    if (want <= nest) {
       val k = math.max(1L, want).toInt
       val centroids = kmeansCentroids(c, "id", "v", k, autoSampleSize(k))
       assignCells(c, centroids)
     } else {
-      val (kc, kf) = quantizerLevels(want, maxFlatCells)
+      val (kc, kf) = quantizerLevelsSplit(want, maxFlatCells)
       val coarse = kmeansCentroids(c, "id", "v", kc, autoSampleSize(kc))
       // the fine quantizer trains ONCE on residuals, shared across every
       // coarse cell — no per-cell sample ever reaches the driver

@@ -1311,12 +1311,16 @@ object SparkEntry {
     // pandas compare lexsorts cells and cannot order ndarray values
     // (r13's only red rows); components are already 6dp-snapped so the
     // exploded doubles hash identically. Consumers (q156/q158) keep the
-    // dense array internally.
+    // dense array internally. posexplode_OUTER, deliberately: vec is
+    // TOTAL (64 elements always), so outer is pair-identical here, and
+    // the non-outer form trips InferFiltersFromGenerate — a size(vec)>0
+    // filter whose condition INLINES the whole vector-build expression
+    // per row, interpreted (measured 15× on q159).
     "q155_hashed_tf" -> ((s, dir) =>
       TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
         "text", dim = 64)
         .select(col("doc_id"), col("n_tokens"),
-          posexplode(col("vec")).as(Seq("idx", "component")))),
+          posexplode_outer(col("vec")).as(Seq("idx", "component")))),
 
     // The vectorizer composed into near-dup: SRP-bucketed cosine pairs
     // over the hashed-TF vectors — first-pass crawl dedup on raw text
@@ -1496,12 +1500,15 @@ object SparkEntry {
     // idf is ln-derived so it is 6dp-snapped BEFORE use (q113 firewall);
     // the l2 norm is an index-order graft_dot fold, never a group-by
     // double sum. Same (doc_id, idx, component) scalar gate shape as
-    // q155 — no raw float arrays cross the driver's compare.
+    // q155, and the same posexplode_OUTER: on THIS lane the non-outer
+    // form's InferFiltersFromGenerate filter re-evaluates the graft_dot
+    // norm fold inside a per-element lambda, interpreted — measured
+    // 1.5 s → 22 s at sf0.1 before the outer switch.
     "q159_hashed_tfidf" -> ((s, dir) =>
       TextAnalysis.hashedTfIdfVectors(T(s, dir, "documents"), "doc_id",
         "text", dim = 64)
         .select(col("doc_id"), col("n_tokens"),
-          posexplode(col("vec")).as(Seq("idx", "component")))),
+          posexplode_outer(col("vec")).as(Seq("idx", "component")))),
 
     // The q148 cap-audit move applied to the vector family: SRP bucket
     // population profile over the q155 hashed-TF vectors — the exact
@@ -1550,6 +1557,24 @@ object SparkEntry {
         .agg(coalesce(sum(col("in_s")), lit(0L)).as("n_srp"),
           coalesce(sum(col("in_c")), lit(0L)).as("n_cell"),
           coalesce(sum(col("in_s") * col("in_c")), lit(0L)).as("n_both"))
+    }),
+
+    // TRUE-recall audit on the q195-style md5-k-min sample: brute-force
+    // exact cosine pairs over 256 sampled docs (the only affordable
+    // place for ground truth), then how much of the truth the SRP and
+    // k-means-cell generators each recover. q194 measures how much the
+    // generators AGREE; this measures how much each FINDS — the number
+    // the q193 dispatch actually trades on, estimated at fixed cost.
+    "q198_vector_recall_sampled" -> ((s, dir) => {
+      val sdocs = Dedup.kminDocSample(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", 256).localCheckpoint(eager = true)
+      val vecs = TextAnalysis.hashedTfVectors(sdocs, "doc_id", "text",
+        dim = 64).select(col("doc_id"), col("vec"))
+      Similarity.nearDupRecallAudit(vecs, "doc_id", "vec", 0.9, dim = 64)
+        .crossJoin(broadcast(sdocs.agg(count(lit(1)).as("n_docs_sampled"))))
+        .crossJoin(broadcast(T(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs_total"))))
     }),
 
     // Split-leakage audit + the fix, one lane: under a naive per-document
@@ -2970,13 +2995,13 @@ object SparkEntry {
     * `vecs(doc_id, n_tokens, vec)`): md5-hex polynomial bucket (the q118
     * trick — 6 hex digits = conv(.., 16, 10)), sign from hex digit 7,
     * integer bucket weights, sqrt-of-integer l2 norm, 6dp components. */
-  private def hashedTfCteSql(dim: Int): String = {
+  private def hashedTfCteSql(dim: Int, src: String = "documents"): String = {
     val poly6 = (1 to 6).map(i =>
       s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${BigInt(16).pow(6 - i)}")
       .mkString("(", " + ", ")")
     s"""htk AS (SELECT doc_id,
        |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
-       |  FROM documents),
+       |  FROM $src),
        |hhs AS (SELECT doc_id, md5(w) AS hx FROM htk WHERE w <> ''),
        |hbk AS (SELECT doc_id, $poly6 % $dim AS bucket,
        |    CASE WHEN substr(hx, 7, 1) < '8' THEN 1 ELSE -1 END AS sign
@@ -2986,7 +3011,7 @@ object SparkEntry {
        |hnr AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nn
        |  FROM hag GROUP BY 1),
        |hnt AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
-       |  FROM documents d
+       |  FROM $src d
        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM hhs GROUP BY 1) c
        |    USING (doc_id)),
        |hdense AS (SELECT hnt.doc_id, hnt.n_tokens, g.i,
@@ -5649,6 +5674,59 @@ object SparkEntry {
          |un AS (SELECT * FROM sp UNION ALL SELECT * FROM cp)
          |SELECT id_a, id_b, round(sim, 6) AS sim
          |FROM un WHERE sim >= 0.9""".stripMargin
+    },
+
+    // the sampled true-recall audit replayed end to end: md5 sample
+    // threshold, hashed-TF vectors over sdocs, brute-force exact pairs,
+    // both generators, and the recall folds
+    "q198_vector_recall_sampled" -> {
+      val planes = Similarity.hyperplanes(48, 64)
+      s"""WITH ${kminDocSampleCte(256)}${hashedTfCteSql(64, "sdocs")},
+         |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${cosSql("a.vec", "b.vec")} AS sim
+         |  FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id),
+         |tpf AS (SELECT id_a, id_b FROM tp WHERE sim >= 0.9),
+         |pp AS (SELECT CAST(LEAST(48, GREATEST(1,
+         |    CASE WHEN q <= 1 THEN 1
+         |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
+         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM vecs)),
+         |bv AS (SELECT doc_id, vec,
+         |    substr(${bucketSql("vec", planes)}, 1, (SELECT p FROM pp))
+         |      AS bucket
+         |  FROM vecs),
+         |spr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${cosSql("a.vec", "b.vec")} AS sim
+         |  FROM bv a JOIN bv b USING (bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |sp AS (SELECT id_a, id_b FROM spr WHERE sim >= 0.9),
+         |e AS (SELECT doc_id AS id, vec AS v FROM vecs),
+         |${kmeansCteSqlAuto(64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
+         |assign AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |cpr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS sim
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id),
+         |cp AS (SELECT id_a, id_b FROM cpr WHERE sim >= 0.9),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tpf),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_srp FROM sp),
+         |ncl AS (SELECT CAST(count(*) AS BIGINT) AS n_cell FROM cp),
+         |nsd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_sampled
+         |  FROM sdocs),
+         |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total
+         |  FROM documents)
+         |SELECT CAST(0.9 AS DOUBLE) AS threshold, n_true, n_srp, n_cell,
+         |  CASE WHEN n_true > 0 THEN round(CAST(n_srp AS DOUBLE)
+         |    / CAST(n_true AS DOUBLE), 6) END AS recall_srp,
+         |  CASE WHEN n_true > 0 THEN round(CAST(n_cell AS DOUBLE)
+         |    / CAST(n_true AS DOUBLE), 6) END AS recall_cell,
+         |  n_docs_sampled, n_docs_total
+         |FROM nt CROSS JOIN ns CROSS JOIN ncl
+         |CROSS JOIN nsd CROSS JOIN ntot""".stripMargin
     },
 
     // both generators replayed UNGATED, counted, and intersected on the

@@ -945,7 +945,7 @@ object Dedup {
     * threshold (one bounded KMinValues aggregate, a 1-row broadcast), and
     * the filter is scan-stage. A pure function of the id set, replayable
     * in SQL — shared by the sampled audit variants below. */
-  private def kminDocSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+  private[graft] def kminDocSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 64, "a sample below 64 docs estimates nothing")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val hv = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)

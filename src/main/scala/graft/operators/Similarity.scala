@@ -1310,6 +1310,56 @@ object Similarity {
         targetBucketSize, maxPlanesPerLevel)
   }
 
+  /** TRUE-recall audit of the two near-dup candidate generators against
+    * the exact pair set — the q170 move for the vector family: brute-force
+    * every (a < b) cosine on the (BOUNDED — caller samples, the q195
+    * discipline) corpus, then count what the SRP-bucket and k-means-cell
+    * generators each recover. Both generators VERIFY candidates with the
+    * same cosine ≥ threshold predicate, so their pair sets are subsets of
+    * the true set by construction (spec-pinned) and recall is a pure
+    * count ratio. This is the number the q193 dispatch trades on —
+    * q194's overlap says how much the generators agree, THIS says how
+    * much of the truth each finds.
+    *
+    * Cost: |corpus|²/2 cosine folds on the exact side — the audit is for
+    * sampled sub-corpora (≤ a few thousand rows), never the full corpus;
+    * the generators themselves run at their production shapes.
+    *
+    * Output: threshold, n_true, n_srp, n_cell, recall_srp, recall_cell. */
+  def nearDupRecallAudit(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 0,
+      dim: Int = 64,
+      seed: Long = 42L,
+      targetBucketSize: Int = 64,
+      targetCellSize: Int = 64): DataFrame = {
+    ensureFns(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(eager = true)
+    val truePairs = c.select(col("id").as("id_a"), col("v").as("v_a"))
+      .crossJoin(broadcast(c.select(col("id").as("id_b"), col("v").as("v_b"))))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("v_a"), col("v_b")) >= threshold)
+    val srp = embeddingNearDupPairs(c, "id", "v", threshold, nPlanes, dim,
+      seed, targetBucketSize)
+    val cell = cellNearDupPairsFrom(c, threshold, nCentroids = 0,
+      targetCellSize, MaxFlatCells)
+    val nt = truePairs.agg(count(lit(1)).as("n_true"))
+    val ns = srp.agg(count(lit(1)).as("n_srp"))
+    val nc = cell.agg(count(lit(1)).as("n_cell"))
+    def recall(n: Column): Column =
+      when(col("n_true") > 0,
+        round(n.cast("double") / col("n_true").cast("double"), 6))
+        .otherwise(lit(null).cast("double"))
+    nt.crossJoin(broadcast(ns)).crossJoin(broadcast(nc))
+      .select(lit(threshold).as("threshold"), col("n_true"), col("n_srp"),
+        col("n_cell"), recall(col("n_srp")).as("recall_srp"),
+        recall(col("n_cell")).as("recall_cell"))
+  }
+
   /** The route [[embeddingNearDupPairsAuto]] would take, as a pure
     * decision — exposed so specs and capacity planning can interrogate
     * the dispatch without running a pair join. */

@@ -1008,6 +1008,42 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(autoColl === cellColl)
   }
 
+  test("nearDupRecallAudit: generators are subsets of truth; recall counts match sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = Array.fill(30)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 6).map(i => ((30 + i).toLong, base(i * 5))) // exact dups
+    val e = rows.toSeq.toDF("vec_id", "embedding")
+    val thr = 0.999
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(
+      e.select(col("vec_id").as("id_a"),
+          Similarity.asDouble(col("embedding")).as("v_a"))
+        .crossJoin(e.select(col("vec_id").as("id_b"),
+          Similarity.asDouble(col("embedding")).as("v_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("v_a"), col("v_b")) >= thr)
+        .select("id_a", "id_b"))
+    val srp = pairSet(Similarity.embeddingNearDupPairs(e, "vec_id",
+      "embedding", thr, dim = 8).select("id_a", "id_b"))
+    val cell = pairSet(Similarity.cellNearDupPairs(e, "vec_id",
+      "embedding", thr, targetCellSize = 8).select("id_a", "id_b"))
+    // both generators verify with the same cosine predicate → subsets
+    assert(srp.subsetOf(exact), s"srp emitted non-true pairs: ${srp -- exact}")
+    assert(cell.subsetOf(exact), s"cell emitted non-true pairs: ${cell -- exact}")
+    val audit = Similarity.nearDupRecallAudit(e, "vec_id", "embedding",
+      thr, dim = 8, targetCellSize = 8).collect().head
+    assert(audit.getAs[Long]("n_true") === exact.size.toLong)
+    assert(audit.getAs[Long]("n_srp") === srp.size.toLong)
+    assert(audit.getAs[Long]("n_cell") === cell.size.toLong)
+    // exact duplicates collide in ANY sign bucket and share the argmax
+    // cell, so both recalls are 1.0 on this fixture
+    assert(audit.getAs[Double]("recall_srp") === 1.0)
+    assert(audit.getAs[Double]("recall_cell") === 1.0)
+  }
+
   test("pq codes: identical vectors share codes; self-query ranks its dup first") {
     val base = Array.tabulate(8)(i => i.toFloat / 8f)
     val e = Seq(

@@ -94,23 +94,28 @@ object Bench {
     // lane without bench_out.json archaeology. Decade = lane number
     // rounded down to 10 within its prefix (q110..q119 → "q110",
     // qb34..qb38 → "qb30"); values are per-decade SUMS of the min-of-2
-    // seconds, 3dp.
+    // seconds, 3dp. Its own metric name ("decade_totals", not a second
+    // "total") so a parser keyed on metric=="total" sees exactly one
+    // line; Locale.ROOT so a comma-decimal default locale can't emit
+    // invalid JSON.
     val decade = "([a-z]+)([0-9]+).*".r
     val decades = results.toSeq
       .filter(_._2 >= 0)
       .groupBy { case (name, _) =>
         name match {
-          case decade(p, n) => f"$p${n.toInt / 10 * 10}%d"
+          case decade(p, n) => p + (n.toInt / 10 * 10).toString
           case _ => "other"
         }
       }
       .map { case (k, vs) => k -> vs.map(_._2).sum }
       .toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + f"""":${v}%.3f""" }
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }
       .mkString("{", ",", "}")
     val nFail = results.values.count(_ < 0)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"decade_totals":$decades,"sf":"$sfDir"}""")
+      s"""{"metric":"decade_totals","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"decade_totals":$decades,"sf":"$sfDir"}""")
     // best-effort file record: never let a read-only cwd fail the run
     // AFTER the numbers were already printed
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -51,7 +51,7 @@ object PlanDump {
       "q192_jl_distortion",
       "q193_vector_route_dispatch", "q194_vector_route_recall",
       "q195_lsh_recall_sampled", "q196_minhash_estimator_sampled",
-      "q198_vector_recall_sampled",
+      "q198_vector_recall_sampled", "q199_vector_overlap_sampled",
       "q168_minhash_estimator_audit", "q169_multiprobe_ann_topk",
       "q170_lsh_recall_audit")
     val sb = new StringBuilder

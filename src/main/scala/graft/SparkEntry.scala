@@ -104,12 +104,13 @@ object SparkEntry {
     val keys = "spark.sql.shuffle.partitions" :: stateStoreConfs.keys.toList
     val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
     // state shard count (pinned into each checkpoint at first batch).
-    // Default: clamp the session's shuffle partitions to 8 — measured
-    // best for the heap provider at gate scale. SPARK_GRAFT_STATE_SHARDS
-    // overrides for provider-specific sizing sweeps (RocksDB pays a
-    // per-shard-per-batch native open/commit, so ITS optimum is lower —
-    // the round-14 sweep in OPERATORS.md).
-    sys.env.get("SPARK_GRAFT_STATE_SHARDS").map(_.toInt) match {
+    // Default: clamp the session's shuffle partitions to 4 — the swept
+    // optimum for both providers at gate scale (round-14 sweep in
+    // OPERATORS.md). SPARK_GRAFT_STATE_SHARDS overrides for
+    // provider-specific sizing sweeps; garbage values fall through to
+    // the default clamp rather than killing every streaming lane.
+    sys.env.get("SPARK_GRAFT_STATE_SHARDS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption) match {
       case Some(n) if n >= 1 =>
         s.conf.set("spark.sql.shuffle.partitions", n.toString)
       case _ =>
@@ -1545,18 +1546,31 @@ object SparkEntry {
     // paths run, full-outer join on the whole (id_a, id_b, sim) tuple,
     // report (n_srp, n_cell, n_both). sim joins exactly: both paths
     // compute the same cosine chain over the same 6dp vectors.
-    "q194_vector_route_recall" -> ((s, dir) => {
-      val vecs = TextAnalysis.hashedTfVectors(T(s, dir, "documents"),
-          "doc_id", "text", dim = 64).select(col("doc_id"), col("vec"))
-        .localCheckpoint(eager = true)
-      val srp = Similarity.embeddingNearDupPairs(vecs, "doc_id", "vec",
-        0.9, dim = 64).withColumn("in_s", lit(1L))
-      val cell = Similarity.cellNearDupPairs(vecs, "doc_id", "vec", 0.9)
-        .withColumn("in_c", lit(1L))
-      srp.join(cell, Seq("id_a", "id_b", "sim"), "full_outer")
-        .agg(coalesce(sum(col("in_s")), lit(0L)).as("n_srp"),
-          coalesce(sum(col("in_c")), lit(0L)).as("n_cell"),
-          coalesce(sum(col("in_s") * col("in_c")), lit(0L)).as("n_both"))
+    // GATE-SCALE PROVER ONLY: this full-corpus form deliberately pays
+    // for BOTH generators, so its SRP side inherits q156's superlinear
+    // exponent on concentrated corpora — the deployment form is q199,
+    // the same audit on the fixed 256-doc md5-k-min sample.
+    "q194_vector_route_recall" -> ((s, dir) =>
+      Similarity.routeOverlapAudit(
+        TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
+          "text", dim = 64).select(col("doc_id"), col("vec")),
+        "doc_id", "vec", 0.9, dim = 64)),
+
+    // q194 bounded for deployment (the q195/q198 sampling discipline):
+    // the same route-overlap audit on the fixed 256-doc md5-k-min
+    // sample — cost no longer grows with the corpus, so the audit can
+    // ride every production run while q194 stays a gate-scale prover.
+    // n_docs_sampled/n_docs_total make the estimate's basis explicit.
+    "q199_vector_overlap_sampled" -> ((s, dir) => {
+      val sdocs = Dedup.kminDocSample(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", 256).localCheckpoint(eager = true)
+      val vecs = TextAnalysis.hashedTfVectors(sdocs, "doc_id", "text",
+        dim = 64).select(col("doc_id"), col("vec"))
+      Similarity.routeOverlapAudit(vecs, "doc_id", "vec", 0.9, dim = 64)
+        .crossJoin(broadcast(sdocs.agg(count(lit(1)).as("n_docs_sampled"))))
+        .crossJoin(broadcast(T(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs_total"))))
     }),
 
     // TRUE-recall audit on the q195-style md5-k-min sample: brute-force
@@ -2915,8 +2929,14 @@ object SparkEntry {
   private def normSql(a: String): String =
     s"sqrt(list_reduce(list_transform($a, x -> x * x), (acc, z) -> acc + z))"
 
+  /** Zero-norm pairs yield NULL *explicitly*: the Scala side guards the
+    * denominator (Spark 4 ANSI throws on double /0), and DuckDB 1.0
+    * happens to return NULL on double division by zero, but DuckDB >=1.1
+    * defaults to IEEE semantics (0/0 -> NaN, which compares greater than
+    * every threshold) — the CASE makes the oracle version-independent. */
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+    s"(CASE WHEN ${normSql(a)} * ${normSql(b)} = 0 THEN NULL " +
+      s"ELSE ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END)"
 
   private def planeSql(p: Array[Double]): String =
     "CAST([" + p.map(_.toString).mkString(", ") + "] AS DOUBLE[])"
@@ -3078,6 +3098,47 @@ object SparkEntry {
        |    FROM samp) t
        |  WHERE cell < (SELECT k FROM kk)),
        |${(0 until iters).map(kmeansIterCteSql).mkString(",\n")}""".stripMargin
+
+  /** CTE body shared by the q194/q199 route-overlap oracles: expects a
+    * preceding `vecs(doc_id, …, vec)` CTE, replays BOTH ungated pair
+    * generators (SRP auto-prefix buckets; auto-k kmeans cells) and ends
+    * with ns/nc/nb — counts of each verified pair set and of their
+    * intersection on the whole rounded tuple. */
+  private def routeOverlapBodySql(): String = {
+    val planes = Similarity.hyperplanes(48, 64)
+    s"""pp AS (SELECT CAST(LEAST(48, GREATEST(1,
+       |    CASE WHEN q <= 1 THEN 1
+       |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
+       |  FROM (SELECT (count(*) + 63) // 64 AS q FROM vecs)),
+       |bv AS (SELECT doc_id, vec,
+       |    substr(${bucketSql("vec", planes)}, 1, (SELECT p FROM pp))
+       |      AS bucket
+       |  FROM vecs),
+       |spr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${cosSql("a.vec", "b.vec")} AS sim
+       |  FROM bv a JOIN bv b USING (bucket)
+       |  WHERE a.doc_id < b.doc_id),
+       |sp AS (SELECT id_a, id_b, round(sim, 6) AS sim FROM spr
+       |  WHERE sim >= 0.9),
+       |e AS (SELECT doc_id AS id, vec AS v FROM vecs),
+       |${kmeansCteSqlAuto(64, 2)},
+       |cent AS (SELECT cell, cv FROM cent2),
+       |assign AS (
+       |  SELECT id, v, cell FROM (
+       |    SELECT e.id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+       |    FROM e, cent c) t WHERE rn = 1),
+       |cpr AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    ${cosSql("a.v", "b.v")} AS sim
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id),
+       |cp AS (SELECT id_a, id_b, round(sim, 6) AS sim FROM cpr
+       |  WHERE sim >= 0.9),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_srp FROM sp),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cell FROM cp),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+       |  FROM sp JOIN cp USING (id_a, id_b, sim))""".stripMargin
+  }
 
   private def l2Sql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), " +
@@ -5731,45 +5792,26 @@ object SparkEntry {
 
     // both generators replayed UNGATED, counted, and intersected on the
     // whole rounded tuple — the oracle predicts the overlap the engine
-    // measures
-    "q194_vector_route_recall" -> {
-      val planes = Similarity.hyperplanes(48, 64)
+    // measures (gate-scale prover; q199 is the bounded deployment form)
+    "q194_vector_route_recall" ->
       s"""WITH ${hashedTfCteSql(64)},
-         |pp AS (SELECT CAST(LEAST(48, GREATEST(1,
-         |    CASE WHEN q <= 1 THEN 1
-         |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
-         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM vecs)),
-         |bv AS (SELECT doc_id, vec,
-         |    substr(${bucketSql("vec", planes)}, 1, (SELECT p FROM pp))
-         |      AS bucket
-         |  FROM vecs),
-         |spr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    ${cosSql("a.vec", "b.vec")} AS sim
-         |  FROM bv a JOIN bv b USING (bucket)
-         |  WHERE a.doc_id < b.doc_id),
-         |sp AS (SELECT id_a, id_b, round(sim, 6) AS sim FROM spr
-         |  WHERE sim >= 0.9),
-         |e AS (SELECT doc_id AS id, vec AS v FROM vecs),
-         |${kmeansCteSqlAuto(64, 2)},
-         |cent AS (SELECT cell, cv FROM cent2),
-         |assign AS (
-         |  SELECT id, v, cell FROM (
-         |    SELECT e.id, e.v, c.cell,
-         |      row_number() OVER (PARTITION BY e.id
-         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
-         |    FROM e, cent c) t WHERE rn = 1),
-         |cpr AS (SELECT a.id AS id_a, b.id AS id_b,
-         |    ${cosSql("a.v", "b.v")} AS sim
-         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id),
-         |cp AS (SELECT id_a, id_b, round(sim, 6) AS sim FROM cpr
-         |  WHERE sim >= 0.9),
-         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_srp FROM sp),
-         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cell FROM cp),
-         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
-         |  FROM sp JOIN cp USING (id_a, id_b, sim))
+         |${routeOverlapBodySql()}
          |SELECT n_srp, n_cell, n_both
-         |FROM ns CROSS JOIN nc CROSS JOIN nb""".stripMargin
-    },
+         |FROM ns CROSS JOIN nc CROSS JOIN nb""".stripMargin,
+
+    // the same overlap audit replayed over the md5-k-min 256-doc sample
+    // (kminDocSampleCte = the engine's exact sampling rule), plus the
+    // sample-basis counts
+    "q199_vector_overlap_sampled" ->
+      s"""WITH ${kminDocSampleCte(256)}${hashedTfCteSql(64, "sdocs")},
+         |${routeOverlapBodySql()},
+         |nsd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_sampled
+         |  FROM sdocs),
+         |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total
+         |  FROM documents)
+         |SELECT n_srp, n_cell, n_both, n_docs_sampled, n_docs_total
+         |FROM ns CROSS JOIN nc CROSS JOIN nb
+         |CROSS JOIN nsd CROSS JOIN ntot""".stripMargin,
 
     // q150's quartile replay (p = 0.25/0.75, k = 64) feeding Tukey
     // fences and one exact counting pass

@@ -1078,14 +1078,20 @@ object Similarity {
     * the quantizer from the corpus: k = ceil(count / targetCellSize)
     * ([[desiredCells]], one extra count job) — cell population stays
     * ~targetCellSize as the corpus grows, so the within-cell quadratic
-    * stays a constant factor instead of n²/k. Past `maxFlatCells` desired
-    * cells (~4M embeddings at the defaults) the assignment NESTS two
-    * levels ([[assignCellsTwoLevel]]): coarse kmeans cells × a shared
-    * residual-fine quantizer, ceil-sqrt-balanced ([[quantizerLevels]]) —
-    * cell population stays ~targetCellSize out to maxFlatCells² ≈ 4.3B
-    * cells, and `cell` widens to LONG on that path (the composite exceeds
-    * Int range; the single-level path keeps INT, which the q65 oracle
-    * pins). `assigned` is localCheckpointed: it feeds three subtrees
+    * stays a constant factor instead of n²/k. In AUTO mode, past
+    * [[NestAboveCells]] (256) desired cells (~16K embeddings at the
+    * defaults) the assignment NESTS two levels ([[assignCellsTwoLevel]]):
+    * coarse kmeans cells × a shared residual-fine quantizer,
+    * ceil-sqrt-balanced ([[quantizerLevelsSplit]]) — cell population
+    * stays ~targetCellSize out to maxFlatCells² ≈ 4.3B cells, and `cell`
+    * widens to LONG on that path (the composite exceeds Int range; the
+    * single-level path keeps INT, which the q65 oracle pins — q65's gate
+    * corpora derive k ≤ 79, single-level, and the nested path has its
+    * own oracle lane at a forced-low nesting bound). An EXPLICIT
+    * `nCentroids > 0` always assigns exactly that many FLAT cells
+    * (clamped at maxFlatCells with a warn) — it is never silently
+    * replaced by a nested quantizer.
+    * `assigned` is localCheckpointed: it feeds three subtrees
     * (both join sides + the final tag) and would otherwise evaluate three
     * times.
     *
@@ -1139,9 +1145,23 @@ object Similarity {
       nCentroids: Int,
       targetCellSize: Int,
       maxFlatCells: Int): DataFrame = {
-    val want: Long =
-      if (nCentroids > 0) nCentroids.toLong
-      else desiredCells(c.count(), targetCellSize)
+    // An EXPLICIT nCentroids is a contract: exactly k flat cells (INT),
+    // clamped only at maxFlatCells with a loud warn — never silently
+    // replaced by a ~√k×√k nested quantizer whose cell ids (LONG
+    // composites) and populations differ from what the caller pinned.
+    // Nesting is an AUTO-mode economy and engages only when k is
+    // corpus-derived.
+    if (nCentroids > 0) {
+      if (nCentroids > maxFlatCells)
+        System.err.println(
+          s"[similarity] explicit nCentroids=$nCentroids clamped to the " +
+            s"flat bound $maxFlatCells; pass nCentroids <= 0 to let the " +
+            "auto quantizer nest instead.")
+      val k = math.min(nCentroids, maxFlatCells)
+      val centroids = kmeansCentroids(c, "id", "v", k, autoSampleSize(k))
+      return assignCells(c, centroids)
+    }
+    val want: Long = desiredCells(c.count(), targetCellSize)
     val nest = math.min(maxFlatCells, NestAboveCells)
     if (want <= nest) {
       val k = math.max(1L, want).toInt
@@ -1308,6 +1328,43 @@ object Similarity {
     else
       embeddingNearDupPairs(c, "id", "v", threshold, nPlanes, dim, seed,
         targetBucketSize, maxPlanesPerLevel)
+  }
+
+  /** Route-agreement audit of the two near-dup candidate generators: the
+    * SRP-bucket and k-means-cell paths are different candidate filters
+    * for the same cosine predicate, NOT proven pair-identical — so run
+    * BOTH, full-outer join on the whole (id_a, id_b, sim) tuple (sim
+    * joins exactly: both paths compute the same cosine chain over the
+    * same vectors), and report (n_srp, n_cell, n_both).
+    *
+    * Cost: this deliberately pays for BOTH generators, including the SRP
+    * side's within-bucket blow-up on direction-concentrated corpora (the
+    * q156 pathology the q193 dispatch routes around) — so at scale the
+    * audit belongs on a BOUNDED sample (the q195/q198 md5-k-min
+    * discipline: fixed ~256-doc cost regardless of corpus size, the
+    * q199 lane), with the full-corpus form reserved as a gate-scale
+    * prover (q194). */
+  def routeOverlapAudit(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 0,
+      dim: Int = 64,
+      seed: Long = 42L,
+      targetBucketSize: Int = 64,
+      targetCellSize: Int = 64): DataFrame = {
+    ensureFns(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(eager = true)
+    val srp = embeddingNearDupPairs(c, "id", "v", threshold, nPlanes, dim,
+      seed, targetBucketSize).withColumn("in_s", lit(1L))
+    val cell = cellNearDupPairsFrom(c, threshold, nCentroids = 0,
+      targetCellSize, MaxFlatCells).withColumn("in_c", lit(1L))
+    srp.join(cell, Seq("id_a", "id_b", "sim"), "full_outer")
+      .agg(coalesce(sum(col("in_s")), lit(0L)).as("n_srp"),
+        coalesce(sum(col("in_c")), lit(0L)).as("n_cell"),
+        coalesce(sum(col("in_s") * col("in_c")), lit(0L)).as("n_both"))
   }
 
   /** TRUE-recall audit of the two near-dup candidate generators against

@@ -1044,6 +1044,53 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(audit.getAs[Double]("recall_cell") === 1.0)
   }
 
+  test("routeOverlapAudit: counts match the generators; n_both bounded by both") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val base = Array.fill(30)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 5).map(i => ((30 + i).toLong, base(i * 6))) // exact dups
+    val e = rows.toSeq.toDF("vec_id", "embedding")
+    val thr = 0.999
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srp = pairSet(Similarity.embeddingNearDupPairs(e, "vec_id",
+      "embedding", thr, dim = 8).select("id_a", "id_b"))
+    val cell = pairSet(Similarity.cellNearDupPairs(e, "vec_id",
+      "embedding", thr, targetCellSize = 8).select("id_a", "id_b"))
+    val audit = Similarity.routeOverlapAudit(e, "vec_id", "embedding",
+      thr, dim = 8, targetCellSize = 8).collect().head
+    assert(audit.getAs[Long]("n_srp") === srp.size.toLong)
+    assert(audit.getAs[Long]("n_cell") === cell.size.toLong)
+    // both paths verify with the same cosine over the same vectors, so
+    // the tuple-join intersection is exactly the pair-set intersection
+    assert(audit.getAs[Long]("n_both") === (srp intersect cell).size.toLong)
+    // exact dups are found by BOTH generators → overlap is non-trivial
+    assert(audit.getAs[Long]("n_both") >= 5L)
+  }
+
+  test("explicit nCentroids above the nesting bound stays FLAT (INT cells)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val e = (0 until 400).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // 300 > NestAboveCells=256: an explicit k must be honored as exactly
+    // flat single-level cells (INT), never silently replaced by a nested
+    // ~sqrt(k)x√k quantizer with LONG composite ids
+    val out = Similarity.semDeDup(e, "vec_id", "embedding", 0.999,
+      nCentroids = 300)
+    assert(out.schema("cell").dataType ===
+      org.apache.spark.sql.types.IntegerType,
+      "explicit k must keep the flat INT cell path")
+    // cell ids past 256 in use prove k was NOT clamped to the nesting
+    // bound (singleton training clusters pin their own points, so the
+    // high-id centroids win their members' argmax)
+    val maxCell = out.agg(org.apache.spark.sql.functions.max("cell"))
+      .collect().head.getInt(0)
+    assert(maxCell >= 256, s"no cell id past the nesting bound: $maxCell")
+  }
+
   test("pq codes: identical vectors share codes; self-query ranks its dup first") {
     val base = Array.tabulate(8)(i => i.toFloat / 8f)
     val e = Seq(

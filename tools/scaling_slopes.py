@@ -64,7 +64,8 @@ QUERIES = (
     "q192_jl_distortion,"
     "q193_vector_route_dispatch,q194_vector_route_recall,"
     "q195_lsh_recall_sampled,q196_minhash_estimator_sampled,"
-    "q197_salted_join_auto,q198_vector_recall_sampled"
+    "q197_salted_join_auto,q198_vector_recall_sampled,"
+    "q199_vector_overlap_sampled"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -144,6 +145,7 @@ TABLE = {
     "q196_minhash_estimator_sampled": "documents",
     "q197_salted_join_auto": "events",
     "q198_vector_recall_sampled": "documents",
+    "q199_vector_overlap_sampled": "documents",
     "q173_bucketed_join": "lineitem",
     "q174_dictionary_tags": "documents",
     "q175_hll_rollup": "documents",

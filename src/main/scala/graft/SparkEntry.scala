@@ -437,12 +437,17 @@ object SparkEntry {
         "embedding", 10)
     }),
 
-    // Embedding-cosine near-dup pairs within SRP-LSH buckets. Plane count
-    // auto-derived from the corpus (bucket population held ~64 as the
-    // corpus grows — the linear-overall configuration).
+    // Embedding-cosine near-dup pairs through the DEFAULT entry point —
+    // the auto-dispatched generator (r14 verdict task 4: callers land on
+    // the route audit q193 proved out unless they opt out; q156 keeps the
+    // explicit-SRP form as the comparison lane). The embeddings fixture
+    // is direction-balanced at every SF (concentration < 3), so the
+    // dispatch takes the quantizer-free SRP path — pinned in PlanSpec —
+    // and the oracle replays the same concentration gate, so a dispatch
+    // flip would hash-mismatch here.
     "q32_cosine_neardup" -> ((s, dir) => {
-      Similarity.embeddingNearDupPairs(T(s, dir, "embeddings"), "vec_id",
-        "embedding", 0.3, dim = 64)
+      Similarity.embeddingNearDupPairsAuto(T(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.3, dim = 64)
     }),
 
     // Approximate ANN: SRP-bucketed cosine top-k (scale path of q31),
@@ -1573,6 +1578,38 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_docs_total"))))
     }),
 
+    // Dispatch-threshold SENSITIVITY audit (r14 verdict task 2): the
+    // zipfConcentration = 3.0 cutoff measured instead of hand-picked.
+    // Three nested md5-k-min prefixes of the corpus (256, 1024, full) —
+    // concentration GROWS with prefix size on this fixture (hot-direction
+    // mass tracks n while the balanced budget stays ~targetBucketSize),
+    // so the rows straddle the cutoff at sf0.1 (~0.5 / ~1.8 / ~8.8) —
+    // and per prefix: the exact candidate-pair mass EACH route would
+    // evaluate there (cand_srp / cand_cell — the cost the dispatch
+    // trades on) plus, on the bounded prefixes, true recall of both
+    // generators against the brute-force pair set. The crossover where
+    // cand_srp detaches from cand_cell IS the threshold's justification;
+    // OPERATORS.md records the measured table. Engine cell assignment
+    // nests above 256 auto cells while this oracle replays flat — gate
+    // corpora derive ≤ 79 cells (same bound as q193's oracle).
+    "q201_route_threshold_sensitivity" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      def row(tag: String, sampled: DataFrame, recall: Boolean) =
+        Similarity.routeSensitivityRow(
+          TextAnalysis.hashedTfVectors(sampled, "doc_id", "text", dim = 64)
+            .select(col("doc_id"), col("vec")),
+          "doc_id", "vec", 0.9, dim = 64, measureRecall = recall)
+          .select(lit(tag).as("prefix"), col("n_docs"), col("n_planes"),
+            col("concentration"), col("cand_srp"), col("cand_cell"),
+            col("route"), col("n_true"), col("recall_srp"),
+            col("recall_cell"))
+      row("0256", Dedup.kminDocSample(docs, "doc_id", 256), recall = true)
+        .unionByName(
+          row("1024", Dedup.kminDocSample(docs, "doc_id", 1024),
+            recall = true))
+        .unionByName(row("full", docs, recall = false))
+    }),
+
     // TRUE-recall audit on the q195-style md5-k-min sample: brute-force
     // exact cosine pairs over 256 sampled docs (the only affordable
     // place for ground truth), then how much of the truth the SRP and
@@ -2104,6 +2141,20 @@ object SparkEntry {
     // corpus grows, so the within-cell pair stage stays linear overall.
     "q65_semdedup" -> ((s, dir) =>
       Similarity.semDeDup(T(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+        .select(col("id").as("vec_id"), col("cell"), col("kept"))),
+
+    // The NESTED two-level quantizer hash-gated (the 100 TB path q193's
+    // fourth-decade 0.89 rests on): maxFlatCells forced to 8 so auto mode
+    // nests at ALL gate SFs (want = ceil(n/32) = 16/16/63 > 8 →
+    // coarse × residual-fine, ceil-sqrt split kc·kf = 4·4 / 4·4 / 8·8),
+    // composite LONG cell = c1·kf + c2. The oracle re-derives kc/kf with
+    // the same integer ceil-sqrt arithmetic, replays BOTH Lloyd chains
+    // (fine trained on residuals v − coarseCentroid) bit-exact, and the
+    // same semDeDup min-id-survivor tail — so cell ids, the composite
+    // arithmetic, AND the within-cell drops are all under the hash.
+    "q200_nested_quantizer" -> ((s, dir) =>
+      Similarity.semDeDup(T(s, dir, "embeddings"), "vec_id", "embedding",
+        0.3, targetCellSize = 32, maxFlatCells = 8)
         .select(col("id").as("vec_id"), col("cell"), col("kept"))),
 
     // BM25 lexical ranking: top-20 docs for a fixed query-term bag.
@@ -3098,6 +3149,112 @@ object SparkEntry {
        |    FROM samp) t
        |  WHERE cell < (SELECT k FROM kk)),
        |${(0 until iters).map(kmeansIterCteSql).mkString(",\n")}""".stripMargin
+
+  /** Name-prefixed [[kmeansCteSql]] variant with k and the sample size
+    * taken from scalar-subquery SQL fragments instead of literals — the
+    * nested-quantizer oracle (q200) runs TWO kmeans chains (coarse on raw
+    * vectors, fine on residuals) in one WITH-chain, so every CTE name
+    * carries `pfx` and both k's are derived in SQL by the same integer
+    * arithmetic as `Similarity.quantizerLevelsSplit`. Trains on
+    * `trainSrc(id, v)`; ends with {pfx}cent{iters}(cell, cv). */
+  private def kmeansCteSqlPfx(pfx: String, kSel: String, nSel: String,
+      iters: Int, trainSrc: String): String = {
+    def iterCte(p: Int): String =
+      s"""${pfx}a_$p AS (
+         |  SELECT s.id, s.v, s.mk, c.cell,
+         |    row_number() OVER (PARTITION BY s.id
+         |      ORDER BY ${cosSql("s.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |  FROM ${pfx}samp s, ${pfx}cent$p c),
+         |${pfx}m_$p AS (
+         |  SELECT cell, list(v ORDER BY mk, id) AS vs, count(*) AS cnt
+         |  FROM ${pfx}a_$p WHERE rn = 1 GROUP BY cell),
+         |${pfx}cent${p + 1} AS (
+         |  SELECT c.cell,
+         |    CASE WHEN m.cell IS NULL THEN c.cv
+         |         ELSE list_transform(
+         |           list_reduce(m.vs, (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])),
+         |           x -> x / m.cnt) END AS cv
+         |  FROM ${pfx}cent$p c LEFT JOIN ${pfx}m_$p m USING (cell))""".stripMargin
+    s"""${pfx}samp AS (SELECT id, v, mk FROM (
+       |    SELECT id, v, md5(CAST(id AS VARCHAR)) AS mk,
+       |      row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+       |    FROM $trainSrc) t WHERE rn <= ($nSel)),
+       |${pfx}cent0 AS (SELECT cell, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY mk, id) - 1 AS cell, v AS cv
+       |    FROM ${pfx}samp) t
+       |  WHERE cell < ($kSel)),
+       |${(0 until iters).map(iterCte).mkString(",\n")}""".stripMargin
+  }
+
+  /** Per-prefix CTE group of the q201 sensitivity oracle: from a
+    * `$src(doc_id, vec)` relation, auto SRP planes, bucket populations →
+    * (n_docs, concentration, cand_srp), auto-k kmeans cells (flat — gate
+    * corpora derive ≤ 79) → cand_cell, and (when `recall`) brute-force
+    * truth + both verified generator counts. Ends with `${g}row` — the
+    * group's single output row minus the prefix tag. */
+  private def routeSensitivityGroupSql(g: String, src: String,
+      recall: Boolean): String = {
+    val planes = Similarity.hyperplanes(48, 64)
+    val thr = "CAST(0.9 AS DOUBLE)"
+    val recallCtes = if (recall)
+      s""",
+         |${g}tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true
+         |  FROM ${g}e a JOIN ${g}e b ON a.id < b.id
+         |  WHERE ${cosSql("a.v", "b.v")} >= $thr),
+         |${g}ns AS (SELECT CAST(count(*) AS BIGINT) AS n_srp
+         |  FROM ${g}bv a JOIN ${g}bv b USING (bucket)
+         |  WHERE a.id < b.id AND ${cosSql("a.v", "b.v")} >= $thr),
+         |${g}nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cell
+         |  FROM ${g}as a JOIN ${g}as b ON a.cell = b.cell AND a.id < b.id
+         |  WHERE ${cosSql("a.v", "b.v")} >= $thr)""".stripMargin
+    else ""
+    val rowTail = if (recall)
+      s"""n_true,
+         |    CASE WHEN n_true > 0 THEN round(CAST(n_srp AS DOUBLE)
+         |      / CAST(n_true AS DOUBLE), 6) END AS recall_srp,
+         |    CASE WHEN n_true > 0 THEN round(CAST(n_cell AS DOUBLE)
+         |      / CAST(n_true AS DOUBLE), 6) END AS recall_cell
+         |  FROM ${g}srp, ${g}cp, ${g}tr, ${g}ns, ${g}nc""".stripMargin
+    else
+      s"""CAST(NULL AS BIGINT) AS n_true,
+         |    CAST(NULL AS DOUBLE) AS recall_srp,
+         |    CAST(NULL AS DOUBLE) AS recall_cell
+         |  FROM ${g}srp, ${g}cp""".stripMargin
+    s"""${g}e AS (SELECT doc_id AS id, vec AS v FROM $src),
+       |${g}pp AS (SELECT CAST(LEAST(48, GREATEST(1,
+       |    CASE WHEN q <= 1 THEN 1
+       |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
+       |  FROM (SELECT (count(*) + 63) // 64 AS q FROM ${g}e)),
+       |${g}bv AS (SELECT id, v,
+       |    substr(${bucketSql("v", planes)}, 1, (SELECT p FROM ${g}pp))
+       |      AS bucket
+       |  FROM ${g}e),
+       |${g}srp AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |    round(CAST(sum(n * (n - 1)) AS DOUBLE)
+       |      / (CAST(sum(n) AS DOUBLE) * CAST(63 AS DOUBLE)), 6)
+       |      AS concentration,
+       |    CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS cand_srp
+       |  FROM (SELECT bucket, count(*) AS n FROM ${g}bv GROUP BY 1) z),
+       |${g}kk AS (SELECT CAST(LEAST(65536, GREATEST(1,
+       |    (count(*) + 63) // 64)) AS INT) AS k FROM ${g}e),
+       |${kmeansCteSqlPfx(s"${g}k", s"SELECT k FROM ${g}kk",
+          s"SELECT LEAST(16384, GREATEST(64, 4 * k)) FROM ${g}kk", 2,
+          s"${g}e")},
+       |${g}as AS (SELECT id, v, cell FROM (
+       |    SELECT e.id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+       |    FROM ${g}e e, ${g}kcent2 c) t WHERE rn = 1),
+       |${g}cp AS (SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0)
+       |      AS BIGINT) AS cand_cell
+       |  FROM (SELECT cell, count(*) AS n FROM ${g}as GROUP BY 1) z)$recallCtes,
+       |${g}row AS (
+       |  SELECT n_docs, (SELECT p FROM ${g}pp) AS n_planes, concentration,
+       |    cand_srp, cand_cell,
+       |    CASE WHEN concentration >= CAST(3.0 AS DOUBLE) THEN 'cells'
+       |         ELSE 'srp' END AS route,
+       |    $rowTail)""".stripMargin
+  }
 
   /** CTE body shared by the q194/q199 route-overlap oracles: expects a
     * preceding `vecs(doc_id, …, vec)` CTE, replays BOTH ungated pair
@@ -5813,6 +5970,37 @@ object SparkEntry {
          |FROM ns CROSS JOIN nc CROSS JOIN nb
          |CROSS JOIN nsd CROSS JOIN ntot""".stripMargin,
 
+    // the threshold-sensitivity audit replayed per prefix: hashed-TF is
+    // per-doc pure, so one vecs CTE over all documents filtered by the
+    // md5-k-min rank thresholds (DISTINCT kth-smallest 52-bit key — the
+    // engine's exact sampling rule) equals vectorizing each sample; each
+    // prefix group re-derives planes/buckets/kmeans and, on the bounded
+    // prefixes, the brute-force truth and both verified generator counts
+    "q201_route_threshold_sensitivity" -> {
+      val poly = (1 to 13).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(13 - i)}")
+        .mkString("(", " + ", ")")
+      s"""WITH ${hashedTfCteSql(64)},
+         |hv0 AS (SELECT doc_id, $poly AS hv
+         |  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+         |        FROM documents) z),
+         |at AS (SELECT max(hv) AS thr
+         |  FROM (SELECT DISTINCT hv FROM hv0 ORDER BY hv LIMIT 256) t),
+         |bt AS (SELECT max(hv) AS thr
+         |  FROM (SELECT DISTINCT hv FROM hv0 ORDER BY hv LIMIT 1024) t),
+         |vh AS (SELECT v.doc_id, v.vec, h.hv
+         |  FROM vecs v JOIN hv0 h USING (doc_id)),
+         |sav AS (SELECT doc_id, vec FROM vh, at WHERE vh.hv <= at.thr),
+         |sbv AS (SELECT doc_id, vec FROM vh, bt WHERE vh.hv <= bt.thr),
+         |scv AS (SELECT doc_id, vec FROM vh),
+         |${routeSensitivityGroupSql("sa", "sav", recall = true)},
+         |${routeSensitivityGroupSql("sb", "sbv", recall = true)},
+         |${routeSensitivityGroupSql("sc", "scv", recall = false)}
+         |SELECT '0256' AS prefix, * FROM sarow
+         |UNION ALL SELECT '1024' AS prefix, * FROM sbrow
+         |UNION ALL SELECT 'full' AS prefix, * FROM scrow""".stripMargin
+    },
+
     // q150's quartile replay (p = 0.25/0.75, k = 64) feeding Tukey
     // fences and one exact counting pass
     "q152_length_outliers" -> {
@@ -6524,6 +6712,59 @@ object SparkEntry {
          |  CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept
          |FROM assign a LEFT JOIN dropped d ON d.id = a.id""".stripMargin,
 
+    // the nested coarse × residual-fine quantizer replayed end to end:
+    // want = ceil(n/32); (kc, kf) by the same integer ceil-sqrt split as
+    // Similarity.quantizerLevelsSplit (float-sqrt hint, corrected by
+    // stepping — min s in [hint−2, hint+3] with s² ≥ want); coarse Lloyd
+    // chain on raw vectors, rank-1 coarse assign, residual v − coarse_cv,
+    // fine Lloyd chain TRAINED ON RESIDUALS, rank-1 fine assign, composite
+    // BIGINT cell = c1·kf + c2, then the q65 min-id-survivor tail on the
+    // composite cells
+    "q200_nested_quantizer" -> {
+      val ceilWant = "count(*) // 32 + CASE WHEN count(*) % 32 > 0 THEN 1 ELSE 0 END"
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |wt AS (SELECT CAST($ceilWant AS BIGINT) AS want FROM e),
+         |sq AS (SELECT min(s) AS s FROM (
+         |    SELECT GREATEST(1, CAST(floor(sqrt(CAST(want AS DOUBLE))) AS BIGINT) - 2) + i AS s
+         |    FROM wt, range(6) t(i)) z
+         |  WHERE s * s >= (SELECT want FROM wt)),
+         |kk AS (SELECT CAST(LEAST(8, s) AS INT) AS kc,
+         |    CAST(LEAST(8, want // LEAST(8, s)
+         |      + CASE WHEN want % LEAST(8, s) > 0 THEN 1 ELSE 0 END) AS INT) AS kf
+         |  FROM sq, wt),
+         |${kmeansCteSqlPfx("k", "SELECT kc FROM kk",
+            "SELECT LEAST(16384, GREATEST(64, 4 * kc)) FROM kk", 2, "e")},
+         |kcent AS (SELECT cell, cv FROM kcent2),
+         |kassign AS (SELECT id, v, cell, cv FROM (
+         |    SELECT e.id, e.v, c.cell, c.cv,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, kcent c) t WHERE rn = 1),
+         |resid AS (SELECT id,
+         |    list_transform(list_zip(v, cv), p -> p[1] - p[2]) AS v
+         |  FROM kassign),
+         |${kmeansCteSqlPfx("f", "SELECT kf FROM kk",
+            "SELECT LEAST(16384, GREATEST(64, 4 * kf)) FROM kk", 2, "resid")},
+         |fcent AS (SELECT cell, cv FROM fcent2),
+         |fassign AS (SELECT id, cell FROM (
+         |    SELECT r.id, c.cell,
+         |      row_number() OVER (PARTITION BY r.id
+         |        ORDER BY ${cosSql("r.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM resid r, fcent c) t WHERE rn = 1),
+         |comp AS (SELECT k.id, k.v,
+         |    CAST(k.cell AS BIGINT) * (SELECT kf FROM kk)
+         |      + CAST(f.cell AS BIGINT) AS cell
+         |  FROM kassign k JOIN fassign f USING (id)),
+         |dropped AS (
+         |  SELECT DISTINCT b.id FROM comp a JOIN comp b
+         |    ON a.cell = b.cell AND a.id < b.id
+         |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.3 AS DOUBLE))
+         |SELECT a.id AS vec_id, a.cell,
+         |  CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM comp a LEFT JOIN dropped d ON d.id = a.id""".stripMargin
+    },
+
     // same BM25 formula re-derived: LATERAL unnest tf, per-term conditional
     // sums added in the same fixed order; constants are interpolated from
     // the identical Scala doubles (Double.toString round-trips) and CAST to
@@ -6961,26 +7202,50 @@ object SparkEntry {
     // window-rank form exactly (ties broken by id on both sides)
     "q48_topk_agg" -> bruteForceTopKSql,
 
-    // AUTO-DERIVED plane count: p = bit-length(ceil(count/64) - 1) — the
-    // same integer arithmetic as Similarity.autoPlanesTwoLevel, computed in
-    // SQL. hyperplanes() fills plane-major from one seeded stream, so the p
-    // derived planes are a PREFIX of the inlined 48-plane max set (the
-    // two-level 2×24 ceiling) — the bucket is substr(full bit string, 1, p)
-    // at any corpus size.
+    // the DEFAULT auto-dispatched entry replayed with its gate (the q193
+    // shape over embeddings): concentration from exact-integer bucket
+    // sums; SRP pairs kept only when conc < 3, the kmeans-cell input
+    // emptied then (so the whole cell chain trains on nothing); UNION of
+    // the two mutually-exclusive routes. Plane count auto-derived:
+    // p = bit-length(ceil(count/64) - 1), planes a PREFIX of the inlined
+    // 48-plane max set — bucket = substr(full bit string, 1, p) at any
+    // corpus size.
     "q32_cosine_neardup" -> {
       val planes = Similarity.hyperplanes(48, 64)
-      s"""WITH e AS (SELECT vec_id AS id,
+      s"""WITH e0 AS (SELECT vec_id AS id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |pp AS (SELECT CAST(LEAST(48, GREATEST(1,
          |    CASE WHEN q <= 1 THEN 1
          |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
-         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM e)),
-         |b AS (SELECT id, v,
+         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM e0)),
+         |bv AS (SELECT id, v,
          |    substr(${bucketSql("v", planes)}, 1, (SELECT p FROM pp)) AS bucket
-         |  FROM e)
-         |SELECT a.id AS id_a, c.id AS id_b, round(${cosSql("a.v", "c.v")}, 6) AS sim
-         |FROM b a JOIN b c USING (bucket)
-         |WHERE a.id < c.id AND ${cosSql("a.v", "c.v")} >= 0.3""".stripMargin
+         |  FROM e0),
+         |pops AS (SELECT bucket, count(*) AS n FROM bv GROUP BY 1),
+         |st AS (SELECT CAST(sum(n * (n - 1)) AS DOUBLE)
+         |    / (CAST(sum(n) AS DOUBLE) * CAST(63 AS DOUBLE)) AS conc
+         |  FROM pops),
+         |sp AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS sim
+         |  FROM bv a JOIN bv b USING (bucket)
+         |  WHERE a.id < b.id
+         |    AND (SELECT conc FROM st) < CAST(3.0 AS DOUBLE)),
+         |e AS (SELECT id, v FROM e0
+         |  WHERE (SELECT conc FROM st) >= CAST(3.0 AS DOUBLE)),
+         |${kmeansCteSqlAuto(64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
+         |assign AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |cp AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS sim
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id),
+         |un AS (SELECT * FROM sp UNION ALL SELECT * FROM cp)
+         |SELECT id_a, id_b, round(sim, 6) AS sim
+         |FROM un WHERE sim >= CAST(0.3 AS DOUBLE)""".stripMargin
     },
 
     "q38_ivf_ann_topk" ->

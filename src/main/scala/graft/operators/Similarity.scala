@@ -1087,7 +1087,9 @@ object Similarity {
     * widens to LONG on that path (the composite exceeds Int range; the
     * single-level path keeps INT, which the q65 oracle pins — q65's gate
     * corpora derive k ≤ 79, single-level, and the nested path has its
-    * own oracle lane at a forced-low nesting bound). An EXPLICIT
+    * own oracle lane at a forced-low nesting bound: q200 replays both
+    * Lloyd chains, the residual arithmetic, and the composite cell ids
+    * bit-exact in DuckDB). An EXPLICIT
     * `nCentroids > 0` always assigns exactly that many FLAT cells
     * (clamped at maxFlatCells with a warn) — it is never silently
     * replaced by a nested quantizer.
@@ -1417,6 +1419,102 @@ object Similarity {
         recall(col("n_cell")).as("recall_cell"))
   }
 
+  /** One row of the dispatch-threshold SENSITIVITY audit (q201): for a
+    * (sub-)corpus, the measured concentration statistic next to what each
+    * route would actually COST there — cand_srp / cand_cell are the exact
+    * candidate-pair masses (Σ n·(n−1)/2 over SRP-bucket / k-means-cell
+    * populations, i.e. the cosine evaluations each generator's pair stage
+    * would run) — plus, when `measureRecall` (bounded prefixes only), the
+    * TRUE recall of each generator against the brute-force pair set. Run
+    * over nested md5-k-min prefixes whose concentrations straddle the
+    * cutoff, this turns the `zipfConcentration` = 3.0 constant from a
+    * hand-picked number into a measured crossover: below it cand_srp
+    * tracks the balanced budget (and SRP skips the quantizer), above it
+    * cand_srp grows ~linearly with the prefix while cand_cell stays
+    * population-balanced.
+    *
+    * The emitted `route` is derived from the emitted 6dp-rounded
+    * concentration (it can differ from [[embeddingNearDupPairsAuto]]'s
+    * unrounded dispatch only within 5e-7 of the cutoff — the same
+    * documented at-the-boundary hazard). Cost: the bucket/cell population
+    * aggregates are linear; with `measureRecall` the brute-force side is
+    * |corpus|²/2 cosine folds — bounded prefixes only, never the full
+    * corpus.
+    *
+    * Output (1 row): n_docs, n_planes, concentration, cand_srp,
+    * cand_cell, route, n_true, recall_srp, recall_cell (recall columns
+    * NULL when not measured). */
+  def routeSensitivityRow(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int = 64,
+      seed: Long = 42L,
+      targetBucketSize: Int = 64,
+      targetCellSize: Int = 64,
+      measureRecall: Boolean = false,
+      zipfConcentration: Double = 3.0): DataFrame = {
+    ensureFns(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(eager = true)
+    val p = autoPlanesTwoLevel(c.count(), targetBucketSize, MaxAutoPlanes)
+    val planes = hyperplanes(p, dim, seed)
+    // SRP bucket populations → the concentration statistic (the exact
+    // DECIMAL arithmetic of srpBucketConcentration) and the realized
+    // candidate mass of the SRP pair stage
+    val srpStats = c
+      .withColumn("bucket", srpBucket(col("v"), planes))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("s1"),
+        sum(col("n").cast("decimal(19,0)") *
+          (col("n") - 1L).cast("decimal(19,0)")).as("pairs2"),
+        // n(n−1) is even, so per-bucket /2 is exact; cast before the sum
+        // keeps the column LONG (Column./ is double division)
+        sum((col("n") * (col("n") - 1L) / 2).cast("long")).as("cand_srp"))
+      .select(col("s1").as("n_docs"),
+        round(col("pairs2").cast("double") /
+          (col("s1").cast("double") *
+            lit(math.max(1, targetBucketSize - 1).toDouble)), 6)
+          .as("concentration"),
+        col("cand_srp"))
+    // auto-k k-means cell populations → the cell route's candidate mass
+    val cellStats = autoAssignCells(c, 0, targetCellSize, MaxFlatCells)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum((col("n") * (col("n") - 1L) / 2).cast("long")),
+        lit(0L)).as("cand_cell"))
+    val base = srpStats.crossJoin(broadcast(cellStats))
+    val withCounts =
+      if (measureRecall) {
+        val truth = c.select(col("id").as("id_a"), col("v").as("v_a"))
+          .crossJoin(broadcast(
+            c.select(col("id").as("id_b"), col("v").as("v_b"))))
+          .filter(col("id_a") < col("id_b"))
+          .filter(cosine(col("v_a"), col("v_b")) >= threshold)
+          .agg(count(lit(1)).as("n_true"))
+        val ns = embeddingNearDupPairs(c, "id", "v", threshold, 0, dim,
+          seed, targetBucketSize).agg(count(lit(1)).as("n_srp"))
+        val nc = cellNearDupPairsFrom(c, threshold, nCentroids = 0,
+          targetCellSize, MaxFlatCells).agg(count(lit(1)).as("n_cell"))
+        base.crossJoin(broadcast(truth)).crossJoin(broadcast(ns))
+          .crossJoin(broadcast(nc))
+      } else
+        base.withColumn("n_true", lit(null).cast("long"))
+          .withColumn("n_srp", lit(null).cast("long"))
+          .withColumn("n_cell", lit(null).cast("long"))
+    def rec(nm: Column): Column =
+      when(col("n_true") > 0,
+        round(nm.cast("double") / col("n_true").cast("double"), 6))
+        .otherwise(lit(null).cast("double"))
+    withCounts.select(
+      col("n_docs"), lit(p).as("n_planes"), col("concentration"),
+      col("cand_srp"), col("cand_cell"),
+      when(col("concentration") >= zipfConcentration, "cells")
+        .otherwise("srp").as("route"),
+      col("n_true"), rec(col("n_srp")).as("recall_srp"),
+      rec(col("n_cell")).as("recall_cell"))
+  }
+
   /** The route [[embeddingNearDupPairsAuto]] would take, as a pure
     * decision — exposed so specs and capacity planning can interrogate
     * the dispatch without running a pair join. */
@@ -1437,6 +1535,16 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
     * `threshold`, restricted to SRP-bucket collisions (near-dups almost
     * surely collide at small `nPlanes`).
+    *
+    * THE EXPLICIT-SRP FORM — [[embeddingNearDupPairsAuto]] is the
+    * documented default entry point: it measures the corpus's bucket
+    * concentration first and only takes this path where sign buckets
+    * actually stay ~targetBucketSize. Call this form directly only to
+    * PIN the SRP route (comparison/audit lanes like q156/q194, or a
+    * corpus already known direction-balanced): on direction-concentrated
+    * vectors the within-bucket stage here tracks true cluster mass no
+    * matter how many planes the derivation appends (q156's measured 1.42
+    * fourth-decade exponent — the pathology the dispatch routes around).
     *
     * `nPlanes <= 0` (the default) derives the plane count from the corpus:
     * the smallest p with 2^p buckets ≥ count / targetBucketSize

@@ -1069,6 +1069,59 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(audit.getAs[Long]("n_both") >= 5L)
   }
 
+  test("routeSensitivityRow: candidate masses match populations; recall vs truth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val base = Array.fill(40)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 6).map(i => ((40 + i).toLong, base(i * 5))) // exact dups
+    val e = rows.toSeq.toDF("vec_id", "embedding")
+    val r = Similarity.routeSensitivityRow(e, "vec_id", "embedding", 0.999,
+      dim = 8, targetBucketSize = 8, targetCellSize = 8,
+      measureRecall = true).collect().head
+    assert(r.getAs[Long]("n_docs") === 46L)
+    // cand masses are Σ n(n−1)/2 over the actual generator partitions
+    val srpPairs = Similarity.embeddingNearDupPairs(e, "vec_id",
+      "embedding", -2.0, dim = 8, targetBucketSize = 8).count()
+    assert(r.getAs[Long]("cand_srp") === srpPairs,
+      "cand_srp must equal the SRP pair stage's candidate count")
+    assert(r.getAs[Long]("cand_cell") >= 0L)
+    // exact dups are true pairs found by both generators
+    assert(r.getAs[Long]("n_true") >= 6L)
+    assert(r.getAs[Double]("recall_srp") === 1.0) // dups collide in any bucket
+    assert(Set("srp", "cells").contains(r.getAs[String]("route")))
+    // without measureRecall the recall trio is NULL, the rest identical
+    val r2 = Similarity.routeSensitivityRow(e, "vec_id", "embedding", 0.999,
+      dim = 8, targetBucketSize = 8, targetCellSize = 8).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("n_true")))
+    assert(r2.isNullAt(r2.fieldIndex("recall_cell")))
+    assert(r2.getAs[Double]("concentration") ===
+      r.getAs[Double]("concentration"))
+  }
+
+  test("nested auto quantizer: LONG composite cells decompose as c1*kf+c2") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val e = (0 until 320).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // want = ceil(320/16) = 20 > maxFlatCells 4 → nested; split(20, 4):
+    // ceil-sqrt 5 clamps to kc = 4, kf = ceil(20/4) = 5
+    val out = Similarity.semDeDup(e, "vec_id", "embedding", 0.999,
+      targetCellSize = 16, maxFlatCells = 4)
+    assert(out.schema("cell").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "the nested path must widen cell to LONG (composite exceeds Int)")
+    val cells = out.select("cell").as[Long].collect()
+    // composite = c1*kf + c2 with c1 < kc = 4, c2 < kf = 5
+    assert(cells.forall(c => c >= 0 && c / 5 < 4 && c % 5 < 5))
+    // the split actually uses BOTH levels: more distinct composites than
+    // any single level could express alone
+    assert(cells.distinct.length > 5,
+      s"only ${cells.distinct.length} distinct cells — fine level unused?")
+    assert(out.count() === 320L) // every vector assigned exactly once
+  }
+
   test("explicit nCentroids above the nesting bound stays FLAT (INT cells)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

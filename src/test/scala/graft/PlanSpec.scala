@@ -40,6 +40,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan("q31_cosine_topk").contains("Broadcast"))
   }
 
+  test("q32: default near-dup entry is the auto-dispatch; balanced fixture takes the quantizer-free SRP plan") {
+    // embeddingNearDupPairsAuto is the documented default entry point —
+    // q32 calls it, and on the direction-balanced embeddings fixture the
+    // measured concentration is < 3, so the returned plan must be the
+    // SRP bucket join with NO kmeans/cell machinery in it (the cells
+    // route would show `cell` references and centroid literals). The
+    // dispatch itself is data-driven; the oracle replays the same gate.
+    val p = plan("q32_cosine_neardup")
+    assert(p.contains("bucket"), "SRP bucket join missing:\n" + p.take(600))
+    assert(!p.contains("cell"),
+      "balanced fixture must not pay for the quantizer route:\n" + p.take(600))
+  }
+
   test("q09: rank filter becomes a WindowGroupLimit below the shuffle") {
     // With only a handful of (returnflag, linestatus) groups, a plain
     // row_number window would shuffle and fully sort EVERY row into ~6

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Dimension-scaling sweep (dev tool, r14 verdict task 3): every
+  * oracle-gated vector lane runs at the fixture's dim = 64, but
+  * production embeddings are 768–4096 — d-scaling is the one axis the
+  * row-count slope gate never exercises. This main widens the sf
+  * embeddings to {64, 256, 512, 1024} dims and times the four vector
+  * operator families at each width, min-of-2 per cell, one JSON line out.
+  *
+  * Widening is TILING, not JL expansion: `tile_k(v) = concat(v × k)/√k`
+  * preserves every pairwise cosine EXACTLY (and unit norms), so the
+  * candidate sets, pair counts, and outputs of every operator are
+  * identical across dims — the measured delta is purely the d-cost of
+  * the fold expressions (graft_dot codegen, SRP plane dots, centroid
+  * argmax columns, PQ subspace L2s). A gaussian JL expansion would also
+  * perturb the pair structure (confounding the measurement) and inlines
+  * d_out × 64 plane literals into one projection expression — itself a
+  * codegen liability at d ≥ 512.
+  *
+  * Ops timed per dim (sf0.1 defaults: 2,000 vectors):
+  *  - brute:  bruteForceTopK, 5 broadcast queries, k = 10
+  *  - srp:    embeddingNearDupPairs (explicit SRP; auto planes)
+  *  - cells:  cellNearDupPairs (auto-k k-means route)
+  *  - ivfpq:  ivfPqTopK (8 coarse cells, m = 8 subspaces)
+  */
+object DimSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+
+    def tile(df: DataFrame, k: Int): DataFrame =
+      if (k <= 1) df
+      else {
+        val inv = 1.0 / math.sqrt(k.toDouble)
+        df.select(col("vec_id"),
+          transform(flatten(array_repeat(col("embedding"), k)),
+            x => x * lit(inv)).as("embedding"))
+      }
+
+    def time(body: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def quiesce(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (d <- Seq(64, 256, 512, 1024)) {
+      val ed = tile(base, d / 64).localCheckpoint(eager = true)
+      val q = ed.filter(col("vec_id") < 5).localCheckpoint(eager = true)
+      def cell(op: String)(body: => DataFrame): Unit = {
+        time(body) // warm: classload + codegen settle outside the clock
+        val a = time(body)
+        val b = time(body)
+        out(s"${op}_d$d") = math.min(a, b)
+        System.err.println(f"[dimsweep] ${op}_d$d%-14s ${math.min(a, b)}%.3f s")
+      }
+      cell("brute") {
+        Similarity.bruteForceTopK(ed, q, "vec_id", "embedding", 10)
+      }
+      cell("srp") {
+        Similarity.embeddingNearDupPairs(ed, "vec_id", "embedding", 0.3,
+          dim = d)
+      }
+      cell("cells") {
+        Similarity.cellNearDupPairs(ed, "vec_id", "embedding", 0.3)
+      }
+      cell("ivfpq") {
+        Similarity.ivfPqTopK(ed, q, "vec_id", "embedding", 10, m = 8)
+      }
+      quiesce()
+    }
+    val cells = out.map { case (k, v) =>
+      s""""$k":${String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v))}"""
+    }.mkString(",")
+    // parseable single line, distinct metric name (the Bench rollup rule)
+    println(s"""{"metric":"dim_sweep","sf":"$sfDir","cells":{$cells}}""")
+    spark.stop()
+  }
+}

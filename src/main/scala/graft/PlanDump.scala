@@ -53,7 +53,9 @@ object PlanDump {
       "q195_lsh_recall_sampled", "q196_minhash_estimator_sampled",
       "q198_vector_recall_sampled", "q199_vector_overlap_sampled",
       "q168_minhash_estimator_audit", "q169_multiprobe_ann_topk",
-      "q170_lsh_recall_audit")
+      "q170_lsh_recall_audit",
+      "q32_cosine_neardup", "q200_nested_quantizer",
+      "q201_route_threshold_sensitivity")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

@@ -3134,8 +3134,13 @@ object SparkEntry {
     * `Similarity.autoCentroids`/`autoSampleSize` (ceil-division +
     * GREATEST/LEAST clamps — no float log/ceil, so there is no 1-ulp
     * boundary on which Scala and DuckDB could disagree). The oracle
-    * thereby replays the auto-derived quantizer at ANY corpus size, not
-    * just the scale factor the pin was taken at. */
+    * thereby replays the auto-derived quantizer at any corpus size UP TO
+    * the nesting bound: past `Similarity.NestAboveCells` (256) desired
+    * cells (> 16,384 docs at targetCellSize 64 — far above every gate
+    * corpus, which derives ≤ 79) AUTO mode switches to the two-level
+    * coarse × residual-fine quantizer, which this single-level chain
+    * does NOT model; the nested path has its own forced-low-bound
+    * oracle (q200, `kmeansCteSqlPfx` twice + residual CTEs). */
   private def kmeansCteSqlAuto(targetCellSize: Int, iters: Int): String =
     s"""kk AS (SELECT CAST(LEAST(65536, GREATEST(1,
        |    (count(*) + ${targetCellSize - 1}) // $targetCellSize)) AS INT) AS k FROM e),

@@ -406,11 +406,32 @@ object Similarity {
     * [[assignCells]] switches to the join-based form. */
   private[graft] val MaxExprCentroids = 256
 
+  /** Total LITERAL budget for the expression path: k·dim doubles inlined
+    * into one projection. The centroid-count bound alone is d-blind — the
+    * r15 dim sweep (OPERATORS.md) showed the expression path's cost and
+    * generated-code size growing linearly in d, so at production
+    * embedding widths (768–4096) even k ≤ 256 would inline 200k–1M
+    * literals and ride the JVM method-size cliff into interpreted
+    * fallback. The bound is MEASURED, not just a compile guard (r15 dim
+    * sweep, OPERATORS.md): at 32 cells the join form beats the
+    * expression form 2× at 8,192 literals (d=256: 2.29 → 1.15 s), 4×
+    * at 16k (d=512: 4.67 → 1.21 s), 5.7× at 32k (d=1024: 8.32 →
+    * 1.46 s), while at 2,048 (d=64) the two are even — the crossover
+    * lies in (2048, 8192). 6144 splits it while keeping every
+    * oracle-gated lane on the expression path it was pinned with (gate
+    * maximum 79 cells × 64 dims = 5,056); production embedding widths
+    * take the join form, whose generated code is k- and d-independent. */
+  private[graft] val MaxExprLiterals = 6144L
+
   private[graft] def assignCells(
       c: DataFrame,
-      centroids: Array[(Int, Seq[Double])]): DataFrame =
-    if (centroids.length <= MaxExprCentroids) assignCellsExpr(c, centroids)
+      centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+    if (centroids.length <= MaxExprCentroids &&
+      centroids.length.toLong * dim <= MaxExprLiterals)
+      assignCellsExpr(c, centroids)
     else assignCellsViaJoin(c, centroids)
+  }
 
   private[graft] def assignCellsExpr(
       c: DataFrame,

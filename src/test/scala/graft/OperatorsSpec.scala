@@ -827,6 +827,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(joinT === exprT) // ties → lowest cell on both paths
   }
 
+  test("assignCells dispatch is d-aware: k*dim over the literal budget takes the join path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val dim = 512
+    val e = (0 until 100).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    def cents(k: Int) = Array.tabulate(k)(i =>
+      i -> Seq.fill(dim)(rnd.nextGaussian()))
+    // 10 * 512 = 5120 <= budget (6144) → expression path (no join in the
+    // plan) — the same envelope the gate's 79-cell × 64-dim lanes sit in
+    val low = Similarity.assignCells(e, cents(10))
+    assert(!low.queryExecution.executedPlan.toString.contains("Join"),
+      "under the literal budget the plan must stay scan-stage")
+    // 64 * 512 = 32768 > budget → join path even though k <= 256: the
+    // r15 dim sweep measured the inlined-literal argmax growing linearly
+    // in d (and the join form BEATING it past ~16k literals); at
+    // production widths the expr form would cross the method-size cliff
+    val hi = Similarity.assignCells(e, cents(64))
+    assert(hi.queryExecution.executedPlan.toString.contains("Join"),
+      "past the literal budget the join form must take over")
+    // and the two paths still agree at this width (direct calls bypass
+    // the dispatcher, so both forms run regardless of the budget)
+    val c = cents(24)
+    val a = Similarity.assignCellsExpr(e, c).select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Similarity.assignCellsViaJoin(e, c).select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+  }
+
   test("auto-config pair generators equal the explicitly-sized runs") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val n = e.count()

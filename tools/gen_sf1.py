@@ -30,13 +30,18 @@ LOCAL extension for slope confirmation only — never an oracle input.
 """
 import os
 import random
+import sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-OUT = "/tmp/testdata_sf1"
-N_DOCS = 50_000
-N_VECS = 20_000
+# Optional scale multiplier (default 1 → sf1). `gen_sf1.py 10` writes the
+# FIFTH-decade fixture (sf10: 500k docs / 200k vecs) to /tmp/testdata_sf10
+# by the identical generative process — same seed, same dup-family rate.
+SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+OUT = f"/tmp/testdata_sf{SCALE}"
+N_DOCS = 50_000 * SCALE
+N_VECS = 20_000 * SCALE
 VOCAB = [
     "a", "agg", "batch", "big", "column", "customer", "data", "dup",
     "fast", "filter", "group", "hash", "join", "key", "line", "merge",

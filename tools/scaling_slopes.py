@@ -65,7 +65,8 @@ QUERIES = (
     "q193_vector_route_dispatch,q194_vector_route_recall,"
     "q195_lsh_recall_sampled,q196_minhash_estimator_sampled,"
     "q197_salted_join_auto,q198_vector_recall_sampled,"
-    "q199_vector_overlap_sampled"
+    "q199_vector_overlap_sampled,q200_nested_quantizer,"
+    "q201_route_threshold_sensitivity"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -146,6 +147,8 @@ TABLE = {
     "q197_salted_join_auto": "events",
     "q198_vector_recall_sampled": "documents",
     "q199_vector_overlap_sampled": "documents",
+    "q200_nested_quantizer": "embeddings",
+    "q201_route_threshold_sensitivity": "documents",
     "q173_bucketed_join": "lineitem",
     "q174_dictionary_tags": "documents",
     "q175_hll_rollup": "documents",

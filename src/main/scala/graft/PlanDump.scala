@@ -55,7 +55,8 @@ object PlanDump {
       "q168_minhash_estimator_audit", "q169_multiprobe_ann_topk",
       "q170_lsh_recall_audit",
       "q32_cosine_neardup", "q200_nested_quantizer",
-      "q201_route_threshold_sensitivity")
+      "q201_route_threshold_sensitivity",
+      "q202_cell_multiprobe_neardup", "q203_cell_probe_recall_sampled")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

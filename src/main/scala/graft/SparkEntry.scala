@@ -1610,6 +1610,38 @@ object SparkEntry {
         .unionByName(row("full", docs, recall = false))
     }),
 
+    // Multi-probe cell near-dup — the recall dial the q201 sensitivity
+    // audit motivates: rank-2 cell assignment makes Lloyd-boundary pairs
+    // co-occur (q198/q201 measured rank-1 recall_cell 0.44–0.79), pair
+    // set a SUPERSET of q193's cell route by construction (the rank-1
+    // probe IS the single-cell assignment — spec-gated), candidate mass
+    // ≤ nProbe², still population-balanced. Pairs dedup on the
+    // (id_a, id_b, sim-6dp) tuple after the threshold filter; the
+    // oracle replays the rank-2 window + DISTINCT.
+    "q202_cell_multiprobe_neardup" -> ((s, dir) =>
+      Similarity.cellNearDupPairsMultiProbe(
+        TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
+          "text", dim = 64).select(col("doc_id"), col("vec")),
+        "doc_id", "vec", 0.9, nProbe = 2)),
+
+    // What the probe dial BUYS, measured on the same fixed 256-doc
+    // sample q198 scores rank-1 on: the q198 audit with the cell
+    // generator at nProbe = 2 — read recall_cell here against q198's
+    // to see the boundary-pair recovery, n_cell against q198's for its
+    // candidate-mass price. Fixed cost at any corpus size.
+    "q203_cell_probe_recall_sampled" -> ((s, dir) => {
+      val sdocs = Dedup.kminDocSample(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", 256).localCheckpoint(eager = true)
+      val vecs = TextAnalysis.hashedTfVectors(sdocs, "doc_id", "text",
+        dim = 64).select(col("doc_id"), col("vec"))
+      Similarity.nearDupRecallAudit(vecs, "doc_id", "vec", 0.9, dim = 64,
+        cellProbes = 2)
+        .crossJoin(broadcast(sdocs.agg(count(lit(1)).as("n_docs_sampled"))))
+        .crossJoin(broadcast(T(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs_total"))))
+    }),
+
     // TRUE-recall audit on the q195-style md5-k-min sample: brute-force
     // exact cosine pairs over 256 sampled docs (the only affordable
     // place for ground truth), then how much of the truth the SRP and
@@ -6004,6 +6036,80 @@ object SparkEntry {
          |SELECT '0256' AS prefix, * FROM sarow
          |UNION ALL SELECT '1024' AS prefix, * FROM sbrow
          |UNION ALL SELECT 'full' AS prefix, * FROM scrow""".stripMargin
+    },
+
+    // the multi-probe cell generator replayed: same auto-k kmeans chain
+    // as q193's cell route, assignment window kept to rn <= 2, pair join
+    // on shared cell, DISTINCT on the whole rounded tuple (a pair can
+    // co-occur in up to nProbe shared cells; sim is the same IEEE chain
+    // per occurrence, so the tuple dedups exactly)
+    "q202_cell_multiprobe_neardup" ->
+      s"""WITH ${hashedTfCteSql(64)},
+         |e AS (SELECT doc_id AS id, vec AS v FROM vecs),
+         |${kmeansCteSqlAuto(64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
+         |assign AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn <= 2)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  round(${cosSql("a.v", "b.v")}, 6) AS sim
+         |FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+         |WHERE ${cosSql("a.v", "b.v")} >= CAST(0.9 AS DOUBLE)""".stripMargin,
+
+    // q198's replay with the cell assignment window at rn <= 2 and the
+    // pair set DISTINCT'd — the probe dial's recall and candidate-mass
+    // price on the identical sample
+    "q203_cell_probe_recall_sampled" -> {
+      val planes = Similarity.hyperplanes(48, 64)
+      s"""WITH ${kminDocSampleCte(256)}${hashedTfCteSql(64, "sdocs")},
+         |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${cosSql("a.vec", "b.vec")} AS sim
+         |  FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id),
+         |tpf AS (SELECT id_a, id_b FROM tp WHERE sim >= 0.9),
+         |pp AS (SELECT CAST(LEAST(48, GREATEST(1,
+         |    CASE WHEN q <= 1 THEN 1
+         |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
+         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM vecs)),
+         |bv AS (SELECT doc_id, vec,
+         |    substr(${bucketSql("vec", planes)}, 1, (SELECT p FROM pp))
+         |      AS bucket
+         |  FROM vecs),
+         |spr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${cosSql("a.vec", "b.vec")} AS sim
+         |  FROM bv a JOIN bv b USING (bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |sp AS (SELECT id_a, id_b FROM spr WHERE sim >= 0.9),
+         |e AS (SELECT doc_id AS id, vec AS v FROM vecs),
+         |${kmeansCteSqlAuto(64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
+         |assign AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn <= 2),
+         |cpr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS sim
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id),
+         |cp AS (SELECT DISTINCT id_a, id_b FROM cpr WHERE sim >= 0.9),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tpf),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_srp FROM sp),
+         |ncl AS (SELECT CAST(count(*) AS BIGINT) AS n_cell FROM cp),
+         |nsd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_sampled
+         |  FROM sdocs),
+         |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total
+         |  FROM documents)
+         |SELECT CAST(0.9 AS DOUBLE) AS threshold, n_true, n_srp, n_cell,
+         |  CASE WHEN n_true > 0 THEN round(CAST(n_srp AS DOUBLE)
+         |    / CAST(n_true AS DOUBLE), 6) END AS recall_srp,
+         |  CASE WHEN n_true > 0 THEN round(CAST(n_cell AS DOUBLE)
+         |    / CAST(n_true AS DOUBLE), 6) END AS recall_cell,
+         |  n_docs_sampled, n_docs_total
+         |FROM nt CROSS JOIN ns CROSS JOIN ncl
+         |CROSS JOIN nsd CROSS JOIN ntot""".stripMargin
     },
 
     // q150's quartile replay (p = 0.25/0.75, k = 64) feeding Tukey

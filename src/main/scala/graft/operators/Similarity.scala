@@ -1231,6 +1231,92 @@ object Similarity {
       threshold, nCentroids, targetCellSize, maxFlatCells)
   }
 
+  /** Rank-`nProbe` cell assignment: every vector appears in its top
+    * `nProbe` argmax-cosine cells (ties → lower cell, null/empty vectors
+    * key as −2 → the lowest `nProbe` cells — the rank-1 row of this
+    * relation is EXACTLY [[assignCells]]'s assignment, so multi-probe
+    * pair sets are supersets by construction, spec-gated). Broadcast
+    * centroids + one bounded per-id window; the corpus is shuffled once
+    * on id, the same cost class as [[assignCellsViaJoin]]. */
+  private[graft] def assignCellsTopK(
+      c: DataFrame,
+      centroids: Array[(Int, Seq[Double])],
+      nProbe: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toSeq.toDF("__cell", "__cv")
+    val scored = c.crossJoin(broadcast(centDf))
+      .select(col("id"), col("v"), col("__cell").as("cell"),
+        coalesce(cosine(col("v"), col("__cv")), lit(-2.0)).as("__sim"))
+    Windows.topKPerGroup(scored, Seq(col("id")),
+      Seq(col("__sim").desc, col("cell").asc), nProbe)
+      .select(col("id"), col("v"), col("cell"))
+  }
+
+  /** [[cellNearDupPairs]] with MULTI-PROBE assignment — the recall dial
+    * the q201 sensitivity audit motivates: on direction-concentrated
+    * corpora the population-balanced cells are the affordable route, but
+    * a true pair whose members straddle a Lloyd cell boundary is missed
+    * (q198/q201 measured recall_cell 0.44–0.79 vs SRP's 0.66–0.93 at the
+    * gate fixture). Probing each vector's top `nProbe` cells makes
+    * boundary pairs co-occur when their cells overlap within either
+    * member's probe set — candidate mass scales ≤ nProbe² (still
+    * population-balanced, still linear overall), and the rank-1 probe IS
+    * the single-cell assignment, so the emitted pair set is a SUPERSET
+    * of [[cellNearDupPairs]]'s (spec-gated). A pair can now co-occur in
+    * up to nProbe shared cells, so pairs dedup on the
+    * (id_a, id_b, sim-6dp) tuple AFTER the threshold filter — the
+    * distinct exchange carries 24-byte rows, only for matched pairs,
+    * and sim joins exactly (same IEEE chain per occurrence).
+    *
+    * The quantizer here is the FLAT auto-k form (k = ceil(n /
+    * targetCellSize) up to maxFlatCells): multi-probe and two-level
+    * nesting are both boundary-recall/cost dials and are not stacked —
+    * at corpus sizes where the auto path would nest, pass a larger
+    * `targetCellSize` instead (the join-based assignment is k- and
+    * d-independent in code size past the literal budget). */
+  def cellNearDupPairsMultiProbe(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nProbe: Int = 2,
+      nCentroids: Int = 0,
+      targetCellSize: Int = 64,
+      maxFlatCells: Int = MaxFlatCells): DataFrame = {
+    ensureFns(corpus.sparkSession)
+    cellNearDupPairsMultiProbeFrom(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      threshold, nProbe, nCentroids, targetCellSize, maxFlatCells)
+  }
+
+  private def cellNearDupPairsMultiProbeFrom(
+      c: DataFrame,
+      threshold: Double,
+      nProbe: Int,
+      nCentroids: Int,
+      targetCellSize: Int,
+      maxFlatCells: Int): DataFrame = {
+    require(nProbe >= 1, "nProbe >= 1")
+    val k =
+      if (nCentroids > 0) math.min(nCentroids, maxFlatCells)
+      else math.min(maxFlatCells.toLong,
+        math.max(1L, desiredCells(c.count(), targetCellSize))).toInt
+    val centroids = kmeansCentroids(c, "id", "v", k, autoSampleSize(k))
+    val assigned = assignCellsTopK(c, centroids, nProbe).localCheckpoint()
+    val l = assigned.select(col("cell"), col("id").as("id_a"),
+      col("v").as("v_a"))
+    val r = assigned.select(col("cell"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+
   private def cellNearDupPairsFrom(
       c: DataFrame,
       threshold: Double,
@@ -1405,7 +1491,12 @@ object Similarity {
     * sampled sub-corpora (≤ a few thousand rows), never the full corpus;
     * the generators themselves run at their production shapes.
     *
-    * Output: threshold, n_true, n_srp, n_cell, recall_srp, recall_cell. */
+    * Output: threshold, n_true, n_srp, n_cell, recall_srp, recall_cell.
+    * `cellProbes > 1` swaps the cell generator for
+    * [[cellNearDupPairsMultiProbe]] at that probe count (q203 measures
+    * what the probe dial buys on the same sample q198 scores rank-1 on);
+    * both forms verify with the same cosine predicate, so the subset-of-
+    * truth property is unchanged. */
   def nearDupRecallAudit(
       corpus: DataFrame,
       idCol: String,
@@ -1415,7 +1506,8 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       targetBucketSize: Int = 64,
-      targetCellSize: Int = 64): DataFrame = {
+      targetCellSize: Int = 64,
+      cellProbes: Int = 1): DataFrame = {
     ensureFns(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(eager = true)
@@ -1425,8 +1517,13 @@ object Similarity {
       .filter(cosine(col("v_a"), col("v_b")) >= threshold)
     val srp = embeddingNearDupPairs(c, "id", "v", threshold, nPlanes, dim,
       seed, targetBucketSize)
-    val cell = cellNearDupPairsFrom(c, threshold, nCentroids = 0,
-      targetCellSize, MaxFlatCells)
+    val cell =
+      if (cellProbes <= 1)
+        cellNearDupPairsFrom(c, threshold, nCentroids = 0,
+          targetCellSize, MaxFlatCells)
+      else
+        cellNearDupPairsMultiProbeFrom(c, threshold, cellProbes,
+          nCentroids = 0, targetCellSize, MaxFlatCells)
     val nt = truePairs.agg(count(lit(1)).as("n_true"))
     val ns = srp.agg(count(lit(1)).as("n_srp"))
     val nc = cell.agg(count(lit(1)).as("n_cell"))

@@ -1040,6 +1040,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(autoColl === cellColl)
   }
 
+  test("multi-probe cell pairs: nProbe=1 equals the single-cell form; nProbe=2 is a superset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val base = Array.fill(60)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 8).map(i => ((60 + i).toLong, base(i * 7))) // exact dups
+    val e = rows.toSeq.toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.cellNearDupPairs(e, "vec_id",
+      "embedding", 0.999, targetCellSize = 8))
+    // the rank-1 probe IS the single-cell assignment
+    val p1 = pairs(Similarity.cellNearDupPairsMultiProbe(e, "vec_id",
+      "embedding", 0.999, nProbe = 1, targetCellSize = 8))
+    assert(p1 === single)
+    // more probes only ADD boundary pairs, never drop any
+    val p2 = pairs(Similarity.cellNearDupPairsMultiProbe(e, "vec_id",
+      "embedding", 0.999, nProbe = 2, targetCellSize = 8))
+    assert(single.subsetOf(p2),
+      s"missing from nProbe=2: ${single.diff(p2)}")
+    // the audit's probe dial reports the same ordering, and both stay
+    // subsets of the brute-force truth
+    def audit(probes: Int) = Similarity.nearDupRecallAudit(e, "vec_id",
+      "embedding", 0.999, dim = 8, targetCellSize = 8,
+      cellProbes = probes).collect().head
+    val (a1, a2) = (audit(1), audit(2))
+    assert(a1.getAs[Long]("n_true") === a2.getAs[Long]("n_true"))
+    assert(a2.getAs[Long]("n_cell") >= a1.getAs[Long]("n_cell"))
+    assert(a2.getAs[Long]("n_cell") <= a2.getAs[Long]("n_true"))
+  }
+
   test("nearDupRecallAudit: generators are subsets of truth; recall counts match sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

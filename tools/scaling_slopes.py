@@ -66,7 +66,8 @@ QUERIES = (
     "q195_lsh_recall_sampled,q196_minhash_estimator_sampled,"
     "q197_salted_join_auto,q198_vector_recall_sampled,"
     "q199_vector_overlap_sampled,q200_nested_quantizer,"
-    "q201_route_threshold_sensitivity"
+    "q201_route_threshold_sensitivity,q202_cell_multiprobe_neardup,"
+    "q203_cell_probe_recall_sampled"
 )
 # driving table per query, and that table's row count per sf
 TABLE = {
@@ -149,6 +150,8 @@ TABLE = {
     "q199_vector_overlap_sampled": "documents",
     "q200_nested_quantizer": "embeddings",
     "q201_route_threshold_sensitivity": "documents",
+    "q202_cell_multiprobe_neardup": "documents",
+    "q203_cell_probe_recall_sampled": "documents",
     "q173_bucketed_join": "lineitem",
     "q174_dictionary_tags": "documents",
     "q175_hll_rollup": "documents",

@@ -1587,9 +1587,10 @@ object Similarity {
       .agg(sum(col("n")).as("s1"),
         sum(col("n").cast("decimal(19,0)") *
           (col("n") - 1L).cast("decimal(19,0)")).as("pairs2"),
-        // n(n−1) is even, so per-bucket /2 is exact; cast before the sum
-        // keeps the column LONG (Column./ is double division)
-        sum((col("n") * (col("n") - 1L) / 2).cast("long")).as("cand_srp"))
+        // n(n−1) is even, so the per-bucket halving is exact — in INTEGER
+        // division (SQL DIV): Column./ is double division, which loses
+        // exactness past 2^53 (a 1e9-row bucket at corpus scale)
+        sum(expr("n * (n - 1L) DIV 2")).as("cand_srp"))
       .select(col("s1").as("n_docs"),
         round(col("pairs2").cast("double") /
           (col("s1").cast("double") *
@@ -1599,8 +1600,8 @@ object Similarity {
     // auto-k k-means cell populations → the cell route's candidate mass
     val cellStats = autoAssignCells(c, 0, targetCellSize, MaxFlatCells)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum((col("n") * (col("n") - 1L) / 2).cast("long")),
-        lit(0L)).as("cand_cell"))
+      .agg(coalesce(sum(expr("n * (n - 1L) DIV 2")), lit(0L))
+        .as("cand_cell"))
     val base = srpStats.crossJoin(broadcast(cellStats))
     val withCounts =
       if (measureRecall) {

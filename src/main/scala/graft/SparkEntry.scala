@@ -440,11 +440,15 @@ object SparkEntry {
     // Embedding-cosine near-dup pairs through the DEFAULT entry point —
     // the auto-dispatched generator (r14 verdict task 4: callers land on
     // the route audit q193 proved out unless they opt out; q156 keeps the
-    // explicit-SRP form as the comparison lane). The embeddings fixture
-    // is direction-balanced at every SF (concentration < 3), so the
+    // explicit-SRP form as the comparison lane). Since r16 the dispatch's
+    // cell route ships MULTI-PROBE (cellProbes = DefaultCellProbes = 2 —
+    // the q203-measured recall-1.0 form); the oracle's cell branch
+    // replays the rank-2 window + DISTINCT. The embeddings fixture is
+    // direction-balanced at every SF (concentration < 3), so the
     // dispatch takes the quantizer-free SRP path — pinned in PlanSpec —
     // and the oracle replays the same concentration gate, so a dispatch
-    // flip would hash-mismatch here.
+    // flip would hash-mismatch here (q204 gates the probed cell branch
+    // at gate scale by forcing the cutoff).
     "q32_cosine_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairsAuto(T(s, dir, "embeddings"),
         "vec_id", "embedding", 0.3, dim = 64)
@@ -1328,15 +1332,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           posexplode_outer(col("vec")).as(Seq("idx", "component")))),
 
-    // The vectorizer composed into near-dup: SRP-bucketed cosine pairs
-    // over the hashed-TF vectors — first-pass crawl dedup on raw text
-    // with no embedding model in the loop (the q32 operator fed by q155
-    // instead of the embeddings table). Plane count auto-derived from
-    // the corpus (bucket population held ~64 as the corpus grows — the
-    // linear-overall configuration; a fixed p=4 measured 58 s at sf0.1,
-    // the quadratic within-bucket cliff the derivation exists to avoid).
-    // 6dp-rounded vector components make every downstream cosine the
-    // same IEEE chain in both engines.
+    // WITNESS LANE (the q194 "gate-scale prover" discipline, r15 verdict
+    // task 7): this is the suite's ONE deliberately-superlinear plan —
+    // the EXPLICIT SRP form pinned on a direction-concentrated corpus,
+    // kept as the measured exponent witness (fifth-decade 1.42) that
+    // justifies the q193 dispatch and is NOT reachable via the default
+    // API (embeddingNearDupPairsAuto routes this corpus to cells).
+    // Lane body: SRP-bucketed cosine pairs over the hashed-TF vectors —
+    // first-pass crawl dedup on raw text with no embedding model in the
+    // loop (the q32 operator fed by q155 instead of the embeddings
+    // table). Plane count auto-derived from the corpus (bucket
+    // population held ~64 as the corpus grows — the linear-overall
+    // configuration; a fixed p=4 measured 58 s at sf0.1, the quadratic
+    // within-bucket cliff the derivation exists to avoid). 6dp-rounded
+    // vector components make every downstream cosine the same IEEE
+    // chain in both engines.
     "q156_hashed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(
         TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
@@ -1533,11 +1543,16 @@ object SparkEntry {
     // pair generation to SemDeDup k-means cells (population-balanced by
     // construction — the sublinear path on direction-concentrated
     // corpora), < 3 keeps SRP sign buckets (cheaper: no quantizer).
+    // Since r16 the cell route is the MULTI-PROBE form at the default
+    // cellProbes = 2 (q203's measured recall-1.0 configuration); the
+    // oracle's cell branch replays the rank-2 window + DISTINCT.
     // THIS fixture crosses the threshold between SFs (≈2.7 at
     // sf0.001/0.01 → SRP; ≈10.5 at sf0.1 → cells), so the gate
     // exercises one route and the scale sweep the other; the oracle
     // re-derives the statistic from exact integer sums and replays the
-    // SAME gated path, making the dispatch itself part of the contract.
+    // SAME gated path, making the dispatch itself part of the contract
+    // (q204 pins the probed cell branch AT gate scale by forcing the
+    // cutoff to 0).
     "q193_vector_route_dispatch" -> ((s, dir) =>
       Similarity.embeddingNearDupPairsAuto(
         TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
@@ -1598,7 +1613,13 @@ object SparkEntry {
         Similarity.routeSensitivityRow(
           TextAnalysis.hashedTfVectors(sampled, "doc_id", "text", dim = 64)
             .select(col("doc_id"), col("vec")),
-          "doc_id", "vec", 0.9, dim = 64, measureRecall = recall)
+          "doc_id", "vec", 0.9, dim = 64,
+          // explicitly the SAME vals the oracle interpolates — a change
+          // here moves both sides together (r15 advisor desync item)
+          targetBucketSize = RouteSensTargetBucketSize,
+          targetCellSize = RouteSensTargetCellSize,
+          measureRecall = recall,
+          zipfConcentration = RouteSensZipfConcentration)
           .select(lit(tag).as("prefix"), col("n_docs"), col("n_planes"),
             col("concentration"), col("cand_srp"), col("cand_cell"),
             col("route"), col("n_true"), col("recall_srp"),
@@ -1614,10 +1635,14 @@ object SparkEntry {
     // audit motivates: rank-2 cell assignment makes Lloyd-boundary pairs
     // co-occur (q198/q201 measured rank-1 recall_cell 0.44–0.79), pair
     // set a SUPERSET of q193's cell route by construction (the rank-1
-    // probe IS the single-cell assignment — spec-gated), candidate mass
-    // ≤ nProbe², still population-balanced. Pairs dedup on the
-    // (id_a, id_b, sim-6dp) tuple after the threshold filter; the
-    // oracle replays the rank-2 window + DISTINCT.
+    // probe IS the single-cell assignment — spec-gated at BOTH size
+    // classes since r16: the quantizer follows autoAssignCells' own
+    // dispatch, flat below the nesting bound — all gate corpora, ≤ 79
+    // cells — and coarse × residual-fine past it with the probe window
+    // on the coarse level; q205 hash-gates the nested composite).
+    // Candidate mass ≤ nProbe², still population-balanced. Pairs dedup
+    // on the (id_a, id_b, sim-6dp) tuple after the threshold filter;
+    // the oracle replays the rank-2 window + DISTINCT.
     "q202_cell_multiprobe_neardup" -> ((s, dir) =>
       Similarity.cellNearDupPairsMultiProbe(
         TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
@@ -1641,6 +1666,49 @@ object SparkEntry {
         .crossJoin(broadcast(T(s, dir, "documents")
           .agg(count(lit(1)).as("n_docs_total"))))
     }),
+
+    // The r16 wiring gated AT GATE SCALE: the auto dispatcher's CELL
+    // branch now ships multi-probe by default (cellProbes =
+    // DefaultCellProbes = 2), but this fixture only crosses onto the
+    // cell route at sf0.1 — so force the cutoff to 0 (concentration ≥ 0
+    // always) and the dispatcher must land on the probed cell generator
+    // at every SF. The oracle replays the rank-2 window + DISTINCT with
+    // NO concentration gate, so if the dispatcher ever ships the rank-1
+    // form (or a different probe count) this lane hash-mismatches.
+    "q204_auto_route_probed_cells" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairsAuto(
+        TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
+          "text", dim = 64).select(col("doc_id"), col("vec")),
+        "doc_id", "vec", 0.9, dim = 64, zipfConcentration = 0.0)),
+
+    // Multi-probe COMPOSED with the nested quantizer, hash-gated (the
+    // q200 pattern): maxFlatCells forced to 8 so auto mode nests at all
+    // gate SFs (want = ceil(n/32) > 8 → coarse × residual-fine), and
+    // nProbe = 2 probes the top-2 COARSE cells with rank-1 residual-fine
+    // assignment inside each probe — the r15 gap ("multi-probe and the
+    // nested quantizer don't compose") closed with both Lloyd chains,
+    // the probe window, the composite LONG cell arithmetic, and the
+    // distinct'd pair set all under the oracle hash.
+    "q205_nested_multiprobe_neardup" -> ((s, dir) =>
+      Similarity.cellNearDupPairsMultiProbe(T(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.3, nProbe = 2, targetCellSize = 32,
+        maxFlatCells = 8)),
+
+    // The OUTPUT-BOUND lever, gated on the concentrated corpus: q193's
+    // fifth-decade 1.32 was proven to be n² VERIFIED OUTPUT (truth
+    // density constant ~7.5e-5 → the pair set itself is quadratic), and
+    // the documented production lever on such corpora is to NOT
+    // materialize pairs — per-doc min-id survivors (linear output).
+    // This is semDeDup over the SAME hashed-TF vectors the q193 family
+    // rides: one (doc_id, cell, kept) row per document regardless of
+    // how dense the sim distribution gets. The fifth-decade measurement
+    // (OPERATORS.md) pins the wall-clock story next to q193's.
+    "q206_semdedup_text" -> ((s, dir) =>
+      Similarity.semDeDup(
+        TextAnalysis.hashedTfVectors(T(s, dir, "documents"), "doc_id",
+          "text", dim = 64).select(col("doc_id"), col("vec")),
+        "doc_id", "vec", 0.9)
+        .select(col("id").as("doc_id"), col("cell"), col("kept"))),
 
     // TRUE-recall audit on the q195-style md5-k-min sample: brute-force
     // exact cosine pairs over 256 sampled docs (the only affordable
@@ -3223,6 +3291,16 @@ object SparkEntry {
        |${(0 until iters).map(iterCte).mkString(",\n")}""".stripMargin
   }
 
+  /** The q201 lane's dispatch parameters, shared by the Scala lane call
+    * AND the SQL oracle below — interpolating both sides from the same
+    * vals makes a future parameter change fail loudly (hash mismatch
+    * impossible: both move together) instead of silently desynchronizing
+    * the oracle from the engine (r15 advisor item: the SQL hard-coded
+    * the 63 denominator and 3.0 cutoff the Scala side parameterizes). */
+  private val RouteSensTargetBucketSize = 64
+  private val RouteSensTargetCellSize = 64
+  private val RouteSensZipfConcentration = 3.0
+
   /** Per-prefix CTE group of the q201 sensitivity oracle: from a
     * `$src(doc_id, vec)` relation, auto SRP planes, bucket populations →
     * (n_docs, concentration, cand_srp), auto-k kmeans cells (flat — gate
@@ -3233,6 +3311,9 @@ object SparkEntry {
       recall: Boolean): String = {
     val planes = Similarity.hyperplanes(48, 64)
     val thr = "CAST(0.9 AS DOUBLE)"
+    val tbs = RouteSensTargetBucketSize
+    val tcs = RouteSensTargetCellSize
+    val concDen = math.max(1, tbs - 1)
     val recallCtes = if (recall)
       s""",
          |${g}tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true
@@ -3261,19 +3342,19 @@ object SparkEntry {
        |${g}pp AS (SELECT CAST(LEAST(48, GREATEST(1,
        |    CASE WHEN q <= 1 THEN 1
        |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
-       |  FROM (SELECT (count(*) + 63) // 64 AS q FROM ${g}e)),
+       |  FROM (SELECT (count(*) + ${tbs - 1}) // $tbs AS q FROM ${g}e)),
        |${g}bv AS (SELECT id, v,
        |    substr(${bucketSql("v", planes)}, 1, (SELECT p FROM ${g}pp))
        |      AS bucket
        |  FROM ${g}e),
        |${g}srp AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
        |    round(CAST(sum(n * (n - 1)) AS DOUBLE)
-       |      / (CAST(sum(n) AS DOUBLE) * CAST(63 AS DOUBLE)), 6)
+       |      / (CAST(sum(n) AS DOUBLE) * CAST($concDen AS DOUBLE)), 6)
        |      AS concentration,
        |    CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS cand_srp
        |  FROM (SELECT bucket, count(*) AS n FROM ${g}bv GROUP BY 1) z),
        |${g}kk AS (SELECT CAST(LEAST(65536, GREATEST(1,
-       |    (count(*) + 63) // 64)) AS INT) AS k FROM ${g}e),
+       |    (count(*) + ${tcs - 1}) // $tcs)) AS INT) AS k FROM ${g}e),
        |${kmeansCteSqlPfx(s"${g}k", s"SELECT k FROM ${g}kk",
           s"SELECT LEAST(16384, GREATEST(64, 4 * k)) FROM ${g}kk", 2,
           s"${g}e")},
@@ -3288,8 +3369,8 @@ object SparkEntry {
        |${g}row AS (
        |  SELECT n_docs, (SELECT p FROM ${g}pp) AS n_planes, concentration,
        |    cand_srp, cand_cell,
-       |    CASE WHEN concentration >= CAST(3.0 AS DOUBLE) THEN 'cells'
-       |         ELSE 'srp' END AS route,
+       |    CASE WHEN concentration >= CAST($RouteSensZipfConcentration AS DOUBLE)
+       |         THEN 'cells' ELSE 'srp' END AS route,
        |    $rowTail)""".stripMargin
   }
 
@@ -5922,13 +6003,15 @@ object SparkEntry {
          |    SELECT e.id, e.v, c.cell,
          |      row_number() OVER (PARTITION BY e.id
          |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
-         |    FROM e, cent c) t WHERE rn = 1),
-         |cp AS (SELECT a.id AS id_a, b.id AS id_b,
-         |    ${cosSql("a.v", "b.v")} AS sim
-         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id),
-         |un AS (SELECT * FROM sp UNION ALL SELECT * FROM cp)
-         |SELECT id_a, id_b, round(sim, 6) AS sim
-         |FROM un WHERE sim >= 0.9""".stripMargin
+         |    FROM e, cent c) t WHERE rn <= ${Similarity.DefaultCellProbes}),
+         |cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    round(${cosSql("a.v", "b.v")}, 6) AS sim
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+         |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.9 AS DOUBLE)),
+         |spf AS (SELECT id_a, id_b, round(sim, 6) AS sim FROM sp
+         |  WHERE sim >= CAST(0.9 AS DOUBLE))
+         |SELECT id_a, id_b, sim FROM spf
+         |UNION ALL SELECT id_a, id_b, sim FROM cp""".stripMargin
     },
 
     // the sampled true-recall audit replayed end to end: md5 sample
@@ -6111,6 +6194,108 @@ object SparkEntry {
          |FROM nt CROSS JOIN ns CROSS JOIN ncl
          |CROSS JOIN nsd CROSS JOIN ntot""".stripMargin
     },
+
+    // the auto dispatcher's probed CELL branch replayed UNGATED (the
+    // lane forces zipfConcentration = 0, so the oracle needs no
+    // concentration CTE): same auto-k kmeans chain, assignment window
+    // at rn <= DefaultCellProbes, DISTINCT on the rounded pair tuple —
+    // a dispatcher shipping rank-1 (or any other probe count) would
+    // hash-mismatch here at every SF
+    "q204_auto_route_probed_cells" ->
+      s"""WITH ${hashedTfCteSql(64)},
+         |e AS (SELECT doc_id AS id, vec AS v FROM vecs),
+         |${kmeansCteSqlAuto(64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
+         |assign AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn <= ${Similarity.DefaultCellProbes})
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  round(${cosSql("a.v", "b.v")}, 6) AS sim
+         |FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+         |WHERE ${cosSql("a.v", "b.v")} >= CAST(0.9 AS DOUBLE)""".stripMargin,
+
+    // multi-probe × nested quantizer replayed end to end: the q200
+    // oracle's two Lloyd chains (fine TRAINED on rank-1 residuals — the
+    // engine trains once, shared across probes) plus the r16 probe
+    // composition: top-2 COARSE window keeping each probe's centroid,
+    // per-(id, probe) residual, rank-1 fine assign inside each probe,
+    // composite BIGINT cell = c1·kf + fc, pair join on the composite,
+    // DISTINCT on the rounded tuple
+    "q205_nested_multiprobe_neardup" -> {
+      val ceilWant = "count(*) // 32 + CASE WHEN count(*) % 32 > 0 THEN 1 ELSE 0 END"
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |wt AS (SELECT CAST($ceilWant AS BIGINT) AS want FROM e),
+         |sq AS (SELECT min(s) AS s FROM (
+         |    SELECT GREATEST(1, CAST(floor(sqrt(CAST(want AS DOUBLE))) AS BIGINT) - 2) + i AS s
+         |    FROM wt, range(6) t(i)) z
+         |  WHERE s * s >= (SELECT want FROM wt)),
+         |kk AS (SELECT CAST(LEAST(8, s) AS INT) AS kc,
+         |    CAST(LEAST(8, want // LEAST(8, s)
+         |      + CASE WHEN want % LEAST(8, s) > 0 THEN 1 ELSE 0 END) AS INT) AS kf
+         |  FROM sq, wt),
+         |${kmeansCteSqlPfx("k", "SELECT kc FROM kk",
+            "SELECT LEAST(16384, GREATEST(64, 4 * kc)) FROM kk", 2, "e")},
+         |kcent AS (SELECT cell, cv FROM kcent2),
+         |kassign AS (SELECT id, v, cell, cv FROM (
+         |    SELECT e.id, e.v, c.cell, c.cv,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, kcent c) t WHERE rn = 1),
+         |resid AS (SELECT id,
+         |    list_transform(list_zip(v, cv), p -> p[1] - p[2]) AS v
+         |  FROM kassign),
+         |${kmeansCteSqlPfx("f", "SELECT kf FROM kk",
+            "SELECT LEAST(16384, GREATEST(64, 4 * kf)) FROM kk", 2, "resid")},
+         |fcent AS (SELECT cell, cv FROM fcent2),
+         |kprobe AS (SELECT id, v, cell, cv FROM (
+         |    SELECT e.id, e.v, c.cell, c.cv,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, kcent c) t WHERE rn <= 2),
+         |residp AS (SELECT id, cell AS c1, v,
+         |    list_transform(list_zip(v, cv), p -> p[1] - p[2]) AS rv
+         |  FROM kprobe),
+         |fassignp AS (SELECT id, c1, cell AS fc FROM (
+         |    SELECT r.id, r.c1, c.cell,
+         |      row_number() OVER (PARTITION BY r.id, r.c1
+         |        ORDER BY ${cosSql("r.rv", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM residp r, fcent c) t WHERE rn = 1),
+         |comp AS (SELECT r.id, r.v,
+         |    CAST(r.c1 AS BIGINT) * (SELECT kf FROM kk)
+         |      + CAST(f.fc AS BIGINT) AS cell
+         |  FROM residp r JOIN fassignp f ON r.id = f.id AND r.c1 = f.c1)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  round(${cosSql("a.v", "b.v")}, 6) AS sim
+         |FROM comp a JOIN comp b ON a.cell = b.cell AND a.id < b.id
+         |WHERE ${cosSql("a.v", "b.v")} >= CAST(0.3 AS DOUBLE)""".stripMargin
+    },
+
+    // the q65 min-id-survivor replay over the hashed-TF vectors (the
+    // output-bound lever on the concentrated corpus): same auto-k
+    // kmeans chain as q193's cell route, rank-1 assignment, dropped =
+    // any doc with a lower-id cosine >= 0.9 cell-mate, one row per doc
+    "q206_semdedup_text" ->
+      s"""WITH ${hashedTfCteSql(64)},
+         |e AS (SELECT doc_id AS id, vec AS v FROM vecs),
+         |${kmeansCteSqlAuto(64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
+         |assign AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.id FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.id < b.id
+         |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.9 AS DOUBLE))
+         |SELECT a.id AS doc_id, CAST(a.cell AS INT) AS cell,
+         |  CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM assign a LEFT JOIN dropped d ON d.id = a.id""".stripMargin,
 
     // q150's quartile replay (p = 0.25/0.75, k = 64) feeding Tukey
     // fences and one exact counting pass
@@ -7350,13 +7535,15 @@ object SparkEntry {
          |    SELECT e.id, e.v, c.cell,
          |      row_number() OVER (PARTITION BY e.id
          |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
-         |    FROM e, cent c) t WHERE rn = 1),
-         |cp AS (SELECT a.id AS id_a, b.id AS id_b,
-         |    ${cosSql("a.v", "b.v")} AS sim
-         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id),
-         |un AS (SELECT * FROM sp UNION ALL SELECT * FROM cp)
-         |SELECT id_a, id_b, round(sim, 6) AS sim
-         |FROM un WHERE sim >= CAST(0.3 AS DOUBLE)""".stripMargin
+         |    FROM e, cent c) t WHERE rn <= ${Similarity.DefaultCellProbes}),
+         |cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    round(${cosSql("a.v", "b.v")}, 6) AS sim
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+         |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.3 AS DOUBLE)),
+         |spf AS (SELECT id_a, id_b, round(sim, 6) AS sim FROM sp
+         |  WHERE sim >= CAST(0.3 AS DOUBLE))
+         |SELECT id_a, id_b, sim FROM spf
+         |UNION ALL SELECT id_a, id_b, sim FROM cp""".stripMargin
     },
 
     "q38_ivf_ann_topk" ->

@@ -1202,6 +1202,52 @@ object Similarity {
     }
   }
 
+  /** [[autoAssignCells]]'s dispatch with rank-`nProbe` assignment — the
+    * same quantizer family at every size class (explicit flat k; auto
+    * flat below [[NestAboveCells]]; nested coarse × residual-fine past
+    * it), each through its top-k form ([[assignCellsTopK]] /
+    * [[assignCellsTopKTwoLevel]]). `nProbe = 1` returns
+    * [[autoAssignCells]] itself (bit-identical relation, not just
+    * equivalent), so the probe dial composes with nesting instead of
+    * silently flattening — the r15 flat-k clamp is gone. Training is
+    * IDENTICAL to the rank-1 path (same deterministic sampled Lloyd on
+    * the same inputs), so the rank-1 probe row always equals the
+    * single-cell assignment. */
+  private[graft] def autoAssignCellsTopK(
+      c: DataFrame,
+      nCentroids: Int,
+      targetCellSize: Int,
+      maxFlatCells: Int,
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1, "nProbe >= 1")
+    if (nProbe == 1)
+      return autoAssignCells(c, nCentroids, targetCellSize, maxFlatCells)
+    if (nCentroids > 0) {
+      if (nCentroids > maxFlatCells)
+        System.err.println(
+          s"[similarity] explicit nCentroids=$nCentroids clamped to the " +
+            s"flat bound $maxFlatCells; pass nCentroids <= 0 to let the " +
+            "auto quantizer nest instead.")
+      val k = math.min(nCentroids, maxFlatCells)
+      return assignCellsTopK(c,
+        kmeansCentroids(c, "id", "v", k, autoSampleSize(k)), nProbe)
+    }
+    val want: Long = desiredCells(c.count(), targetCellSize)
+    val nest = math.min(maxFlatCells, NestAboveCells)
+    if (want <= nest) {
+      val k = math.max(1L, want).toInt
+      assignCellsTopK(c,
+        kmeansCentroids(c, "id", "v", k, autoSampleSize(k)), nProbe)
+    } else {
+      val (kc, kf) = quantizerLevelsSplit(want, maxFlatCells)
+      val coarse = kmeansCentroids(c, "id", "v", kc, autoSampleSize(kc))
+      val fine =
+        kmeansCentroids(residuals(c, coarse), "id", "rv", kf,
+          autoSampleSize(kf))
+      assignCellsTopKTwoLevel(c, coarse, fine, kf, nProbe)
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs with POPULATION-BALANCED
     * candidate generation: all (a < b) with cosine ≥ `threshold`,
     * restricted to pairs sharing an auto-k k-means cell ([[semDeDup]]'s
@@ -1253,6 +1299,55 @@ object Similarity {
       .select(col("id"), col("v"), col("cell"))
   }
 
+  /** Rank-`nProbe` TWO-LEVEL assignment — multi-probe composed with the
+    * nested coarse × residual-fine quantizer, so the boundary-recall dial
+    * survives past the nesting threshold (r15's documented gap: the dial
+    * was flat-only, and "pass a larger targetCellSize" traded balance for
+    * recall silently). Probe the top `nProbe` COARSE cells (the level
+    * that partitions direction space — boundary pairs straddle COARSE
+    * Lloyd boundaries; the shared fine quantizer refines within a coarse
+    * region, where rank-1 residual assignment is already exact for both
+    * members of a co-probed pair), then per (id, probed-coarse) assign
+    * the rank-1 fine cell of the residual v − coarseCentroid. Composite
+    * cell = coarse·kFine + fine (LONG), exactly
+    * [[assignCellsTwoLevel]]'s arithmetic — and the rank-1 probe row IS
+    * that single assignment (same (−sim, cell) total order, same −2
+    * null sentinel, spec-gated), so probed pair sets stay supersets of
+    * the rank-1 form at ANY corpus size.
+    *
+    * Scale shape: both centroid relations broadcast; one per-id window
+    * (coarse probes) + one per-(id, probe) fine argmax reduction —
+    * map-side combinable, ≤ nProbe surviving rows per id. Cost is
+    * nProbe× [[assignCellsTwoLevel]]'s fine stage, never a pair join. */
+  private[graft] def assignCellsTopKTwoLevel(
+      c: DataFrame,
+      coarse: Array[(Int, Seq[Double])],
+      fine: Array[(Int, Seq[Double])],
+      kFine: Int,
+      nProbe: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val centDf = coarse.toSeq.toDF("__c1", "__cv")
+    val fineDf = fine.toSeq.toDF("__fc", "__fcv")
+    val scored = c.crossJoin(broadcast(centDf))
+      .select(col("id"), col("v"), col("__c1"), col("__cv"),
+        coalesce(cosine(col("v"), col("__cv")), lit(-2.0)).as("__sim"))
+    val probed = Windows.topKPerGroup(scored, Seq(col("id")),
+      Seq(col("__sim").desc, col("__c1").asc), nProbe)
+      .select(col("id"), col("v"), col("__c1"),
+        zip_with(col("v"), col("__cv"), (a, b) => a - b).as("__rv"))
+    probed.crossJoin(broadcast(fineDf))
+      .select(col("id"), col("v"), col("__c1"), col("__fc"),
+        coalesce(cosine(col("__rv"), col("__fcv")), lit(-2.0)).as("__fs"))
+      .groupBy(col("id"), col("__c1"))
+      .agg(first(col("v")).as("v"),
+        min_by(col("__fc"),
+          struct((-col("__fs")).as("s"), col("__fc"))).as("__c2"))
+      .select(col("id"), col("v"),
+        (col("__c1").cast("long") * kFine + col("__c2").cast("long"))
+          .as("cell"))
+  }
+
   /** [[cellNearDupPairs]] with MULTI-PROBE assignment — the recall dial
     * the q201 sensitivity audit motivates: on direction-concentrated
     * corpora the population-balanced cells are the affordable route, but
@@ -1269,12 +1364,18 @@ object Similarity {
     * distinct exchange carries 24-byte rows, only for matched pairs,
     * and sim joins exactly (same IEEE chain per occurrence).
     *
-    * The quantizer here is the FLAT auto-k form (k = ceil(n /
-    * targetCellSize) up to maxFlatCells): multi-probe and two-level
-    * nesting are both boundary-recall/cost dials and are not stacked —
-    * at corpus sizes where the auto path would nest, pass a larger
-    * `targetCellSize` instead (the join-based assignment is k- and
-    * d-independent in code size past the literal budget). */
+    * The quantizer is [[autoAssignCells]]'s OWN dispatch at rank-nProbe
+    * ([[autoAssignCellsTopK]]): flat auto-k below [[NestAboveCells]],
+    * the nested coarse × residual-fine form past it with the top-nProbe
+    * window on the COARSE level ([[assignCellsTopKTwoLevel]]) — so the
+    * boundary-recall dial survives nesting (the r16 composition; r15
+    * shipped it flat-only), and the superset-of-rank-1 property holds at
+    * every size class (q205 hash-gates the nested × probed composite at
+    * a forced-low nesting bound). This is the form
+    * [[embeddingNearDupPairsAuto]]'s cell route ships by DEFAULT
+    * (cellProbes = [[DefaultCellProbes]]) since the q203 measurement:
+    * rank-1 recall 0.79–0.94 on the fixed sample vs 1.0 at nProbe = 2
+    * for ≤ nProbe² candidate mass. */
   def cellNearDupPairsMultiProbe(
       corpus: DataFrame,
       idCol: String,
@@ -1298,12 +1399,9 @@ object Similarity {
       targetCellSize: Int,
       maxFlatCells: Int): DataFrame = {
     require(nProbe >= 1, "nProbe >= 1")
-    val k =
-      if (nCentroids > 0) math.min(nCentroids, maxFlatCells)
-      else math.min(maxFlatCells.toLong,
-        math.max(1L, desiredCells(c.count(), targetCellSize))).toInt
-    val centroids = kmeansCentroids(c, "id", "v", k, autoSampleSize(k))
-    val assigned = assignCellsTopK(c, centroids, nProbe).localCheckpoint()
+    val assigned =
+      autoAssignCellsTopK(c, nCentroids, targetCellSize, maxFlatCells,
+        nProbe).localCheckpoint()
     val l = assigned.select(col("cell"), col("id").as("id_a"),
       col("v").as("v_a"))
     val r = assigned.select(col("cell"), col("id").as("id_b"),
@@ -1401,8 +1499,9 @@ object Similarity {
     *   - concentration ≥ `zipfConcentration` (direction-concentrated —
     *     appending planes has stopped splitting the hot sign pattern, so
     *     the within-bucket stage tracks true cluster mass, n²-class)
-    *     → auto-k k-means cells ([[cellNearDupPairs]]), population-
-    *     balanced by construction.
+    *     → auto-k k-means cells at rank-`cellProbes` assignment
+    *     ([[cellNearDupPairsMultiProbe]]; [[cellNearDupPairs]] when
+    *     `cellProbes = 1`), population-balanced by construction.
     *
     * Unlike the containment dispatch the two generators are NOT proven
     * pair-identical — they are different candidate filters for the same
@@ -1412,7 +1511,17 @@ object Similarity {
     * `zipfConcentration` = 3.0, the same gap [[graft.operators.Dedup
     * .containmentPairsAuto]] sits in: balanced buckets measure ~1 + CV²
     * (≲ 2 under Poisson-ish spread), concentrated corpora measure ≫ 3
-    * precisely where SRP's cliff lives (this fixture: 10.5 at sf0.1). */
+    * precisely where SRP's cliff lives (this fixture: 10.5 at sf0.1).
+    *
+    * The cell route ships MULTI-PROBE by default (`cellProbes` =
+    * [[DefaultCellProbes]] = 2, [[cellNearDupPairsMultiProbe]]): the q203
+    * measurement on the fixed 256-doc sample read rank-1 boundary-pair
+    * recall 0.79–0.94 vs 1.0/1.0/1.0 at nProbe = 2, for ≤ nProbe²
+    * candidate mass — the best measured configuration is the default,
+    * not a dial. `cellProbes = 1` pins the rank-1 single-cell form (its
+    * pair set is a subset by construction — the comparison lane). */
+  val DefaultCellProbes = 2
+
   def embeddingNearDupPairsAuto(
       corpus: DataFrame,
       idCol: String,
@@ -1425,16 +1534,21 @@ object Similarity {
       maxPlanesPerLevel: Int = MaxAutoPlanes,
       zipfConcentration: Double = 3.0,
       targetCellSize: Int = 64,
-      maxFlatCells: Int = MaxFlatCells): DataFrame = {
+      maxFlatCells: Int = MaxFlatCells,
+      cellProbes: Int = DefaultCellProbes): DataFrame = {
     ensureFns(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .localCheckpoint(eager = true)
     val conc = srpBucketConcentration(c, "id", "v", nPlanes, dim, seed,
       targetBucketSize, maxPlanesPerLevel)
-    if (conc >= zipfConcentration)
-      cellNearDupPairsFrom(c, threshold, nCentroids = 0, targetCellSize,
-        maxFlatCells)
-    else
+    if (conc >= zipfConcentration) {
+      if (cellProbes > 1)
+        cellNearDupPairsMultiProbeFrom(c, threshold, cellProbes,
+          nCentroids = 0, targetCellSize, maxFlatCells)
+      else
+        cellNearDupPairsFrom(c, threshold, nCentroids = 0, targetCellSize,
+          maxFlatCells)
+    } else
       embeddingNearDupPairs(c, "id", "v", threshold, nPlanes, dim, seed,
         targetBucketSize, maxPlanesPerLevel)
   }

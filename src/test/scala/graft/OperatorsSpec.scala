@@ -1034,10 +1034,18 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val autoColl = Similarity.embeddingNearDupPairsAuto(coll, "vec_id",
       "embedding", 0.999999, dim = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // since r16 the dispatcher's cell branch ships the MULTI-PROBE form
+    // at DefaultCellProbes — its output is that generator's, exactly...
+    val probedColl = Similarity.cellNearDupPairsMultiProbe(coll, "vec_id",
+      "embedding", 0.999999, nProbe = Similarity.DefaultCellProbes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoColl === probedColl)
+    // ...and a superset of the rank-1 comparison form
     val cellColl = Similarity.cellNearDupPairs(coll, "vec_id", "embedding",
       0.999999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(autoColl === cellColl)
+    assert(cellColl.subsetOf(autoColl),
+      s"rank-1 pairs missing from the probed default: ${cellColl.diff(autoColl)}")
   }
 
   test("multi-probe cell pairs: nProbe=1 equals the single-cell form; nProbe=2 is a superset") {
@@ -1169,21 +1177,69 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val e = (0 until 320).map(i =>
       (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
       .toDF("vec_id", "embedding")
-    // want = ceil(320/16) = 20 > maxFlatCells 4 → nested; split(20, 4):
-    // ceil-sqrt 5 clamps to kc = 4, kf = ceil(20/4) = 5
+    // want = ceil(320/16) = 20 > maxFlatCells 4 → nested. Assert against
+    // the ACTUAL split (r15 advisor: the old comment assumed kf = 5, but
+    // the kf clamp engages — ceil-sqrt 5 clamps to kc = 4, then
+    // kf = min(4, ceil(20/4)) = 4), so the bounds come from the same
+    // function the engine calls, not a hand-derived decomposition.
+    val (kc, kf) = Similarity.quantizerLevelsSplit(20, 4)
+    assert((kc, kf) === (4, 4), "split(20, 4) must clamp BOTH levels at 4")
     val out = Similarity.semDeDup(e, "vec_id", "embedding", 0.999,
       targetCellSize = 16, maxFlatCells = 4)
     assert(out.schema("cell").dataType ===
       org.apache.spark.sql.types.LongType,
       "the nested path must widen cell to LONG (composite exceeds Int)")
     val cells = out.select("cell").as[Long].collect()
-    // composite = c1*kf + c2 with c1 < kc = 4, c2 < kf = 5
-    assert(cells.forall(c => c >= 0 && c / 5 < 4 && c % 5 < 5))
+    // composite = c1*kf + c2 with c1 < kc and c2 < kf
+    assert(cells.forall(c => c >= 0 && c < kc.toLong * kf &&
+      c / kf < kc && c % kf < kf))
     // the split actually uses BOTH levels: more distinct composites than
     // any single level could express alone
-    assert(cells.distinct.length > 5,
+    assert(cells.distinct.length > math.max(kc, kf),
       s"only ${cells.distinct.length} distinct cells — fine level unused?")
     assert(out.count() === 320L) // every vector assigned exactly once
+  }
+
+  test("multi-probe composes with the nested quantizer: rank-1 containment, nProbe=1 identity, pair superset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val e = (0 until 320).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val c = e.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    // forced-nested params: want = ceil(320/16) = 20 > maxFlatCells 4
+    val single = Similarity.autoAssignCells(c, 0, 16, 4)
+    val probed = Similarity.autoAssignCellsTopK(c, 0, 16, 4, 2)
+    assert(probed.schema("cell").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "nested multi-probe must keep the LONG composite cell")
+    // training is identical, so the rank-1 probe IS the single two-level
+    // assignment: every (id, cell) of the rank-1 relation appears in the
+    // probed relation (the superset-by-construction core)
+    val missing = single.select("id", "cell")
+      .except(probed.select("id", "cell")).count()
+    assert(missing === 0L,
+      s"$missing rank-1 assignments absent from the probe set")
+    // each id carries at most nProbe probes, at least 1
+    val perId = probed.groupBy("id").count().agg(
+      org.apache.spark.sql.functions.min("count"),
+      org.apache.spark.sql.functions.max("count")).collect().head
+    assert(perId.getLong(0) >= 1L && perId.getLong(1) <= 2L)
+    // nProbe = 1 is the single-cell form EXACTLY (bit-identical relation)
+    val p1 = Similarity.autoAssignCellsTopK(c, 0, 16, 4, 1)
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val s1 = single.select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(p1.sorted.toSeq === s1.sorted.toSeq)
+    // and therefore the probed PAIR set is a superset of the rank-1 one
+    // under forced nesting, at the public API
+    val pairs1 = Similarity.cellNearDupPairs(e, "vec_id", "embedding",
+      0.5, targetCellSize = 16, maxFlatCells = 4)
+    val pairs2 = Similarity.cellNearDupPairsMultiProbe(e, "vec_id",
+      "embedding", 0.5, nProbe = 2, targetCellSize = 16, maxFlatCells = 4)
+    assert(pairs1.except(pairs2).count() === 0L,
+      "nested multi-probe pair set must contain every rank-1 pair")
   }
 
   test("explicit nCentroids above the nesting bound stays FLAT (INT cells)") {

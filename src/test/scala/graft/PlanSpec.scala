@@ -53,6 +53,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "balanced fixture must not pay for the quantizer route:\n" + p.take(600))
   }
 
+  test("q204: auto dispatch's cell branch ships the MULTI-PROBE plan by default") {
+    // zipfConcentration forced to 0 routes the dispatcher onto the cell
+    // branch at gate scale; since r16 that branch is the probed form.
+    // The rank-nProbe assignment itself sits behind the localCheckpoint
+    // (the plan scans the checkpointed (id, v, cell) RDD), so the
+    // distinguishing probed-route shape in the RETURNED plan is the
+    // pair-dedup distinct (partial+final HashAggregate on the whole
+    // (id_a, id_b, sim) tuple) over the cell equi-join — the rank-1 form
+    // emits pairs with NO distinct. No cartesian product anywhere.
+    val p = plan("q204_auto_route_probed_cells")
+    assert(p.contains("cell"), "cell route missing:\n" + p.take(600))
+    assert(p.contains("HashAggregate(keys=[id_a"),
+      "pair-dedup distinct missing — rank-1 plan shipped?\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q09: rank filter becomes a WindowGroupLimit below the shuffle") {
     // With only a handful of (returnflag, linestatus) groups, a plain
     // row_number window would shuffle and fully sort EVERY row into ~6

@@ -33,9 +33,16 @@ package graft.sinks
   * }}}
   * Semantic rules enforced beyond syntax: CHAR/VARCHAR require an explicit
   * length (1..65535 for VARCHAR — MySQL rejects a bare `VARCHAR`); type
+  * arguments must be non-negative; type
   * keywords must be MySQL types (CLOB, TEXT[], BYTEA, NVARCHAR2 … are
   * rejected); column names must be unique case-insensitively (MySQL
   * folds identifiers on lookup).
+  *
+  * Lexical subset: string literals support MySQL's doubled-quote ('')
+  * and backslash (\' \\) escapes (default sql_mode); integer literals
+  * take an optional sign (DEFAULT -1). Out of scope for the
+  * Spark-generated subset: double-quoted strings (ANSI_QUOTES),
+  * hex/bit literals, and fractional DEFAULT values.
   */
 object MySqlDdl {
 
@@ -94,11 +101,33 @@ object MySqlDdl {
         if (j < 0) return Left(s"unterminated ` identifier at $i")
         out += Ident(in.substring(i + 1, j)); i = j + 1
       } else if (c == '\'') {
-        val j = in.indexOf('\'', i + 1)
-        if (j < 0) return Left(s"unterminated string at $i")
-        out += Str(in.substring(i + 1, j)); i = j + 1
-      } else if (c.isDigit) {
-        var j = i; while (j < in.length && in.charAt(j).isDigit) j += 1
+        // MySQL string literals escape an inner quote BOTH ways: '' and
+        // \' (default sql_mode — NO_BACKSLASH_ESCAPES off); \\ is a
+        // literal backslash. A COMMENT like 'user''s list' or 'a\'b'
+        // must not end the token at the first inner quote (r15 advisor).
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < in.length && !closed) {
+          val ch = in.charAt(j)
+          if (ch == '\\' && j + 1 < in.length) {
+            sb.append(in.charAt(j + 1)); j += 2
+          } else if (ch == '\'') {
+            if (j + 1 < in.length && in.charAt(j + 1) == '\'') {
+              sb.append('\''); j += 2
+            } else { closed = true; j += 1 }
+          } else { sb.append(ch); j += 1 }
+        }
+        if (!closed) return Left(s"unterminated string at $i")
+        out += Str(sb.toString); i = j
+      } else if (c.isDigit ||
+        ((c == '-' || c == '+') && i + 1 < in.length &&
+          in.charAt(i + 1).isDigit)) {
+        // optional sign: DEFAULT -1 is valid MySQL DDL reachable via
+        // createTableColumnTypes (r15 advisor); Long.parseLong accepts
+        // the leading sign. '-'/'+' appear nowhere else in the grammar.
+        var j = if (c.isDigit) i else i + 1
+        while (j < in.length && in.charAt(j).isDigit) j += 1
         out += Num(in.substring(i, j).toLong); i = j
       } else if (c.isLetter || c == '_') {
         var j = i
@@ -201,6 +230,10 @@ object MySqlDdl {
         expectSym(')')
       }
       val typeArgs = args.result()
+      // the signed-number tokenizer branch makes DECIMAL(-1) lexable;
+      // MySQL rejects negative precision/length/scale semantically
+      if (typeArgs.exists(_ < 0))
+        fail(s"negative type argument in $typeName(${typeArgs.mkString(",")})")
       if (LengthRequired.contains(typeName) && typeArgs.isEmpty)
         fail(s"$typeName requires an explicit length")
       if (typeName == "VARCHAR" &&

@@ -9,8 +9,10 @@ import graft.operators.Similarity
   * oracle-gated vector lane runs at the fixture's dim = 64, but
   * production embeddings are 768–4096 — d-scaling is the one axis the
   * row-count slope gate never exercises. This main widens the sf
-  * embeddings to {64, 256, 512, 1024} dims and times the four vector
-  * operator families at each width, min-of-2 per cell, one JSON line out.
+  * embeddings to {64, 256, 512, 1024, 2048, 4096} dims (r16 extended the
+  * r15 sweep two doublings to cover the full production range) and times
+  * the four vector operator families at each width, min-of-2 per cell,
+  * one JSON line out.
   *
   * Widening is TILING, not JL expansion: `tile_k(v) = concat(v × k)/√k`
   * preserves every pairwise cosine EXACTLY (and unit norms), so the
@@ -68,7 +70,7 @@ object DimSweep {
     }
 
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (d <- Seq(64, 256, 512, 1024)) {
+    for (d <- Seq(64, 256, 512, 1024, 2048, 4096)) {
       val ed = tile(base, d / 64).localCheckpoint(eager = true)
       val q = ed.filter(col("vec_id") < 5).localCheckpoint(eager = true)
       def cell(op: String)(body: => DataFrame): Unit = {

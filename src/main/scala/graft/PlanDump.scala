@@ -56,7 +56,9 @@ object PlanDump {
       "q170_lsh_recall_audit",
       "q32_cosine_neardup", "q200_nested_quantizer",
       "q201_route_threshold_sensitivity",
-      "q202_cell_multiprobe_neardup", "q203_cell_probe_recall_sampled")
+      "q202_cell_multiprobe_neardup", "q203_cell_probe_recall_sampled",
+      "q204_auto_route_probed_cells", "q205_nested_multiprobe_neardup",
+      "q206_semdedup_text")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

@@ -409,19 +409,24 @@ object Similarity {
   /** Total LITERAL budget for the expression path: k·dim doubles inlined
     * into one projection. The centroid-count bound alone is d-blind — the
     * r15 dim sweep (OPERATORS.md) showed the expression path's cost and
-    * generated-code size growing linearly in d, so at production
-    * embedding widths (768–4096) even k ≤ 256 would inline 200k–1M
-    * literals and ride the JVM method-size cliff into interpreted
-    * fallback. The bound is MEASURED, not just a compile guard (r15 dim
-    * sweep, OPERATORS.md): at 32 cells the join form beats the
-    * expression form 2× at 8,192 literals (d=256: 2.29 → 1.15 s), 4×
-    * at 16k (d=512: 4.67 → 1.21 s), 5.7× at 32k (d=1024: 8.32 →
-    * 1.46 s), while at 2,048 (d=64) the two are even — the crossover
-    * lies in (2048, 8192). 6144 splits it while keeping every
-    * oracle-gated lane on the expression path it was pinned with (gate
-    * maximum 79 cells × 64 dims = 5,056); production embedding widths
-    * take the join form, whose generated code is k- and d-independent. */
-  private[graft] val MaxExprLiterals = 6144L
+    * generated-code size growing linearly in d at production embedding
+    * widths. r15 set the bound at 6144 from an n = 2,000 sweep; the r16
+    * fifth-decade diagnosis re-measured the crossover at n = 200,000,
+    * where fixed costs no longer mask the PER-ROW cost, and found the
+    * expression path pathological well below that budget: at
+    * kc = 56 · d = 64 = 3,584 literals, equal 32-way parallelism, the
+    * expression form took 64.6 s vs the join form's 2.6 s (25×) — the
+    * 56-column projection falls out of whole-stage codegen and pays
+    * interpreted per-row evaluation, a cost invisible at n = 2,000
+    * (both forms measured "even" there because the run was
+    * overhead-bound). 1024 keeps the genuinely cheap configurations —
+    * every explicit IVF coarse quantizer (k = 8 · d = 64 = 512) and
+    * every sf0.01 gate-corpus auto-k (≤ 8 cells) — on the zero-shuffle
+    * expression plan they were pinned with, and sends everything larger
+    * to the join form, whose generated code is k- and d-independent.
+    * Results are dispatch-invariant (expr ≡ join incl. ties/nulls is
+    * spec-gated), so no oracle moves — only plans. */
+  private[graft] val MaxExprLiterals = 1024L
 
   private[graft] def assignCells(
       c: DataFrame,
@@ -516,6 +521,11 @@ object Similarity {
         (col("__c1").cast("long") * kFine + col("__c2").cast("long"))
           .as("cell"))
   }
+
+  /** Diagnostic-visible alias of [[residuals]] (graft.tools.CellDiag). */
+  private[graft] def residualsDiag(
+      c: DataFrame,
+      coarse: Array[(Int, Seq[Double])]): DataFrame = residuals(c, coarse)
 
   /** Residuals (v − assignedCentroid) for fine-quantizer TRAINING — the
     * relation [[kmeansCentroids]] samples from; lazily recomputed by
@@ -1163,6 +1173,40 @@ object Similarity {
     * where the quadratic would. */
   private[graft] val NestAboveCells = 256
 
+  /** Make the quantizer's SCAN-STAGE scoring run at cluster parallelism.
+    *
+    * The assignment stages deliberately score in the scan stage (no
+    * corpus shuffle for quantization) — which means their parallelism is
+    * the INPUT'S DATA LAYOUT. On a healthy 100 TB layout that is ~10^6
+    * row groups and the design is free; but a compacted input (one
+    * parquet row group — this repo's own fixtures, and a real
+    * possibility after any compaction job) hands the whole n·k·d scoring
+    * loop to ONE task, and the split COUNT cannot detect it (Spark
+    * splits the file by bytes, but every split except the one holding
+    * the row-group midpoint reads zero rows). r16 measured the failure
+    * on the sf10 fixture: coarse assignment at kc = 56 ran ~56 s in one
+    * task vs ~2 s of 32-way work — and because auto-k grows with the
+    * corpus (kc + kf ≈ 2·√(n/cell)), the single-task curve read as
+    * exponent ~1.5 on lanes whose OUTPUT is linear.
+    *
+    * So above a trivial cell count the quantizer pays one round-robin
+    * repartition of the (id, v) projection unconditionally: the shuffle
+    * moves ~8·d bytes/row ONCE, the scoring it load-balances costs
+    * ≥ cells·d·~20 flops/row — at [[ScanRepartitionMinCells]] = 16 the
+    * scoring is already ≥ 40× the shuffle, and auto-derived cell counts
+    * only grow from there. Below the bound (every sf0.01 GATE corpus
+    * derives ≤ 8 cells) the zero-shuffle scan-stage plan is unchanged,
+    * so pinned gate plans keep their shape. Row order changes under
+    * round-robin; nothing downstream depends on it (assignment is
+    * per-row, training samples by md5 rank — spec/oracle-covered). */
+  private[graft] val ScanRepartitionMinCells = 16L
+
+  private def atScanParallelism(c: DataFrame, cells: Long): DataFrame = {
+    val target = c.sparkSession.sparkContext.defaultParallelism
+    if (cells < ScanRepartitionMinCells || target <= 1) c
+    else c.repartition(target)
+  }
+
   private[graft] def autoAssignCells(
       c: DataFrame,
       nCentroids: Int,
@@ -1181,24 +1225,26 @@ object Similarity {
             s"flat bound $maxFlatCells; pass nCentroids <= 0 to let the " +
             "auto quantizer nest instead.")
       val k = math.min(nCentroids, maxFlatCells)
-      val centroids = kmeansCentroids(c, "id", "v", k, autoSampleSize(k))
-      return assignCells(c, centroids)
+      val cp = atScanParallelism(c, k)
+      val centroids = kmeansCentroids(cp, "id", "v", k, autoSampleSize(k))
+      return assignCells(cp, centroids)
     }
     val want: Long = desiredCells(c.count(), targetCellSize)
+    val cp = atScanParallelism(c, want)
     val nest = math.min(maxFlatCells, NestAboveCells)
     if (want <= nest) {
       val k = math.max(1L, want).toInt
-      val centroids = kmeansCentroids(c, "id", "v", k, autoSampleSize(k))
-      assignCells(c, centroids)
+      val centroids = kmeansCentroids(cp, "id", "v", k, autoSampleSize(k))
+      assignCells(cp, centroids)
     } else {
       val (kc, kf) = quantizerLevelsSplit(want, maxFlatCells)
-      val coarse = kmeansCentroids(c, "id", "v", kc, autoSampleSize(kc))
+      val coarse = kmeansCentroids(cp, "id", "v", kc, autoSampleSize(kc))
       // the fine quantizer trains ONCE on residuals, shared across every
       // coarse cell — no per-cell sample ever reaches the driver
       val fine =
-        kmeansCentroids(residuals(c, coarse), "id", "rv", kf,
+        kmeansCentroids(residuals(cp, coarse), "id", "rv", kf,
           autoSampleSize(kf))
-      assignCellsTwoLevel(c, coarse, fine, kf)
+      assignCellsTwoLevel(cp, coarse, fine, kf)
     }
   }
 
@@ -1229,22 +1275,24 @@ object Similarity {
             s"flat bound $maxFlatCells; pass nCentroids <= 0 to let the " +
             "auto quantizer nest instead.")
       val k = math.min(nCentroids, maxFlatCells)
-      return assignCellsTopK(c,
-        kmeansCentroids(c, "id", "v", k, autoSampleSize(k)), nProbe)
+      val cp = atScanParallelism(c, k)
+      return assignCellsTopK(cp,
+        kmeansCentroids(cp, "id", "v", k, autoSampleSize(k)), nProbe)
     }
     val want: Long = desiredCells(c.count(), targetCellSize)
+    val cp = atScanParallelism(c, want)
     val nest = math.min(maxFlatCells, NestAboveCells)
     if (want <= nest) {
       val k = math.max(1L, want).toInt
-      assignCellsTopK(c,
-        kmeansCentroids(c, "id", "v", k, autoSampleSize(k)), nProbe)
+      assignCellsTopK(cp,
+        kmeansCentroids(cp, "id", "v", k, autoSampleSize(k)), nProbe)
     } else {
       val (kc, kf) = quantizerLevelsSplit(want, maxFlatCells)
-      val coarse = kmeansCentroids(c, "id", "v", kc, autoSampleSize(kc))
+      val coarse = kmeansCentroids(cp, "id", "v", kc, autoSampleSize(kc))
       val fine =
-        kmeansCentroids(residuals(c, coarse), "id", "rv", kf,
+        kmeansCentroids(residuals(cp, coarse), "id", "rv", kf,
           autoSampleSize(kf))
-      assignCellsTopKTwoLevel(c, coarse, fine, kf, nProbe)
+      assignCellsTopKTwoLevel(cp, coarse, fine, kf, nProbe)
     }
   }
 

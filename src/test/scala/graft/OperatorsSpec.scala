@@ -837,15 +837,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .select(col("id"), col("v").cast("array<double>").as("v"))
     def cents(k: Int) = Array.tabulate(k)(i =>
       i -> Seq.fill(dim)(rnd.nextGaussian()))
-    // 10 * 512 = 5120 <= budget (6144) → expression path (no join in the
-    // plan) — the same envelope the gate's 79-cell × 64-dim lanes sit in
-    val low = Similarity.assignCells(e, cents(10))
+    // 2 * 512 = 1024 <= budget (1024, r16-retuned) → expression path (no
+    // join in the plan) — the zero-shuffle envelope explicit IVF coarse
+    // quantizers (k=8 × d=64 = 512) and sf0.01 gate auto-ks sit in
+    val low = Similarity.assignCells(e, cents(2))
     assert(!low.queryExecution.executedPlan.toString.contains("Join"),
       "under the literal budget the plan must stay scan-stage")
     // 64 * 512 = 32768 > budget → join path even though k <= 256: the
     // r15 dim sweep measured the inlined-literal argmax growing linearly
-    // in d (and the join form BEATING it past ~16k literals); at
-    // production widths the expr form would cross the method-size cliff
+    // in d, and the r16 n=200k re-measure found the expr form 25× slower
+    // than the join form already at 3,584 literals (equal parallelism) —
+    // the per-row interpreted cost that an n=2,000 sweep cannot see
     val hi = Similarity.assignCells(e, cents(64))
     assert(hi.queryExecution.executedPlan.toString.contains("Join"),
       "past the literal budget the join form must take over")

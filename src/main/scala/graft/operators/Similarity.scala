@@ -1189,17 +1189,24 @@ object Similarity {
     * corpus (kc + kf ≈ 2·√(n/cell)), the single-task curve read as
     * exponent ~1.5 on lanes whose OUTPUT is linear.
     *
-    * So above a trivial cell count the quantizer pays one round-robin
-    * repartition of the (id, v) projection unconditionally: the shuffle
-    * moves ~8·d bytes/row ONCE, the scoring it load-balances costs
-    * ≥ cells·d·~20 flops/row — at [[ScanRepartitionMinCells]] = 16 the
-    * scoring is already ≥ 40× the shuffle, and auto-derived cell counts
-    * only grow from there. Below the bound (every sf0.01 GATE corpus
-    * derives ≤ 8 cells) the zero-shuffle scan-stage plan is unchanged,
-    * so pinned gate plans keep their shape. Row order changes under
-    * round-robin; nothing downstream depends on it (assignment is
-    * per-row, training samples by md5 rank — spec/oracle-covered). */
-  private[graft] val ScanRepartitionMinCells = 16L
+    * So above a non-trivial cell count the quantizer pays one
+    * round-robin repartition of the (id, v) projection unconditionally:
+    * the shuffle moves ~8·d bytes/row ONCE, the scoring it
+    * load-balances costs ≥ cells·d·~20 flops/row. The bound is set
+    * where the single-task scoring cost becomes MATERIAL, not where
+    * the flop ratio first favors the shuffle: at auto-derived
+    * k = ceil(n/64), [[ScanRepartitionMinCells]] = 128 means the guard
+    * engages from n ≈ 8k rows — below that, worst-case single-task
+    * scoring is < ~0.5 s while the added exchange + job round-trips
+    * sit ON the scheduler floor (the r16 first cut at 16 taxed every
+    * sub-second gate lane for a parallelism win that wasn't there to
+    * take). Every sf0.001–sf0.1 gate corpus derives ≤ 79 cells → gate
+    * plans keep their zero-extra-shuffle shape; the /tmp scale
+    * fixtures (want 313–7,813) and any real corpus engage it. Row
+    * order changes under round-robin; nothing downstream depends on it
+    * (assignment is per-row, training samples by md5 rank —
+    * spec/oracle-covered). */
+  private[graft] val ScanRepartitionMinCells = 128L
 
   private def atScanParallelism(c: DataFrame, cells: Long): DataFrame = {
     val target = c.sparkSession.sparkContext.defaultParallelism

@@ -333,6 +333,16 @@ object Similarity {
     * that guarantee for both the cosine (IVF) and squared-L2 (PQ)
     * trainings; any change here must change their CTE generators in
     * lockstep. */
+  /** Warn bound on the driver-side training work sample·k·d (score-fold
+    * units, ~3·d flops each for the cosine scorer): past ~1e11 units even
+    * the parallelized assignment step below is MINUTES of driver compute
+    * per Lloyd iteration (measured envelope in OPERATORS.md's r17
+    * training-cost table) — at that point the k or the sample should
+    * shrink, or training belongs in a Spark job. The bound is a loudness
+    * threshold, not a clamp: the arithmetic contract (oracle-replayable
+    * order-pinned folds) is preserved at any size. */
+  private[graft] val TrainingWorkWarn = 100_000_000_000L
+
   private def lloyd(
       points: Array[IndexedSeq[Double]],
       k: Int,
@@ -340,26 +350,57 @@ object Similarity {
       score: (IndexedSeq[Double], IndexedSeq[Double]) => Double,
       better: (Double, Double) => Boolean): Array[(Int, Seq[Double])] = {
     val kk = math.min(k, points.length)
+    val d = points.headOption.map(_.length).getOrElse(0)
+    if (points.length.toDouble * kk * d > TrainingWorkWarn.toDouble)
+      System.err.println(
+        s"[similarity] lloyd: training work sample=${points.length} × " +
+          s"k=$kk × d=$d exceeds $TrainingWorkWarn score units — minutes " +
+          "of driver compute per iteration; shrink k or the sample, or " +
+          "move training off the driver.")
     var cents: IndexedSeq[IndexedSeq[Double]] = points.take(kk).toIndexedSeq
     (0 until iters).foreach { _ =>
-      val assigned = points.map { v =>
-        var best = 0; var bestS = score(v, cents(0)); var j = 1
-        while (j < kk) {
-          val s = score(v, cents(j))
-          if (better(s, bestS)) { best = j; bestS = s }
-          j += 1
-        }
-        best
-      }
-      cents = (0 until kk).map { cell =>
-        val members = points.indices.filter(assigned(_) == cell).map(points(_))
-        if (members.isEmpty) cents(cell)
-        else {
-          var acc = members.head
-          members.iterator.drop(1).foreach { m =>
-            acc = acc.indices.map(i => acc(i) + m(i))
+      // assignment is embarrassingly parallel over sample points: each
+      // index computes from immutable inputs and writes only its own
+      // slot, so the result is bit-identical to the sequential loop at
+      // any thread count (the r16 verdict's defect 2: this step is
+      // O(sample·k·d) and was single-threaded — at production
+      // k·d = 65536·4096 that is ~10^12 score folds per iteration)
+      val assigned = new Array[Int](points.length)
+      val cs = cents
+      java.util.stream.IntStream.range(0, points.length).parallel()
+        .forEach { i =>
+          val v = points(i)
+          var best = 0; var bestS = score(v, cs(0)); var j = 1
+          while (j < kk) {
+            val s = score(v, cs(j))
+            if (better(s, bestS)) { best = j; bestS = s }
+            j += 1
           }
-          acc.map(_ / members.size)
+          assigned(i) = best
+        }
+      // bucket member indices in ONE pass (the per-cell filter scan was
+      // O(sample·k) index visits — 10^9 at sample=16384, k=65536),
+      // preserving index order so the mean fold below adds the same
+      // doubles in the same order as the original sequential form
+      val members = Array.fill(kk)(new scala.collection.mutable.ArrayBuffer[Int])
+      var i = 0
+      while (i < points.length) { members(assigned(i)) += i; i += 1 }
+      cents = (0 until kk).map { cell =>
+        val ms = members(cell)
+        if (ms.isEmpty) cents(cell)
+        else {
+          // seed = first member, strict left-to-right adds, one divide —
+          // the exact IEEE chain the SQL oracle replays
+          val acc = points(ms(0)).toArray
+          var t = 1
+          while (t < ms.length) {
+            val m = points(ms(t)); var j = 0
+            while (j < acc.length) { acc(j) += m(j); j += 1 }
+            t += 1
+          }
+          val n = ms.length
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            acc.map(_ / n))
         }
       }
     }
@@ -553,9 +594,11 @@ object Similarity {
     ensureFns(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val c = guardedProjection(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      nCentroids)
     val centroids: Array[(Int, Seq[Double])] =
-      kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+      kmeansCentroids(c, "id", "v", nCentroids)
     val assigned = assignCells(c, centroids)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val centDf = centroids.toSeq.toDF("cell", "cv")
@@ -770,9 +813,11 @@ object Similarity {
     ensureFns(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, sampleSize)
-    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sampleSize)
+    val c = guardedProjection(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      nCentroids)
+    val centroids = kmeansCentroids(c, "id", "v", nCentroids, sampleSize)
+    val books = pqCodebooks(c, "id", "v", m, codebookSize, sampleSize)
     val codes = pqEncode(assignCells(c, centroids), books, Seq("cell"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val centDf = centroids.toSeq.toDF("cell", "cv")
@@ -946,10 +991,11 @@ object Similarity {
     ensureFns(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids,
-      sampleSize)
-    val books = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sampleSize)
+    val c = guardedProjection(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      nCentroids)
+    val centroids = kmeansCentroids(c, "id", "v", nCentroids, sampleSize)
+    val books = pqCodebooks(c, "id", "v", m, codebookSize, sampleSize)
     centroids.toSeq.toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$outDir/centroids")
     books.zipWithIndex.flatMap { case (book, j) =>
@@ -1062,7 +1108,9 @@ object Similarity {
     val books = readCodebooks(spark, indexDir)
     require(centroids.nonEmpty && books.nonEmpty,
       s"appendToIvfPqIndex: no index under $indexDir")
-    val c = delta.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val c = guardedProjection(
+      delta.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      centroids.length)
     c.write.mode("append").parquet(s"$indexDir/vectors")
     pqEncode(assignCells(c, centroids), books, Seq("cell"))
       .write.mode("append").parquet(s"$indexDir/codes")
@@ -1189,36 +1237,89 @@ object Similarity {
     * corpus (kc + kf ≈ 2·√(n/cell)), the single-task curve read as
     * exponent ~1.5 on lanes whose OUTPUT is linear.
     *
-    * So above a non-trivial cell count the quantizer pays one
-    * round-robin repartition of the (id, v) projection unconditionally:
-    * the shuffle moves ~8·d bytes/row ONCE, the scoring it
-    * load-balances costs ≥ cells·d·~20 flops/row. The bound is set
-    * where the single-task scoring cost becomes MATERIAL, not where
-    * the flop ratio first favors the shuffle: at auto-derived
-    * k = ceil(n/64), [[ScanRepartitionMinCells]] = 128 means the guard
-    * engages from n ≈ 8k rows — below that, worst-case single-task
-    * scoring is < ~0.5 s while the added exchange + job round-trips
-    * sit ON the scheduler floor (the r16 first cut at 16 taxed every
-    * sub-second gate lane for a parallelism win that wasn't there to
-    * take). Every sf0.001–sf0.1 gate corpus derives ≤ 79 cells → gate
-    * plans keep their zero-extra-shuffle shape; the /tmp scale
-    * fixtures (want 313–7,813) and any real corpus engage it. Row
-    * order changes under round-robin; nothing downstream depends on it
+    * So above a non-trivial amount of SCORING WORK the quantizer pays
+    * one round-robin repartition of the (id, v) projection
+    * unconditionally: the shuffle moves ~8·d bytes/row ONCE, the
+    * scoring it load-balances costs ~k·d·20 flops/row. The r16 cut
+    * keyed the guard on CELL count, which proxies work only when k is
+    * corpus-derived (auto k = ceil(n/64) at d = 64) — an EXPLICIT
+    * small k (the q38/q66 IVF entry shape, k ≤ 256) never tripped it,
+    * so an explicit quantization over a compacted multi-million-row
+    * corpus still single-tasked its n·k·d loop (the r16 verdict's
+    * defect 1). r17 keys the guard on the work product n·k·d itself,
+    * with the SAME material-cost bound the r16 retune measured: at
+    * auto k and d = 64, cells ≥ 128 ⟺ n·k·d ≥ 8192·128·64, so
+    * [[ScanRepartitionMinWork]] = 2^26 work units ≈ 1.3 GFlop ≈ the
+    * ~0.5 s single-task floor below which the added exchange + job
+    * round-trips tax sub-second lanes for no win (the r16 first cut
+    * at 16 cells measured exactly that tax). Every sf0.001–sf0.1 gate
+    * corpus sits well under the bound on BOTH paths (auto ≤ 79 cells;
+    * explicit k ≤ 300 at n ≤ 5k) → gate plans keep their
+    * zero-extra-shuffle shape; the /tmp scale fixtures and any real
+    * corpus engage it on every entry. n comes from the count the auto
+    * path already runs (the explicit path adds one — metadata-cheap on
+    * a parquet scan); d from a 1-row probe ([[vecDim]]). Row order
+    * changes under round-robin; nothing downstream depends on it
     * (assignment is per-row, training samples by md5 rank —
     * spec/oracle-covered). */
-  private[graft] val ScanRepartitionMinCells = 128L
+  private[graft] val ScanRepartitionMinWork = 8192L * 128L * 64L
 
-  private def atScanParallelism(c: DataFrame, cells: Long): DataFrame = {
+  /** Vector width from ONE row (a `limit 1` job — the corpus dimension
+    * is constant by contract; a leading null/empty vector reads 0 and
+    * the guard simply stays off, a conservative miss). */
+  private def vecDim(c: DataFrame): Int = {
+    val r = c.select(size(col("v")).as("d")).head(1)
+    if (r.isEmpty || r(0).isNullAt(0)) 0 else math.max(0, r(0).getInt(0))
+  }
+
+  private def atScanParallelism(c: DataFrame, n: Long, k: Long, d: Int): DataFrame = {
     val target = c.sparkSession.sparkContext.defaultParallelism
-    if (cells < ScanRepartitionMinCells || target <= 1) c
+    // doubles, not Long multiplication: n·k·d can exceed Long range at
+    // production sizes (n = 1e9, k = n/64, d = 4096) and the compare
+    // needs no exactness
+    if (target <= 1 ||
+      n.toDouble * k.toDouble * d.toDouble < ScanRepartitionMinWork.toDouble) c
     else c.repartition(target)
   }
 
-  private[graft] def autoAssignCells(
+  /** One trained quantizer for every [[autoAssignCells]] /
+    * [[autoAssignCellsTopK]] entry — the size-class dispatch (explicit
+    * flat k with the clamp warn; auto flat below [[NestAboveCells]];
+    * nested coarse × residual-fine past it), the scan-parallelism guard,
+    * and BOTH deterministic Lloyd trainings live HERE and only here, so
+    * the rank-1 and rank-k assignment paths consume byte-identical
+    * training inputs by construction (the r16 advisor's desync hazard:
+    * two hand-kept copies of this dispatch could drift and silently void
+    * the rank-1-superset guarantee). Carries the guarded corpus `cp`
+    * alongside the centroids because assignment must score the SAME
+    * repartitioned relation the training sampled. */
+  /** The n·k·d guard for the explicit-k ANN entries ([[ivfTopK]],
+    * [[ivfPqTopK]], [[buildIvfPqIndex]], [[appendToIvfPqIndex]]) — they
+    * quantize against a caller-pinned centroid count without routing
+    * through [[trainQuantizer]], so they carry the guard themselves (the
+    * r16 verdict's defect 1: an explicit k ≤ 256 never trips a
+    * cell-count proxy, single-tasking the scoring loop on compacted
+    * layouts). Training moves to the guarded relation too: the md5-rank
+    * sample is order-deterministic, so the same centroids fall out of
+    * any partitioning (spec-gated), and the sample SCAN load-balances
+    * with the same shuffle. */
+  private def guardedProjection(c: DataFrame, k: Int): DataFrame =
+    atScanParallelism(c, c.count(), k, vecDim(c))
+
+  private[graft] sealed trait TrainedQuantizer { def cp: DataFrame }
+  private[graft] final case class FlatQuantizer(
+      cp: DataFrame, centroids: Array[(Int, Seq[Double])]) extends TrainedQuantizer
+  private[graft] final case class NestedQuantizer(
+      cp: DataFrame,
+      coarse: Array[(Int, Seq[Double])],
+      fine: Array[(Int, Seq[Double])],
+      kFine: Int) extends TrainedQuantizer
+
+  private[graft] def trainQuantizer(
       c: DataFrame,
       nCentroids: Int,
       targetCellSize: Int,
-      maxFlatCells: Int): DataFrame = {
+      maxFlatCells: Int): TrainedQuantizer = {
     // An EXPLICIT nCentroids is a contract: exactly k flat cells (INT),
     // clamped only at maxFlatCells with a loud warn — never silently
     // replaced by a ~√k×√k nested quantizer whose cell ids (LONG
@@ -1232,17 +1333,16 @@ object Similarity {
             s"flat bound $maxFlatCells; pass nCentroids <= 0 to let the " +
             "auto quantizer nest instead.")
       val k = math.min(nCentroids, maxFlatCells)
-      val cp = atScanParallelism(c, k)
-      val centroids = kmeansCentroids(cp, "id", "v", k, autoSampleSize(k))
-      return assignCells(cp, centroids)
+      val cp = atScanParallelism(c, c.count(), k, vecDim(c))
+      return FlatQuantizer(cp, kmeansCentroids(cp, "id", "v", k, autoSampleSize(k)))
     }
-    val want: Long = desiredCells(c.count(), targetCellSize)
-    val cp = atScanParallelism(c, want)
+    val n = c.count()
+    val want: Long = desiredCells(n, targetCellSize)
+    val cp = atScanParallelism(c, n, want, vecDim(c))
     val nest = math.min(maxFlatCells, NestAboveCells)
     if (want <= nest) {
       val k = math.max(1L, want).toInt
-      val centroids = kmeansCentroids(cp, "id", "v", k, autoSampleSize(k))
-      assignCells(cp, centroids)
+      FlatQuantizer(cp, kmeansCentroids(cp, "id", "v", k, autoSampleSize(k)))
     } else {
       val (kc, kf) = quantizerLevelsSplit(want, maxFlatCells)
       val coarse = kmeansCentroids(cp, "id", "v", kc, autoSampleSize(kc))
@@ -1251,9 +1351,20 @@ object Similarity {
       val fine =
         kmeansCentroids(residuals(cp, coarse), "id", "rv", kf,
           autoSampleSize(kf))
-      assignCellsTwoLevel(cp, coarse, fine, kf)
+      NestedQuantizer(cp, coarse, fine, kf)
     }
   }
+
+  private[graft] def autoAssignCells(
+      c: DataFrame,
+      nCentroids: Int,
+      targetCellSize: Int,
+      maxFlatCells: Int): DataFrame =
+    trainQuantizer(c, nCentroids, targetCellSize, maxFlatCells) match {
+      case FlatQuantizer(cp, centroids) => assignCells(cp, centroids)
+      case NestedQuantizer(cp, coarse, fine, kf) =>
+        assignCellsTwoLevel(cp, coarse, fine, kf)
+    }
 
   /** [[autoAssignCells]]'s dispatch with rank-`nProbe` assignment — the
     * same quantizer family at every size class (explicit flat k; auto
@@ -1275,31 +1386,11 @@ object Similarity {
     require(nProbe >= 1, "nProbe >= 1")
     if (nProbe == 1)
       return autoAssignCells(c, nCentroids, targetCellSize, maxFlatCells)
-    if (nCentroids > 0) {
-      if (nCentroids > maxFlatCells)
-        System.err.println(
-          s"[similarity] explicit nCentroids=$nCentroids clamped to the " +
-            s"flat bound $maxFlatCells; pass nCentroids <= 0 to let the " +
-            "auto quantizer nest instead.")
-      val k = math.min(nCentroids, maxFlatCells)
-      val cp = atScanParallelism(c, k)
-      return assignCellsTopK(cp,
-        kmeansCentroids(cp, "id", "v", k, autoSampleSize(k)), nProbe)
-    }
-    val want: Long = desiredCells(c.count(), targetCellSize)
-    val cp = atScanParallelism(c, want)
-    val nest = math.min(maxFlatCells, NestAboveCells)
-    if (want <= nest) {
-      val k = math.max(1L, want).toInt
-      assignCellsTopK(cp,
-        kmeansCentroids(cp, "id", "v", k, autoSampleSize(k)), nProbe)
-    } else {
-      val (kc, kf) = quantizerLevelsSplit(want, maxFlatCells)
-      val coarse = kmeansCentroids(cp, "id", "v", kc, autoSampleSize(kc))
-      val fine =
-        kmeansCentroids(residuals(cp, coarse), "id", "rv", kf,
-          autoSampleSize(kf))
-      assignCellsTopKTwoLevel(cp, coarse, fine, kf, nProbe)
+    trainQuantizer(c, nCentroids, targetCellSize, maxFlatCells) match {
+      case FlatQuantizer(cp, centroids) =>
+        assignCellsTopK(cp, centroids, nProbe)
+      case NestedQuantizer(cp, coarse, fine, kf) =>
+        assignCellsTopKTwoLevel(cp, coarse, fine, kf, nProbe)
     }
   }
 

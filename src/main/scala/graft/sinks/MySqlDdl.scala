@@ -111,7 +111,24 @@ object MySqlDdl {
         while (j < in.length && !closed) {
           val ch = in.charAt(j)
           if (ch == '\\' && j + 1 < in.length) {
-            sb.append(in.charAt(j + 1)); j += 2
+            // translate MySQL's special escapes to their lexed VALUES
+            // (manual §9.1.1: \0 \' \" \b \n \r \t \Z \\ \% \_ — the
+            // last two keep the backslash, they are pattern escapes);
+            // every other \x lexes as x. r16 appended the escaped char
+            // verbatim, so 'a\nb' tokenized as "anb" — accept/reject
+            // behavior matched MySQL but the Str VALUE was wrong (r16
+            // advisor).
+            sb.append(in.charAt(j + 1) match {
+              case '0' => '\u0000' // NUL
+              case 'b' => '\b'
+              case 'n' => '\n'
+              case 'r' => '\r'
+              case 't' => '\t'
+              case 'Z' => '\u001A' // SUB (Ctrl-Z)
+              case '%' => sb.append('\\'); '%'
+              case '_' => sb.append('\\'); '_'
+              case other => other
+            }); j += 2
           } else if (ch == '\'') {
             if (j + 1 < in.length && in.charAt(j + 1) == '\'') {
               sb.append('\''); j += 2
@@ -128,7 +145,16 @@ object MySqlDdl {
         // the leading sign. '-'/'+' appear nowhere else in the grammar.
         var j = if (c.isDigit) i else i + 1
         while (j < in.length && in.charAt(j).isDigit) j += 1
-        out += Num(in.substring(i, j).toLong); i = j
+        // Long-range guard: a > 19-digit (or overflowing signed) literal
+        // must fail on the tokenizer's Either channel, not throw — the
+        // r16 sign branch widened the reachable inputs here and the
+        // property test feeds this path broadly (r16 advisor).
+        try out += Num(in.substring(i, j).toLong)
+        catch {
+          case _: NumberFormatException =>
+            return Left(s"numeric literal out of range at $i")
+        }
+        i = j
       } else if (c.isLetter || c == '_') {
         var j = i
         while (j < in.length &&

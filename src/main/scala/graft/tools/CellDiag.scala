@@ -49,6 +49,31 @@ object CellDiag {
     }
 
     val n = c.count()
+
+    // r17 (verdict task 1): the EXPLICIT-k entry shape (q38/q66 IVF,
+    // k well under the r16 cell-count proxy's 128) over the compacted
+    // single-row-group layout — raw assignCells is the r16 defect
+    // (single-task n·k·d scoring), autoAssignCells is the same work
+    // through the n·k·d guard. SPARK_GRAFT_DIAG_MODE=explicit runs
+    // only this A/B.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_DIAG_MODE", "full")
+    if (mode == "explicit" || mode == "full") {
+      val explK = 64
+      val expl = t("explicitTrain") {
+        Similarity.kmeansCentroids(c, "id", "v", explK,
+          Similarity.autoSampleSize(explK))
+      }
+      t("explicitRaw") { // unguarded: the defect shape
+        Similarity.assignCells(c, expl).write.format("noop")
+          .mode("overwrite").save()
+      }
+      t("explicitGuarded") { // through trainQuantizer's n·k·d guard
+        Similarity.autoAssignCells(c, explK, 64, 65536).write
+          .format("noop").mode("overwrite").save()
+      }
+      if (mode == "explicit") { spark.stop(); return }
+    }
+
     // decompose the auto path's nested branch stage by stage (mirrors
     // autoAssignCells' own body; private[graft] access via graft.tools)
     val want = Similarity.desiredCells(n, 64)

@@ -163,6 +163,22 @@ class JdbcLoadSpec extends AnyFunSuite with SparkSpec {
     assert(MySqlDdl.parse(
       "CREATE TABLE t (a VARCHAR(70000))").isLeft,
       "VARCHAR length past 65535 must be rejected")
+    // escape VALUE fidelity (r16 advisor): special escapes lex to their
+    // MySQL §9.1.1 meanings — 'a\nb' is a-NEWLINE-b, not "anb"; \\ is
+    // one backslash; \% keeps the backslash (pattern escape)
+    val esc = MySqlDdl.parse(
+      "CREATE TABLE t (a INT) COMMENT 'a\\nb\\tc\\\\d\\%e\\qf'").fold(
+      err => fail(s"escaped COMMENT rejected: $err"), identity)
+    assert(esc.options("COMMENT") === "a\nb\tc\\d\\%e" + "qf",
+      s"wrong lexed escape values: ${esc.options("COMMENT")}")
+    // Long-overflow literals fail on the Either channel, never throw
+    // (r16 advisor: the sign branch widened reachable numeric inputs)
+    assert(MySqlDdl.parse(
+      "CREATE TABLE t (a VARCHAR(99999999999999999999))").isLeft,
+      "a 20-digit literal must Left, not throw")
+    assert(MySqlDdl.parse(
+      "CREATE TABLE t (a BIGINT DEFAULT -9223372036854775809)").isLeft,
+      "a Long.MinValue-1 literal must Left, not throw")
     // and the same statement shape against a NON-MySQL url shows the
     // dialect divergence the grammar exists to catch (Derby: no LONGTEXT)
     val derbyStmt = GraftJdbcDdlBridge.createTableStatement(

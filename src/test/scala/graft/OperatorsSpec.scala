@@ -1266,6 +1266,39 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(maxCell >= 256, s"no cell id past the nesting bound: $maxCell")
   }
 
+  test("scan-parallelism guard keys on n*k*d work, explicit-k path included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // ONE input partition = the compacted-layout shape (single parquet
+    // row group); d = 64 so the work product uses the calibration dim
+    val rows = (0 until 64).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val c = spark.createDataset(rows).toDF("id", "v").coalesce(1)
+    assert(c.rdd.getNumPartitions === 1)
+    // EXPLICIT k at the flat bound: 64*65536*64 = 2.7e8 >= 2^26 -> the
+    // r16 defect class (cell-count proxy never fired for explicit k)
+    // must now engage the round-robin repartition
+    val big = Similarity.trainQuantizer(c, 65536, 64, 65536)
+    assert(big.cp.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism,
+      "explicit-k quantizer must load-balance material scoring work")
+    // EXPLICIT small k: 64*8*64 = 33k << 2^26 -> sub-second lanes keep
+    // their zero-extra-shuffle plan (the r16 retune's concern)
+    val small = Similarity.trainQuantizer(c, 8, 64, 65536)
+    assert(small.cp.rdd.getNumPartitions === 1,
+      "immaterial work must not pay the exchange")
+    // AUTO mode at gate scale (want = 1 cell) stays untouched too
+    val auto = Similarity.trainQuantizer(c, 0, 64, 65536)
+    assert(auto.cp.rdd.getNumPartitions === 1)
+    // and the guarded relation feeds IDENTICAL assignment semantics:
+    // training samples by md5 rank, so centroids match bit-for-bit
+    val cb = big.asInstanceOf[Similarity.FlatQuantizer].centroids
+    val cs = Similarity.kmeansCentroids(c, "id", "v", 65536,
+      Similarity.autoSampleSize(65536))
+    assert(cb.toSeq === cs.toSeq,
+      "repartitioning must not change the deterministic training sample")
+  }
+
   test("pq codes: identical vectors share codes; self-query ranks its dup first") {
     val base = Array.tabulate(8)(i => i.toFloat / 8f)
     val e = Seq(

@@ -80,11 +80,23 @@ object Bench {
     val raw = timed.map { case (k, a, b) => s"\"" + k + s"\":[$a,$b]" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // Drift calibration (r17, verdict task 6): two consecutive rounds
+    // spent judge+builder effort re-adjudicating host drift (r15 q85,
+    // r16's fleet-wide 1.27×). qb38 is the frozen reference — its lane
+    // body and the source it drives have been untouched since r12 — so
+    // any round-over-round movement in THIS number is the host, not the
+    // code. Protocol (documented in OPERATORS.md bench provenance):
+    // compare rounds as calibration-normalized ratios
+    // (t_lane/cal_now) / (t_lane_prev/cal_prev); only residual movement
+    // after normalization is attributable to the diff.
+    val calLane = "qb38_bangumi_source"
+    val cal = results.getOrElse(calLane, -1.0)
+    val calJson = s""""calibration":{"lane":"$calLane","sec":$cal}"""
     // Summary line FIRST (the driver's tail capture truncated r4's single
     // giant line), raw pairs second, and the full record ALSO written to
     // bench_out.json so the numbers survive any capture window.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calJson,"queries":$qs,"sf":"$sfDir"}"""
     println(summary)
     println(s"""{"metric":"raw_pairs","raw":$raw}""")
     // Compact per-decade rollup printed LAST: the driver's capture window
@@ -115,7 +127,7 @@ object Bench {
       .mkString("{", ",", "}")
     val nFail = results.values.count(_ < 0)
     println(
-      s"""{"metric":"decade_totals","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"decade_totals":$decades,"sf":"$sfDir"}""")
+      s"""{"metric":"decade_totals","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,$calJson,"decade_totals":$decades,"sf":"$sfDir"}""")
     // best-effort file record: never let a read-only cwd fail the run
     // AFTER the numbers were already printed
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

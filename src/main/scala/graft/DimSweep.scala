@@ -69,6 +69,40 @@ object DimSweep {
       System.gc()
     }
 
+    // r17 (verdict task 2): driver-side TRAINING cost at production k·d —
+    // the r16 sweep measured assignment at d = 4096 but trained only at
+    // gate k (≤ 224-row samples). SPARK_GRAFT_SWEEP_MODE=train times
+    // kmeansCentroids (sortedSample collect + 2 parallelized Lloyd
+    // iterations) at (k, d) ∈ {1024, 4096} × {2048, 4096} with the
+    // PRODUCTION sample autoSampleSize(k) — run against a corpus with
+    // ≥ 16384 vectors (/tmp/testdata_sf1) so the sample is not
+    // corpus-clipped. Min-of-2, one JSON line.
+    if (sys.env.getOrElse("SPARK_GRAFT_SWEEP_MODE", "assign") == "train") {
+      val ks = sys.env.getOrElse("SPARK_GRAFT_TRAIN_KS", "1024,4096")
+        .split(",").map(_.trim.toInt).toSeq
+      val tout = scala.collection.mutable.LinkedHashMap[String, Double]()
+      for (d <- Seq(2048, 4096); k <- ks) {
+        val ed = tile(base, d / 64).localCheckpoint(eager = true)
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          Similarity.kmeansCentroids(ed, "vec_id", "embedding", k,
+            Similarity.autoSampleSize(k))
+          (System.nanoTime() - t0) / 1e9
+        }
+        val m = math.min(run(), run())
+        tout(s"train_k${k}_d$d") = m
+        System.err.println(f"[dimsweep] train_k${k}_d$d%-16s $m%.2f s")
+        quiesce()
+      }
+      val tcells = tout.map { case (k, v) =>
+        s""""$k":${String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))}"""
+      }.mkString(",")
+      println(s"""{"metric":"train_sweep","sf":"$sfDir","cells":{$tcells}}""")
+      spark.stop()
+      return
+    }
+
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (d <- Seq(64, 256, 512, 1024, 2048, 4096)) {
       val ed = tile(base, d / 64).localCheckpoint(eager = true)

@@ -1710,6 +1710,38 @@ object SparkEntry {
         "doc_id", "vec", 0.9)
         .select(col("id").as("doc_id"), col("cell"), col("kept"))),
 
+    // Multi-probe SRP near-dup — the r17 mirror of q202 for the SIGN-
+    // BUCKET route (the dispatch default on BALANCED corpora, where the
+    // r16 probe work never reached): each vector probes its home bucket
+    // plus its lowest-|margin| bit flip (Lv '07 multi-probe, one table),
+    // so boundary pairs one uncertain sign apart co-occur. Pair set a
+    // SUPERSET of the rank-0 SRP route by construction (home = probe
+    // row 1, spec-gated); candidate mass ≤ nProbes². The oracle replays
+    // the 48-plane prefix, the margin sort (abs-dot asc, plane asc),
+    // the bit flips, and the DISTINCT on the rounded pair tuple.
+    "q207_srp_multiprobe_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairsMultiProbe(T(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.3, nProbes = 2, dim = 64)),
+
+    // What the SRP probe dial BUYS, on the same fixed 256-doc sample
+    // q198 scores rank-0 on (the q203 pattern applied to the SRP
+    // route): the q198 audit with the SRP generator at nProbes = 2 and
+    // the cell generator at rank-1 — read recall_srp here against
+    // q198's for the boundary-pair recovery, n_srp against q198's for
+    // its candidate-mass price. Fixed cost at any corpus size.
+    "q208_srp_probe_recall_sampled" -> ((s, dir) => {
+      val sdocs = Dedup.kminDocSample(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", 256).localCheckpoint(eager = true)
+      val vecs = TextAnalysis.hashedTfVectors(sdocs, "doc_id", "text",
+        dim = 64).select(col("doc_id"), col("vec"))
+      Similarity.nearDupRecallAudit(vecs, "doc_id", "vec", 0.9, dim = 64,
+        srpProbes = 2)
+        .crossJoin(broadcast(sdocs.agg(count(lit(1)).as("n_docs_sampled"))))
+        .crossJoin(broadcast(T(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs_total"))))
+    }),
+
     // TRUE-recall audit on the q195-style md5-k-min sample: brute-force
     // exact cosine pairs over 256 sampled docs (the only affordable
     // place for ground truth), then how much of the truth the SRP and
@@ -3097,6 +3129,45 @@ object SparkEntry {
   private def bucketSql(v: String, planes: Array[Array[Double]]): String =
     planes.map(p => s"CASE WHEN ${dotSql(v, planeSql(p))} >= 0 THEN '1' ELSE '0' END")
       .mkString("(", " || ", ")")
+
+  /** CTE block replaying [[operators.Similarity.probedSrpBuckets]] over a
+    * relation `src`(id, v): emits `<pfx>pp` (the derived plane count —
+    * same two-level derivation as the q32/q198 oracles), `<pfx>bv`
+    * (id, v, home) and `<pfx>probes` (id, v, bucket) = the home sign
+    * bucket plus the `nProbes − 1` lowest-|margin| bit flips, margin
+    * ties broken by plane index — exactly the engine's sort_array
+    * (m, i) order. One margin row per plane, filtered to i < p so the
+    * derived prefix drives the flips too. */
+  private def probedSrpCteSql(
+      pfx: String,
+      src: String,
+      planes: Array[Array[Double]],
+      nProbes: Int,
+      targetBucketSize: Int = 64): String = {
+    val mrows = planes.zipWithIndex.map { case (pl, i) =>
+      s"""SELECT id, $i AS i, abs(${dotSql("v", planeSql(pl))}) AS m
+         |  FROM ${pfx}bv WHERE $i < (SELECT p FROM ${pfx}pp)""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""${pfx}pp AS (SELECT CAST(LEAST(${planes.length}, GREATEST(1,
+       |    CASE WHEN q <= 1 THEN 1
+       |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
+       |  FROM (SELECT (count(*) + ${targetBucketSize - 1})
+       |      // $targetBucketSize AS q FROM $src)),
+       |${pfx}bv AS (SELECT id, v,
+       |    substr(${bucketSql("v", planes)}, 1, (SELECT p FROM ${pfx}pp))
+       |      AS home FROM $src),
+       |${pfx}mr AS ($mrows),
+       |${pfx}fl AS (SELECT b.id, b.v,
+       |    substr(b.home, 1, f.i) ||
+       |      (CASE WHEN substr(b.home, f.i + 1, 1) = '1'
+       |          THEN '0' ELSE '1' END) ||
+       |      substr(b.home, f.i + 2, (SELECT p FROM ${pfx}pp)) AS bucket
+       |  FROM ${pfx}bv b JOIN (SELECT id, i FROM (SELECT id, i,
+       |      row_number() OVER (PARTITION BY id ORDER BY m ASC, i ASC) AS rn
+       |      FROM ${pfx}mr) t WHERE rn <= ${nProbes - 1}) f USING (id)),
+       |${pfx}probes AS (SELECT id, v, home AS bucket FROM ${pfx}bv
+       |  UNION ALL SELECT id, v, bucket FROM ${pfx}fl)""".stripMargin
+  }
 
   /** CTE replaying [[operators.TextAnalysis.gopherRules]]'s signal +
     * verdict projection (ends with `gsig`). Every ratio is the same
@@ -6296,6 +6367,70 @@ object SparkEntry {
          |SELECT a.id AS doc_id, CAST(a.cell AS INT) AS cell,
          |  CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept
          |FROM assign a LEFT JOIN dropped d ON d.id = a.id""".stripMargin,
+
+    // the probed-SRP pair route replayed end to end: 48-plane prefix
+    // bucket, per-plane |margin| rows filtered to i < p, rank-1 flip by
+    // (m asc, i asc), home ∪ flip probe set, pair join on the probed
+    // bucket, DISTINCT on the rounded tuple
+    "q207_srp_multiprobe_neardup" -> {
+      val planes = Similarity.hyperplanes(48, 64)
+      s"""WITH e0 AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |${probedSrpCteSql("s", "e0", planes, 2)}
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  round(${cosSql("a.v", "b.v")}, 6) AS sim
+         |FROM sprobes a JOIN sprobes b USING (bucket)
+         |WHERE a.id < b.id
+         |  AND ${cosSql("a.v", "b.v")} >= CAST(0.3 AS DOUBLE)""".stripMargin
+    },
+
+    // q198's replay with the SRP side at nProbes = 2 (probed buckets +
+    // DISTINCT'd pair set) and the cell side at rank-1 — the SRP probe
+    // dial's recall and candidate-mass price on the identical sample
+    "q208_srp_probe_recall_sampled" -> {
+      val planes = Similarity.hyperplanes(48, 64)
+      s"""WITH ${kminDocSampleCte(256)}${hashedTfCteSql(64, "sdocs")},
+         |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${cosSql("a.vec", "b.vec")} AS sim
+         |  FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id),
+         |tpf AS (SELECT id_a, id_b FROM tp WHERE sim >= 0.9),
+         |sv AS (SELECT doc_id AS id, vec AS v FROM vecs),
+         |${probedSrpCteSql("s", "sv", planes, 2)},
+         |spr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS sim
+         |  FROM sprobes a JOIN sprobes b USING (bucket)
+         |  WHERE a.id < b.id),
+         |sp AS (SELECT DISTINCT id_a, id_b FROM spr WHERE sim >= 0.9),
+         |e AS (SELECT doc_id AS id, vec AS v FROM vecs),
+         |${kmeansCteSqlAuto(64, 2)},
+         |cent AS (SELECT cell, cv FROM cent2),
+         |assign AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |cpr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS sim
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id),
+         |cp AS (SELECT id_a, id_b FROM cpr WHERE sim >= 0.9),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tpf),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_srp FROM sp),
+         |ncl AS (SELECT CAST(count(*) AS BIGINT) AS n_cell FROM cp),
+         |nsd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_sampled
+         |  FROM sdocs),
+         |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total
+         |  FROM documents)
+         |SELECT CAST(0.9 AS DOUBLE) AS threshold, n_true, n_srp, n_cell,
+         |  CASE WHEN n_true > 0 THEN round(CAST(n_srp AS DOUBLE)
+         |    / CAST(n_true AS DOUBLE), 6) END AS recall_srp,
+         |  CASE WHEN n_true > 0 THEN round(CAST(n_cell AS DOUBLE)
+         |    / CAST(n_true AS DOUBLE), 6) END AS recall_cell,
+         |  n_docs_sampled, n_docs_total
+         |FROM nt CROSS JOIN ns CROSS JOIN ncl
+         |CROSS JOIN nsd CROSS JOIN ntot""".stripMargin
+    },
 
     // q150's quartile replay (p = 0.25/0.75, k = 64) feeding Tukey
     // fences and one exact counting pass

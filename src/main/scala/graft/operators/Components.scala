@@ -60,9 +60,9 @@ object Components {
       srcCol: String,
       dstCol: String,
       maxIters: Int = 50): DataFrame = {
-    val e2 = symmetrize(edges, srcCol, dstCol).localCheckpoint()
+    val e2 = symmetrize(edges, srcCol, dstCol).transform(Checkpoints.trackedEager)
     var labels = e2.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("comp")).localCheckpoint()
+      .select(col("node"), col("node").as("comp")).transform(Checkpoints.trackedEager)
     var done = e2.isEmpty
     var i = 0
     while (!done && i < maxIters) {
@@ -72,15 +72,21 @@ object Components {
         .select(col("src").as("node"), col("comp"))
       val next = labels.unionByName(offers)
         .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint()
+        .transform(Checkpoints.trackedEager)
       // labels only ever decrease, so "changed" = any label strictly lower
       val changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("node"))
         .filter(col("comp") < col("prev")).limit(1).count() > 0
+      // generation n−1 is dead once `next` is materialized and `changed`
+      // computed — the rolling acquire→use→release that keeps O(1)
+      // checkpointed generations instead of one block set per round
+      Checkpoints.release(labels)
       labels = next
       done = !changed
       i += 1
     }
     require(done, s"labelPropagation did not converge in $maxIters rounds")
+    // the returned relation reads only the FINAL labels checkpoint
+    Checkpoints.release(e2)
     labels.select(col("node"), col("comp").as("component"))
   }
 
@@ -92,7 +98,7 @@ object Components {
       srcCol: String,
       dstCol: String,
       maxIters: Int = 30): DataFrame = {
-    var ce = canon(edges, srcCol, dstCol).localCheckpoint()
+    var ce = canon(edges, srcCol, dstCol).transform(Checkpoints.trackedEager)
     var done = ce.isEmpty
     var i = 0
     while (!done && i < maxIters) {
@@ -104,7 +110,7 @@ object Components {
         .select(col("src"), col("dst"), least(col("mn"), col("src")).as("m"))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("a"), col("m").as("b"))
-      val afterLarge = canon(ls, "a", "b").localCheckpoint()
+      val afterLarge = canon(ls, "a", "b").transform(Checkpoints.trackedEager)
 
       // small-star: orient edges toward the larger endpoint; every node u
       // links its smaller neighbors AND itself to m(u) = min of the
@@ -115,12 +121,17 @@ object Components {
         .filter(col("dst") =!= col("m"))
         .select(col("dst").as("a"), col("m").as("b"))
         .unionByName(smins.select(col("src").as("a"), col("m").as("b")))
-      val next = canon(ss, "a", "b").localCheckpoint()
+      val next = canon(ss, "a", "b").transform(Checkpoints.trackedEager)
 
       // fixpoint = the canonical edge set stopped moving
       val diff = next.unionByName(ce)
         .groupBy("lo", "hi").agg(count(lit(1)).as("n"))
         .filter(col("n") === 1).limit(1).count()
+      // afterLarge and generation n−1 are dead once `next` is
+      // materialized and the fixpoint count has read them — release so
+      // the loop holds ONE checkpointed generation, not 2 per round
+      Checkpoints.release(afterLarge)
+      Checkpoints.release(ce)
       ce = next
       done = diff == 0
       i += 1
@@ -252,20 +263,28 @@ object Components {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.trackedEager)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.trackedEager)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
     var pr = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    var prevCp: DataFrame = null
     for (i <- 1 to iters) {
       // checkpoint the PREVIOUS round at the top so the final round's plan
       // stays inspectable (one un-truncated iteration) while lineage never
-      // nests deeper than a single round
-      if (i > 1) pr = pr.localCheckpoint()
+      // nests deeper than a single round; the round BEFORE it is dead the
+      // moment this eager checkpoint lands — rolling release keeps O(1)
+      // generations
+      if (i > 1) {
+        val cp = pr.transform(Checkpoints.trackedEager)
+        if (prevCp != null) Checkpoints.release(prevCp)
+        prevCp = cp
+        pr = cp
+      }
       val contrib = e
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
@@ -312,7 +331,7 @@ object Components {
       .filter(col("a") =!= col("b") && col("a").isNotNull &&
         col("b").isNotNull)
       .distinct()
-      .localCheckpoint() // reused 4×: degrees, orientation, probe, count
+      .transform(Checkpoints.trackedEager) // reused 4×: degrees, orientation, probe, count
     val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val withDeg = und

@@ -92,7 +92,7 @@ object Dedup {
     // guess; an explicit estimate skips the count job.
     val fresh = exact(delta, idCol, textCol)
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .localCheckpoint(eager = true)
+      .transform(Checkpoints.trackedEager)
     val nDelta =
       if (estimatedDeltaFps > 0L) estimatedDeltaFps else fresh.count()
     val sketch = graft.functions.GraftFunctions.sizedBloomSketch(
@@ -348,7 +348,7 @@ object Dedup {
       // sh feeds five consumers (df rank, prefix, full probe, sizes,
       // verify) — checkpoint once instead of recomputing the scan 5×
       cappedShingleHashes(df, idCol, textCol, n, maxShingleDocFreq)
-        .localCheckpoint(eager = true),
+        .transform(Checkpoints.trackedEager),
       idCol, threshold)
 
   /** Prefix-filtered containment core over a prepared (already
@@ -452,7 +452,7 @@ object Dedup {
       maxShingleDocFreq: Long = 0L,
       zipfConcentration: Double = 3.0): DataFrame = {
     val sh = cappedShingleHashes(df, idCol, textCol, n, maxShingleDocFreq)
-      .localCheckpoint(eager = true)
+      .transform(Checkpoints.trackedEager)
     if (shingleDfConcentration(sh) >= zipfConcentration)
       containmentPrefixFromShingles(sh, idCol, threshold)
     else containmentFromShingles(sh, idCol, threshold)
@@ -712,12 +712,12 @@ object Dedup {
       "minMatchFraction must be in [0, 1]")
     val minMatch = math.ceil(minMatchFraction * numHashes).toInt
     val dsig = minhashSignatures(delta, idCol, textCol, n, numHashes)
-      .localCheckpoint(eager = true)
+      .transform(Checkpoints.trackedEager)
     // the index side also feeds two consumers (band keys + the verify
     // join); a non-persisted caller frame would otherwise evaluate its
     // signature subtree twice. The materialized relation is k hashes per
     // doc — tiny at any scale (the sig-relation rule again).
-    val isig = indexSigs.localCheckpoint(eager = true)
+    val isig = indexSigs.transform(Checkpoints.trackedEager)
     val dband = bandedKeys(dsig, idCol, numHashes, rowsPerBand)
       .withColumnRenamed(idCol, "delta_id")
     val iband = bandedKeys(isig, idCol, numHashes, rowsPerBand)
@@ -796,7 +796,7 @@ object Dedup {
     // re-runs the job instead of recomputing a partition — the standard
     // price for iterative/self-join reuse.
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
-      .localCheckpoint(eager = true)
+      .transform(Checkpoints.trackedEager)
     val banded = bandedKeys(sig, idCol, numHashes, rowsPerBand)
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("key"))
@@ -820,10 +820,10 @@ object Dedup {
     // cand feeds both the intersection join and the outer verify join —
     // materialize it for the same single-evaluation reason as `sig` above.
     val cand = minhashLshPairs(df, idCol, textCol, n, numHashes, rowsPerBand)
-      .localCheckpoint(eager = true)
+      .transform(Checkpoints.trackedEager)
     // sh feeds three consumers (the id_a probe, the id_b probe, and sizes);
     // uncut, the explode+distinct subtree evaluates once per consumer.
-    val sh = shingleSet(df, idCol, textCol, n).localCheckpoint(eager = true)
+    val sh = shingleSet(df, idCol, textCol, n).transform(Checkpoints.trackedEager)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
@@ -864,7 +864,7 @@ object Dedup {
       numHashes: Int,
       rowsPerBand: Int): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
-      .localCheckpoint(eager = true)
+      .transform(Checkpoints.trackedEager)
     val banded = bandedKeys(sig, idCol, numHashes, rowsPerBand)
     val cand = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
       .join(banded.select(col(idCol).as("id_b"), col("band"), col("key")),
@@ -880,7 +880,7 @@ object Dedup {
       .reduce(_ + _)
     val est = cand.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"), nMatch.as("n_match"))
-    val sh = shingleSet(df, idCol, textCol, n).localCheckpoint(eager = true)
+    val sh = shingleSet(df, idCol, textCol, n).transform(Checkpoints.trackedEager)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = est.select("id_a", "id_b")
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
@@ -924,7 +924,7 @@ object Dedup {
       maxShingleDocFreq: Long = 100): DataFrame = {
     val truePairs = ngramJaccardPairs(df, idCol, textCol, n, threshold,
       maxShingleDocFreq).select(col("id_a"), col("id_b"))
-      .localCheckpoint(eager = true)
+      .transform(Checkpoints.trackedEager)
     val cand = minhashLshPairs(df, idCol, textCol, n, numHashes, rowsPerBand)
     val caught = truePairs.join(cand, Seq("id_a", "id_b"), "left_semi")
     val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
@@ -985,7 +985,7 @@ object Dedup {
       maxShingleDocFreq: Long = 100,
       sampleSize: Int = 4096): DataFrame = {
     val s = kminDocSample(df.select(col(idCol), col(textCol)), idCol,
-      sampleSize).localCheckpoint(eager = true)
+      sampleSize).transform(Checkpoints.trackedEager)
     lshRecallAudit(s, idCol, textCol, n, numHashes, rowsPerBand, threshold,
       maxShingleDocFreq)
       .crossJoin(broadcast(s.agg(count(lit(1)).as("n_docs_sampled"))))
@@ -1007,7 +1007,7 @@ object Dedup {
       sampleSize: Int = 4096): DataFrame =
     minhashEstimatorAudit(
       kminDocSample(df.select(col(idCol), col(textCol)), idCol, sampleSize)
-        .localCheckpoint(eager = true),
+        .transform(Checkpoints.trackedEager),
       idCol, textCol, n, numHashes, rowsPerBand)
 
   /** [[minhashNearDupPairs]] with the (bands, rowsPerBand) plan derived
@@ -1120,7 +1120,7 @@ object Dedup {
     // halves the bytes scanned). Same executor-local-storage / lineage
     // tradeoff as the MinHash checkpoint in minhashLshPairs; the relation
     // is one 16-char string per doc, tiny at any scale.
-    val sig = simhash(df, idCol, textCol).localCheckpoint(eager = true)
+    val sig = simhash(df, idCol, textCol).transform(Checkpoints.trackedEager)
     // rest(b) = the 12 hex chars outside band b, order-preserved; the
     // composite key is band(4 chars) ++ sub-block(3 chars of rest(b))
     def rest(bnd: Int): Column =
@@ -1180,7 +1180,7 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "C(6,3) combination blocking is exact only for maxDist <= 3")
     val sig = sigDf.select(col(idCol), col(hashCol).as("simhash"))
-      .localCheckpoint(eager = true)
+      .transform(Checkpoints.trackedEager)
     // hex-char (start, length) of the 6 blocks, 1-based for substring
     val blocks = Seq((1, 3), (4, 3), (7, 3), (10, 3), (13, 2), (15, 2))
     val triples = for {

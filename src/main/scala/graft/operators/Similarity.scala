@@ -1188,9 +1188,9 @@ object Similarity {
       maxFlatCells: Int = MaxFlatCells): DataFrame = {
     ensureFns(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val assigned =
+    val assigned = Checkpoints.track(
       autoAssignCells(c, nCentroids, targetCellSize, maxFlatCells)
-        .localCheckpoint()
+        .localCheckpoint())
     val l = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val r = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
     val dropped = l.join(r, Seq("cell"))
@@ -1282,17 +1282,6 @@ object Similarity {
     else c.repartition(target)
   }
 
-  /** One trained quantizer for every [[autoAssignCells]] /
-    * [[autoAssignCellsTopK]] entry — the size-class dispatch (explicit
-    * flat k with the clamp warn; auto flat below [[NestAboveCells]];
-    * nested coarse × residual-fine past it), the scan-parallelism guard,
-    * and BOTH deterministic Lloyd trainings live HERE and only here, so
-    * the rank-1 and rank-k assignment paths consume byte-identical
-    * training inputs by construction (the r16 advisor's desync hazard:
-    * two hand-kept copies of this dispatch could drift and silently void
-    * the rank-1-superset guarantee). Carries the guarded corpus `cp`
-    * alongside the centroids because assignment must score the SAME
-    * repartitioned relation the training sampled. */
   /** The n·k·d guard for the explicit-k ANN entries ([[ivfTopK]],
     * [[ivfPqTopK]], [[buildIvfPqIndex]], [[appendToIvfPqIndex]]) — they
     * quantize against a caller-pinned centroid count without routing
@@ -1306,6 +1295,17 @@ object Similarity {
   private def guardedProjection(c: DataFrame, k: Int): DataFrame =
     atScanParallelism(c, c.count(), k, vecDim(c))
 
+  /** One trained quantizer for every [[autoAssignCells]] /
+    * [[autoAssignCellsTopK]] entry — the size-class dispatch (explicit
+    * flat k with the clamp warn; auto flat below [[NestAboveCells]];
+    * nested coarse × residual-fine past it), the scan-parallelism guard,
+    * and BOTH deterministic Lloyd trainings live HERE and only here, so
+    * the rank-1 and rank-k assignment paths consume byte-identical
+    * training inputs by construction (the r16 advisor's desync hazard:
+    * two hand-kept copies of this dispatch could drift and silently void
+    * the rank-1-superset guarantee). Carries the guarded corpus `cp`
+    * alongside the centroids because assignment must score the SAME
+    * repartitioned relation the training sampled. */
   private[graft] sealed trait TrainedQuantizer { def cp: DataFrame }
   private[graft] final case class FlatQuantizer(
       cp: DataFrame, centroids: Array[(Int, Seq[Double])]) extends TrainedQuantizer
@@ -1545,9 +1545,9 @@ object Similarity {
       targetCellSize: Int,
       maxFlatCells: Int): DataFrame = {
     require(nProbe >= 1, "nProbe >= 1")
-    val assigned =
+    val assigned = Checkpoints.track(
       autoAssignCellsTopK(c, nCentroids, targetCellSize, maxFlatCells,
-        nProbe).localCheckpoint()
+        nProbe).localCheckpoint())
     val l = assigned.select(col("cell"), col("id").as("id_a"),
       col("v").as("v_a"))
     val r = assigned.select(col("cell"), col("id").as("id_b"),
@@ -1567,9 +1567,9 @@ object Similarity {
       nCentroids: Int,
       targetCellSize: Int,
       maxFlatCells: Int): DataFrame = {
-    val assigned =
+    val assigned = Checkpoints.track(
       autoAssignCells(c, nCentroids, targetCellSize, maxFlatCells)
-        .localCheckpoint()
+        .localCheckpoint())
     val l = assigned.select(col("cell"), col("id").as("id_a"),
       col("v").as("v_a"))
     val r = assigned.select(col("cell"), col("id").as("id_b"),
@@ -1683,8 +1683,9 @@ object Similarity {
       maxFlatCells: Int = MaxFlatCells,
       cellProbes: Int = DefaultCellProbes): DataFrame = {
     ensureFns(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .localCheckpoint(eager = true)
+    val c = Checkpoints.track(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .localCheckpoint(eager = true))
     val conc = srpBucketConcentration(c, "id", "v", nPlanes, dim, seed,
       targetBucketSize, maxPlanesPerLevel)
     if (conc >= zipfConcentration) {
@@ -1724,8 +1725,9 @@ object Similarity {
       targetBucketSize: Int = 64,
       targetCellSize: Int = 64): DataFrame = {
     ensureFns(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .localCheckpoint(eager = true)
+    val c = Checkpoints.track(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .localCheckpoint(eager = true))
     val srp = embeddingNearDupPairs(c, "id", "v", threshold, nPlanes, dim,
       seed, targetBucketSize).withColumn("in_s", lit(1L))
     val cell = cellNearDupPairsFrom(c, threshold, nCentroids = 0,
@@ -1755,8 +1757,11 @@ object Similarity {
     * `cellProbes > 1` swaps the cell generator for
     * [[cellNearDupPairsMultiProbe]] at that probe count (q203 measures
     * what the probe dial buys on the same sample q198 scores rank-1 on);
-    * both forms verify with the same cosine predicate, so the subset-of-
-    * truth property is unchanged. */
+    * `srpProbes > 1` symmetrically swaps the SRP generator for
+    * [[embeddingNearDupPairsMultiProbe]] (the r17 mirror of that
+    * measurement for the sign-bucket route); all forms verify with the
+    * same cosine predicate, so the subset-of-truth property is
+    * unchanged. */
   def nearDupRecallAudit(
       corpus: DataFrame,
       idCol: String,
@@ -1767,16 +1772,23 @@ object Similarity {
       seed: Long = 42L,
       targetBucketSize: Int = 64,
       targetCellSize: Int = 64,
-      cellProbes: Int = 1): DataFrame = {
+      cellProbes: Int = 1,
+      srpProbes: Int = 1): DataFrame = {
     ensureFns(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .localCheckpoint(eager = true)
+    val c = Checkpoints.track(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .localCheckpoint(eager = true))
     val truePairs = c.select(col("id").as("id_a"), col("v").as("v_a"))
       .crossJoin(broadcast(c.select(col("id").as("id_b"), col("v").as("v_b"))))
       .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("v_a"), col("v_b")) >= threshold)
-    val srp = embeddingNearDupPairs(c, "id", "v", threshold, nPlanes, dim,
-      seed, targetBucketSize)
+    val srp =
+      if (srpProbes <= 1)
+        embeddingNearDupPairs(c, "id", "v", threshold, nPlanes, dim,
+          seed, targetBucketSize)
+      else
+        embeddingNearDupPairsMultiProbe(c, "id", "v", threshold, srpProbes,
+          nPlanes, dim, seed, targetBucketSize)
     val cell =
       if (cellProbes <= 1)
         cellNearDupPairsFrom(c, threshold, nCentroids = 0,
@@ -1834,8 +1846,9 @@ object Similarity {
       measureRecall: Boolean = false,
       zipfConcentration: Double = 3.0): DataFrame = {
     ensureFns(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .localCheckpoint(eager = true)
+    val c = Checkpoints.track(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .localCheckpoint(eager = true))
     val p = autoPlanesTwoLevel(c.count(), targetBucketSize, MaxAutoPlanes)
     val planes = hyperplanes(p, dim, seed)
     // SRP bucket populations → the concentration statistic (the exact
@@ -1965,6 +1978,92 @@ object Similarity {
         cosine(col("v_a"), col("v_b")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Rank-`nProbes` SRP bucket assignment (the corpus-side analogue of
+    * [[multiProbeTopK]]'s query fan-out, Lv et al. '07): every vector
+    * appears in its HOME sign bucket plus the `nProbes − 1` buckets
+    * reached by flipping its least-confident bits — the planes whose
+    * |v · plane| margin is smallest, ties broken by plane index. The
+    * home bucket is always row 1, so probe sets (and therefore pair
+    * sets) are SUPERSETS of the rank-0 assignment by construction.
+    * Returns (id, v, bucket) with exactly `nProbes` distinct buckets
+    * per vector (each flip differs from home at a distinct plane). */
+  private[graft] def probedSrpBuckets(
+      c: DataFrame,
+      planes: Array[Array[Double]],
+      nProbes: Int): DataFrame = {
+    val p = planes.length
+    require(nProbes >= 1 && nProbes <= p + 1,
+      "probes = the home bucket + at most one flip per plane")
+    def litVec(pl: Array[Double]) = array(pl.map(lit(_)): _*)
+    val home = srpBucket(col("v"), planes)
+    if (nProbes == 1)
+      return c.select(col("id"), col("v"), home.as("bucket"))
+    val margins = planes.zipWithIndex.map { case (pl, i) =>
+      struct(abs(dot(col("v"), litVec(pl))).as("m"), lit(i).as("i"))
+    }
+    def flipAt(bucket: Column, i: Column): Column = concat(
+      bucket.substr(lit(1), i),
+      when(bucket.substr(i + 1, lit(1)) === "1", "0").otherwise("1"),
+      bucket.substr(i + 2, lit(p)))
+    c.withColumn("__ord", sort_array(array(margins.toIndexedSeq: _*)))
+      .withColumn("bucket", explode(array(
+        home +: (1 until nProbes).map(j =>
+          flipAt(home, element_at(col("__ord"), j).getField("i"))): _*)))
+      .select(col("id"), col("v"), col("bucket"))
+  }
+
+  /** [[embeddingNearDupPairs]] with MULTI-PROBE SRP assignment — the
+    * recall dial for the SIGN-BUCKET route, mirroring what r16 gave the
+    * cell route (q202/q203): a true pair whose members land one sign
+    * apart on a low-|margin| plane never collides at rank 0 (q198
+    * measured recall_srp 0.88–1.0 on the fixed sample; 0.93/0.66 on the
+    * q201 prefixes), and multi-TABLE LSH buys that recall at L× index
+    * cost. Probing each vector's `nProbes − 1` lowest-margin bit flips
+    * makes such pairs co-occur whenever their probe sets intersect —
+    * candidate mass ≤ nProbes² per bucket-population term, ONE hash
+    * table, and the rank-0 probe row IS the home assignment, so the
+    * emitted pair set is a SUPERSET of [[embeddingNearDupPairs]]'s
+    * (spec-gated). A pair can co-occur in up to nProbes shared buckets,
+    * so pairs dedup on the (id_a, id_b, sim-6dp) tuple after the
+    * threshold filter — the same 24-byte matched-pairs distinct the
+    * probed cell route carries.
+    *
+    * `nPlanes <= 0` derives the plane count exactly as
+    * [[embeddingNearDupPairs]] does (same prefix property, same
+    * two-level budget), so an oracle inlines the max plane set, truncates
+    * the bit string, and replays the margin sort (abs-dot asc, plane
+    * asc) and the flips digit-exactly. */
+  def embeddingNearDupPairsMultiProbe(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nProbes: Int = 2,
+      nPlanes: Int = 0,
+      dim: Int = 64,
+      seed: Long = 42L,
+      targetBucketSize: Int = 64,
+      maxPlanesPerLevel: Int = MaxAutoPlanes): DataFrame = {
+    ensureFns(corpus.sparkSession)
+    val p =
+      if (nPlanes > 0) nPlanes
+      else autoPlanesTwoLevel(corpus.count(), targetBucketSize,
+        maxPlanesPerLevel)
+    val planes = hyperplanes(p, dim, seed)
+    val c = Checkpoints.track(probedSrpBuckets(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      planes, math.min(nProbes, p + 1)).localCheckpoint())
+    val l = c.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val r = c.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .distinct()
   }
 
   /** Multi-probe SRP-LSH top-k (Lv et al. '07): ONE hash table, with each

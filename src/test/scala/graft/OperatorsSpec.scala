@@ -1244,6 +1244,94 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       "nested multi-probe pair set must contain every rank-1 pair")
   }
 
+  test("Checkpoints: release frees blocks; releaseTracked frees operator internals only") {
+    import spark.implicits._
+    import graft.operators.Checkpoints
+    // release(df) drops exactly the checkpoint's persistent RDD
+    val n0 = spark.sparkContext.getPersistentRDDs.size
+    val cp = Seq(1, 2, 3).toDF("x").localCheckpoint(eager = true)
+    assert(spark.sparkContext.getPersistentRDDs.size === n0 + 1)
+    Checkpoints.release(cp)
+    assert(spark.sparkContext.getPersistentRDDs.size === n0,
+      "release must unpersist the checkpoint's RDD")
+    // a pair-generator call registers its internal checkpoints; a USER
+    // checkpoint (the input below) is untouched by releaseTracked
+    Checkpoints.releaseTracked()
+    val rnd = new scala.util.Random(7)
+    val e = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint(eager = true)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    Similarity.cellNearDupPairs(e, "vec_id", "embedding", 0.9,
+      targetCellSize = 16)
+      .write.format("noop").mode("overwrite").save()
+    assert(Checkpoints.trackedCount >= 1,
+      "the pair generator must register its internal checkpoint")
+    assert(spark.sparkContext.getPersistentRDDs.size > base)
+    Checkpoints.releaseTracked()
+    assert(Checkpoints.trackedCount === 0)
+    assert(spark.sparkContext.getPersistentRDDs.size === base,
+      "releaseTracked must free exactly the operator-internal blocks")
+    Checkpoints.release(e)
+  }
+
+  test("iterative components hold O(1) checkpointed generations") {
+    import spark.implicits._
+    import graft.operators.{Checkpoints, Components}
+    Checkpoints.releaseTracked()
+    val n0 = spark.sparkContext.getPersistentRDDs.size
+    // a 64-node path graph: alternatingStars needs several rounds, so the
+    // pre-r17 behavior would leave 2 checkpoints per round; now at most
+    // the final generation survives the call
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Components.alternatingStars(edges, "a", "b")
+    assert(comp.select(countDistinct(col("component"))).collect()
+      .head.getLong(0) === 1L)
+    val leaked = spark.sparkContext.getPersistentRDDs.size - n0
+    assert(leaked <= 1,
+      s"$leaked checkpointed generations survive — rolling release broken?")
+    Checkpoints.releaseTracked()
+  }
+
+  test("multi-probe SRP pairs: rank-0 containment, probe monotonicity, nProbes=1 identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val e = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val p0 = Similarity.embeddingNearDupPairs(e, "vec_id", "embedding",
+      0.5, dim = 8, targetBucketSize = 16)
+    val p2 = Similarity.embeddingNearDupPairsMultiProbe(e, "vec_id",
+      "embedding", 0.5, nProbes = 2, dim = 8, targetBucketSize = 16)
+    val p3 = Similarity.embeddingNearDupPairsMultiProbe(e, "vec_id",
+      "embedding", 0.5, nProbes = 3, dim = 8, targetBucketSize = 16)
+    // the home bucket is probe row 1, so pair sets are supersets of the
+    // rank-0 SRP route; probe sets are margin-order prefixes of each
+    // other, so recall is monotone in nProbes
+    assert(p0.except(p2).count() === 0L,
+      "probed SRP pair set must contain every rank-0 pair")
+    assert(p2.except(p3).count() === 0L,
+      "probe sets are prefixes: nProbes=3 must contain nProbes=2")
+    // nProbes = 1 is the rank-0 route exactly
+    val p1 = Similarity.embeddingNearDupPairsMultiProbe(e, "vec_id",
+      "embedding", 0.5, nProbes = 1, dim = 8, targetBucketSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(p1 === p0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq)
+    // probe fan-out shape: exactly nProbes DISTINCT buckets per vector
+    // (each flip differs from home at a distinct plane)
+    val c = e.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val fan = Similarity.probedSrpBuckets(c,
+      Similarity.hyperplanes(5, 8), 3)
+      .groupBy("id")
+      .agg(countDistinct(col("bucket")).as("nb"), count(lit(1)).as("n"))
+      .agg(min(col("nb")), max(col("nb")), min(col("n")), max(col("n")))
+      .collect().head
+    assert((fan.getLong(0), fan.getLong(1), fan.getLong(2),
+      fan.getLong(3)) === ((3L, 3L, 3L, 3L)))
+  }
+
   test("explicit nCentroids above the nesting bound stays FLAT (INT cells)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

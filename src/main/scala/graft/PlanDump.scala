@@ -58,7 +58,8 @@ object PlanDump {
       "q201_route_threshold_sensitivity",
       "q202_cell_multiprobe_neardup", "q203_cell_probe_recall_sampled",
       "q204_auto_route_probed_cells", "q205_nested_multiprobe_neardup",
-      "q206_semdedup_text")
+      "q206_semdedup_text", "q207_srp_multiprobe_neardup",
+      "q208_srp_probe_recall_sampled")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, captured by graft.PlanDump)\n\n")
     sb.append("What to look for: `PushedFilters`/pruned `ReadSchema` on scans,\n")

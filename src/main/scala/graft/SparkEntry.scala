@@ -442,13 +442,15 @@ object SparkEntry {
     // the route audit q193 proved out unless they opt out; q156 keeps the
     // explicit-SRP form as the comparison lane). Since r16 the dispatch's
     // cell route ships MULTI-PROBE (cellProbes = DefaultCellProbes = 2 —
-    // the q203-measured recall-1.0 form); the oracle's cell branch
-    // replays the rank-2 window + DISTINCT. The embeddings fixture is
+    // the q203-measured recall-1.0 form); since r17 the SRP route does
+    // too (srpProbes = DefaultSrpProbes = 2 — the q208-measured
+    // recall-1.0 form; on THIS corpus the probed route verifies 580 vs
+    // 203 true pairs at +10% solo cost). The embeddings fixture is
     // direction-balanced at every SF (concentration < 3), so the
-    // dispatch takes the quantizer-free SRP path — pinned in PlanSpec —
-    // and the oracle replays the same concentration gate, so a dispatch
-    // flip would hash-mismatch here (q204 gates the probed cell branch
-    // at gate scale by forcing the cutoff).
+    // dispatch takes the quantizer-free probed-SRP path — pinned in
+    // PlanSpec — and the oracle replays the same concentration gate plus
+    // the margin flips + DISTINCT, so a dispatcher shipping rank-0 (or a
+    // different probe count) hash-mismatches here at every SF.
     "q32_cosine_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairsAuto(T(s, dir, "embeddings"),
         "vec_id", "embedding", 0.3, dim = 64)
@@ -1545,7 +1547,10 @@ object SparkEntry {
     // corpora), < 3 keeps SRP sign buckets (cheaper: no quantizer).
     // Since r16 the cell route is the MULTI-PROBE form at the default
     // cellProbes = 2 (q203's measured recall-1.0 configuration); the
-    // oracle's cell branch replays the rank-2 window + DISTINCT.
+    // oracle's cell branch replays the rank-2 window + DISTINCT. Since
+    // r17 the SRP route is probed too (srpProbes = 2, q208's measured
+    // recall-1.0 form) — the oracle's SRP branch replays the margin
+    // flips + DISTINCT.
     // THIS fixture crosses the threshold between SFs (≈2.7 at
     // sf0.001/0.01 → SRP; ≈10.5 at sf0.1 → cells), so the gate
     // exercises one route and the scale sweep the other; the oracle
@@ -3137,7 +3142,15 @@ object SparkEntry {
     * bucket plus the `nProbes − 1` lowest-|margin| bit flips, margin
     * ties broken by plane index — exactly the engine's sort_array
     * (m, i) order. One margin row per plane, filtered to i < p so the
-    * derived prefix drives the flips too. */
+    * derived prefix drives the flips too.
+    *
+    * The bucket/margin CTEs are MATERIALIZED (DuckDB hint): the probe
+    * relation is referenced from BOTH sides of the pair join, and under
+    * default inlining each reference re-expands ~50 copies of the
+    * 48-plane dot expressions (sbv inside every smr branch inside sfl) —
+    * measured planner/executor memory blow-up to allocation failure at
+    * sf0.1 and 175 s when it survived; materialized, the same query runs
+    * in 3–22 s flat. */
   private def probedSrpCteSql(
       pfx: String,
       src: String,
@@ -3153,11 +3166,11 @@ object SparkEntry {
        |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
        |  FROM (SELECT (count(*) + ${targetBucketSize - 1})
        |      // $targetBucketSize AS q FROM $src)),
-       |${pfx}bv AS (SELECT id, v,
+       |${pfx}bv AS MATERIALIZED (SELECT id, v,
        |    substr(${bucketSql("v", planes)}, 1, (SELECT p FROM ${pfx}pp))
        |      AS home FROM $src),
-       |${pfx}mr AS ($mrows),
-       |${pfx}fl AS (SELECT b.id, b.v,
+       |${pfx}mr AS MATERIALIZED ($mrows),
+       |${pfx}fl AS MATERIALIZED (SELECT b.id, b.v,
        |    substr(b.home, 1, f.i) ||
        |      (CASE WHEN substr(b.home, f.i + 1, 1) = '1'
        |          THEN '0' ELSE '1' END) ||
@@ -3165,7 +3178,7 @@ object SparkEntry {
        |  FROM ${pfx}bv b JOIN (SELECT id, i FROM (SELECT id, i,
        |      row_number() OVER (PARTITION BY id ORDER BY m ASC, i ASC) AS rn
        |      FROM ${pfx}mr) t WHERE rn <= ${nProbes - 1}) f USING (id)),
-       |${pfx}probes AS (SELECT id, v, home AS bucket FROM ${pfx}bv
+       |${pfx}probes AS MATERIALIZED (SELECT id, v, home AS bucket FROM ${pfx}bv
        |  UNION ALL SELECT id, v, bucket FROM ${pfx}fl)""".stripMargin
   }
 
@@ -6048,23 +6061,19 @@ object SparkEntry {
     "q193_vector_route_dispatch" -> {
       val planes = Similarity.hyperplanes(48, 64)
       s"""WITH ${hashedTfCteSql(64)},
-         |pp AS (SELECT CAST(LEAST(48, GREATEST(1,
-         |    CASE WHEN q <= 1 THEN 1
-         |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
-         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM vecs)),
-         |bv AS (SELECT doc_id, vec,
-         |    substr(${bucketSql("vec", planes)}, 1, (SELECT p FROM pp))
-         |      AS bucket
-         |  FROM vecs),
-         |pops AS (SELECT bucket, count(*) AS n FROM bv GROUP BY 1),
+         |sv AS (SELECT doc_id AS id, vec AS v FROM vecs),
+         |${probedSrpCteSql("s", "sv", planes, Similarity.DefaultSrpProbes)},
+         |pops AS (SELECT home AS bucket, count(*) AS n FROM sbv GROUP BY 1),
          |st AS (SELECT CAST(sum(n * (n - 1)) AS DOUBLE)
          |    / (CAST(sum(n) AS DOUBLE) * CAST(63 AS DOUBLE)) AS conc
          |  FROM pops),
-         |sp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    ${cosSql("a.vec", "b.vec")} AS sim
-         |  FROM bv a JOIN bv b USING (bucket)
-         |  WHERE a.doc_id < b.doc_id
-         |    AND (SELECT conc FROM st) < CAST(3.0 AS DOUBLE)),
+         |gprobes AS MATERIALIZED (SELECT id, v, bucket FROM sprobes
+         |  WHERE (SELECT conc FROM st) < CAST(3.0 AS DOUBLE)),
+         |spf AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    round(${cosSql("a.v", "b.v")}, 6) AS sim
+         |  FROM gprobes a JOIN gprobes b USING (bucket)
+         |  WHERE a.id < b.id
+         |    AND ${cosSql("a.v", "b.v")} >= CAST(0.9 AS DOUBLE)),
          |e AS (SELECT doc_id AS id, vec AS v FROM vecs
          |  WHERE (SELECT conc FROM st) >= CAST(3.0 AS DOUBLE)),
          |${kmeansCteSqlAuto(64, 2)},
@@ -6078,9 +6087,7 @@ object SparkEntry {
          |cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |    round(${cosSql("a.v", "b.v")}, 6) AS sim
          |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
-         |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.9 AS DOUBLE)),
-         |spf AS (SELECT id_a, id_b, round(sim, 6) AS sim FROM sp
-         |  WHERE sim >= CAST(0.9 AS DOUBLE))
+         |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.9 AS DOUBLE))
          |SELECT id_a, id_b, sim FROM spf
          |UNION ALL SELECT id_a, id_b, sim FROM cp""".stripMargin
     },
@@ -7645,22 +7652,18 @@ object SparkEntry {
       val planes = Similarity.hyperplanes(48, 64)
       s"""WITH e0 AS (SELECT vec_id AS id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |pp AS (SELECT CAST(LEAST(48, GREATEST(1,
-         |    CASE WHEN q <= 1 THEN 1
-         |         ELSE length(bin(CAST(q - 1 AS BIGINT))) END)) AS INT) AS p
-         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM e0)),
-         |bv AS (SELECT id, v,
-         |    substr(${bucketSql("v", planes)}, 1, (SELECT p FROM pp)) AS bucket
-         |  FROM e0),
-         |pops AS (SELECT bucket, count(*) AS n FROM bv GROUP BY 1),
+         |${probedSrpCteSql("s", "e0", planes, Similarity.DefaultSrpProbes)},
+         |pops AS (SELECT home AS bucket, count(*) AS n FROM sbv GROUP BY 1),
          |st AS (SELECT CAST(sum(n * (n - 1)) AS DOUBLE)
          |    / (CAST(sum(n) AS DOUBLE) * CAST(63 AS DOUBLE)) AS conc
          |  FROM pops),
-         |sp AS (SELECT a.id AS id_a, b.id AS id_b,
-         |    ${cosSql("a.v", "b.v")} AS sim
-         |  FROM bv a JOIN bv b USING (bucket)
+         |gprobes AS MATERIALIZED (SELECT id, v, bucket FROM sprobes
+         |  WHERE (SELECT conc FROM st) < CAST(3.0 AS DOUBLE)),
+         |spf AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    round(${cosSql("a.v", "b.v")}, 6) AS sim
+         |  FROM gprobes a JOIN gprobes b USING (bucket)
          |  WHERE a.id < b.id
-         |    AND (SELECT conc FROM st) < CAST(3.0 AS DOUBLE)),
+         |    AND ${cosSql("a.v", "b.v")} >= CAST(0.3 AS DOUBLE)),
          |e AS (SELECT id, v FROM e0
          |  WHERE (SELECT conc FROM st) >= CAST(3.0 AS DOUBLE)),
          |${kmeansCteSqlAuto(64, 2)},
@@ -7674,9 +7677,7 @@ object SparkEntry {
          |cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |    round(${cosSql("a.v", "b.v")}, 6) AS sim
          |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
-         |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.3 AS DOUBLE)),
-         |spf AS (SELECT id_a, id_b, round(sim, 6) AS sim FROM sp
-         |  WHERE sim >= CAST(0.3 AS DOUBLE))
+         |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.3 AS DOUBLE))
          |SELECT id_a, id_b, sim FROM spf
          |UNION ALL SELECT id_a, id_b, sim FROM cp""".stripMargin
     },

@@ -1668,6 +1668,16 @@ object Similarity {
     * pair set is a subset by construction — the comparison lane). */
   val DefaultCellProbes = 2
 
+  /** Default probe count for the dispatcher's SRP branch — the r17
+    * mirror of [[DefaultCellProbes]]: the q208 measurement on the fixed
+    * 256-doc sample read rank-0 SRP recall 1.0/0.88/1.0 across the three
+    * SFs vs 1.0/1.0/1.0 at nProbes = 2, and on the embeddings corpus the
+    * probed route verifies 580 vs 203 true pairs (sf0.01, threshold 0.3)
+    * for a measured +10% solo wall-clock at sf0.1 (1.58 → 1.74 s) — the
+    * best measured configuration is the default, not a dial.
+    * `srpProbes = 1` pins the rank-0 comparison form. */
+  val DefaultSrpProbes = 2
+
   def embeddingNearDupPairsAuto(
       corpus: DataFrame,
       idCol: String,
@@ -1681,7 +1691,8 @@ object Similarity {
       zipfConcentration: Double = 3.0,
       targetCellSize: Int = 64,
       maxFlatCells: Int = MaxFlatCells,
-      cellProbes: Int = DefaultCellProbes): DataFrame = {
+      cellProbes: Int = DefaultCellProbes,
+      srpProbes: Int = DefaultSrpProbes): DataFrame = {
     ensureFns(corpus.sparkSession)
     val c = Checkpoints.track(
       corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
@@ -1695,7 +1706,10 @@ object Similarity {
       else
         cellNearDupPairsFrom(c, threshold, nCentroids = 0, targetCellSize,
           maxFlatCells)
-    } else
+    } else if (srpProbes > 1)
+      embeddingNearDupPairsMultiProbe(c, "id", "v", threshold, srpProbes,
+        nPlanes, dim, seed, targetBucketSize, maxPlanesPerLevel)
+    else
       embeddingNearDupPairs(c, "id", "v", threshold, nPlanes, dim, seed,
         targetBucketSize, maxPlanesPerLevel)
   }

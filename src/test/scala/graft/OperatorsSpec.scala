@@ -1025,14 +1025,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(cBal < 3.0, s"balanced load factor $cBal")
     assert(Similarity.vectorRouteFor(bal, "vec_id", "embedding", dim = 8)
       === "srp")
-    // the dispatcher's output IS the routed generator's output
+    // the dispatcher's output IS the routed generator's output — since
+    // r17 the SRP branch ships the MULTI-PROBE form at DefaultSrpProbes
     val autoBal = Similarity.embeddingNearDupPairsAuto(bal, "vec_id",
       "embedding", 0.9, dim = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
-    val srpBal = Similarity.embeddingNearDupPairs(bal, "vec_id", "embedding",
-      0.9, dim = 8)
+    val srpBal = Similarity.embeddingNearDupPairsMultiProbe(bal, "vec_id",
+      "embedding", 0.9, nProbes = Similarity.DefaultSrpProbes, dim = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
     assert(autoBal.toSeq === srpBal.toSeq)
+    // ...and a superset of the rank-0 comparison form
+    val srp0Bal = Similarity.embeddingNearDupPairs(bal, "vec_id",
+      "embedding", 0.9, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(srp0Bal.toSet.subsetOf(autoBal.toSet))
     val autoColl = Similarity.embeddingNearDupPairsAuto(coll, "vec_id",
       "embedding", 0.999999, dim = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

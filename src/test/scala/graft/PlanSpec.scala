@@ -40,17 +40,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan("q31_cosine_topk").contains("Broadcast"))
   }
 
-  test("q32: default near-dup entry is the auto-dispatch; balanced fixture takes the quantizer-free SRP plan") {
+  test("q32: default near-dup entry is the auto-dispatch; balanced fixture takes the quantizer-free probed-SRP plan") {
     // embeddingNearDupPairsAuto is the documented default entry point —
     // q32 calls it, and on the direction-balanced embeddings fixture the
     // measured concentration is < 3, so the returned plan must be the
     // SRP bucket join with NO kmeans/cell machinery in it (the cells
-    // route would show `cell` references and centroid literals). The
-    // dispatch itself is data-driven; the oracle replays the same gate.
+    // route would show `cell` references and centroid literals). Since
+    // r17 that branch ships MULTI-PROBE by default (srpProbes = 2): the
+    // probed (id, v, bucket) relation sits behind a localCheckpoint, so
+    // the distinguishing shape in the RETURNED plan is the pair-dedup
+    // distinct (HashAggregate over the (id_a, id_b, sim) tuple) that the
+    // rank-0 form does not have. The dispatch itself is data-driven; the
+    // oracle replays the same gate.
     val p = plan("q32_cosine_neardup")
     assert(p.contains("bucket"), "SRP bucket join missing:\n" + p.take(600))
     assert(!p.contains("cell"),
       "balanced fixture must not pay for the quantizer route:\n" + p.take(600))
+    assert(p.contains("HashAggregate(keys=[id_a"),
+      "pair-dedup distinct missing — rank-0 SRP plan shipped?\n" + p.take(600))
   }
 
   test("q204: auto dispatch's cell branch ships the MULTI-PROBE plan by default") {

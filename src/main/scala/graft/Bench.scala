@@ -48,6 +48,9 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // also clears the r17 tracked-checkpoint registry (the blanket
+      // unpersist above already freed the blocks; this drops the refs)
+      graft.operators.Checkpoints.releaseTracked()
       // every streaming-query run loads fresh state-store providers into a
       // JVM-wide cache whose maintenance tasks keep churning against dead
       // checkpoints; unload them so later queries run against a quiet JVM

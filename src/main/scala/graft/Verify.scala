@@ -35,6 +35,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // this lane's result is on disk — free the operator-internal
+      // checkpoints it registered (the r17 session-hygiene lifecycle;
+      // one long session over 221 lanes otherwise accumulates blocks)
+      graft.operators.Checkpoints.releaseTracked()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

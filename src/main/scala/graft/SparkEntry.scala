@@ -1589,7 +1589,7 @@ object SparkEntry {
     "q199_vector_overlap_sampled" -> ((s, dir) => {
       val sdocs = Dedup.kminDocSample(
         T(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", 256).localCheckpoint(eager = true)
+        "doc_id", 256).transform(graft.operators.Checkpoints.trackedEager)
       val vecs = TextAnalysis.hashedTfVectors(sdocs, "doc_id", "text",
         dim = 64).select(col("doc_id"), col("vec"))
       Similarity.routeOverlapAudit(vecs, "doc_id", "vec", 0.9, dim = 64)
@@ -1662,7 +1662,7 @@ object SparkEntry {
     "q203_cell_probe_recall_sampled" -> ((s, dir) => {
       val sdocs = Dedup.kminDocSample(
         T(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", 256).localCheckpoint(eager = true)
+        "doc_id", 256).transform(graft.operators.Checkpoints.trackedEager)
       val vecs = TextAnalysis.hashedTfVectors(sdocs, "doc_id", "text",
         dim = 64).select(col("doc_id"), col("vec"))
       Similarity.nearDupRecallAudit(vecs, "doc_id", "vec", 0.9, dim = 64,
@@ -1737,7 +1737,7 @@ object SparkEntry {
     "q208_srp_probe_recall_sampled" -> ((s, dir) => {
       val sdocs = Dedup.kminDocSample(
         T(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", 256).localCheckpoint(eager = true)
+        "doc_id", 256).transform(graft.operators.Checkpoints.trackedEager)
       val vecs = TextAnalysis.hashedTfVectors(sdocs, "doc_id", "text",
         dim = 64).select(col("doc_id"), col("vec"))
       Similarity.nearDupRecallAudit(vecs, "doc_id", "vec", 0.9, dim = 64,
@@ -1756,7 +1756,7 @@ object SparkEntry {
     "q198_vector_recall_sampled" -> ((s, dir) => {
       val sdocs = Dedup.kminDocSample(
         T(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", 256).localCheckpoint(eager = true)
+        "doc_id", 256).transform(graft.operators.Checkpoints.trackedEager)
       val vecs = TextAnalysis.hashedTfVectors(sdocs, "doc_id", "text",
         dim = 64).select(col("doc_id"), col("vec"))
       Similarity.nearDupRecallAudit(vecs, "doc_id", "vec", 0.9, dim = 64)
@@ -1778,12 +1778,12 @@ object SparkEntry {
       val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3,
         maxShingleDocFreq = 100L).select("id_a", "id_b")
-        .localCheckpoint(eager = true)
+        .transform(graft.operators.Checkpoints.trackedEager)
       val clusters = Components.dedupClusters(docs.select(col("doc_id")),
         "doc_id", pairs, "id_a", "id_b")
       def audit(assigned: org.apache.spark.sql.DataFrame, strategy: String) = {
         val a = assigned.select(col("doc_id"), col("split"))
-          .localCheckpoint(eager = true)
+          .transform(graft.operators.Checkpoints.trackedEager)
         val leaked = pairs
           .join(a.select(col("doc_id").as("id_a"), col("split").as("s_a")), "id_a")
           .join(a.select(col("doc_id").as("id_b"), col("split").as("s_b")), "id_b")
@@ -1991,7 +1991,7 @@ object SparkEntry {
       // both paths read ONE checkpointed shingle relation — the scan,
       // the distinct, and the df cap run once, not once per path
       val sh = Dedup.cappedShingleHashes(docs, "doc_id", "text", 3,
-        maxShingleDocFreq = 100L).localCheckpoint(eager = true)
+        maxShingleDocFreq = 100L).transform(graft.operators.Checkpoints.trackedEager)
       val e = Dedup.containmentFromShingles(sh, "doc_id", 0.5)
         .withColumn("in_e", lit(1L))
       val p = Dedup.containmentPrefixFromShingles(sh, "doc_id", 0.5)

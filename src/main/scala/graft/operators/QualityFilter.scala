@@ -124,7 +124,10 @@ object QualityFilter {
     val sd = FeatureNames.indices.map(i =>
       if (sdRow.getDouble(i) == 0.0) 1.0 else sdRow.getDouble(i))
     val z = zFrame(sig, mu, sd).localCheckpoint(eager = true)
-    sig.unpersist()
+    // Dataset.unpersist is a cache-manager call and a NO-OP for
+    // checkpoint blocks (the plan is a LogicalRDD, never registered
+    // there) — release through the RDD, or the blocks live forever
+    Checkpoints.release(sig)
     var bias = 0.0
     var w = Vector.fill(FeatureNames.size)(0.0)
     for (_ <- 1 to rounds) {
@@ -144,7 +147,7 @@ object QualityFilter {
       bias = upd.getDouble(0)
       w = Vector.tabulate(FeatureNames.size)(i => upd.getDouble(i + 1))
     }
-    z.unpersist()
+    Checkpoints.release(z) // model is driver-side; nothing reads z now
     Model(n, mu, sd, bias, w)
   }
 

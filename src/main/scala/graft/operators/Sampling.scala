@@ -651,7 +651,9 @@ object Sampling {
     val ranked = sample
       .select(col("__x"), col("__id"), col("n_total"),
         row_number().over(w).as("__r"))
-      .localCheckpoint(eager = true) // sample-sized; read twice below
+      // sample-sized; read twice below AND by the returned join —
+      // tracked for session-level release (Checkpoints lifecycle)
+      .transform(Checkpoints.trackedEager)
     val m = ranked.agg(max(col("__r")).as("m"))
     import df.sparkSession.implicits._
     val ps = probs.toDF("p")
@@ -702,7 +704,9 @@ object Sampling {
     val ranked = sample
       .select(col(groupCol), col("__x"), col("__id"), col("n_total"),
         row_number().over(w).as("__r"))
-      .localCheckpoint(eager = true) // sample-sized; read twice below
+      // sample-sized; read twice below AND by the returned join —
+      // tracked for session-level release (Checkpoints lifecycle)
+      .transform(Checkpoints.trackedEager)
     val m = ranked.groupBy(col(groupCol)).agg(max(col("__r")).as("m"))
     import df.sparkSession.implicits._
     val ps = probs.toDF("p")
@@ -758,7 +762,9 @@ object Sampling {
       .select(col(groupCol), col("n_total"),
         col("p_.h").as("__h"), col("p_.v").as("__v"))
       .withColumn("__r", row_number().over(w))
-      .localCheckpoint(eager = true) // reservoir-sized; feeds m AND the join
+      // reservoir-sized; feeds m AND the returned join — tracked for
+      // session-level release (Checkpoints lifecycle)
+      .transform(Checkpoints.trackedEager)
     val m = ranked.groupBy(col(groupCol)).agg(max(col("__r")).as("m"))
     import rsv.sparkSession.implicits._
     val ps = probs.toDF("p")

@@ -287,6 +287,7 @@ object TextAnalysis {
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("syms"))
       .localCheckpoint()
+    var ck = wf // live checkpointed generation (rolling release)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
     var sinceCk = 0
@@ -319,10 +320,21 @@ object TextAnalysis {
         // sequential merge order is decided by the TakeOrdered job, not
         // by where lineage is cut.
         sinceCk += 1
-        if (sinceCk == 4) { wf = wf.localCheckpoint(); sinceCk = 0 }
+        if (sinceCk == 4) {
+          // rolling release (Checkpoints lifecycle): the new eager
+          // checkpoint is the only reader of the old one — O(1) live
+          // checkpointed generations instead of rounds/4
+          val next = wf.localCheckpoint()
+          Checkpoints.release(ck)
+          ck = next
+          wf = next
+          sinceCk = 0
+        }
         r += 1
       }
     }
+    // the merge table is driver-side; nothing reads wf past this point
+    Checkpoints.release(ck)
     import spark.implicits._
     merges.toSeq.toDF("rnd", "left", "right", "n")
       .select(col("rnd"), col("left"), col("right"),
@@ -434,9 +446,10 @@ object TextAnalysis {
     require(seedSize >= vocabSize && vocabSize >= 1 && rounds >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    val wf = df.select(explode(preTokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
-      .localCheckpoint()
+    val wf = Checkpoints.track( // returned join reads wf via segCounts
+      df.select(explode(preTokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+        .localCheckpoint())
     // bounded collect: ≤ k multi-char pieces + the character alphabet
     def keepTop(counts: DataFrame, k: Int): Seq[String] = {
       val chars = counts.filter(length(col("piece")) === 1)
@@ -665,6 +678,9 @@ object TextAnalysis {
     }
     val finalCounts = segCounts(unigramLogp(vocab)).collect()
       .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    // the returned frame is built from driver-side literal maps —
+    // nothing reads wf past the collect above (Checkpoints lifecycle)
+    Checkpoints.release(wf)
     val fin = vocab.map { case (p, _) => (p, finalCounts.getOrElse(p, 0L)) }
     val lp = unigramLogp(fin).toMap
     fin.toDF("piece", "n")
@@ -1160,9 +1176,10 @@ object TextAnalysis {
     // re-derives the whole KN scoring pipeline — six corpus scans in the
     // physical plan instead of two. One narrow row per doc, so the
     // materialization is corpus-cardinality but thin.
-    val scored = knBigramScore(df, idCol, textCol, discount)
-      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
-      .localCheckpoint(eager = true)
+    val scored = Checkpoints.track( // feeds the returned band join too
+      knBigramScore(df, idCol, textCol, discount)
+        .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+        .localCheckpoint(eager = true))
     val qd = Quantiles.histogramQuantiles(
       scored, langCol, "avg_logprob", Seq(0.25, 0.5, 0.75), 256)
     val thr = qd.groupBy(col(langCol)).agg(
@@ -1446,8 +1463,9 @@ object TextAnalysis {
         explode(bigramPairs(col("ts"))).as("pp"))
       .select(col(coarseCol), col(fineCol),
         concat_ws(" ", col("pp.w1"), col("pp.w2")).as("term"))
-    val fine = hllRegisters(terms, Seq(coarseCol, fineCol), "term", p)
-      .localCheckpoint()
+    val fine = Checkpoints.track( // both returned rollups read it
+      hllRegisters(terms, Seq(coarseCol, fineCol), "term", p)
+        .localCheckpoint())
     val mergedCoarse = fine.groupBy(col(coarseCol), col("bucket"))
       .agg(max(col("reg")).as("reg"))
     val mergedAll = fine.groupBy(col("bucket"))
@@ -1585,7 +1603,8 @@ object TextAnalysis {
       .select(col(groupCol), explode(bigramPairs(col("ts"))).as("pp"))
       .select(col(groupCol),
         concat_ws(" ", col("pp.w1"), col("pp.w2")).as("term"))
-    val sk = kmvSketch(terms, groupCol, "term", k).localCheckpoint(eager = true)
+    val sk = Checkpoints.track( // both returned slices read it
+      kmvSketch(terms, groupCol, "term", k).localCheckpoint(eager = true))
     kmvOverlap(sk.filter(col(groupCol) === groupA),
       sk.filter(col(groupCol) === groupB), k)
   }
@@ -1602,7 +1621,8 @@ object TextAnalysis {
       .select(col(groupCol), explode(bigramPairs(col("ts"))).as("pp"))
       .select(col(groupCol),
         concat_ws(" ", col("pp.w1"), col("pp.w2")).as("term"))
-    val sk = kmvSketch(terms, groupCol, "term", k).localCheckpoint(eager = true)
+    val sk = Checkpoints.track( // both returned slices read it
+      kmvSketch(terms, groupCol, "term", k).localCheckpoint(eager = true))
     kmvSetAlgebra(sk.filter(col(groupCol) === groupA),
       sk.filter(col(groupCol) === groupB), k)
   }

@@ -81,10 +81,11 @@ object Windows {
     require(!df.columns.contains(rankCol),
       s"rank column '$rankCol' already exists in ${df.columns.mkString(",")}")
     val spark = df.sparkSession
-    val ranged = df
-      .repartitionByRange(orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .localCheckpoint()
+    val ranged = Checkpoints.track( // the returned RDD-derived frame
+      df                            // reads these blocks lazily
+        .repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+        .localCheckpoint())
     val ranked = ranged.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }

@@ -48,6 +48,23 @@ object CkptGrowth {
     def storageBytes(): Long =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
 
+    // the r17 adoption sweep covers far more than the pair generators —
+    // SPARK_GRAFT_CKPT_MIX=1 cycles four tracked operator families
+    // (cell pairs, per-group sampled quantiles, KMV sketch overlap,
+    // global row number) so the growth measurement exercises them all
+    val mixed = sys.env.get("SPARK_GRAFT_CKPT_MIX").contains("1")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint(eager = true) // shared input, outside the A/B
+    val mixQueries: Array[() => org.apache.spark.sql.DataFrame] = Array(
+      () => Similarity.cellNearDupPairs(vecs, "doc_id", "vec", 0.9),
+      () => graft.operators.Sampling.sampledQuantilesByGroup(
+        docs, "lang", "doc_id", length(col("text")), Seq(0.5, 0.9), 256),
+      () => TextAnalysis.kmvBigramOverlap(docs, "lang", "text", "en", "zh"),
+      () => graft.operators.Windows.globalRowNumber(
+        docs.select(col("doc_id"), length(col("text")).as("len")),
+        Seq(col("len").desc, col("doc_id").asc), "rank"))
+
     def run(mode: String): Unit = {
       // clear the previous mode's residue (all operator-internal
       // checkpoints are tracked) WITHOUT touching the shared input above
@@ -57,15 +74,17 @@ object CkptGrowth {
       val bytes = Array.ofDim[Long](nQueries)
       val t0 = System.nanoTime()
       (0 until nQueries).foreach { q =>
-        // materialize the pair output (the caller's side of the contract)
-        Similarity.cellNearDupPairs(vecs, "doc_id", "vec", 0.9)
-          .write.format("noop").mode("overwrite").save()
+        // materialize the output (the caller's side of the contract)
+        val df = if (mixed) mixQueries(q % mixQueries.length)()
+          else Similarity.cellNearDupPairs(vecs, "doc_id", "vec", 0.9)
+        df.write.format("noop").mode("overwrite").save()
         if (mode == "scoped") Checkpoints.releaseTracked()
         rddCounts(q) = spark.sparkContext.getPersistentRDDs.size
         bytes(q) = storageBytes()
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      println(s"""{"metric":"ckpt_growth","mode":"$mode","queries":$nQueries,""" +
+      println(s"""{"metric":"ckpt_growth","mode":"$mode","mixed":$mixed,""" +
+        s""""queries":$nQueries,""" +
         s""""rdds_first":${rddCounts.head},"rdds_last":${rddCounts.last},""" +
         s""""rdds_max":${rddCounts.max},""" +
         s""""mb_first":${bytes.head / 1048576},"mb_last":${bytes.last / 1048576},""" +

@@ -1264,12 +1264,15 @@ object Similarity {
     * spec/oracle-covered). */
   private[graft] val ScanRepartitionMinWork = 8192L * 128L * 64L
 
-  /** Vector width from ONE row (a `limit 1` job — the corpus dimension
-    * is constant by contract; a leading null/empty vector reads 0 and
-    * the guard simply stays off, a conservative miss). */
-  private def vecDim(c: DataFrame): Int = {
-    val r = c.select(size(col("v")).as("d")).head(1)
-    if (r.isEmpty || r(0).isNullAt(0)) 0 else math.max(0, r(0).getInt(0))
+  /** Corpus row count + vector width in ONE full-scan aggregate (the
+    * dimension is constant by contract; `first` skips leading nulls —
+    * an all-null/empty corpus reads 0 and the guard stays off, a
+    * conservative miss). Every guard entry needs both numbers, and one
+    * job beats the count job + limit-1 probe it replaces. */
+  private def countAndDim(c: DataFrame): (Long, Int) = {
+    val r = c.agg(count(lit(1)).as("n"),
+      first(size(col("v")), ignoreNulls = true).as("d")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0 else math.max(0, r.getInt(1)))
   }
 
   private def atScanParallelism(c: DataFrame, n: Long, k: Long, d: Int): DataFrame = {
@@ -1291,9 +1294,15 @@ object Similarity {
     * layouts). Training moves to the guarded relation too: the md5-rank
     * sample is order-deterministic, so the same centroids fall out of
     * any partitioning (spec-gated), and the sample SCAN load-balances
-    * with the same shuffle. */
-  private def guardedProjection(c: DataFrame, k: Int): DataFrame =
-    atScanParallelism(c, c.count(), k, vecDim(c))
+    * with the same shuffle. Short-circuits BEFORE any job on a
+    * single-slot session (the guard could never repartition anyway). */
+  private def guardedProjection(c: DataFrame, k: Long): DataFrame = {
+    if (c.sparkSession.sparkContext.defaultParallelism <= 1) c
+    else {
+      val (n, d) = countAndDim(c)
+      atScanParallelism(c, n, k, d)
+    }
+  }
 
   /** One trained quantizer for every [[autoAssignCells]] /
     * [[autoAssignCellsTopK]] entry — the size-class dispatch (explicit
@@ -1333,12 +1342,12 @@ object Similarity {
             s"flat bound $maxFlatCells; pass nCentroids <= 0 to let the " +
             "auto quantizer nest instead.")
       val k = math.min(nCentroids, maxFlatCells)
-      val cp = atScanParallelism(c, c.count(), k, vecDim(c))
+      val cp = guardedProjection(c, k)
       return FlatQuantizer(cp, kmeansCentroids(cp, "id", "v", k, autoSampleSize(k)))
     }
-    val n = c.count()
+    val (n, d) = countAndDim(c)
     val want: Long = desiredCells(n, targetCellSize)
-    val cp = atScanParallelism(c, n, want, vecDim(c))
+    val cp = atScanParallelism(c, n, want, d)
     val nest = math.min(maxFlatCells, NestAboveCells)
     if (want <= nest) {
       val k = math.max(1L, want).toInt
@@ -2006,26 +2015,56 @@ object Similarity {
   private[graft] def probedSrpBuckets(
       c: DataFrame,
       planes: Array[Array[Double]],
+      nProbes: Int): DataFrame =
+    withProbedBuckets(c, "v", planes, nProbes)
+      .select(col("id"), col("v"), col("bucket"))
+
+  /** Rank-`nProbes` sign-bucket fan-out for `vCol` — Lv '07 multi-probe,
+    * shared VERBATIM by the corpus-side pair route ([[probedSrpBuckets]])
+    * and the query-side serve route ([[multiProbeTopK]]) so the
+    * order-pinned arithmetic their oracles replay (margin sort =
+    * (|dot| asc, plane asc); each flip = one bit of the home string)
+    * cannot drift between routes — the same desync hazard class
+    * [[trainQuantizer]] closed for the rank-1/rank-k quantizer paths.
+    *
+    * The p plane dots land ONCE in a working array column, and the home
+    * bits / margins derive from `element_at` reads of it — value-identical
+    * to [[srpBucket]] over the raw vector (same dot expression per plane,
+    * same ≥ 0 bit rule, nulls read "0" both ways) but each dot appears
+    * once in the projection, so the cost does not lean on codegen
+    * subexpression elimination surviving (interpreted projections do not
+    * CSE, and the home string is referenced ~3× per flip). The working
+    * aliases hold through optimization: `CollapseProject` never inlines a
+    * non-cheap alias referenced more than once. Appends `bucket`:
+    * exactly `nProbes` rows per input row, home bucket first. */
+  private def withProbedBuckets(
+      df: DataFrame,
+      vCol: String,
+      planes: Array[Array[Double]],
       nProbes: Int): DataFrame = {
     val p = planes.length
     require(nProbes >= 1 && nProbes <= p + 1,
       "probes = the home bucket + at most one flip per plane")
-    def litVec(pl: Array[Double]) = array(pl.map(lit(_)): _*)
-    val home = srpBucket(col("v"), planes)
+    def litVec(pl: Array[Double]) = array(pl.map(lit(_)).toIndexedSeq: _*)
     if (nProbes == 1)
-      return c.select(col("id"), col("v"), home.as("bucket"))
-    val margins = planes.zipWithIndex.map { case (pl, i) =>
-      struct(abs(dot(col("v"), litVec(pl))).as("m"), lit(i).as("i"))
-    }
+      return df.withColumn("bucket", srpBucket(col(vCol), planes))
+    val dots = array(
+      planes.map(pl => dot(col(vCol), litVec(pl))).toIndexedSeq: _*)
+    val home = concat((1 to p).map(i =>
+      when(element_at(col("__dots"), i) >= 0, "1").otherwise("0")): _*)
+    val margins = (0 until p).map(i =>
+      struct(abs(element_at(col("__dots"), i + 1)).as("m"), lit(i).as("i")))
     def flipAt(bucket: Column, i: Column): Column = concat(
       bucket.substr(lit(1), i),
       when(bucket.substr(i + 1, lit(1)) === "1", "0").otherwise("1"),
       bucket.substr(i + 2, lit(p)))
-    c.withColumn("__ord", sort_array(array(margins.toIndexedSeq: _*)))
+    df.withColumn("__dots", dots)
+      .withColumn("__home", home)
+      .withColumn("__ord", sort_array(array(margins: _*)))
       .withColumn("bucket", explode(array(
-        home +: (1 until nProbes).map(j =>
-          flipAt(home, element_at(col("__ord"), j).getField("i"))): _*)))
-      .select(col("id"), col("v"), col("bucket"))
+        col("__home") +: (1 until nProbes).map(j =>
+          flipAt(col("__home"), element_at(col("__ord"), j).getField("i"))): _*)))
+      .drop("__dots", "__home", "__ord")
   }
 
   /** [[embeddingNearDupPairs]] with MULTI-PROBE SRP assignment — the
@@ -2108,24 +2147,13 @@ object Similarity {
     require(nProbes >= 1 && nProbes <= nPlanes + 1,
       "probes = the home bucket + at most one flip per plane")
     val planes = hyperplanes(nPlanes, dim, seed)
-    def litVec(p: Array[Double]) = array(p.map(lit(_)): _*)
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", srpBucket(col("v"), planes))
     val q0 = queries.select(col(idCol).as("q_id"),
       asDouble(col(vecCol)).as("qv"))
-    // margin-ordered flip candidates: struct sort = (|dot| asc, plane asc)
-    val margins = planes.zipWithIndex.map { case (p, i) =>
-      struct(abs(dot(col("qv"), litVec(p))).as("m"), lit(i).as("i"))
-    }
-    val home = srpBucket(col("qv"), planes)
-    def flipAt(bucket: Column, i: Column): Column = concat(
-      bucket.substr(lit(1), i),
-      when(bucket.substr(i + 1, lit(1)) === "1", "0").otherwise("1"),
-      bucket.substr(i + 2, lit(nPlanes)))
-    val q = q0.withColumn("__ord", sort_array(array(margins: _*)))
-      .withColumn("bucket", explode(array(
-        home +: (1 until nProbes).map(j =>
-          flipAt(home, element_at(col("__ord"), j).getField("i"))): _*)))
+    // margin-ordered flip fan-out, shared with the pair route — see
+    // withProbedBuckets for the order pins the q169 oracle replays
+    val q = withProbedBuckets(q0, "qv", planes, nProbes)
       .select(col("q_id"), col("qv"), col("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("id") =!= col("q_id"))

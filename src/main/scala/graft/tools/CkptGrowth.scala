@@ -88,7 +88,8 @@ object CkptGrowth {
         s""""rdds_first":${rddCounts.head},"rdds_last":${rddCounts.last},""" +
         s""""rdds_max":${rddCounts.max},""" +
         s""""mb_first":${bytes.head / 1048576},"mb_last":${bytes.last / 1048576},""" +
-        s""""mb_max":${bytes.max / 1048576},"secs":${f"$secs%.1f"}}""")
+        s""""mb_max":${bytes.max / 1048576},"secs":${
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(secs))}}""")
     }
 
     run("leak")

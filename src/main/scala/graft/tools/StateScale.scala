@@ -104,11 +104,11 @@ object StateScale {
 
     // warm both paths once (classload/codegen), then min-of-2 each.
     // A provider that cannot HOLD the state (heap past the memory-fit
-    // bound) is itself the measurement: record the failure and move on
-    // to the other provider instead of aborting the comparison.
-    // past the memory-fit bound the heap provider does not fail politely
-    // — it OOM-kills the JVM (measured: 40M keys in a 6 GB JVM, exit 52)
-    // — so the surviving provider must be runnable alone
+    // bound) is itself the measurement: record a catchable failure and
+    // move on — but past that bound the heap provider usually does NOT
+    // fail politely, it OOM-kills the JVM (measured: 40M keys in a 6 GB
+    // JVM, exit 52), so the surviving provider must be runnable ALONE
+    // via SPARK_GRAFT_STATE_PROVIDERS.
     sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDERS", "heap,rocksdb")
       .split(",").toSeq.foreach { p =>
       try {
@@ -119,11 +119,15 @@ object StateScale {
           if (a <= b) (a, rowsA, memA) else (b, rowsB, memB)
         println(f"""{"metric":"state_scale","provider":"$p","rows":$nRows,""" +
           f""""keys":$nKeys,"files":$nFiles,"shards":$shards,""" +
-          f""""secs":$secs%.1f,"state_rows":$rows,"state_mb":${mem / 1048576}}""")
+          s""""secs":${String.format(java.util.Locale.ROOT, "%.1f",
+            Double.box(secs))},"state_rows":$rows,""" +
+          s""""state_mb":${mem / 1048576}}""")
       } catch {
         case e: Throwable =>
+          // bounded walk: a cyclic cause chain must not hang the
+          // error path (the JDK only prevents direct self-cause)
           val cause = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-            .toSeq.last
+            .take(16).toSeq.last
           println(s"""{"metric":"state_scale","provider":"$p","rows":$nRows,""" +
             s""""keys":$nKeys,"files":$nFiles,"shards":$shards,""" +
             s""""error":"${cause.getClass.getSimpleName}"}""")

@@ -593,4 +593,42 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(MySqlDdl.parse("CREATE TABLE t (a VARCHAR(10) DEFAULT 'x").isLeft,
       "unterminated string must still be rejected")
   }
+
+  test("property: probed SRP fan-out equals a sequential reference replay") {
+    // the r17 consolidation derives home bits / margins from one __dots
+    // array instead of srpBucket over the raw vector — this replays the
+    // ENTIRE fan-out (dots, sign bits, margin sort, bit flips) against a
+    // driver-side reference with the same in-order fold, so any future
+    // drift in the shared helper (tie-breaking, flip encoding, substr
+    // arithmetic at the first/last plane) fails on VALUES, not shape
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    for ((d, p, nProbes) <- Seq((3, 1, 1), (3, 1, 2), (4, 3, 2), (5, 4, 5),
+        (8, 6, 4))) {
+      val planes = Similarity.hyperplanes(p, d)
+      val rows = (0 until 24).map(i =>
+        (i.toLong, Array.fill(d)(rnd.nextGaussian())))
+      val c = spark.createDataset(rows).toDF("id", "v")
+      val got = Similarity.probedSrpBuckets(c, planes, nProbes)
+        .select("id", "bucket").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val want = rows.flatMap { case (id, v) =>
+        val dots = planes.map(pl => dot(v, pl))
+        val home = dots.map(x => if (x >= 0) '1' else '0').mkString
+        val flips = dots.zipWithIndex
+          .sortBy { case (x, i) => (math.abs(x), i) }
+          .take(nProbes - 1).map(_._2)
+        val probed = flips.map(i =>
+          home.updated(i, if (home(i) == '1') '0' else '1'))
+        (home +: probed).map(b => (id, b))
+      }.sorted
+      assert(got === want, s"(d=$d, p=$p, nProbes=$nProbes)")
+    }
+  }
 }

@@ -121,6 +121,13 @@ object DimSweep {
         Similarity.embeddingNearDupPairs(ed, "vec_id", "embedding", 0.3,
           dim = d)
       }
+      // the r17 shipped default on balanced corpora: probed SRP at
+      // nProbes = 2 — its d-cost is the rank-0 dots once (the __dots
+      // consolidation) plus the fan-out join's doubled candidate mass
+      cell("srp2") {
+        Similarity.embeddingNearDupPairsMultiProbe(ed, "vec_id",
+          "embedding", 0.3, nProbes = 2, dim = d)
+      }
       cell("cells") {
         Similarity.cellNearDupPairs(ed, "vec_id", "embedding", 0.3)
       }

@@ -474,4 +474,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!streamed.contains(2L), "trailing tombstone removes the key")
     assert(streamed(3L) === ((2L, t(6), 6.0)), "upsert resurrects")
   }
+
+  test("stateStoreAdvisor reproduces the measured StateScale outcomes") {
+    import graft.streaming.EventStreams.stateStoreAdvisor
+    val gb = 1L << 30
+    // the measured-good points: heap completed AND was 2.2-2.6x faster
+    assert(stateStoreAdvisor(6000000L, 12 * gb) === "heap")   // 1.9 GB/12 GB
+    assert(stateStoreAdvisor(20000000L, 12 * gb) === "heap")  // 3.9 GB/12 GB
+    // the measured-fatal point: 40M keys in a 6 GB JVM OOM-killed the
+    // executor; the advisor must flip well before it
+    assert(stateStoreAdvisor(40000000L, 6 * gb) === "rocksdb")
+    // 20M keys in 6 GB measured good (65% resident) but sits past the
+    // 60% headroom line - the advisor is deliberately conservative there
+    assert(stateStoreAdvisor(20000000L, 6 * gb) === "rocksdb")
+    // boundary arithmetic: exactly at the fraction stays on heap
+    val heap = 10 * gb
+    val atLine = (heap * 0.6).toLong / 200L
+    assert(stateStoreAdvisor(atLine, heap) === "heap")
+    assert(stateStoreAdvisor(atLine + gb / 200L, heap) === "rocksdb")
+    intercept[IllegalArgumentException](stateStoreAdvisor(-1L, heap))
+  }
 }

@@ -724,9 +724,9 @@ object Dedup {
       .withColumnRenamed(idCol, "index_id")
     val cand = dband.join(iband, Seq("band", "key"))
       .select("delta_id", "index_id").distinct()
-    val a = dsig.toDF(dsig.columns.map(c =>
+    val a = dsig.toDF(dsig.columns.toIndexedSeq.map(c =>
       if (c == idCol) "delta_id" else s"a_$c"): _*)
-    val b = isig.toDF(isig.columns.map(c =>
+    val b = isig.toDF(isig.columns.toIndexedSeq.map(c =>
       if (c == idCol) "index_id" else s"b_$c"): _*)
     val nMatch = (0 until numHashes)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))

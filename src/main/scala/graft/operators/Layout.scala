@@ -181,7 +181,7 @@ object Layout {
       df.filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
     }.select("file").collect().map(_.getString(0))
     if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
-    else spark.read.parquet(keep: _*)
+    else spark.read.parquet(keep.toIndexedSeq: _*)
   }
 
   /** Write `df` as a bucketed + sorted table and return the catalog

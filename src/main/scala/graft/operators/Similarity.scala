@@ -677,7 +677,8 @@ object Similarity {
     withDists.select(
       (col("id") +: carry.map(col)) ++
         (0 until m).map { j =>
-          val dArr = array(books(j).map { case (cell, _) => col(s"__d${j}_$cell") }: _*)
+          val dArr = array(books(j).toIndexedSeq
+            .map { case (cell, _) => col(s"__d${j}_$cell") }: _*)
           (array_position(dArr, array_min(dArr)) - 1).cast("int").as(s"code_$j")
         }: _*)
   }
@@ -699,7 +700,8 @@ object Similarity {
     val scored = pairs
       .select(col("q_id") +: col("id") +:
         (0 until m).map { j =>
-          val bookLit = array(books(j).map { case (_, cv) => litVec(cv) }: _*)
+          val bookLit = array(books(j).toIndexedSeq
+            .map { case (_, cv) => litVec(cv) }: _*)
           l2(slice(col("qv"), j * sub + 1, sub),
             element_at(bookLit, col(s"code_$j") + 1)).as(s"__adc_$j")
         }: _*)

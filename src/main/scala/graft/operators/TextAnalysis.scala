@@ -287,7 +287,7 @@ object TextAnalysis {
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("syms"))
       .localCheckpoint()
-    var ck = wf // live checkpointed generation (rolling release)
+    var ck = wf // the live checkpointed generation (rolling release)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
     var sinceCk = 0

@@ -1,6 +1,53 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** One JVM health sample (r18, verdict task 1: make the in-suite
+    * numbers diagnosable from the JSON alone). Code-heap pools are the
+    * segmented JDK 17 names; the pre-segmentation "Code Cache" name is
+    * the fallback. All counters are cumulative-monotone except
+    * code_used, which can shrink under UseCodeCacheFlushing — exactly
+    * the churn the probe exists to catch. */
+  private def jvmSample(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    val code = ManagementFactory.getMemoryPoolMXBeans.asScala.filter(p =>
+      p.getName.startsWith("CodeHeap") || p.getName == "Code Cache")
+    Map(
+      "code_used" -> code.map(_.getUsage.getUsed).sum,
+      "code_max" -> code.map(_.getUsage.getMax).sum,
+      "comp_ms" -> ManagementFactory.getCompilationMXBean.getTotalCompilationTime,
+      "classes" -> ManagementFactory.getClassLoadingMXBean.getLoadedClassCount.toLong,
+      "unloaded" -> ManagementFactory.getClassLoadingMXBean.getUnloadedClassCount,
+      "gc_ms" -> ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum)
+  }
+
+  /** Current commit (short sha) read straight from .git — the solo
+    * adjudication record must carry provenance without assuming a git
+    * binary on PATH. */
+  private def gitSha(): String = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val head = new String(Files.readAllBytes(Paths.get(".git/HEAD")),
+        "UTF-8").trim
+      if (!head.startsWith("ref: ")) head.take(12)
+      else {
+        val ref = head.drop(5)
+        val f = Paths.get(".git/" + ref)
+        if (Files.exists(f))
+          new String(Files.readAllBytes(f), "UTF-8").trim.take(12)
+        else {
+          val packed = Paths.get(".git/packed-refs")
+          if (!Files.exists(packed)) "unknown"
+          else new String(Files.readAllBytes(packed), "UTF-8")
+            .linesIterator.find(_.endsWith(ref))
+            .map(_.split(" ")(0).take(12)).getOrElse("unknown")
+        }
+      }
+    } catch { case _: Exception => "unknown" }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the full machine: the driver's contract is local[32] and it
@@ -68,11 +115,20 @@ object Bench {
     // classloading + JIT reach steady state before any clock starts.
     suite.foreach { case (name, fn) => once(name, fn); quiesce() }
     // Timed: each query runs twice, report the min; raw pairs are kept so
-    // residual inflation is diagnosable from the JSON alone.
+    // residual inflation is diagnosable from the JSON alone. A JVM probe
+    // after every lane's quiesce turns "late lanes read slow" from a
+    // suspicion into a curve: if code_used saturates code_max mid-suite,
+    // the JIT is flushing hot methods and re-running lanes interpreted /
+    // re-warming (the r17 verdict's prime suspect for the 5× in-suite
+    // swings); if comp_ms keeps climbing linearly, compilation churn is
+    // stealing the measured wall clock directly.
+    val jvmSeries = scala.collection.mutable.ArrayBuffer[(String, Map[String, Long])]()
+    jvmSeries += (("_start", jvmSample()))
     val timed = suite.map { case (name, fn) =>
       val a = once(name, fn)
       val b = if (a >= 0) once(name, fn) else -1.0
       quiesce()
+      jvmSeries += ((name, jvmSample()))
       (name, a, b)
     }
     val results = timed.map { case (name, a, b) =>
@@ -131,11 +187,51 @@ object Bench {
     val nFail = results.values.count(_ < 0)
     println(
       s"""{"metric":"decade_totals","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,$calJson,"decade_totals":$decades,"sf":"$sfDir"}""")
+    // JVM probe rollup (small enough to always survive the driver's
+    // capture window): is the code cache saturating, and how much wall
+    // clock went to JIT compilation / GC across the suite? The full
+    // per-lane series lands in bench_out.json's "jvm" key.
+    val jvmEnd = jvmSeries.last._2
+    val codePeak = jvmSeries.map(_._2("code_used")).max
+    val codeMax = jvmEnd("code_max")
+    val jvmStart = jvmSeries.head._2
+    println(s"""{"metric":"jvm_probe","code_used_peak_mb":${codePeak >> 20},""" +
+      s""""code_reserved_mb":${codeMax >> 20},""" +
+      s""""code_used_end_mb":${jvmEnd("code_used") >> 20},""" +
+      s""""comp_ms":${jvmEnd("comp_ms") - jvmStart("comp_ms")},""" +
+      s""""gc_ms":${jvmEnd("gc_ms") - jvmStart("gc_ms")},""" +
+      s""""classes_end":${jvmEnd("classes")},""" +
+      s""""classes_unloaded":${jvmEnd("unloaded") - jvmStart("unloaded")}}""")
+    val jvmJson = jvmSeries.map { case (name, m) =>
+      s"""{"lane":"$name","code_used":${m("code_used")},"comp_ms":${m("comp_ms")},""" +
+        s""""classes":${m("classes")},"unloaded":${m("unloaded")},"gc_ms":${m("gc_ms")}}"""
+    }.mkString("[", ",", "]")
+    // Solo-adjudication record (r17 verdict task 7): two rounds of
+    // judge+builder solo re-runs lived in /tmp and died with the host.
+    // SPARK_GRAFT_SOLO_RECORD=<context note> appends this run's lanes
+    // (normally narrowed via SPARK_GRAFT_ONLY) to a durable, committed
+    // BENCH_SOLO.jsonl with provenance, so round-over-round perf claims
+    // cite evidence that survives the sandbox.
+    sys.env.get("SPARK_GRAFT_SOLO_RECORD").foreach { ctx =>
+      val sha = gitSha()
+      val lines = timed.map { case (name, a, b) =>
+        val m = if (a >= 0 && b >= 0) math.min(a, b) else -1.0
+        s"""{"lane":"$name","sec":$m,"raw":[$a,$b],"git_sha":"$sha",""" +
+          s""""sf":"$sfDir","cpus":$cpus,"context":"$ctx"}"""
+      }.mkString("", "\n", "\n")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SOLO.jsonl"), lines.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not append BENCH_SOLO.jsonl: ${e.getMessage}")
+      }
+    }
     // best-effort file record: never let a read-only cwd fail the run
     // AFTER the numbers were already printed
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"sf":"$sfDir"}\n"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"jvm":$jvmJson,"sf":"$sfDir"}\n"""
         .getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")

@@ -80,8 +80,10 @@ object DimSweep {
     if (sys.env.getOrElse("SPARK_GRAFT_SWEEP_MODE", "assign") == "train") {
       val ks = sys.env.getOrElse("SPARK_GRAFT_TRAIN_KS", "1024,4096")
         .split(",").map(_.trim.toInt).toSeq
+      val ds = sys.env.getOrElse("SPARK_GRAFT_TRAIN_DS", "2048,4096")
+        .split(",").map(_.trim.toInt).toSeq
       val tout = scala.collection.mutable.LinkedHashMap[String, Double]()
-      for (d <- Seq(2048, 4096); k <- ks) {
+      for (d <- ds; k <- ks) {
         val ed = tile(base, d / 64).localCheckpoint(eager = true)
         def run(): Double = {
           val t0 = System.nanoTime()
@@ -99,6 +101,58 @@ object DimSweep {
           Double.box(v))}"""
       }.mkString(",")
       println(s"""{"metric":"train_sweep","sf":"$sfDir","cells":{$tcells}}""")
+      spark.stop()
+      return
+    }
+
+    // r18 (verdict task 4): the SRP probe DIAL CURVE. DefaultSrpProbes=2
+    // shipped on one measured point (recall 1.0 at ~2× rank-0 candidate
+    // mass); this mode measures nProbes ∈ {1,2,3,4} — true recall +
+    // verified-pair mass on the fixed 256-doc q208 sample (thresholds
+    // 0.9 and 0.8 — 0.8 admits more boundary pairs, where the knee
+    // shows) and on a 256-vector embeddings sample (threshold 0.3),
+    // plus the generator's solo cost on the FULL embeddings corpus per
+    // probe count. One JSON line per corpus.
+    if (sys.env.getOrElse("SPARK_GRAFT_SWEEP_MODE", "assign") == "srpcurve") {
+      import graft.operators.{Dedup, TextAnalysis}
+      val sdocs = Dedup.kminDocSample(
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text")), "doc_id", 256)
+        .localCheckpoint(eager = true)
+      val tf = TextAnalysis.hashedTfVectors(sdocs, "doc_id", "text",
+        dim = 64).select(col("doc_id"), col("vec"))
+        .localCheckpoint(eager = true)
+      val emb = base.orderBy(md5(col("vec_id").cast("string"))).limit(256)
+        .localCheckpoint(eager = true)
+      def curve(tag: String, c: DataFrame, id: String, v: String,
+          thr: Double): Unit = {
+        val rows = (1 to 4).map { p =>
+          val r = Similarity.nearDupRecallAudit(c, id, v, thr, dim = 64,
+            srpProbes = p).head()
+          s""""p$p":{"n_true":${r.getAs[Long]("n_true")},""" +
+            s""""n_srp":${r.getAs[Long]("n_srp")},""" +
+            s""""recall_srp":${r.getAs[Double]("recall_srp")}}"""
+        }
+        println(s"""{"metric":"srp_probe_curve","corpus":"$tag",""" +
+          s""""threshold":$thr,"sf":"$sfDir",${rows.mkString(",")}}""")
+      }
+      curve("docs_tf64", tf, "doc_id", "vec", 0.9)
+      curve("docs_tf64", tf, "doc_id", "vec", 0.8)
+      curve("embeddings", emb, "vec_id", "embedding", 0.3)
+      // solo generator cost on the full corpus per probe count
+      val costs = (1 to 4).map { p =>
+        def run(): Double = time {
+          Similarity.embeddingNearDupPairsMultiProbe(base, "vec_id",
+            "embedding", 0.3, nProbes = p, dim = 64)
+        }
+        run() // warm
+        val m = math.min(run(), run())
+        quiesce()
+        s""""p$p":${String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(m))}"""
+      }
+      println(s"""{"metric":"srp_probe_cost","corpus":"embeddings_full",""" +
+        s""""sf":"$sfDir",${costs.mkString(",")}}""")
       spark.stop()
       return
     }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector similarity search over an embedding column (`array<float>`).
@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   *
   * All arithmetic is a strict left-to-right fold over doubles
   * (`aggregate(zip_with(...))`) — deterministic and engine-portable.
+  *
+  * Checkpoint lifecycle: the ANN / pair-generator entries return LAZY
+  * frames backed by operator-internal `localCheckpoint` blocks registered
+  * with [[Checkpoints.track]]. `Checkpoints.releaseTracked()` frees those
+  * blocks irreversibly — a second action on an already-materialized result
+  * then fails with block-not-found. One-action-window contract:
+  * materialize (or re-checkpoint) every result you still need BEFORE
+  * calling `releaseTracked()` between logical queries.
   */
 object Similarity {
 
@@ -297,18 +305,63 @@ object Similarity {
   // equal DuckDB's `list_reduce`, so an oracle can re-derive the exact
   // same centroid doubles — bit-for-bit, not approximately.
 
-  private def dotS(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+  private[graft] def dotS(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
     var acc = a(0) * b(0); var i = 1
     while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
   }
-  private def normS(a: IndexedSeq[Double]): Double = {
+  private[graft] def normS(a: IndexedSeq[Double]): Double = {
     var acc = a(0) * a(0); var i = 1
     while (i < a.length) { acc += a(i) * a(i); i += 1 }
     math.sqrt(acc)
   }
-  private def cosS(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
+  private[graft] def cosS(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
     dotS(a, b) / (normS(a) * normS(b))
+
+  // Primitive-array mirrors of dotS/normS/l2S with the SAME IEEE op
+  // order (same seeds, same strict left-to-right adds) — the generic
+  // IndexedSeq folds box every element access, and at training work
+  // ~1e12 score units that boxing dominated the measured r17 train
+  // times. Bit-identity to the boxed forms is spec-gated.
+  private[graft] def dotP(a: Array[Double], b: Array[Double]): Double = {
+    var acc = a(0) * b(0); var i = 1
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private[graft] def normP(a: Array[Double]): Double = {
+    var acc = a(0) * a(0); var i = 1
+    while (i < a.length) { acc += a(i) * a(i); i += 1 }
+    math.sqrt(acc)
+  }
+  private[graft] def l2P(a: Array[Double], b: Array[Double]): Double = {
+    var acc = { val d = a(0) - b(0); d * d }
+    var i = 1
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Argmax-cosine / argmin-L2 cell for one point against every centroid:
+    * the one assignment kernel BOTH the driver-thread and the Spark-job
+    * paths run (an object method — executors call it statically, nothing
+    * captured). `cosS(a,b) = dotS/(normS(a)*normS(b))`: with norms
+    * precomputed the division input is the same `vn * cn(j)` product, so
+    * hoisting them out of the pair loop is bit-identical while cutting
+    * the per-pair fold count from 3 to 1. Strict improvement keeps the
+    * sequential tie rule (lowest cell wins). */
+  private[graft] def assignOne(
+      v: Array[Double], vn: Double,
+      cs: Array[Array[Double]], cn: Array[Double], isCos: Boolean): Int = {
+    var best = 0
+    var bestS = if (isCos) dotP(v, cs(0)) / (vn * cn(0)) else l2P(v, cs(0))
+    var j = 1
+    while (j < cs.length) {
+      val s = if (isCos) dotP(v, cs(j)) / (vn * cn(j)) else l2P(v, cs(j))
+      val improves = if (isCos) s > bestS else s < bestS
+      if (improves) { best = j; bestS = s }
+      j += 1
+    }
+    best
+  }
 
   /** The `sampleSize` vectors with the smallest `md5(cast(id as string))`
     * — a content-independent pseudo-random sample that any engine
@@ -333,78 +386,143 @@ object Similarity {
     * that guarantee for both the cosine (IVF) and squared-L2 (PQ)
     * trainings; any change here must change their CTE generators in
     * lockstep. */
-  /** Warn bound on the driver-side training work sample·k·d (score-fold
-    * units, ~3·d flops each for the cosine scorer): past ~1e11 units even
-    * the parallelized assignment step below is MINUTES of driver compute
-    * per Lloyd iteration (measured envelope in OPERATORS.md's r17
-    * training-cost table) — at that point the k or the sample should
-    * shrink, or training belongs in a Spark job. The bound is a loudness
-    * threshold, not a clamp: the arithmetic contract (oracle-replayable
-    * order-pinned folds) is preserved at any size. */
+  /** Bound on the training work sample·k·d (score-fold units) past which
+    * the per-iteration ASSIGNMENT step — the O(sample·k·d) part — runs as
+    * a Spark job over the broadcast sample instead of driver threads
+    * (r17 verdict task 2: "move training off the driver" now has an
+    * implementation, not just a warn). The assignment output is
+    * order-independent int cell ids, so the dispatch is bit-identical at
+    * any partition count (spec-gated); the order-pinned mean folds — the
+    * O(sample·d) part that defines the oracle-replayable IEEE chain —
+    * stay driver-side unchanged. Below the bound the driver-thread path
+    * wins: two broadcasts + a job round-trip per iteration is pure tax on
+    * gate-scale trainings that finish in milliseconds. */
   private[graft] val TrainingWorkWarn = 100_000_000_000L
 
-  private def lloyd(
+  private[graft] def lloyd(
       points: Array[IndexedSeq[Double]],
       k: Int,
       iters: Int,
-      score: (IndexedSeq[Double], IndexedSeq[Double]) => Double,
-      better: (Double, Double) => Boolean): Array[(Int, Seq[Double])] = {
+      isCos: Boolean,
+      session: Option[SparkSession],
+      offDriverWork: Long = TrainingWorkWarn): Array[(Int, Seq[Double])] = {
     val kk = math.min(k, points.length)
-    val d = points.headOption.map(_.length).getOrElse(0)
-    if (points.length.toDouble * kk * d > TrainingWorkWarn.toDouble)
+    // one up-front unbox to primitive rows: the generic IndexedSeq fold
+    // boxes every element access, which dominated the measured r17 train
+    // times (the (4096,4096) cell read 252 s; the primitive kernel with
+    // hoisted norms reruns it in seconds — table in OPERATORS.md)
+    val pts: Array[Array[Double]] = points.map(_.toArray)
+    val d = pts.headOption.map(_.length).getOrElse(0)
+    val work = pts.length.toDouble * kk * d
+    val distributed = work > offDriverWork.toDouble && session.nonEmpty
+    if (work > offDriverWork.toDouble)
       System.err.println(
-        s"[similarity] lloyd: training work sample=${points.length} × " +
-          s"k=$kk × d=$d exceeds $TrainingWorkWarn score units — minutes " +
-          "of driver compute per iteration; shrink k or the sample, or " +
-          "move training off the driver.")
-    var cents: IndexedSeq[IndexedSeq[Double]] = points.take(kk).toIndexedSeq
-    (0 until iters).foreach { _ =>
-      // assignment is embarrassingly parallel over sample points: each
-      // index computes from immutable inputs and writes only its own
-      // slot, so the result is bit-identical to the sequential loop at
-      // any thread count (the r16 verdict's defect 2: this step is
-      // O(sample·k·d) and was single-threaded — at production
-      // k·d = 65536·4096 that is ~10^12 score folds per iteration)
-      val assigned = new Array[Int](points.length)
-      val cs = cents
-      java.util.stream.IntStream.range(0, points.length).parallel()
-        .forEach { i =>
-          val v = points(i)
-          var best = 0; var bestS = score(v, cs(0)); var j = 1
-          while (j < kk) {
-            val s = score(v, cs(j))
-            if (better(s, bestS)) { best = j; bestS = s }
-            j += 1
+        s"[similarity] lloyd: training work sample=${pts.length} × " +
+          s"k=$kk × d=$d exceeds $offDriverWork score units — " +
+          (if (distributed)
+            "assignment dispatched as Spark jobs over the broadcast " +
+              "sample (bit-identical; the order-pinned mean folds stay " +
+              "driver-side)."
+          else
+            "no active SparkSession to dispatch to; running driver " +
+              "threads. Shrink k or the sample if training latency " +
+              "matters."))
+    // point norms are loop invariants of the whole training (cosine
+    // only); cosS(a,b) = dotS/(normS(a)*normS(b)) with norms hoisted is
+    // the same divisor product — bit-identical, 3 folds/pair → 1
+    val pNorms: Array[Double] =
+      if (isCos) pts.map(normP) else new Array[Double](pts.length)
+    val bPts = if (distributed)
+      Some(session.get.sparkContext.broadcast(pts)) else None
+    val bPNorms = if (distributed)
+      Some(session.get.sparkContext.broadcast(pNorms)) else None
+    var cents: Array[Array[Double]] = pts.take(kk)
+    try {
+      (0 until iters).foreach { _ =>
+        val cNorms: Array[Double] =
+          if (isCos) cents.map(normP) else new Array[Double](kk)
+        // assignment is embarrassingly parallel over sample points: each
+        // index computes from immutable inputs and writes only its own
+        // slot, so the result is bit-identical to the sequential loop at
+        // any thread count or partitioning (the r16 verdict's defect 2)
+        val assigned: Array[Int] =
+          if (distributed)
+            assignDistributed(session.get, bPts.get, bPNorms.get, cents,
+              cNorms, isCos,
+              session.get.sparkContext.defaultParallelism)
+          else {
+            val out = new Array[Int](pts.length)
+            val cs = cents
+            java.util.stream.IntStream.range(0, pts.length).parallel()
+              .forEach { i =>
+                out(i) = assignOne(pts(i), pNorms(i), cs, cNorms, isCos)
+              }
+            out
           }
-          assigned(i) = best
-        }
-      // bucket member indices in ONE pass (the per-cell filter scan was
-      // O(sample·k) index visits — 10^9 at sample=16384, k=65536),
-      // preserving index order so the mean fold below adds the same
-      // doubles in the same order as the original sequential form
-      val members = Array.fill(kk)(new scala.collection.mutable.ArrayBuffer[Int])
-      var i = 0
-      while (i < points.length) { members(assigned(i)) += i; i += 1 }
-      cents = (0 until kk).map { cell =>
-        val ms = members(cell)
-        if (ms.isEmpty) cents(cell)
-        else {
-          // seed = first member, strict left-to-right adds, one divide —
-          // the exact IEEE chain the SQL oracle replays
-          val acc = points(ms(0)).toArray
-          var t = 1
-          while (t < ms.length) {
-            val m = points(ms(t)); var j = 0
-            while (j < acc.length) { acc(j) += m(j); j += 1 }
-            t += 1
+        // bucket member indices in ONE pass (the per-cell filter scan was
+        // O(sample·k) index visits — 10^9 at sample=16384, k=65536),
+        // preserving index order so the mean fold below adds the same
+        // doubles in the same order as the original sequential form
+        val members = Array.fill(kk)(new scala.collection.mutable.ArrayBuffer[Int])
+        var i = 0
+        while (i < pts.length) { members(assigned(i)) += i; i += 1 }
+        cents = Array.tabulate(kk) { cell =>
+          val ms = members(cell)
+          if (ms.isEmpty) cents(cell)
+          else {
+            // seed = first member, strict left-to-right adds, one divide —
+            // the exact IEEE chain the SQL oracle replays
+            val acc = pts(ms(0)).clone()
+            var t = 1
+            while (t < ms.length) {
+              val m = pts(ms(t)); var j = 0
+              while (j < acc.length) { acc(j) += m(j); j += 1 }
+              t += 1
+            }
+            val n = ms.length
+            acc.map(_ / n)
           }
-          val n = ms.length
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(
-            acc.map(_ / n))
         }
       }
+    } finally {
+      bPts.foreach(_.destroy()); bPNorms.foreach(_.destroy())
     }
-    cents.zipWithIndex.map { case (cv, i) => (i, cv: Seq[Double]) }.toArray
+    cents.zipWithIndex.map { case (cv, i) =>
+      (i, scala.collection.immutable.ArraySeq.unsafeWrapArray(cv): Seq[Double])
+    }.toArray
+  }
+
+  /** The off-driver assignment step: one Spark job per Lloyd iteration
+    * over the broadcast sample (points + norms broadcast once per
+    * training; centroids re-broadcast per iteration because they change).
+    * Each task scores its index range with the SAME [[assignOne]] kernel
+    * the driver path runs and returns (index, cell) pairs — the collect
+    * is bounded by the sample size (≤ 16,384 ints via [[autoSampleSize]]).
+    * Bit-identical at any `parts` because every index's answer is a pure
+    * function of (point, centroids). */
+  private[graft] def assignDistributed(
+      spark: SparkSession,
+      bPts: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      bPNorms: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      cents: Array[Array[Double]],
+      cNorms: Array[Double],
+      isCos: Boolean,
+      parts: Int): Array[Int] = {
+    val sc = spark.sparkContext
+    val bC = sc.broadcast(cents)
+    val bCN = sc.broadcast(cNorms)
+    try {
+      val n = bPts.value.length
+      val res = sc.parallelize(0 until n, math.max(1, parts))
+        .mapPartitions { it =>
+          val pts = bPts.value; val pn = bPNorms.value
+          val cs = bC.value; val cn = bCN.value
+          it.map(i => (i, assignOne(pts(i), pn(i), cs, cn, isCos)))
+        }.collect()
+      val out = new Array[Int](n)
+      res.foreach { case (i, c) => out(i) = c }
+      out
+    } finally { bC.destroy(); bCN.destroy() }
   }
 
   /** Deterministic sampled k-means for IVF coarse centroids: cosine argmax
@@ -420,7 +538,7 @@ object Similarity {
     ensureFns(corpus.sparkSession)
     val samp = sortedSample(corpus, idCol, vecCol, sampleSize)
     require(samp.nonEmpty, "kmeansCentroids: empty corpus")
-    lloyd(samp, k, iters, cosS, _ > _)
+    lloyd(samp, k, iters, isCos = true, Some(corpus.sparkSession))
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into cells around
@@ -618,7 +736,7 @@ object Similarity {
 
   // ---- product quantization (PQ / ADC) ---------------------------------
 
-  private def l2S(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+  private[graft] def l2S(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
     var acc = { val d = a(0) - b(0); d * d }
     var i = 1
     while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
@@ -647,7 +765,7 @@ object Similarity {
     val sub = dim / m
     (0 until m).toArray.map { j =>
       lloyd(samp.map(v => v.slice(j * sub, (j + 1) * sub)), k, iters,
-        l2S, _ < _)
+        isCos = false, Some(corpus.sparkSession))
     }
   }
 
@@ -1267,13 +1385,18 @@ object Similarity {
   private[graft] val ScanRepartitionMinWork = 8192L * 128L * 64L
 
   /** Corpus row count + vector width in ONE full-scan aggregate (the
-    * dimension is constant by contract; `first` skips leading nulls —
-    * an all-null/empty corpus reads 0 and the guard stays off, a
-    * conservative miss). Every guard entry needs both numbers, and one
+    * dimension is constant by contract). `size(NULL)` is -1 under the
+    * legacy sizeOfNull default — NOT null — so `first(..., ignoreNulls)`
+    * alone would read d = 0 from a leading null vector and silently
+    * disable the n·k·d guard for the whole corpus; the `when` guard maps
+    * null rows to real NULLs so `first` actually skips them. An
+    * all-null/empty corpus reads 0 and the guard stays off, a
+    * conservative miss. Every guard entry needs both numbers, and one
     * job beats the count job + limit-1 probe it replaces. */
-  private def countAndDim(c: DataFrame): (Long, Int) = {
+  private[graft] def countAndDim(c: DataFrame): (Long, Int) = {
     val r = c.agg(count(lit(1)).as("n"),
-      first(size(col("v")), ignoreNulls = true).as("d")).head()
+      first(when(col("v").isNotNull, size(col("v"))), ignoreNulls = true)
+        .as("d")).head()
     (r.getLong(0), if (r.isNullAt(1)) 0 else math.max(0, r.getInt(1)))
   }
 

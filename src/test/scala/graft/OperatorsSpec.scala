@@ -1393,6 +1393,82 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       "repartitioning must not change the deterministic training sample")
   }
 
+  test("off-driver lloyd: distributed assignment is bit-identical at any partition count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val points: Array[IndexedSeq[Double]] = Array.fill(257)(
+      IndexedSeq.fill(24)(rnd.nextGaussian()))
+    // 1) the primitive kernel mirrors the boxed reference scorers bit
+    //    for bit, hoisted norms included (cosS = dotS/(normS*normS))
+    val cs = points.take(17).map(_.toArray)
+    val cn = cs.map(Similarity.normP)
+    points.foreach { p =>
+      val pa = p.toArray
+      val seqBest = {
+        var best = 0; var bestS = Similarity.cosS(p, cs(0).toIndexedSeq)
+        var j = 1
+        while (j < cs.length) {
+          val s = Similarity.cosS(p, cs(j).toIndexedSeq)
+          if (s > bestS) { best = j; bestS = s }
+          j += 1
+        }
+        best
+      }
+      assert(Similarity.assignOne(pa, Similarity.normP(pa), cs, cn,
+        isCos = true) === seqBest)
+    }
+    // 2) a full training FORCED through the Spark-job dispatch
+    //    (offDriverWork = 0) equals the driver-thread training — the
+    //    oracle-replayed IEEE chain survives the dispatch
+    val onDriver = Similarity.lloyd(points, 17, 3, isCos = true, None,
+      offDriverWork = Long.MaxValue)
+    val offDriver = Similarity.lloyd(points, 17, 3, isCos = true,
+      Some(spark), offDriverWork = 0L)
+    assert(offDriver.map(_._1).toSeq === onDriver.map(_._1).toSeq)
+    (onDriver zip offDriver).foreach { case ((_, a), (_, b)) =>
+      assert(a === b, "distributed assignment changed a centroid")
+    }
+    // L2 flavor too (the PQ codebook path)
+    val onL2 = Similarity.lloyd(points, 9, 2, isCos = false, None,
+      offDriverWork = Long.MaxValue)
+    val offL2 = Similarity.lloyd(points, 9, 2, isCos = false,
+      Some(spark), offDriverWork = 0L)
+    (onL2 zip offL2).foreach { case ((_, a), (_, b)) => assert(a === b) }
+    // 3) the assignment job itself is partition-count invariant
+    val sc = spark.sparkContext
+    val pts = points.map(_.toArray)
+    val bP = sc.broadcast(pts)
+    val bN = sc.broadcast(pts.map(Similarity.normP))
+    try {
+      val ref = Similarity.assignDistributed(spark, bP, bN, cs, cn,
+        isCos = true, parts = 1)
+      Seq(3, 7, 32).foreach { parts =>
+        assert(Similarity.assignDistributed(spark, bP, bN, cs, cn,
+          isCos = true, parts = parts).toSeq === ref.toSeq,
+          s"assignment drifted at parts=$parts")
+      }
+    } finally { bP.destroy(); bN.destroy() }
+  }
+
+  test("countAndDim skips null vectors (size(NULL) = -1 must not zero d)") {
+    import spark.implicits._
+    // a LEADING null vector: under the legacy sizeOfNull default
+    // size(NULL) = -1 (not NULL), so an unguarded first(ignoreNulls)
+    // reads it and collapses d to 0, silently disabling the n*k*d
+    // repartition guard for the whole corpus (r17 advisor)
+    val rows: Seq[(Long, Array[Double])] =
+      (0L, null.asInstanceOf[Array[Double]]) +:
+        (1 until 8).map(i => (i.toLong, Array.fill(16)(i.toDouble)))
+    val c = spark.createDataset(rows).toDF("id", "v").coalesce(1)
+    val (n, d) = Similarity.countAndDim(c)
+    assert(n === 8L)
+    assert(d === 16, s"leading null vector must be skipped, read d=$d")
+    // all-null corpus: conservative d = 0, guard stays off
+    val allNull = spark.createDataset(Seq(
+      (0L, null.asInstanceOf[Array[Double]]))).toDF("id", "v")
+    assert(Similarity.countAndDim(allNull) === ((1L, 0)))
+  }
+
   test("pq codes: identical vectors share codes; self-query ranks its dup first") {
     val base = Array.tabulate(8)(i => i.toFloat / 8f)
     val e = Seq(
@@ -1970,7 +2046,7 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(tied === Set(1), "all-equal corpus collapses to the first phase")
     // the order key is the replay-stable md5 of seed:id
     val ord = operators.Sampling.curriculumOrder(df, "id", "c", 3, "epoch0")
-      .filter($"id" === 1L).head.getString(3)
+      .filter($"id" === 1L).head().getString(3)
     assert(ord === java.security.MessageDigest.getInstance("MD5")
       .digest("epoch0:1".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString)

@@ -85,7 +85,17 @@ object Checkpoints {
   /** Free every operator-internal checkpoint registered since the last
     * call. Call between logical queries in a long-lived session, AFTER
     * materializing the previous query's results (the Bench-quiesce
-    * contract): the released blocks are unrecoverable by design. */
+    * contract): the released blocks are unrecoverable by design.
+    *
+    * ONE-ACTION-WINDOW CONTRACT (also documented on every operator
+    * object whose entries return tracked frames — Dedup, Similarity,
+    * TextAnalysis, Sampling, Windows, Components): a frame returned by
+    * a tracked operator cannot be re-executed after this call, even if
+    * it was already materialized once — `localCheckpoint` TRUNCATES
+    * lineage, so a second action (count-then-collect, a common
+    * interactive pattern) fails with block-not-found. If you need
+    * repeated actions on a result across release boundaries, persist it
+    * yourself (`.localCheckpoint()` / write it out) before releasing. */
   def releaseTracked(): Unit = {
     val it = tracked.entrySet().iterator()
     while (it.hasNext) {

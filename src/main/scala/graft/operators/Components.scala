@@ -32,6 +32,14 @@ import org.apache.spark.sql.functions._
   *
   * Both paths `localCheckpoint` per round: iterative plans otherwise grow
   * lineage exponentially and re-execute the whole history each round.
+  *
+  * Checkpoint lifecycle: intermediate generations are rolling-released
+  * ([[Checkpoints.release]]) inside the loop; the FINAL generation backing
+  * the returned frame (and [[hostPagerank]]'s tracked internals) is
+  * registered with [[Checkpoints.track]], so
+  * `Checkpoints.releaseTracked()` frees it irreversibly — materialize the
+  * result BEFORE calling it (the one-action-window contract documented on
+  * [[Checkpoints]]).
   */
 object Components {
 

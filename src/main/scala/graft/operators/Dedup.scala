@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   *    join skew → `maxShingleDocFreq` drops stop-shingles (standard trick);
   *    AQE skew-join splitting is the backstop.
   *  - nothing collects to the driver; every stage is a Dataset transform.
+  *
+  * Checkpoint lifecycle: the pair/band generators here return LAZY frames
+  * backed by operator-internal `localCheckpoint` blocks registered with
+  * [[Checkpoints.track]]. `Checkpoints.releaseTracked()` frees those
+  * blocks irreversibly (lineage is truncated) — after it runs, a
+  * previously returned frame cannot be re-executed (a second action fails
+  * with block-not-found). One-action-window contract: materialize every
+  * result you still need (or `.localCheckpoint()` it yourself) BEFORE
+  * calling `releaseTracked()` between logical queries.
   */
 object Dedup {
 

@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   *  - [[stratifiedByFraction]] is a pure per-row filter — no shuffle at
   *    all; it composes with any downstream plan and pushes past column
   *    pruning into the scan stage.
+  *
+  * Checkpoint lifecycle: the ranked-join entries return LAZY frames backed
+  * by operator-internal `localCheckpoint` blocks registered with
+  * [[Checkpoints.track]]; `Checkpoints.releaseTracked()` frees those
+  * blocks irreversibly, so materialize every result you still need BEFORE
+  * calling it (the one-action-window contract documented on
+  * [[Checkpoints]]).
   */
 object Sampling {
 

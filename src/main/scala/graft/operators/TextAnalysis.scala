@@ -14,6 +14,13 @@ case class DeflateRatio(doc_id: Long, n_bytes: Int, n_deflated: Int,
   * All pure column expressions (whole-stage-codegen friendly, no UDFs): at
   * 100 TB these run inside the parquet scan stage with zero shuffles —
   * per-document work only.
+  *
+  * Checkpoint lifecycle: a few entries (kn-language bands, the BM25 /
+  * sketch rollup pairs) return LAZY frames backed by operator-internal
+  * `localCheckpoint` blocks registered with [[Checkpoints.track]];
+  * `Checkpoints.releaseTracked()` frees those blocks irreversibly, so
+  * materialize every result you still need BEFORE calling it (the
+  * one-action-window contract documented on [[Checkpoints]]).
   */
 object TextAnalysis {
 

@@ -13,6 +13,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * on the keys with per-partition sort — no global sort, no driver
   * involvement. Ordering columns must form a total order (callers pass
   * tiebreakers) so results are reproducible across cluster sizes.
+  *
+  * Checkpoint lifecycle: [[globalRowNumber]] returns a LAZY frame backed
+  * by an operator-internal `localCheckpoint` registered with
+  * [[Checkpoints.track]]; `Checkpoints.releaseTracked()` frees the blocks
+  * irreversibly, so materialize the result BEFORE calling it (the
+  * one-action-window contract documented on [[Checkpoints]]).
   */
 object Windows {
 

@@ -48,17 +48,53 @@ object EventStreams {
     * 329 MB on-heap. Wire the answer through
     * `SPARK_GRAFT_STATE_STORE` / the same two confs the lanes set:
     * `spark.sql.streaming.stateStore.providerClass` and RocksDB
-    * changelog checkpointing. */
+    * changelog checkpointing.
+    *
+    * CALIBRATION SCOPE: the [[HeapStateBytesPerKey]] default was
+    * measured on small-key `dropDuplicates` state (one ~16-byte key,
+    * no payload). Wide aggregation state carries its aggregation
+    * buffer per key ON TOP of that overhead — projecting it at 200 B
+    * can answer "heap" straight into the measured OOM-kill regime.
+    * Pass `bytesPerKey` = measured overhead (~196 B) + the state
+    * row's payload bytes (aggregation buffer / carried columns) for
+    * anything wider than bare dedup keys. */
   def stateStoreAdvisor(
       keysPerExecutor: Long,
-      executorHeapBytes: Long): String = {
+      executorHeapBytes: Long,
+      bytesPerKey: Long = HeapStateBytesPerKey): String = {
     require(keysPerExecutor >= 0 && executorHeapBytes > 0,
       "projected keys must be >= 0 and executor heap positive")
-    val projected = keysPerExecutor * HeapStateBytesPerKey
+    require(bytesPerKey >= HeapStateBytesPerKey,
+      s"bytesPerKey is the PER-KEY TOTAL (overhead + payload); below " +
+        s"the measured overhead ($HeapStateBytesPerKey B) it understates heap")
+    val projected = keysPerExecutor * bytesPerKey
     if (projected <= (executorHeapBytes * HeapStateSafeHeapFraction).toLong)
       "heap"
     else "rocksdb"
   }
+
+  /** Wire [[stateStoreAdvisor]]'s answer into a session before starting
+    * a stream. "rocksdb" sets the RocksDB provider WITH changelog
+    * checkpointing — the incremental-restore path whose recovery
+    * semantics the crash-recovery spec gates (a changelog restore
+    * replays deltas over the last snapshot; a bug there only shows on
+    * the RESTART path, never in a single run). "heap" restores the
+    * default HDFS-backed provider. Set BEFORE `.start()` — the provider
+    * is pinned per query from session conf at start. */
+  def configureStateStore(spark: SparkSession, provider: String): Unit =
+    provider match {
+      case "rocksdb" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+      case "heap" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      case other => throw new IllegalArgumentException(
+        s"unknown state store '$other' (expected heap | rocksdb)")
+    }
 
   /** Tumbling event-time counts with late-data tolerance. */
   def tumblingCounts(

@@ -1992,7 +1992,7 @@ object SparkEntry {
       // the distinct, and the df cap run once, not once per path
       val sh = Dedup.cappedShingleHashes(docs, "doc_id", "text", 3,
         maxShingleDocFreq = 100L).transform(graft.operators.Checkpoints.trackedEager)
-      val e = Dedup.containmentFromShingles(sh, "doc_id", 0.5)
+      val e = Dedup.containmentFromShingles(sh, "doc_id", 0.5, grouped = true)
         .withColumn("in_e", lit(1L))
       val p = Dedup.containmentPrefixFromShingles(sh, "doc_id", 0.5)
         .withColumn("in_p", lit(1L))

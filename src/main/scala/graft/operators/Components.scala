@@ -229,9 +229,11 @@ object Components {
     * src node + one dst-keyed map-side-combinable sum — the shuffles carry
     * node- and edge-type-bounded relations (the HOST graph: millions of
     * nodes for a 100 TB crawl, tiny next to the corpus). The dangling mass
-    * and N ride as 1-row broadcast scalars; `localCheckpoint` per round
-    * cuts the otherwise-exponential iterative lineage (the
-    * [[alternatingStars]] discipline). Nothing is collected to the driver.
+    * rides as a 1-row broadcast scalar and N as a bounded 1-row-agg
+    * literal (the repo's bounded-collect class); `localCheckpoint` per
+    * round cuts the otherwise-exponential iterative lineage (the
+    * [[alternatingStars]] discipline). Nothing unbounded is ever
+    * collected to the driver.
     */
   def pageRank(
       edges: DataFrame,
@@ -272,14 +274,37 @@ object Components {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .transform(Checkpoints.trackedEager)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .transform(Checkpoints.trackedEager)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-    val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
-    var pr = nodes.crossJoin(broadcast(nDf))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    // r18: the iteration body used to re-derive three loop invariants
+    // every round — e⋈outdeg (deg is a property of the graph, not the
+    // rank), the dangling-node set (a per-round left_anti join), and a
+    // 1-row N broadcast. Hoisting them (guide §2.4: remove shuffles
+    // outright) drops the per-round plan from four joins + two broadcast
+    // materializations to two hash joins + one broadcast — measured
+    // 171 → 61 AQE stage jobs on the 10-iteration q116 lane. All
+    // arithmetic operands are unchanged (deg joins in before the
+    // pr/deg divide either way; the dangling flag selects the same pr
+    // terms the anti-join did; (1−d)/N divides the same doubles), and
+    // the per-round 12dp round collapses partial-sum order as before.
+    val eDeg = e
+      .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
+      .transform(Checkpoints.trackedEager) // (src, dst, deg)
+    // every node with its dangling flag (deg null = no out-edges); the
+    // rank relation carries the flag through the rounds so the dangling
+    // mass is a filter+sum over pr itself, never a join
+    val nodesF = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outdeg, Seq("node"), "left")
+      .select(col("node"), col("deg").isNull.as("dangling"))
+      .transform(Checkpoints.trackedEager)
+    // e is dead once eDeg/nodesF are materialized — rolling release
+    Checkpoints.release(e)
+    // N as a bounded 1-row agg (the repo-wide bounded-collect class);
+    // inlined as a literal so no round re-broadcasts a constant
+    val n = nodesF.agg(count(lit(1)).cast("double").as("n")).head().getDouble(0)
+    var pr = nodesF.select(col("node"), (lit(1.0) / lit(n)).as("pr"),
+      col("dangling"))
     var prevCp: DataFrame = null
     for (i <- 1 to iters) {
       // checkpoint the PREVIOUS round at the top so the final round's plan
@@ -293,23 +318,22 @@ object Components {
         prevCp = cp
         pr = cp
       }
-      val contrib = e
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
+      val contrib = eDeg
+        .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("deg")).as("contrib"))
-      val dang = pr.join(outdeg, Seq("node"), "left_anti")
+      val dang = pr.filter(col("dangling"))
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))
-      pr = nodes
+      pr = nodesF
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
-        .crossJoin(broadcast(nDf))
         .select(col("node"),
-          round(lit(1.0 - damping) / col("n") +
+          round(lit(1.0 - damping) / lit(n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              col("dang") / col("n")), 12).as("pr"))
+              col("dang") / lit(n)), 12).as("pr"),
+          col("dangling"))
     }
-    pr
+    pr.select(col("node"), col("pr"))
   }
 
   /** Triangle census + global clustering coefficient over an undirected

@@ -228,12 +228,20 @@ object Dedup {
         hashed.join(hot, Seq("shingle"), "left_anti")
       }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    // r18: capped postings take the grouped pair generator (see
+    // [[pairIntersectionsGrouped]] — one exchange, no merge-join sorts);
+    // the uncapped form keeps the self-join, whose k² stream never
+    // builds a per-group array an uncapped hot shingle could blow up
+    val inter =
+      if (maxShingleDocFreq > 0) pairIntersectionsGrouped(sh, idCol)
+      else {
+        val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+        val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+        a.join(b, Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_inter"))
+      }
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -274,7 +282,36 @@ object Dedup {
       maxShingleDocFreq: Long = 0L): DataFrame =
     containmentFromShingles(
       cappedShingleHashes(df, idCol, textCol, n, maxShingleDocFreq),
-      idCol, threshold)
+      idCol, threshold, grouped = maxShingleDocFreq > 0)
+
+  /** (id_a < id_b, n_inter) intersection counts from a posting relation
+    * (idCol, shingle), generating co-occurring pairs INSIDE each shingle
+    * group instead of self-joining the posting list (r18, guide §2.4):
+    * the join form shuffled the postings once but then SORTED both reads
+    * of the reused exchange for the merge join before emitting the same
+    * k² pair stream; here one hash aggregation keyed on the shingle
+    * builds the doc list, and pair generation plus the map-side partial
+    * count run in the same stage — one exchange + one agg replace
+    * exchange + two sorts + merge join. Output-identical: every
+    * unordered pair within a shingle appears exactly once (the a < b
+    * filter over the full a×b enumeration), and the per-pair count is
+    * the number of shared shingles either way.
+    *
+    * Group state is bounded by the caller's df cap (collect_list of
+    * ≤ cap ids, 8 B each — the same bound that already caps the k² pair
+    * blowup); callers WITHOUT a cap must keep the join form, which
+    * streams its k² rows instead of building a per-group array. */
+  private[graft] def pairIntersectionsGrouped(
+      sh: DataFrame,
+      idCol: String): DataFrame =
+    sh.groupBy(col("shingle"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
 
   /** The capped 64-bit-hashed distinct (id, shingle) relation both
     * containment paths (and the dispatcher's df statistic) share:
@@ -300,18 +337,26 @@ object Dedup {
   }
 
   /** Exact inverted-index containment core over a prepared shingle
-    * relation — see [[containmentPairs]] for the operator contract. */
+    * relation — see [[containmentPairs]] for the operator contract.
+    * `grouped = true` (callers whose `sh` is df-capped) routes the
+    * intersection counts through [[pairIntersectionsGrouped]]; uncapped
+    * callers keep the self-join (bounded-state note there). */
   private[graft] def containmentFromShingles(
       sh: DataFrame,
       idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      grouped: Boolean = false): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val inter =
+      if (grouped) pairIntersectionsGrouped(sh, idCol)
+      else {
+        val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+        val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+        a.join(b, Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_inter"))
+      }
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -464,7 +509,8 @@ object Dedup {
       .transform(Checkpoints.trackedEager)
     if (shingleDfConcentration(sh) >= zipfConcentration)
       containmentPrefixFromShingles(sh, idCol, threshold)
-    else containmentFromShingles(sh, idCol, threshold)
+    else containmentFromShingles(sh, idCol, threshold,
+      grouped = maxShingleDocFreq > 0)
   }
 
   /** The path [[containmentPairsAuto]] would take, as a pure decision —

@@ -1121,8 +1121,15 @@ object TextAnalysis {
     def bg(d: DataFrame): DataFrame =
       d.select(col(idCol), explode(bigramPairs(col("ts"))).as("p"))
         .select(col(idCol), col("p.w1"), col("p.w2"))
+    // r18: the model relation feeds FOUR consumers (the probe join, ctx,
+    // cont, totals) — uncut, the initial physical plan re-derived the
+    // whole scan→bigram-explode→count subtree once per consumer (four
+    // parquet scans, four vocab exchanges in the q114 before-plan).
+    // The relation is vocab-bounded (one row per distinct bigram), so
+    // the checkpoint is tiny at any corpus size.
     val model = bg(toks).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
+      .transform(graft.operators.Checkpoints.trackedEager)
     // c(w1,·) and N1+(w1,·) from ONE pass over the model relation:
     // its per-w1 row count IS the distinct-successor count
     val ctx = model.groupBy(col("w1"))
